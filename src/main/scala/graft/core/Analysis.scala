@@ -1,0 +1,123 @@
+package graft.core
+
+import java.util.Locale
+
+/** Analysis chain: pure `String => Array[String]` token functions used in
+  * `flatMap`/`explode`. The reference's pull-based TokenStream pipeline
+  * (`lucene/core/src/java/org/apache/lucene/analysis/`, 47 files) collapses
+  * to plain functions because Spark's `explode` is the Generator.
+  *
+  * Field length (the norm input) = number of emitted tokens — the engine
+  * emits no position-increment-0 overlap tokens, so this equals the
+  * reference's `state.getLength() - state.getNumOverlap()`
+  * (`BM25Similarity.java:146-150` with discountOverlaps=true).
+  */
+object Analysis {
+
+  /** Max token length; longer tokens are dropped, matching
+    * `StandardAnalyzer.maxTokenLength` default semantics
+    * (`analysis/standard/StandardAnalyzer.java:56`, default 255).
+    */
+  val MaxTokenLength = 255
+
+  /** English stop set of the reference's StandardAnalyzer
+    * (`analysis/core/StopAnalyzer.java:45-50` ENGLISH_STOP_WORDS_SET,
+    * used by `StandardAnalyzer.java:41-62`).
+    */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by",
+    "for", "if", "in", "into", "is", "it",
+    "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these",
+    "they", "this", "to", "was", "will", "with")
+
+  /** Oracle-parity tokenizer: lowercase ASCII alphanumeric runs.
+    * Deliberately expressible in ANSI SQL
+    * (`regexp_split_to_array(lower(text), '[^a-z0-9]+')`) so DuckDB can act
+    * as the correctness oracle. No stopwords, no length cap games: a token
+    * is a maximal [A-Za-z0-9]+ run, lowercased (ASCII-only lowercase, so
+    * JVM and DuckDB agree on every input).
+    */
+  def simpleTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c = text.charAt(i)
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      val isUp = c >= 'A' && c <= 'Z'
+      if (isTok || isUp) {
+        sb.append(if (isUp) (c + 32).toChar else c)
+      } else if (sb.length > 0) {
+        if (sb.length <= MaxTokenLength) out += sb.toString
+        sb.setLength(0)
+      }
+      i += 1
+    }
+    if (sb.length > 0 && sb.length <= MaxTokenLength) out += sb.toString
+    out.toArray
+  }
+
+  /** Code tokenizer: splits identifiers the way the reference's
+    * WordDelimiterFilter does for source code
+    * (`lucene/analysis/common/.../miscellaneous/WordDelimiterFilter.java:84`):
+    * camelCase humps, snake_case parts, letter/digit transitions — then
+    * lowercases. Emits the split PARTS only (generateWordParts +
+    * generateNumberParts, no catenation), each as its own token.
+    *
+    * "getHttpResponse2" → [get, http, response, 2]
+    * "parse_JSON_fast"  → [parse, json, fast]
+    */
+  def codeTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      // skip non-alnum
+      while (i < n && !Character.isLetterOrDigit(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && Character.isLetterOrDigit(text.charAt(i))) i += 1
+      if (i > start) splitWord(text, start, i, out)
+    }
+    out.toArray
+  }
+
+  /** Split one alnum run [start, end) on case/type transitions, lowercase. */
+  private def splitWord(s: String, start: Int, end: Int,
+      out: scala.collection.mutable.ArrayBuffer[String]): Unit = {
+    var partStart = start
+    var i = start + 1
+    def emit(from: Int, to: Int): Unit = {
+      val len = to - from
+      if (len > 0 && len <= MaxTokenLength)
+        out += s.substring(from, to).toLowerCase(Locale.ROOT)
+    }
+    while (i < end) {
+      val prev = s.charAt(i - 1)
+      val c = s.charAt(i)
+      val boundary =
+        // aA — lower→upper camel hump
+        (Character.isLowerCase(prev) && Character.isUpperCase(c)) ||
+        // letter↔digit transition
+        (Character.isLetter(prev) != Character.isLetter(c)) ||
+        // AAa — end of an acronym run: "HTTPServer" → HTTP | Server
+        (Character.isUpperCase(prev) && Character.isUpperCase(c) &&
+          i + 1 < end && Character.isLowerCase(s.charAt(i + 1)))
+      if (boundary) {
+        emit(partStart, i)
+        partStart = i
+      }
+      i += 1
+    }
+    emit(partStart, end)
+  }
+
+  /** StandardAnalyzer-like chain for natural-language fields: simple
+    * tokens + English stop filter (`StandardAnalyzer.java:101-106`).
+    */
+  def standardTokens(text: String): Array[String] =
+    simpleTokens(text).filterNot(EnglishStopWords.contains)
+}

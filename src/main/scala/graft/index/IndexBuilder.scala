@@ -1,0 +1,316 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Inverted-index build pipeline (the IndexWriter/DWPT/flush analog,
+  * SURVEY.md §2.3, §3.4), Spark-first:
+  *
+  *   stage 1  tokenize + per-doc norms/sha256 (DefaultIndexingChain
+  *            analog: `index/DefaultIndexingChain.java:350-417`)
+  *   stage 2  (term, docId, tf) via explode + hash aggregate — Catalyst's
+  *            partial/final agg replaces TermsHashPerField byte slices
+  *            (`index/TermsHashPerField.java:145-183`)
+  *   stage 3  term/collection stats (ExactStatsCache-by-construction,
+  *            `solr/core/.../search/stats/ExactStatsCache.java:86-103`)
+  *   stage 4  segment encode: shuffle by (term, salt), sort within
+  *            partitions by (term, salt, docId) — the Catalyst-planned
+  *            sort replacing FreqProxTermsWriter's hand sort
+  *            (`index/FreqProxTermsWriter.java:82-98`) — then blob-encode
+  *            per posting list (`Lucene50PostingsWriter.java:214-247`)
+  *
+  * Skew: terms with df ≥ saltThreshold are salted by docId into
+  * numDocShards sub-lists (salt = docId mod S); cold terms keep one list
+  * (salt = -1). Because the salt is a pure function of docId, salted
+  * sub-lists of different hot terms stay docId-aligned, so intersection /
+  * union per shard is correct (the CompositeIdRouter hash-routing analog,
+  * `solr/solrj/.../common/cloud/CompositeIdRouter.java:35-69`).
+  */
+object IndexBuilder {
+
+  final case class BuildConfig(
+      numBuckets: Int = 32,
+      numDocShards: Int = 8,
+      saltThreshold: Long = 50000L,
+      tokenizer: String = "simple",
+      bm25: graft.search.BM25Params = graft.search.BM25.Default)
+
+  /** Stable term → bucket hash (murmur3; must be identical on driver for
+    * partition pruning and in executors at build time).
+    */
+  def bucketOf(term: String, numBuckets: Int): Int =
+    (scala.util.hashing.MurmurHash3.stringHash(term, 0x12af3de) & Int.MaxValue) % numBuckets
+
+  def tokenizerFn(name: String): String => Array[String] = name match {
+    case "simple" => Analysis.simpleTokens
+    case "code" => Analysis.codeTokens
+    case "standard" => Analysis.standardTokens
+    case other => sys.error(s"unknown tokenizer: $other")
+  }
+
+  /** Logical (pre-segment) index: the relational core every query path and
+    * the DuckDB oracle share.
+    */
+  final case class LogicalIndex(
+      docs: DataFrame,      // docId, length, normByte, contentSha256, meta…
+      postings: DataFrame,  // term, docId, tf, normByte
+      termStats: DataFrame, // term, df, ttf
+      collStats: CollStats,
+      cfg: BuildConfig,
+      contentCol: String = "content")
+
+  /** Build the logical index from a corpus.
+    *
+    * @param corpus     input rows
+    * @param contentCol column holding the text to index
+    * @param docIdCol   pre-existing unique Long id column, or None to
+    *                   assign deterministic docIds from sortCols
+    * @param sortCols   total order for docId assignment (input_hint:
+    *                   (repo, path, commit))
+    */
+  def buildLogical(corpus: DataFrame, contentCol: String,
+      docIdCol: Option[String], sortCols: Seq[String],
+      cfg: BuildConfig = BuildConfig()): LogicalIndex = {
+    val spark = corpus.sparkSession
+    val tok = tokenizerFn(cfg.tokenizer)
+    val tokensUdf = udf((s: String) => tok(s))
+    val normUdf = udf((len: Int) => Norms.normByte(len))
+
+    val withId = docIdCol match {
+      case Some(c) => corpus.withColumn("docId", col(c).cast("long"))
+      case None => DocIds.withDocIds(corpus, sortCols)
+    }
+    val docs = withId
+      .withColumn("_toks", tokensUdf(col(contentCol)))
+      .withColumn("length", size(col("_toks")))
+      .withColumn("normByte", normUdf(col("length")))
+      .withColumn("contentSha256", sha2(col(contentCol), 256))
+
+    // (term, docId, tf) — tf via Catalyst hash aggregate with map-side
+    // partial combine; normByte rides along (constant per docId)
+    val postings = docs
+      .select(col("docId"), col("normByte"), explode(col("_toks")).as("term"))
+      .groupBy("term", "docId", "normByte")
+      .agg(count(lit(1)).cast("int").as("tf"))
+
+    val termStats = postings.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+
+    val Seq(docCount, sumTtf) = {
+      val r = docs.agg(count(lit(1)), coalesce(sum("length"), lit(0L))).collect()(0)
+      Seq(r.getLong(0), r.getLong(1))
+    }
+
+    LogicalIndex(docs.drop("_toks"), postings, termStats,
+      CollStats(docCount, sumTtf), cfg, contentCol)
+  }
+
+  // ---------- segment encode ----------
+
+  private final case class PRow(bucket: Int, term: String, salt: Int,
+      docId: Long, tf: Int, normByte: Byte)
+
+  /** Encode the logical postings into segment rows. One shuffle keyed by
+    * (term, salt) — hot terms spread over numDocShards reducers — then a
+    * within-partition sort and a streaming group-encode (no per-task
+    * materialization beyond one posting list).
+    */
+  def encodeSegments(ix: LogicalIndex, numPartitions: Int = 0,
+      bucketGroup: Option[(Int, Int)] = None): Dataset[SegmentPosting] = {
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    val cfg = ix.cfg
+    val nb = cfg.numBuckets
+    val bucketUdf = udf((t: String) => bucketOf(t, nb))
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // df join decides salting; termStats is itself an aggregate of
+    // postings — Catalyst plans a shuffle-on-term for both sides
+    val salted0 = ix.postings
+      .join(ix.termStats.select(col("term"), col("df").as("_df")), Seq("term"))
+      .withColumn("bucket", bucketUdf(col("term")))
+    // group filter BEFORE the encode shuffle: a resume run only shuffles
+    // the missing groups' postings
+    val salted1 = bucketGroup match {
+      case Some((g, n)) => salted0.filter(pmod(col("bucket"), lit(n)) === g)
+      case None => salted0
+    }
+    val salted = salted1
+      .withColumn("salt",
+        when(col("_df") >= cfg.saltThreshold,
+          pmod(col("docId"), lit(cfg.numDocShards.toLong)).cast("int"))
+        .otherwise(lit(-1)))
+      .select(col("bucket"), col("term"), col("salt"), col("docId"),
+        col("tf"), col("normByte"))
+      .as[PRow]
+
+    salted
+      .repartition(parts, col("term"), col("salt"))
+      .sortWithinPartitions(col("term"), col("salt"), col("docId"))
+      .mapPartitions { it => encodePartition(it) }
+  }
+
+  /** Stream consecutive (term, salt) groups into encoded blobs. */
+  private def encodePartition(it: Iterator[PRow]): Iterator[SegmentPosting] =
+    new Iterator[SegmentPosting] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): SegmentPosting = {
+        val head = buf.head
+        val docs = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
+        val norms = scala.collection.mutable.ArrayBuilder.make[Byte]
+        var maxTf = 0
+        var n = 0
+        while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
+          val r = buf.next()
+          docs += r.docId; tfs += r.tf; norms += r.normByte
+          if (r.tf > maxTf) maxTf = r.tf
+          n += 1
+        }
+        val (body, skip) = PostingsCodec.encode(docs.result(), tfs.result(), norms.result())
+        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body, skip)
+      }
+    }
+
+  // ---------- persisted index ----------
+
+  /** On-disk layout:
+    *   dir/manifest.json         committed snapshot (two-phase: tmp+rename,
+    *                             the prepareCommit/commit analog,
+    *                             `index/IndexWriter.java:2938,3148`)
+    *   dir/docs/                 parquet docs table
+    *   dir/termstats/            parquet term stats (bucket column for pruning)
+    *   dir/segments/grp=G/bucket=B/   parquet segment rows
+    *   dir/lineage/grp=G/        per-group lineage rows
+    */
+  final case class Manifest(
+      snapshotId: String,
+      docCount: Long,
+      sumTotalTermFreq: Long,
+      numBuckets: Int,
+      numDocShards: Int,
+      saltThreshold: Long,
+      tokenizer: String,
+      k1: Float,
+      b: Float,
+      completedGroups: Seq[Int],
+      numGroups: Int)
+
+  object Manifest {
+    def toJson(m: Manifest): String = {
+      s"""{"snapshotId":"${m.snapshotId}","docCount":${m.docCount},""" +
+        s""""sumTotalTermFreq":${m.sumTotalTermFreq},"numBuckets":${m.numBuckets},""" +
+        s""""numDocShards":${m.numDocShards},"saltThreshold":${m.saltThreshold},""" +
+        s""""tokenizer":"${m.tokenizer}","k1":${m.k1},"b":${m.b},""" +
+        s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
+    }
+    def fromJson(s: String): Manifest = {
+      def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(s).get.group(1)
+      def num(k: String) = s""""$k":(-?[0-9.eE+]+)""".r.findFirstMatchIn(s).get.group(1)
+      val groups = s""""completedGroups":\\[([0-9,]*)\\]""".r
+        .findFirstMatchIn(s).get.group(1)
+      Manifest(str("snapshotId"), num("docCount").toLong,
+        num("sumTotalTermFreq").toLong, num("numBuckets").toInt,
+        num("numDocShards").toInt, num("saltThreshold").toLong,
+        str("tokenizer"), num("k1").toFloat, num("b").toFloat,
+        if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
+        num("numGroups").toInt)
+    }
+  }
+
+  /** Write a full index to `dir`, resumable at group granularity: buckets
+    * are processed in `numGroups` independent jobs; a group already listed
+    * in the manifest is skipped on re-run (UpdateLog-replay analog,
+    * `solr/core/.../update/UpdateLog.java:815`).
+    *
+    * @param failAfterGroup test hook: throw after committing this many
+    *                       groups (simulates a mid-build crash)
+    */
+  def writeIndex(ix: LogicalIndex, dir: String, snapshotId: String,
+      numGroups: Int = 4, failAfterGroup: Int = Int.MaxValue): Manifest = {
+    val spark = ix.docs.sparkSession
+    import spark.implicits._
+    val cfg = ix.cfg
+    val fs = new java.io.File(dir)
+    fs.mkdirs()
+
+    val existing = readManifest(dir).filter(m =>
+      m.snapshotId == snapshotId && m.numGroups == numGroups)
+    var done: Set[Int] = existing.map(_.completedGroups.toSet).getOrElse(Set.empty)
+
+    if (existing.isEmpty) {
+      // fresh build: docs + termstats first (small relative to segments)
+      ix.docs.write.mode("overwrite").parquet(s"$dir/docs")
+      ix.termStats
+        .withColumn("bucket", udf((t: String) => bucketOf(t, cfg.numBuckets)).apply(col("term")))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+      commitManifest(dir, mkManifest(ix, snapshotId, Nil, numGroups))
+    }
+
+    // one cached copy of the logical postings backs all group jobs
+    val posted = ix.postings.persist()
+    val ixp = ix.copy(postings = posted)
+    try {
+      var committed = 0
+      var g = 0
+      while (g < numGroups) {
+        if (!done.contains(g)) {
+          encodeSegments(ixp, bucketGroup = Some((g, numGroups)))
+            .toDF()
+            .write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$dir/segments/grp=$g")
+          // lineage from the bytes actually on disk: per-bucket counts /
+          // bytes + order-independent content digest (per-row sha256
+          // equality lives in docs.contentSha256; this digest detects
+          // segment drift on resume)
+          spark.read.parquet(s"$dir/segments/grp=$g")
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("postingLists"),
+              sum("df").cast("long").as("postingCount"),
+              sum(length(col("docBlocks")) + length(col("skipData")))
+                .cast("long").as("bytesWritten"),
+              sum(xxhash64(col("term"), col("salt"), col("docBlocks")))
+                .as("contentDigest"))
+            .withColumn("snapshotId", lit(snapshotId))
+            .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g")
+          done += g
+          committed += 1
+          commitManifest(dir, mkManifest(ix, snapshotId, done.toSeq.sorted, numGroups))
+          if (committed >= failAfterGroup)
+            throw new RuntimeException(s"injected failure after group $g")
+        }
+        g += 1
+      }
+    } finally {
+      posted.unpersist()
+    }
+    readManifest(dir).get
+  }
+
+  private def mkManifest(ix: LogicalIndex, snapshotId: String,
+      done: Seq[Int], numGroups: Int): Manifest =
+    Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
+      ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
+      ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups)
+
+  /** Two-phase commit: write tmp, atomic rename over manifest.json. */
+  def commitManifest(dir: String, m: Manifest): Unit = {
+    val tmp = java.nio.file.Paths.get(dir, "manifest.json.tmp")
+    val fin = java.nio.file.Paths.get(dir, "manifest.json")
+    java.nio.file.Files.writeString(tmp, Manifest.toJson(m))
+    java.nio.file.Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(dir: String): Option[Manifest] = {
+    val p = java.nio.file.Paths.get(dir, "manifest.json")
+    if (java.nio.file.Files.exists(p))
+      Some(Manifest.fromJson(java.nio.file.Files.readString(p)))
+    else None
+  }
+}

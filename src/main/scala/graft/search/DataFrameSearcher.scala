@@ -1,0 +1,281 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Norms
+import graft.index.IndexBuilder.LogicalIndex
+
+/** Declarative scoring path: every Boolean composition is expressed as
+  * Dataset joins / aggregates so Catalyst plans it (SURVEY.md §2.6 mapping
+  * column). This path is (a) the rank-identical reference implementation
+  * the segment/WAND path is equivalence-tested against — mirroring the
+  * reference's dual-scorer oracle tests
+  * (`lucene/core/src/test/.../search/TestBoolean2.java:16-19`) — and
+  * (b) the DuckDB-oracle-checkable surface.
+  *
+  * Per-term scoring mirrors TermQuery/TermWeight
+  * (`search/TermQuery.java:40-124`): stats are gathered up front
+  * (driver-side, the createWeight analog), the per-doc work is a pure
+  * float function of (tf, normByte).
+  */
+object DataFrameSearcher {
+
+  /** Stats the scorer needs, gathered once per query (TermWeight ctor /
+    * ExactStatsCache analog: global df by construction).
+    */
+  final case class QueryStats(dfByTerm: Map[String, Long], docCount: Long,
+      sumTotalTermFreq: Long)
+
+  def gatherStats(ix: LogicalIndex, terms: Set[String]): QueryStats = {
+    val dfMap =
+      if (terms.isEmpty) Map.empty[String, Long]
+      else ix.termStats
+        .filter(col("term").isin(terms.toSeq: _*))
+        .select("term", "df").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    QueryStats(dfMap, ix.collStats.docCount, ix.collStats.sumTotalTermFreq)
+  }
+
+  /** Full per-doc scores for a query: DataFrame(docId: long, score: float).
+    * Absent docs = no match (score row absent), like an iterator.
+    */
+  def scores(ix: LogicalIndex, q0: Query, params: BM25Params = BM25.Default): DataFrame = {
+    val q = Query.rewrite(q0)
+    val stats = gatherStats(ix, Query.literalTerms(q))
+    scoreDf(ix, q, 1f, stats, params)
+  }
+
+  /** Top-k: score desc, docId asc (HitQueue.java:76-81 tie-break law),
+    * optional searchAfter cursor (IndexSearcher.java:421-445).
+    * Returns DataFrame(docId: long, score: double, rank: int).
+    */
+  def search(ix: LogicalIndex, q: Query, k: Int,
+      after: Option[(Double, Long)] = None,
+      params: BM25Params = BM25.Default): DataFrame = {
+    val sc = scores(ix, q, params).withColumn("score", col("score").cast("double"))
+    val paged = after match {
+      case Some((s, d)) =>
+        sc.filter(col("score") < s || (col("score") === s && col("docId") > d))
+      case None => sc
+    }
+    // TakeOrderedAndProject: per-partition top-k heap + driver merge —
+    // Catalyst's native analog of TopScoreDocCollector + TopDocs.merge
+    paged.orderBy(desc("score"), asc("docId")).limit(k)
+      .select(col("docId"), col("score"))
+  }
+
+  // ---------- recursive scorer construction ----------
+
+  /** Build DataFrame(docId, score: float) for a rewritten query. */
+  private def scoreDf(ix: LogicalIndex, q: Query, boost: Float,
+      stats: QueryStats, params: BM25Params): DataFrame = q match {
+
+    case TermQ(t) => termScoreDf(ix, t, boost, stats, params)
+
+    case MatchAllQ =>
+      ix.docs.select(col("docId"), lit(boost).cast("float").as("score"))
+
+    case MatchNoneQ => emptyScores(ix)
+
+    case BoostQ(inner, b) => scoreDf(ix, inner, boost * b, stats, params)
+
+    case ConstScoreQ(inner, s) =>
+      scoreDf(ix, inner, 1f, stats, params)
+        .select(col("docId"), lit(boost * s).cast("float").as("score"))
+
+    case SynonymQ(ts) => synonymScoreDf(ix, ts, boost, stats, params)
+
+    case DisMaxQ(clauses, tie) =>
+      val parts = clauses.zipWithIndex.map { case (c, i) =>
+        scoreDf(ix, c, boost, stats, params)
+      }
+      val unioned = parts.reduce(_ unionByName _)
+      // max + tie*(sum-max), float ops (DisjunctionMaxScorer.java:28)
+      unioned.groupBy("docId")
+        .agg(max("score").as("_mx"), sum(col("score").cast("double")).as("_sm"))
+        .select(col("docId"),
+          (col("_mx") + lit(tie) * (col("_sm").cast("float") - col("_mx")))
+            .cast("float").as("score"))
+
+    case PrefixQ(p) =>
+      multiTermConstScore(ix, col("term").startsWith(p), boost)
+    case RegexpQ(pat) =>
+      multiTermConstScore(ix, col("term").rlike(pat), boost)
+    case FuzzyQ(t, maxEdits) =>
+      multiTermConstScore(ix, levenshtein(col("term"), lit(t)) <= maxEdits, boost)
+    case TermRangeQ(lo, hi, il, iu) =>
+      val lower = if (il) col("term") >= lo else col("term") > lo
+      val upper = if (iu) col("term") <= hi else col("term") < hi
+      multiTermConstScore(ix, lower && upper, boost)
+
+    case PhraseQ(terms, slop) => phraseScoreDf(ix, terms, slop, boost, stats, params)
+
+    case BoolQ(must, should, mustNot, filterQs, msm) =>
+      boolScoreDf(ix, must, should, mustNot, filterQs, msm, boost, stats, params)
+  }
+
+  private def emptyScores(ix: LogicalIndex): DataFrame =
+    ix.postings.sparkSession.range(0)
+      .select(col("id").as("docId"), lit(0f).as("score"))
+
+  /** TermQuery scoring: filter postings to the term (pushed to the scan),
+    * per-row float score via the 256-entry cache.
+    */
+  private def termScoreDf(ix: LogicalIndex, term: String, boost: Float,
+      stats: QueryStats, params: BM25Params): DataFrame = {
+    val df = stats.dfByTerm.getOrElse(term, 0L)
+    if (df == 0L)
+      return emptyScores(ix)
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    val w = BM25.weightValue(BM25.idf(df, stats.docCount), params, boost)
+    val scoreUdf = udf((tf: Int, nb: Byte) =>
+      BM25.score(w, tf.toFloat, cache(nb & 0xff)))
+    ix.postings.filter(col("term") === term)
+      .select(col("docId"), scoreUdf(col("tf"), col("normByte")).as("score"))
+  }
+
+  /** SynonymQuery (SynonymQuery.java:46): union postings, per-doc summed
+    * tf, scored once with blended stats (df = max over members).
+    */
+  private def synonymScoreDf(ix: LogicalIndex, terms: Seq[String],
+      boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
+    val dfs = terms.map(t => stats.dfByTerm.getOrElse(t, 0L))
+    val df = if (dfs.isEmpty) 0L else dfs.max
+    if (df == 0L) return emptyScores(ix)
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    val w = BM25.weightValue(BM25.idf(df, stats.docCount), params, boost)
+    val scoreUdf = udf((tf: Long, nb: Byte) =>
+      BM25.score(w, tf.toFloat, cache(nb & 0xff)))
+    ix.postings.filter(col("term").isin(terms: _*))
+      .groupBy("docId", "normByte").agg(sum("tf").as("_tf"))
+      .select(col("docId"), scoreUdf(col("_tf"), col("normByte")).as("score"))
+  }
+
+  /** Multi-term queries rewrite to const-score over the union of matching
+    * terms' postings (MultiTermQueryConstantScoreWrapper.java:44).
+    */
+  private def multiTermConstScore(ix: LogicalIndex, termPred: Column,
+      boost: Float): DataFrame =
+    ix.postings.filter(termPred)
+      .select("docId").distinct()
+      .select(col("docId"), lit(boost).cast("float").as("score"))
+
+  /** Exact/sloppy phrase via positional re-analysis (PhraseQuery.java:69;
+    * two-phase doc-match + position-verify becomes a positions self-join).
+    * Scored like one pseudo-term with freq = phrase occurrences and
+    * idf = Σ idf(term_i) (PhraseWeight sums constituent idfs).
+    */
+  private def phraseScoreDf(ix: LogicalIndex, terms: Seq[String], slop: Int,
+      boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
+    require(slop == 0, "sloppy phrase not yet supported")
+    if (terms.exists(t => stats.dfByTerm.getOrElse(t, 0L) == 0L))
+      return emptyScores(ix)
+    val pos = positionalPostings(ix)
+    // chain join: positions of term_i at pos p+i
+    val base = pos.filter(col("term") === terms.head)
+      .select(col("docId"), col("pos"))
+    val matchedPositions = terms.zipWithIndex.tail.foldLeft(base) {
+      case (acc, (t, i)) =>
+        val next = pos.filter(col("term") === t)
+          .select(col("docId").as("_d"), col("pos").as("_p"))
+        acc.join(next, acc("docId") === col("_d") && col("_p") === acc("pos") + i)
+          .select(acc("docId"), acc("pos"))
+    }
+    val freqs = matchedPositions.groupBy("docId")
+      .agg(count(lit(1)).cast("int").as("_freq"))
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    // idf = float sum of constituent idfs, in query order
+    var idfSum = 0f
+    terms.foreach(t => idfSum += BM25.idf(stats.dfByTerm(t), stats.docCount))
+    val w = BM25.weightValue(idfSum, params, boost)
+    val scoreUdf = udf((tf: Int, nb: Byte) =>
+      BM25.score(w, tf.toFloat, cache(nb & 0xff)))
+    freqs.join(ix.docs.select("docId", "normByte"), "docId")
+      .select(col("docId"), scoreUdf(col("_freq"), col("normByte")).as("score"))
+  }
+
+  /** Positions table (docId, pos, term) derived by re-tokenizing —
+    * positions are not kept in tf postings (v1 blob has no positions,
+    * matching IndexOptions.DOCS_AND_FREQS).
+    */
+  def positionalPostings(ix: LogicalIndex): DataFrame = {
+    val tok = graft.index.IndexBuilder.tokenizerFn(ix.cfg.tokenizer)
+    val tokensUdf = udf((s: String) => tok(s))
+    ix.docs
+      .withColumn("_toks", tokensUdf(col(ix.contentCol)))
+      .select(col("docId"), posexplode(col("_toks")).as(Seq("pos", "term")))
+  }
+
+  /** Boolean composition (BooleanWeight.java:375-469 semantics):
+    * MUST: intersection, scores summed;
+    * SHOULD: adds score on MUST matches (ReqOptSumScorer) or drives
+    *         matching alone with minShouldMatch when no MUST/FILTER;
+    * MUST_NOT: anti-join (ReqExclScorer);
+    * FILTER: semi-join, no score contribution.
+    */
+  private def boolScoreDf(ix: LogicalIndex, must: Seq[Query],
+      should: Seq[Query], mustNot: Seq[Query], filterQs: Seq[Query],
+      msm: Int, boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
+
+    val mustDfs = must.map(scoreDf(ix, _, boost, stats, params))
+    val shouldDfs = should.map(scoreDf(ix, _, boost, stats, params))
+
+    // SHOULD side: union + per-doc double-sum of float clause scores and
+    // matched-clause count (DisjunctionSumScorer accumulates in double,
+    // returns float — `search/DisjunctionSumScorer.java:43-46`)
+    val shouldAgg: Option[DataFrame] =
+      if (shouldDfs.isEmpty) None
+      else Some(shouldDfs.reduce(_ unionByName _)
+        .groupBy("docId")
+        .agg(sum(col("score").cast("double")).as("_sScore"),
+          count(lit(1)).as("_sCnt")))
+
+    val scored: DataFrame =
+      if (mustDfs.isEmpty) {
+        val effMsm = math.max(msm, 1)
+        shouldAgg match {
+          case None => emptyScores(ix)
+          case Some(sa) =>
+            sa.filter(col("_sCnt") >= effMsm)
+              .select(col("docId"), col("_sScore").cast("float").as("score"))
+        }
+      } else {
+        // intersection with double-sum of float scores (ConjunctionScorer)
+        val base = mustDfs.zipWithIndex.map { case (d, i) =>
+          d.select(col("docId"), col("score").as(s"_m$i"))
+        }.reduce((a, b) => a.join(b, "docId"))
+          .select(col("docId"),
+            mustDfs.indices.map(i => col(s"_m$i").cast("double"))
+              .reduce(_ + _).as("_mScore"))
+        // attach optional SHOULD scores (+ msm gate) — ReqOptSumScorer
+        shouldAgg match {
+          case Some(sa) =>
+            val joined = base.join(sa, Seq("docId"), "left")
+            val gated =
+              if (msm > 0) joined.filter(col("_sCnt") >= msm) else joined
+            gated.select(col("docId"),
+              (col("_mScore") + coalesce(col("_sScore"), lit(0d)))
+                .cast("float").as("score"))
+          case None =>
+            base.select(col("docId"), col("_mScore").cast("float").as("score"))
+        }
+      }
+    finishBool(ix, scored, mustNot, filterQs, boost, stats, params)
+  }
+
+  private def finishBool(ix: LogicalIndex, scored: DataFrame,
+      mustNot: Seq[Query], filterQs: Seq[Query], boost: Float,
+      stats: QueryStats, params: BM25Params): DataFrame = {
+    val afterFilter = filterQs.foldLeft(scored) { (acc, fq) =>
+      acc.join(scoreDf(ix, fq, 1f, stats, params).select("docId"),
+        Seq("docId"), "left_semi")
+    }
+    mustNot.foldLeft(afterFilter) { (acc, nq) =>
+      acc.join(scoreDf(ix, nq, 1f, stats, params).select("docId"),
+        Seq("docId"), "left_anti")
+    }
+  }
+}

@@ -1,0 +1,132 @@
+package graft.search
+
+/** Programmatic Query ADT mirroring the reference's BooleanQuery semantics
+  * (`lucene/core/src/java/org/apache/lucene/search/BooleanQuery.java:41`:
+  * MUST / SHOULD / MUST_NOT / FILTER clauses + minimumNumberShouldMatch),
+  * plus the scoring wrappers and multi-term expansions of §2.6 of SURVEY.md.
+  *
+  * `rewrite` reproduces the reference's rewrite-fixpoint simplifications
+  * (`IndexSearcher.java:682-689` loop; `BooleanQuery.java:230-290`):
+  * single-clause unwrap, empty → MatchNone, nested flatten, clause dedup.
+  */
+sealed trait Query
+
+/** Single term (TermQuery.java:40). */
+final case class TermQ(term: String) extends Query
+
+/** Full Boolean query. `filter` clauses match without contributing score
+  * (FILTER occur); `mustNot` excludes (ReqExclScorer.java:27).
+  */
+final case class BoolQ(
+    must: Seq[Query] = Nil,
+    should: Seq[Query] = Nil,
+    mustNot: Seq[Query] = Nil,
+    filter: Seq[Query] = Nil,
+    minShouldMatch: Int = 0) extends Query
+
+/** max + tieBreak*(sum-max) over sub-queries (DisjunctionMaxQuery.java:47). */
+final case class DisMaxQ(clauses: Seq[Query], tieBreak: Float = 0f) extends Query
+
+/** Several terms scored as one pseudo-term: union postings, per-doc
+  * summed tf, df = max over members (SynonymQuery.java:46 semantics).
+  */
+final case class SynonymQ(terms: Seq[String]) extends Query
+
+/** Multiplies the wrapped query's score (BoostQuery.java:34). */
+final case class BoostQ(query: Query, boost: Float) extends Query
+
+/** Matches like `query` but scores a constant (ConstantScoreQuery.java:34). */
+final case class ConstScoreQ(query: Query, score: Float = 1f) extends Query
+
+/** Expands to all indexed terms with this prefix, scored const-score like
+  * the reference's MultiTermQueryConstantScoreWrapper (`:44`).
+  */
+final case class PrefixQ(prefix: String) extends Query
+
+/** Regex over the term dictionary (RegexpQuery.java:48 analog). */
+final case class RegexpQ(pattern: String) extends Query
+
+/** Terms within Levenshtein distance maxEdits (FuzzyQuery.java:53). */
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+
+/** Term range over the dictionary (TermRangeQuery.java:37). */
+final case class TermRangeQ(lower: String, upper: String,
+    includeLower: Boolean = true, includeUpper: Boolean = true) extends Query
+
+/** Exact phrase: consecutive positions (PhraseQuery.java:69). */
+final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
+
+case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
+case object MatchNoneQ extends Query    // MatchNoDocsQuery
+
+object Query {
+
+  /** Convenience constructors. */
+  def and(qs: Query*): Query = BoolQ(must = qs)
+  def or(qs: Query*): Query = BoolQ(should = qs, minShouldMatch = 1)
+  def orMin(m: Int, qs: Query*): Query = BoolQ(should = qs, minShouldMatch = m)
+  def not(positive: Query, negative: Query): Query =
+    BoolQ(must = Seq(positive), mustNot = Seq(negative))
+  def terms(ts: String*): Seq[Query] = ts.map(TermQ)
+
+  /** Rewrite to fixpoint (BooleanQuery.java:230-290 simplifications). */
+  def rewrite(q: Query): Query = {
+    val r = rewriteOnce(q)
+    if (r == q) r else rewrite(r)
+  }
+
+  private def rewriteOnce(q: Query): Query = q match {
+    case BoolQ(must, should, mustNot, filter, msm) =>
+      val m = must.map(rewriteOnce).filter(_ != MatchAllQ)
+      val s = should.map(rewriteOnce)
+      val n = mustNot.map(rewriteOnce).filter(_ != MatchNoneQ)
+      val f = filter.map(rewriteOnce).filter(_ != MatchAllQ)
+      if (m.contains(MatchNoneQ) || f.contains(MatchNoneQ)) MatchNoneQ
+      else {
+        val s2 = s.distinct
+        val m2 = m.distinct
+        val effMsm = math.max(msm, if (m2.isEmpty && f.isEmpty && s2.nonEmpty) 1 else msm)
+        if (s2.count(_ != MatchNoneQ) < effMsm && s2.nonEmpty) MatchNoneQ
+        else if (m2.isEmpty && f.isEmpty && n.isEmpty && s2.size == 1 && effMsm <= 1)
+          s2.head // 1-clause unwrap
+        else if (m2.size == 1 && s2.isEmpty && n.isEmpty && f.isEmpty)
+          m2.head
+        else if (m2.isEmpty && s2.isEmpty && f.isEmpty) MatchNoneQ
+        else BoolQ(m2, s2.filter(_ != MatchNoneQ), n.distinct, f.distinct, msm)
+      }
+    case DisMaxQ(cs, tie) =>
+      val c = cs.map(rewriteOnce).filter(_ != MatchNoneQ)
+      if (c.isEmpty) MatchNoneQ
+      else if (c.size == 1) c.head
+      else DisMaxQ(c, tie)
+    case BoostQ(inner, boost) =>
+      val i = rewriteOnce(inner)
+      if (i == MatchNoneQ) MatchNoneQ
+      else if (boost == 1f) i
+      else BoostQ(i, boost)
+    case ConstScoreQ(inner, sc) =>
+      val i = rewriteOnce(inner)
+      if (i == MatchNoneQ) MatchNoneQ else ConstScoreQ(i, sc)
+    case SynonymQ(ts) if ts.isEmpty => MatchNoneQ
+    case SynonymQ(ts) if ts.size == 1 => TermQ(ts.head)
+    case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
+    case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
+    case other => other
+  }
+
+  /** All literal terms a (rewritten) query touches — drives partition
+    * pruning on the segment table. Multi-term expansions (prefix/regexp/
+    * fuzzy/range) are resolved against the term dictionary separately.
+    */
+  def literalTerms(q: Query): Set[String] = q match {
+    case TermQ(t) => Set(t)
+    case BoolQ(m, s, n, f, _) =>
+      (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
+    case SynonymQ(ts) => ts.toSet
+    case BoostQ(i, _) => literalTerms(i)
+    case ConstScoreQ(i, _) => literalTerms(i)
+    case PhraseQ(ts, _) => ts.toSet
+    case _ => Set.empty
+  }
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.PostingsCodec
+import graft.core.Norms
+
+/** Round-trip + iterator properties (seeded randomized trials), mirroring
+  * the reference's BasePostingsFormatTestCase family
+  * (`lucene/test-framework/.../index/BasePostingsFormatTestCase.java:83`).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  private def mkList(n: Int, seed: Long): (Array[Long], Array[Int], Array[Byte]) = {
+    val rnd = new scala.util.Random(seed)
+    val docs = new Array[Long](n)
+    var d = rnd.nextInt(100).toLong
+    var i = 0
+    while (i < n) {
+      docs(i) = d
+      d += 1 + rnd.nextInt(1000)
+      i += 1
+    }
+    val tfs = Array.fill(n)(1 + rnd.nextInt(50))
+    val norms = Array.fill(n)(Norms.normByte(1 + rnd.nextInt(400)))
+    (docs, tfs, norms)
+  }
+
+  test("round-trip at block boundaries {1,127,128,129,255,256,257,1000}") {
+    for (n <- Seq(1, 127, 128, 129, 255, 256, 257, 1000); seed <- 1L to 3L) {
+      val (docs, tfs, norms) = mkList(n, seed * 31 + n)
+      val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+      val out = PostingsCodec.decode(body, skip)
+      assert(out.docs.toSeq === docs.toSeq, s"docs n=$n seed=$seed")
+      assert(out.tfs.toSeq === tfs.toSeq, s"tfs n=$n seed=$seed")
+      assert(out.norms.toSeq === norms.toSeq, s"norms n=$n seed=$seed")
+    }
+  }
+
+  test("round-trip property (random sizes, 50 seeded trials)") {
+    val meta = new scala.util.Random(424242L)
+    for (_ <- 1 to 50) {
+      val n = 1 + meta.nextInt(3000)
+      val seed = meta.nextLong()
+      val (docs, tfs, norms) = mkList(n, seed)
+      val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+      val out = PostingsCodec.decode(body, skip)
+      assert(out.docs.toSeq == docs.toSeq && out.tfs.toSeq == tfs.toSeq &&
+        out.norms.toSeq == norms.toSeq, s"n=$n seed=$seed")
+    }
+  }
+
+  test("skip metadata: per-block maxTf and min-cache norm are correct") {
+    val (docs, tfs, norms) = mkList(1000, 7L)
+    val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+    val skips = PostingsCodec.readSkips(skip)
+    assert(skips.numBlocks === 8) // ceil(1000/128)
+    var b = 0
+    while (b < skips.numBlocks) {
+      val start = b * PostingsCodec.BlockSize
+      val end = math.min(start + PostingsCodec.BlockSize, 1000)
+      assert(skips.lastDocs(b) === docs(end - 1))
+      assert(skips.maxTfs(b) === tfs.slice(start, end).max)
+      assert(skips.docCounts(b) === end - start)
+      val minTable = norms.slice(start, end).map(n => Norms.NORM_TABLE(n & 0xff)).min
+      assert(Norms.NORM_TABLE(skips.minNorms(b) & 0xff) === minTable)
+      b += 1
+    }
+  }
+
+  test("iterator nextDoc streams the full list") {
+    val (docs, tfs, norms) = mkList(500, 11L)
+    val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+    val it = PostingsCodec.iterator(body, skip)
+    var i = 0
+    while (it.nextDoc()) {
+      assert(it.doc === docs(i) && it.tf === tfs(i) && it.norm === norms(i))
+      i += 1
+    }
+    assert(i === 500)
+    assert(it.doc === Long.MaxValue)
+  }
+
+  test("iterator advance matches a linear scan (30 seeded trials)") {
+    val meta = new scala.util.Random(777L)
+    for (_ <- 1 to 30) {
+      val n = 1 + meta.nextInt(2000)
+      val seed = meta.nextLong()
+      val (docs, tfs, _) = mkList(n, seed)
+      val norms = Array.fill(n)(Norms.normByte(10))
+      val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+      val it = PostingsCodec.iterator(body, skip)
+      val rnd = new scala.util.Random(seed)
+      var target = 0L
+      var ok = true
+      while (ok && target <= docs.last) {
+        val expected = docs.find(_ >= target)
+        val got = it.advance(target)
+        expected match {
+          case Some(d) =>
+            assert(got && it.doc === d, s"advance($target)")
+            assert(it.tf === tfs(docs.indexOf(d)))
+            // next target strictly beyond current doc (iterator is forward-only)
+            target = it.doc + 1 + rnd.nextInt(500)
+          case None =>
+            assert(!got && it.doc === Long.MaxValue)
+            ok = false
+        }
+      }
+    }
+  }
+
+  test("advance then nextDoc interleave correctly") {
+    val docs = Array(1L, 5L, 9L, 130L, 260L, 300L, 1000L)
+    val tfs = Array(1, 2, 3, 4, 5, 6, 7)
+    val norms = Array.fill(7)(Norms.normByte(5))
+    val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+    val it = PostingsCodec.iterator(body, skip)
+    assert(it.advance(6) && it.doc === 9L && it.tf === 3)
+    assert(it.nextDoc() && it.doc === 130L)
+    assert(it.advance(261) && it.doc === 300L)
+    assert(it.nextDoc() && it.doc === 1000L)
+    assert(!it.nextDoc())
+  }
+
+  test("singleton list (Lucene singleton-doc optimization case)") {
+    val (body, skip) = PostingsCodec.encode(Array(42L), Array(3),
+      Array(Norms.normByte(7)))
+    val out = PostingsCodec.decode(body, skip)
+    assert(out.docs.toSeq === Seq(42L) && out.tfs.toSeq === Seq(3))
+    val it = PostingsCodec.iterator(body, skip)
+    assert(it.advance(42) && it.doc === 42L)
+    assert(!it.nextDoc())
+  }
+
+  test("docId 0 is encodable (first doc of the corpus)") {
+    val (body, skip) = PostingsCodec.encode(Array(0L, 1L), Array(1, 1),
+      Array(Norms.normByte(3), Norms.normByte(4)))
+    assert(PostingsCodec.decode(body, skip).docs.toSeq === Seq(0L, 1L))
+  }
+}

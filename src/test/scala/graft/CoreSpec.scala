@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+class CoreSpec extends AnyFunSuite {
+
+  test("byte315 golden values from the reference javadoc") {
+    // SmallFloat.java:76-79: smallest non-zero = 5.820766E-10,
+    // largest = 7.5161928E9
+    assert(SmallFloat.byte315ToFloat(1.toByte) === 5.820766e-10f)
+    assert(SmallFloat.byte315ToFloat((-1).toByte) === 7.5161928e9f)
+    assert(SmallFloat.byte315ToFloat(0.toByte) === 0.0f)
+    assert(SmallFloat.floatToByte315(0f) === 0.toByte)
+    assert(SmallFloat.floatToByte315(-1f) === 0.toByte)
+    assert(SmallFloat.floatToByte315(1e-12f) === 1.toByte)  // underflow
+    assert(SmallFloat.floatToByte315(1e12f) === (-1).toByte) // overflow
+  }
+
+  test("byte315 round-trip is idempotent (quantization fixpoint)") {
+    var i = 0
+    while (i < 256) {
+      val f = SmallFloat.byte315ToFloat(i.toByte)
+      assert(SmallFloat.floatToByte315(f) === i.toByte, s"byte $i")
+      i += 1
+    }
+  }
+
+  test("byte315 truncates toward zero exponent (reference behavior)") {
+    // values between two representable points map to the LOWER one
+    // (truncating 3-bit mantissa)
+    val a = SmallFloat.byte315ToFloat(100.toByte)
+    val b = SmallFloat.byte315ToFloat(101.toByte)
+    val mid = (a + b) / 2
+    assert(SmallFloat.floatToByte315(mid) === 100.toByte)
+  }
+
+  test("norm byte of common field lengths") {
+    // normByte = floatToByte315(1/sqrt(len)); spot-check monotonicity and
+    // distinctness across quantization buckets
+    val lens = Seq(1, 2, 3, 4, 5, 8, 16, 64, 256, 1024)
+    val unsigned = lens.map(l => Norms.normByte(l) & 0xff)
+    assert(unsigned === unsigned.sorted.reverse, "norm byte decreases with length")
+    assert(Norms.quantizedLength(1) === 1.0f)
+  }
+
+  test("quantizedLength matches NORM_TABLE composition and lengthRanges") {
+    val ranges = Norms.lengthRanges(maxLen = 5000)
+    // every length in [0, 5000] must fall in exactly one range with the
+    // right quantized value
+    var len = 0
+    while (len <= 5000) {
+      val q = Norms.quantizedLength(len)
+      val hits = ranges.filter(r => r._1 <= len && len <= r._2)
+      assert(hits.size === 1, s"len $len in ${hits.size} ranges")
+      assert(hits.head._3 === q.toDouble, s"len $len")
+      len += 1
+    }
+  }
+
+  test("simpleTokens: ASCII alnum runs, lowercased") {
+    assert(Analysis.simpleTokens("The fast Fox; jumps-over_2 dogs!").toSeq ===
+      Seq("the", "fast", "fox", "jumps", "over", "2", "dogs"))
+    assert(Analysis.simpleTokens("").isEmpty)
+    assert(Analysis.simpleTokens("   ").isEmpty)
+    assert(Analysis.simpleTokens("a").toSeq === Seq("a"))
+    // non-ASCII characters act as delimiters
+    assert(Analysis.simpleTokens("héllo wörld").toSeq ===
+      Seq("h", "llo", "w", "rld"))
+    // >255-char tokens dropped (StandardAnalyzer maxTokenLength analog)
+    assert(Analysis.simpleTokens("x" * 256).isEmpty)
+    assert(Analysis.simpleTokens("x" * 255).head.length === 255)
+  }
+
+  test("codeTokens: WordDelimiterFilter-style splits") {
+    assert(Analysis.codeTokens("getHttpResponse2").toSeq ===
+      Seq("get", "http", "response", "2"))
+    assert(Analysis.codeTokens("parse_JSON_fast").toSeq ===
+      Seq("parse", "json", "fast"))
+    assert(Analysis.codeTokens("HTTPServer").toSeq === Seq("http", "server"))
+    assert(Analysis.codeTokens("val maxDocs = 42").toSeq ===
+      Seq("val", "max", "docs", "42"))
+  }
+
+  test("standardTokens: stopwords removed") {
+    assert(Analysis.standardTokens("the quick and THE slow").toSeq ===
+      Seq("quick", "slow"))
+  }
+
+  test("BM25 formula spot checks (hand-computed, SURVEY.md §2.5)") {
+    // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+    assert(math.abs(graft.search.BM25.idf(1, 2) -
+      math.log(1 + (2 - 1 + 0.5) / 1.5).toFloat) < 1e-9)
+    // avgdl = (float)(sumTTF / (double) docCount)
+    assert(graft.search.BM25.avgFieldLength(10, 4) === 2.5f)
+    assert(graft.search.BM25.avgFieldLength(0, 4) === 1f)
+    // score monotonic in tf, saturating below weight*(k1+1)... bound
+    val p = graft.search.BM25.Default
+    val cache = graft.search.BM25.normCache(p, 10f)
+    val w = graft.search.BM25.weightValue(graft.search.BM25.idf(2, 100), p)
+    val nb = Norms.normByte(10) & 0xff
+    val s1 = graft.search.BM25.score(w, 1f, cache(nb))
+    val s2 = graft.search.BM25.score(w, 2f, cache(nb))
+    val s100 = graft.search.BM25.score(w, 100f, cache(nb))
+    assert(s1 < s2 && s2 < s100 && s100 < w)
+    // BM25Params validation (TestBM25Similarity.java:37-54)
+    assertThrows[IllegalArgumentException](graft.search.BM25Params(Float.NaN, 0.75f))
+    assertThrows[IllegalArgumentException](graft.search.BM25Params(1.2f, 2f))
+    assertThrows[IllegalArgumentException](graft.search.BM25Params(-1f, 0.75f))
+  }
+}
