@@ -1,0 +1,227 @@
+package graft.gate
+
+import graft.core.Norms
+
+/** Generates DuckDB oracle SQL that reproduces the engine's BM25 pipeline
+  * BIT-EXACTLY: same tokenizer (lowercase ASCII alnum runs), same byte315
+  * norm quantization (embedded as a length→quantized-length range table),
+  * same 32-bit float arithmetic in the same operation order
+  * (`BM25Similarity.java` §2.5 of SURVEY.md). DuckDB REAL ops are IEEE
+  * float32, so every arithmetic step matches the JVM exactly; the only
+  * libm call (ln) is immediately cast to float, absorbing last-ulp
+  * implementation differences.
+  */
+object Oracles {
+
+  /** Wrap in a float32 cast — the explicit (float) of the Java pipeline. */
+  private def R(x: String): String = s"CAST($x AS REAL)"
+
+  private val K1 = R("1.2")
+  private val B = R("0.75")
+
+  /** length → quantized-length lookup rows (lo, hi, qlen). */
+  private lazy val normValuesRows: String =
+    Norms.lengthRanges().map { case (lo, hi, q) =>
+      s"($lo, ${if (hi == Long.MaxValue) "9223372036854775807" else hi}, $q)"
+    }.mkString(", ")
+
+  /** Shared CTE prologue over the `documents` table:
+    * tok(doc_id, term), dn(doc_id, qlen REAL), av(n, avgdl REAL).
+    */
+  def prologue: String =
+    s"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) <= 255
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
+)"""
+
+  /** Float idf: (float) ln(1 + (n - df + 0.5)/(df + 0.5)). */
+  private def idfExpr(dfExpr: String): String =
+    R(s"ln(1 + ((SELECT n FROM av) - $dfExpr + 0.5)/($dfExpr + 0.5))")
+
+  /** weightValue = boost * idf * (k1 + 1), float ops in Java order. */
+  private def weightExpr(dfExpr: String, boost: Float): String = {
+    val idf = idfExpr(dfExpr)
+    val bIdf = if (boost == 1f) idf else R(s"${R(boost.toString)} * $idf")
+    R(s"$bIdf * ($K1 + ${R("1")})")
+  }
+
+  /** cache = k1 * ((1-b) + b * qlen / avgdl), float ops in Java order. */
+  private def cacheExpr(qlenCol: String): String =
+    R(s"$K1 * ${R(s"(${R("1")} - $B) + ${R(s"${R(s"$B * $qlenCol")} / (SELECT avgdl FROM av)")}")}")
+
+  /** score = w * tf / (tf + cache), float. */
+  def scoreExpr(tfCol: String, qlenCol: String, dfExpr: String,
+      boost: Float = 1f): String = {
+    val w = weightExpr(dfExpr, boost)
+    val tfR = R(tfCol)
+    R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr(qlenCol)}")}")
+  }
+
+  private def lit(t: String): String = "'" + t.replace("'", "''") + "'"
+
+  /** Per-term CTEs: tf_<a>(doc_id, tf) and sc_<a>(doc_id, s REAL). */
+  def termCtes(a: String, term: String, boost: Float = 1f): String = {
+    val t = lit(term)
+    s""", tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = $t GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id,
+    ${scoreExpr("t.tf", "dn.qlen", s"(SELECT count(*) FROM tf_$a)", boost)} AS s
+  FROM tf_$a t JOIN dn ON t.doc_id = dn.doc_id
+)"""
+  }
+
+  /** Final SELECT: rank + double score under the tie-break law. */
+  def finish(rel: String, k: Int, offset: Int = 0): String =
+    s"""
+SELECT doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk
+FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
+
+  // ---------- query builders ----------
+
+  def term(termStr: String, k: Int, offset: Int = 0): String =
+    prologue + termCtes("a", termStr) + finish("sc_a", k, offset)
+
+  /** AND over n terms: join, double-sum of float scores, float cast. */
+  def and(terms: Seq[String], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val joins = names.tail.map(n => s"JOIN sc_$n USING (doc_id)").mkString(" ")
+    val sum = names.map(n => s"CAST(sc_$n.s AS DOUBLE)").mkString(" + ")
+    prologue + ctes +
+      s""", res AS (
+  SELECT doc_id, ${R(s"($sum)")} AS s FROM sc_${names.head} $joins
+)""" + finish("res", k)
+  }
+
+  /** OR with minShouldMatch: union, group, count gate. */
+  def or(terms: Seq[String], msm: Int, k: Int,
+      boosts: Map[String, Float] = Map.empty): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) =>
+      termCtes(n, t, boosts.getOrElse(t, 1f))
+    }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id HAVING count(*) >= $msm
+)""" + finish("res", k)
+  }
+
+  /** a AND NOT b. */
+  def not(a: String, b: String, k: Int): String =
+    prologue + termCtes("a", a) + termCtes("b", b) +
+      s""", res AS (
+  SELECT sc_a.doc_id, sc_a.s FROM sc_a
+  WHERE NOT EXISTS (SELECT 1 FROM sc_b WHERE sc_b.doc_id = sc_a.doc_id)
+)""" + finish("res", k)
+
+  /** MUST m + SHOULD shoulds (optional scores, msm gate). */
+  def mustShould(m: String, shoulds: Seq[String], msm: Int, k: Int): String = {
+    val names = shoulds.indices.map(i => s"s$i")
+    val ctes = termCtes("m", m) +
+      names.zip(shoulds).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    val gate = if (msm > 0) s"WHERE sa.c >= $msm" else ""
+    val joinKind = if (msm > 0) "JOIN" else "LEFT JOIN"
+    prologue + ctes +
+      s""", un AS ($union), sa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s, count(*) AS c
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT sc_m.doc_id,
+    ${R("CAST(sc_m.s AS DOUBLE) + COALESCE(CAST(sa.s AS DOUBLE), 0)")} AS s
+  FROM sc_m $joinKind sa ON sc_m.doc_id = sa.doc_id $gate
+)""" + finish("res", k)
+  }
+
+  /** MUST m FILTER f: filter matches without contributing score. */
+  def mustFilter(m: String, f: String, k: Int): String =
+    prologue + termCtes("m", m) + termCtes("f", f) +
+      s""", res AS (
+  SELECT sc_m.doc_id, sc_m.s FROM sc_m
+  WHERE EXISTS (SELECT 1 FROM sc_f WHERE sc_f.doc_id = sc_m.doc_id)
+)""" + finish("res", k)
+
+  /** DisMax: max + tie*(sum - max), float ops. */
+  def dismax(terms: Seq[String], tie: Float, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), ag AS (
+  SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM ag
+)""" + finish("res", k)
+  }
+
+  /** SynonymQuery: summed tf, df = max over members. */
+  def synonym(terms: Seq[String], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val tfCtes = names.zip(terms).map { case (n, t) =>
+      s""", tf_$n AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(t)} GROUP BY doc_id
+)"""
+    }.mkString
+    val union = names.map(n => s"SELECT doc_id, tf FROM tf_$n").mkString(" UNION ALL ")
+    val dfMax = names.map(n => s"(SELECT count(*) FROM tf_$n)")
+      .reduce((a, b) => s"greatest($a, $b)")
+    prologue + tfCtes +
+      s""", un AS ($union), tfs AS (
+  SELECT doc_id, SUM(tf) AS tf FROM un GROUP BY doc_id
+), res AS (
+  SELECT t.doc_id, ${scoreExpr("t.tf", "dn.qlen", dfMax)} AS s
+  FROM tfs t JOIN dn ON t.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
+  /** Exact phrase (2 terms): adjacency count as freq, idf = Σ member idfs. */
+  def phrase2(a: String, b: String, k: Int): String = {
+    val idfSum = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(a)})")} + ${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(b)})")}")
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val tfR = R("p.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), ph AS (
+  SELECT p1.doc_id, count(*) AS tf
+  FROM posx p1 JOIN posx p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = ${lit(a)} AND p2.term = ${lit(b)}
+  GROUP BY p1.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
+  /** Prefix: const-score 1.0 over docs containing any matching term. */
+  def prefix(p: String, k: Int): String =
+    prologue +
+      s""", res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE term LIKE ${lit(p + "%")}
+)""" + finish("res", k)
+}

@@ -1,0 +1,146 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Hit
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.{BuildConfig, LogicalIndex}
+import graft.search._
+
+/** Driver-gate query set for the search engine (FIXTURES.md §4): every
+  * entry runs the REAL engine (segment path — encoded blobs, sharded
+  * scorer trees, treeReduce merge) over the `documents` table of the given
+  * sf dir, and has a bit-exact DuckDB oracle (Oracles.scala).
+  *
+  * Output schema everywhere: (doc_id BIGINT, score DOUBLE, rnk INT).
+  */
+object SearchGate {
+
+  val K = 10
+  // sf0.01 documents: common terms have df ≈ 390/500 ⇒ threshold 200 makes
+  // them salted (exercises the sharded path in the gate itself); 'dup'
+  // (df 25) stays cold ⇒ mixed hot/cold queries run the mod-filter path.
+  def gateConfig: BuildConfig = BuildConfig(
+    numBuckets = 8, numDocShards = 4, saltThreshold = 200L,
+    tokenizer = "simple")
+
+  // ---- cached per-sfDir indexes (the gate runs ~20 queries per dir) ----
+
+  private val logicalCache =
+    scala.collection.concurrent.TrieMap.empty[String, LogicalIndex]
+  private val segmentCache =
+    scala.collection.concurrent.TrieMap.empty[String, SegmentSearcher.SegmentIndex]
+
+  def logical(spark: SparkSession, sfDir: String): LogicalIndex =
+    logicalCache.getOrElseUpdate(sfDir, {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig)
+      ix.copy(docs = ix.docs.persist(), postings = ix.postings.persist(),
+        termStats = ix.termStats.persist())
+    })
+
+  def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
+    segmentCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(sfDir.hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-gate-index-$dirHash"
+      // rebuild fresh each JVM run (tmp may hold stale indexes)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      IndexBuilder.writeIndex(logical(spark, sfDir), dir,
+        snapshotId = s"gate-$dirHash", numGroups = 2)
+      SegmentSearcher.load(dir)
+    })
+
+  private def hitsDf(spark: SparkSession, hits: Array[Hit]): DataFrame = {
+    import spark.implicits._
+    hits.zipWithIndex.toSeq
+      .map { case (h, i) => (h.docId, h.score, i + 1) }
+      .toDF("doc_id", "score", "rnk")
+  }
+
+  /** Run a query through the segment engine → gate-shaped DataFrame. */
+  def seg(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
+    (spark, sfDir) =>
+      hitsDf(spark, SegmentSearcher.search(spark, segment(spark, sfDir), q, k))
+
+  /** Page 2: search k, then searchAfter from the k-th hit. */
+  def segPage2(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val six = segment(spark, sfDir)
+      val page1 = SegmentSearcher.search(spark, six, q, k)
+      val hits =
+        if (page1.length < k) Array.empty[Hit]
+        else {
+          val c = page1.last
+          SegmentSearcher.search(spark, six, q, k, Some((c.score, c.docId)))
+        }
+      val start = k
+      import spark.implicits._
+      hits.zipWithIndex.toSeq
+        .map { case (h, i) => (h.docId, h.score, start + i + 1) }
+        .toDF("doc_id", "score", "rnk")
+    }
+
+  /** DataFrame-path runner (for operators the blob format lacks, e.g.
+    * positions for phrases).
+    */
+  def dfPath(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val ix = logical(spark, sfDir)
+      val hits = DataFrameSearcher.search(ix, q, k).collect()
+        .map(r => Hit(r.getLong(0), r.getDouble(1)))
+      hitsDf(spark, hits)
+    }
+
+  // ---- the reference query set ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25_term_common" -> seg(TermQ("batch")),
+    "q_bm25_term_mid" -> seg(TermQ("spark")),
+    "q_bm25_term_rare" -> seg(TermQ("dup")),
+    "q_bm25_term_absent" -> seg(TermQ("zzzabsent")),
+    "q_bm25_term_k100" -> seg(TermQ("batch"), 100),
+    "q_bm25_term_k1" -> seg(TermQ("batch"), 1),
+    "q_bm25_and2" -> seg(Query.and(TermQ("dup"), TermQ("batch"))),
+    "q_bm25_and3" -> seg(Query.and(TermQ("spark"), TermQ("key"), TermQ("fast"))),
+    "q_bm25_or2" -> seg(Query.or(TermQ("dup"), TermQ("vector"))),
+    "q_bm25_or3_msm2" -> seg(Query.orMin(2, TermQ("dup"), TermQ("spark"), TermQ("key"))),
+    "q_bm25_not" -> seg(Query.not(TermQ("batch"), TermQ("spark"))),
+    "q_bm25_must_should" -> seg(BoolQ(must = Seq(TermQ("dup")),
+      should = Seq(TermQ("spark"), TermQ("key")))),
+    "q_bm25_must_should_msm" -> seg(BoolQ(must = Seq(TermQ("batch")),
+      should = Seq(TermQ("dup"), TermQ("spark"), TermQ("key")),
+      minShouldMatch = 2)),
+    "q_bm25_filter" -> seg(BoolQ(must = Seq(TermQ("spark")),
+      filter = Seq(TermQ("dup")))),
+    "q_bm25_dismax" -> seg(DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f)),
+    "q_bm25_synonym" -> seg(SynonymQ(Seq("dup", "vector"))),
+    "q_bm25_boost" -> seg(Query.or(BoostQ(TermQ("spark"), 2f), TermQ("key"))),
+    "q_bm25_page2" -> segPage2(TermQ("batch")),
+    "q_bm25_prefix" -> seg(PrefixQ("sc")),
+    "q_bm25_phrase" -> dfPath(PhraseQ(Seq("order", "sort"))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_bm25_term_common" -> Oracles.term("batch", K),
+    "q_bm25_term_mid" -> Oracles.term("spark", K),
+    "q_bm25_term_rare" -> Oracles.term("dup", K),
+    "q_bm25_term_absent" -> Oracles.term("zzzabsent", K),
+    "q_bm25_term_k100" -> Oracles.term("batch", 100),
+    "q_bm25_term_k1" -> Oracles.term("batch", 1),
+    "q_bm25_and2" -> Oracles.and(Seq("dup", "batch"), K),
+    "q_bm25_and3" -> Oracles.and(Seq("spark", "key", "fast"), K),
+    "q_bm25_or2" -> Oracles.or(Seq("dup", "vector"), 1, K),
+    "q_bm25_or3_msm2" -> Oracles.or(Seq("dup", "spark", "key"), 2, K),
+    "q_bm25_not" -> Oracles.not("batch", "spark", K),
+    "q_bm25_must_should" -> Oracles.mustShould("dup", Seq("spark", "key"), 0, K),
+    "q_bm25_must_should_msm" -> Oracles.mustShould("batch",
+      Seq("dup", "spark", "key"), 2, K),
+    "q_bm25_filter" -> Oracles.mustFilter("spark", "dup", K),
+    "q_bm25_dismax" -> Oracles.dismax(Seq("spark", "key"), 0.3f, K),
+    "q_bm25_synonym" -> Oracles.synonym(Seq("dup", "vector"), K),
+    "q_bm25_boost" -> Oracles.or(Seq("spark", "key"), 1, K,
+      boosts = Map("spark" -> 2f)),
+    "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
+    "q_bm25_prefix" -> Oracles.prefix("sc", K),
+    "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K))
+}

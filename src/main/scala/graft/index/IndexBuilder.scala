@@ -108,7 +108,7 @@ object IndexBuilder {
 
   // ---------- segment encode ----------
 
-  private final case class PRow(bucket: Int, term: String, salt: Int,
+  final case class PRow(bucket: Int, term: String, salt: Int,
       docId: Long, tf: Int, normByte: Byte)
 
   /** Encode the logical postings into segment rows. One shuffle keyed by
@@ -273,7 +273,7 @@ object IndexBuilder {
               sum("df").cast("long").as("postingCount"),
               sum(length(col("docBlocks")) + length(col("skipData")))
                 .cast("long").as("bytesWritten"),
-              sum(xxhash64(col("term"), col("salt"), col("docBlocks")))
+              expr("bit_xor(xxhash64(term, salt, docBlocks))")
                 .as("contentDigest"))
             .withColumn("snapshotId", lit(snapshotId))
             .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g")

@@ -250,14 +250,17 @@ object DataFrameSearcher {
           .select(col("docId"),
             mustDfs.indices.map(i => col(s"_m$i").cast("double"))
               .reduce(_ + _).as("_mScore"))
-        // attach optional SHOULD scores (+ msm gate) — ReqOptSumScorer
+        // attach optional SHOULD scores (+ msm gate) — ReqOptSumScorer:
+        // each side rounds to float at its scorer boundary before the
+        // final float add, exactly like the scorer tree
         shouldAgg match {
           case Some(sa) =>
             val joined = base.join(sa, Seq("docId"), "left")
             val gated =
               if (msm > 0) joined.filter(col("_sCnt") >= msm) else joined
             gated.select(col("docId"),
-              (col("_mScore") + coalesce(col("_sScore"), lit(0d)))
+              (col("_mScore").cast("float").cast("double") +
+                coalesce(col("_sScore").cast("float").cast("double"), lit(0d)))
                 .cast("float").as("score"))
           case None =>
             base.select(col("docId"), col("_mScore").cast("float").as("score"))

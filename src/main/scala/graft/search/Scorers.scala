@@ -1,0 +1,345 @@
+package graft.search
+
+import graft.index.PostingsCodec.PostingsIterator
+
+/** Doc-at-a-time scorer tree over decoded posting iterators — the Scorer /
+  * DocIdSetIterator layer of the reference (SURVEY.md §2.6), executed
+  * inside one Spark task (one shard). All scorers expose a sorted docID
+  * stream; `score` is float like the reference's `Scorer.score()`.
+  */
+trait DocScorer {
+  /** Current doc, Long.MaxValue when exhausted, -1 before first next. */
+  def doc: Long
+  def nextDoc(): Long
+  def advance(target: Long): Long
+  def score: Float
+  def cost: Long
+  /** Global upper bound of `score` (WAND term bound). */
+  def maxScore: Float
+}
+
+object DocScorer {
+  val NO_MORE: Long = Long.MaxValue
+}
+
+/** TermScorer (`search/TermScorer.java:27-67`): w * tf / (tf + cache(norm)).
+  * May wrap several salted sub-lists of the same term? No — within one
+  * shard a term has exactly one posting list (build invariant), so this
+  * wraps a single iterator.
+  */
+final class TermScorer(it: PostingsIterator, w: Float,
+    cache: Array[Float]) extends DocScorer {
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def score: Float = BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
+  def cost: Long = it.cost
+  lazy val maxScore: Float = {
+    // tightest global bound = max over blocks of the per-block bound
+    var m = 0f
+    var b = 0
+    while (b < it.numBlocks) {
+      val s = blockBound(b)
+      if (s > m) m = s
+      b += 1
+    }
+    m
+  }
+  /** Per-block upper bound: maxTf with the block's smallest cache entry. */
+  def blockBound(b: Int): Float = {
+    val tf = it.blockMaxTf(b).toFloat
+    BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
+  }
+  def underlying: PostingsIterator = it
+}
+
+/** Keeps only docs of one shard (docId mod S == shard): used when a cold
+  * (unsalted) posting list is replicated to every shard of a salted query
+  * so union counts each doc exactly once.
+  */
+final class ModFilterScorer(inner: DocScorer, shard: Int, s: Int)
+    extends DocScorer {
+  def doc: Long = inner.doc
+  private def settle(d0: Long): Long = {
+    var d = d0
+    while (d != DocScorer.NO_MORE && (d % s).toInt != shard)
+      d = inner.nextDoc()
+    d
+  }
+  def nextDoc(): Long = settle(inner.nextDoc())
+  def advance(target: Long): Long = settle(inner.advance(target))
+  def score: Float = inner.score
+  def cost: Long = inner.cost / s + 1
+  def maxScore: Float = inner.maxScore
+}
+
+/** Empty stream (term absent from this shard/index). */
+object EmptyScorer extends DocScorer {
+  def doc: Long = DocScorer.NO_MORE
+  def nextDoc(): Long = DocScorer.NO_MORE
+  def advance(target: Long): Long = DocScorer.NO_MORE
+  def score: Float = 0f
+  def cost: Long = 0L
+  def maxScore: Float = 0f
+}
+
+/** Leapfrog intersection, cheapest-first lead (`ConjunctionDISI.java:
+  * 38,193-240`); score = float cast of double sum (ConjunctionScorer).
+  */
+final class ConjunctionScorer(scorers: Array[DocScorer]) extends DocScorer {
+  require(scorers.nonEmpty)
+  private val sorted = scorers.sortBy(_.cost)
+  var doc: Long = -1L
+
+  private def doNext(startTarget: Long): Long = {
+    var target = startTarget
+    var agreed = false
+    while (!agreed && target != DocScorer.NO_MORE) {
+      agreed = true
+      var i = 0
+      while (i < sorted.length && agreed) {
+        val s = sorted(i)
+        if (s.doc < target) {
+          val d = s.advance(target)
+          if (d > target) { target = d; agreed = false }
+        } else if (s.doc > target) {
+          target = s.doc; agreed = false
+        }
+        i += 1
+      }
+    }
+    doc = target
+    doc
+  }
+
+  def nextDoc(): Long = {
+    val lead = sorted(0)
+    doNext(lead.nextDoc())
+  }
+  def advance(target: Long): Long = doNext(sorted(0).advance(target))
+  def score: Float = {
+    var s = 0d
+    var i = 0
+    while (i < sorted.length) { s += sorted(i).score; i += 1 }
+    s.toFloat
+  }
+  def cost: Long = sorted(0).cost
+  lazy val maxScore: Float = {
+    var s = 0d
+    scorers.foreach(s += _.maxScore)
+    s.toFloat
+  }
+}
+
+/** Disjunction with minShouldMatch: doc-at-a-time over the sub-scorers,
+  * score = float cast of double sum of matching clauses
+  * (`DisjunctionSumScorer.java:43-46`, `MinShouldMatchSumScorer.java`).
+  * Linear min-scan — fine for the handful of clauses real queries carry.
+  */
+final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1)
+    extends DocScorer {
+  require(scorers.nonEmpty)
+  var doc: Long = -1L
+  private var curScore = 0f
+
+  private def settle(): Long = {
+    while (true) {
+      var min = DocScorer.NO_MORE
+      var i = 0
+      while (i < scorers.length) {
+        val d = scorers(i).doc
+        if (d > doc && d < min) min = d
+        i += 1
+      }
+      if (min == DocScorer.NO_MORE) { doc = min; curScore = 0f; return doc }
+      var cnt = 0
+      var s = 0d
+      i = 0
+      while (i < scorers.length) {
+        if (scorers(i).doc == min) { cnt += 1; s += scorers(i).score }
+        i += 1
+      }
+      if (cnt >= msm) { doc = min; curScore = s.toFloat; return doc }
+      // advance the clauses stuck at min past it, try next candidate
+      i = 0
+      while (i < scorers.length) {
+        if (scorers(i).doc == min) scorers(i).nextDoc()
+        i += 1
+      }
+      doc = min // candidates strictly beyond min next round
+    }
+    doc
+  }
+
+  def nextDoc(): Long = {
+    var i = 0
+    while (i < scorers.length) {
+      if (scorers(i).doc == doc || scorers(i).doc == -1L) scorers(i).nextDoc()
+      i += 1
+    }
+    settle()
+  }
+  def advance(target: Long): Long = {
+    var i = 0
+    while (i < scorers.length) {
+      if (scorers(i).doc < target) scorers(i).advance(target)
+      i += 1
+    }
+    doc = target - 1
+    settle()
+  }
+  def score: Float = curScore
+  def cost: Long = scorers.map(_.cost).sum
+  lazy val maxScore: Float = {
+    var s = 0d
+    scorers.foreach(s += _.maxScore)
+    s.toFloat
+  }
+}
+
+/** required + optional-score (ReqOptSumScorer.java:26). */
+final class ReqOptScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
+  def doc: Long = req.doc
+  def nextDoc(): Long = req.nextDoc()
+  def advance(target: Long): Long = req.advance(target)
+  def score: Float = {
+    var s: Double = req.score.toDouble
+    if (opt.doc < req.doc) opt.advance(req.doc)
+    if (opt.doc == req.doc) s += opt.score
+    s.toFloat
+  }
+  def cost: Long = req.cost
+  def maxScore: Float = (req.maxScore.toDouble + opt.maxScore).toFloat
+}
+
+/** required AND NOT excluded (ReqExclScorer.java:27). */
+final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
+  def doc: Long = req.doc
+  private def settle(d0: Long): Long = {
+    var d = d0
+    while (d != DocScorer.NO_MORE) {
+      if (excl.doc < d) excl.advance(d)
+      if (excl.doc != d) return d
+      d = req.nextDoc()
+    }
+    d
+  }
+  def nextDoc(): Long = settle(req.nextDoc())
+  def advance(target: Long): Long = settle(req.advance(target))
+  def score: Float = req.score
+  def cost: Long = req.cost
+  def maxScore: Float = req.maxScore
+}
+
+/** Matches like `inner`, scores a constant
+  * (ConstantScoreQuery.java:34 / MultiTermQueryConstantScoreWrapper.java:44).
+  */
+final class ConstScorer(inner: DocScorer, const: Float) extends DocScorer {
+  def doc: Long = inner.doc
+  def nextDoc(): Long = inner.nextDoc()
+  def advance(target: Long): Long = inner.advance(target)
+  def score: Float = const
+  def cost: Long = inner.cost
+  def maxScore: Float = const
+}
+
+/** Boost multiplies the wrapped score (BoostQuery semantics are folded
+  * into term weights; this wrapper covers composite sub-trees).
+  */
+final class BoostScorer(inner: DocScorer, boost: Float) extends DocScorer {
+  def doc: Long = inner.doc
+  def nextDoc(): Long = inner.nextDoc()
+  def advance(target: Long): Long = inner.advance(target)
+  def score: Float = inner.score * boost
+  def cost: Long = inner.cost
+  def maxScore: Float = inner.maxScore * boost
+}
+
+/** max + tie*(sum-max) (DisjunctionMaxScorer.java:28). */
+final class DisMaxScorer(scorers: Array[DocScorer], tie: Float)
+    extends DocScorer {
+  private val disj = new DisjunctionScorer(scorers, 1)
+  def doc: Long = disj.doc
+  def nextDoc(): Long = disj.nextDoc()
+  def advance(target: Long): Long = disj.advance(target)
+  def score: Float = {
+    var mx = 0f
+    var sm = 0d
+    var i = 0
+    while (i < scorers.length) {
+      if (scorers(i).doc == disj.doc) {
+        val s = scorers(i).score
+        if (s > mx) mx = s
+        sm += s
+      }
+      i += 1
+    }
+    (mx + tie * (sm.toFloat - mx)).toFloat
+  }
+  def cost: Long = disj.cost
+  lazy val maxScore: Float = scorers.map(_.maxScore).max
+}
+
+/** Union of several term iterators scored as ONE pseudo-term with summed
+  * tf (SynonymQuery.java:46). All members share the doc's norm.
+  */
+final class SynonymScorer(its: Array[PostingsIterator], w: Float,
+    cache: Array[Float]) extends DocScorer {
+  var doc: Long = -1L
+  private var tfSum = 0L
+  private var norm: Byte = 0
+
+  private def settle(): Long = {
+    var min = DocScorer.NO_MORE
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc > doc && its(i).doc < min) min = its(i).doc
+      i += 1
+    }
+    doc = min
+    if (min != DocScorer.NO_MORE) {
+      tfSum = 0L
+      i = 0
+      while (i < its.length) {
+        if (its(i).doc == min) { tfSum += its(i).tf; norm = its(i).norm }
+        i += 1
+      }
+    }
+    doc
+  }
+  def nextDoc(): Long = {
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc == doc || its(i).doc == -1L) its(i).nextDoc()
+      i += 1
+    }
+    settle()
+  }
+  def advance(target: Long): Long = {
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc < target) its(i).advance(target)
+      i += 1
+    }
+    doc = target - 1
+    settle()
+  }
+  def score: Float = BM25.score(w, tfSum.toFloat, cache(norm & 0xff))
+  def cost: Long = its.map(_.cost).sum
+  def maxScore: Float = Float.MaxValue // not used for WAND in v1
+}
+
+/** Matches all docs in [0, maxDoc) — MatchAllDocsQuery.java:29. Only
+  * valid on an unsharded (or mod-filtered) stream.
+  */
+final class MatchAllScorer(maxDoc: Long, boost: Float) extends DocScorer {
+  var doc: Long = -1L
+  def nextDoc(): Long = { doc += 1; if (doc >= maxDoc) doc = DocScorer.NO_MORE; doc }
+  def advance(target: Long): Long = {
+    doc = if (target >= maxDoc) DocScorer.NO_MORE else target
+    doc
+  }
+  def score: Float = boost
+  def cost: Long = maxDoc
+  def maxScore: Float = boost
+}

@@ -1,0 +1,307 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Hit
+import graft.index.{IndexBuilder, PostingsCodec}
+import graft.index.IndexBuilder.Manifest
+
+/** Query execution over the persisted segment index — the IndexSearcher /
+  * distributed-SolrCloud analog (SURVEY.md §3.1, §3.3):
+  *
+  *  - driver-side planning: rewrite, multi-term expansion against the term
+  *    dictionary, stats lookup (createNormalizedWeight analog — global df
+  *    by construction, the ExactStatsCache semantics,
+  *    `solr/core/.../search/stats/ExactStatsCache.java:86-103`)
+  *  - partition-pruned read of only the query terms' buckets
+  *    (directory pruning on the bucket partition column + parquet term
+  *    pushdown — the terms-dictionary-seek analog)
+  *  - per-shard scorer trees in executor tasks (leaf-slice boundary,
+  *    `IndexSearcher.java:605-615`), each feeding a bounded hit queue
+  *    (`TopScoreDocCollector.java:37-82`)
+  *  - partial top-k federation with the TopDocs.merge tie-break law
+  *    (`TopDocs.java:199-280`)
+  */
+object SegmentSearcher {
+
+  /** Handle to a committed on-disk index. */
+  final case class SegmentIndex(dir: String, manifest: Manifest) {
+    def segmentPaths: Seq[String] =
+      manifest.completedGroups.map(g => s"$dir/segments/grp=$g")
+    def bm25: BM25Params = BM25Params(manifest.k1, manifest.b)
+  }
+
+  def load(dir: String): SegmentIndex = {
+    val m = IndexBuilder.readManifest(dir)
+      .getOrElse(sys.error(s"no manifest at $dir"))
+    require(m.completedGroups.size == m.numGroups,
+      s"index at $dir incomplete: ${m.completedGroups.size}/${m.numGroups} groups")
+    SegmentIndex(dir, m)
+  }
+
+  /** One shuffled unit of query work: a (term, salt) posting list. */
+  final case class SegRow(term: String, salt: Int,
+      docBlocks: Array[Byte], skipData: Array[Byte])
+
+  /** Per-term scoring constants, computed driver-side like TermWeight. */
+  final case class TermWeightInfo(term: String, df: Long, weight: Float,
+      salted: Boolean)
+
+  final case class Plan(query: Query, k: Int, after: Option[(Double, Long)],
+      weights: Map[String, TermWeightInfo], cache: Array[Float],
+      numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params)
+
+  /** Top-k search. Returns hits in final rank order. */
+  def search(spark: SparkSession, ix: SegmentIndex, q0: Query, k: Int,
+      after: Option[(Double, Long)] = None): Array[Hit] = {
+    val m = ix.manifest
+    val params = ix.bm25
+    var q = Query.rewrite(q0)
+    q = expandMultiTerm(spark, ix, q)
+    q = Query.rewrite(q)
+    if (q == MatchNoneQ) return Array.empty
+
+    val terms = Query.literalTerms(q)
+    if (terms.isEmpty && q != MatchAllQ) return Array.empty
+
+    // --- stats lookup (pruned read of termstats) ---
+    val stats: Map[String, (Long, Long)] =
+      if (terms.isEmpty) Map.empty
+      else {
+        val buckets = terms.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
+        spark.read.parquet(s"${ix.dir}/termstats")
+          .filter(col("bucket").isin(buckets: _*) &&
+            col("term").isin(terms.toSeq: _*))
+          .select("term", "df", "ttf").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+
+    val avgdl = BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    val weights = stats.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
+      m.docCount, params)
+
+    val present = terms.filter(stats.contains)
+    if (present.isEmpty && q != MatchAllQ) {
+      // every literal term is absent; only const/match-all structures
+      // could still match — handled by empty iterators below, but if NO
+      // term exists the result is empty for term-driven queries
+      if (Query.literalTerms(q).nonEmpty) return Array.empty
+    }
+
+    // --- pruned segment read ---
+    import spark.implicits._
+    val partials: Array[Array[Hit]] =
+      if (terms.isEmpty) {
+        // MatchAll only: score all docs driver-side is nonsense; use one task
+        Array(execShard(-1, Map.empty, plan))
+      } else {
+        val buckets = present.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
+        val rows = spark.read
+          .option("basePath", s"${ix.dir}/segments")
+          .parquet(ix.segmentPaths: _*)
+          .filter(col("bucket").isin(buckets: _*) &&
+            col("term").isin(present.toSeq: _*))
+          .select("term", "salt", "docBlocks", "skipData")
+          .as[SegRow]
+        val S = m.numDocShards
+        val bPlan = spark.sparkContext.broadcast(plan)
+        val shardOf: SegRow => Seq[(Int, SegRow)] =
+          if (!sharded) r => Seq((0, r))
+          else r =>
+            if (r.salt >= 0) Seq((r.salt, r))
+            else (0 until S).map(s => (s, r))
+        rows.flatMap(shardOf)
+          .groupByKey(_._1)
+          .mapGroups { (shard, it) =>
+            val p = bPlan.value
+            val blobs = it.map(_._2).map(r => r.term -> r).toMap
+            execShard(if (p.sharded) shard else -1, blobs, p)
+          }
+          .collect()
+      }
+
+    TopK.merge(partials.toSeq, k)
+  }
+
+  /** Expand prefix/regexp/fuzzy/range against the term dictionary into
+    * const-score disjunctions (MultiTermQuery rewrite,
+    * `search/MultiTermQueryConstantScoreWrapper.java:44`). Caps expansion
+    * like the reference's maxClauseCount (BooleanQuery default 1024).
+    */
+  def expandMultiTerm(spark: SparkSession, ix: SegmentIndex, q: Query,
+      maxExpansions: Int = 1024): Query = {
+    def expand(pred: org.apache.spark.sql.Column): Seq[String] =
+      spark.read.parquet(s"${ix.dir}/termstats")
+        .filter(pred).select("term").orderBy("term").limit(maxExpansions)
+        .collect().map(_.getString(0)).toSeq
+    def go(q: Query): Query = q match {
+      case PrefixQ(p) =>
+        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").startsWith(p)): _*)))
+      case RegexpQ(p) =>
+        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").rlike(p)): _*)))
+      case FuzzyQ(t, e) =>
+        ConstScoreQ(BoolQ(should =
+          Query.terms(expand(levenshtein(col("term"), lit(t)) <= e): _*)))
+      case TermRangeQ(lo, hi, il, iu) =>
+        val lower = if (il) col("term") >= lo else col("term") > lo
+        val upper = if (iu) col("term") <= hi else col("term") < hi
+        ConstScoreQ(BoolQ(should = Query.terms(expand(lower && upper): _*)))
+      case BoolQ(mu, sh, mn, fl, msm) =>
+        BoolQ(mu.map(go), sh.map(go), mn.map(go), fl.map(go), msm)
+      case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
+      case BoostQ(i, b) => BoostQ(go(i), b)
+      case ConstScoreQ(i, s) => ConstScoreQ(go(i), s)
+      case other => other
+    }
+    go(q)
+  }
+
+  // ---------- per-shard execution ----------
+
+  /** Run the scorer tree for one shard and collect its top-k. Runs inside
+    * an executor task. shard == -1 → unsharded (no mod filtering).
+    */
+  private def execShard(shard: Int, blobs: Map[String, SegRow],
+      plan: Plan): Array[Hit] = {
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    val queue = new BoundedHitQueue(plan.k)
+    val afterS = plan.after.map(_._1).getOrElse(Double.PositiveInfinity)
+    val afterD = plan.after.map(_._2).getOrElse(-1L)
+    var d = scorer.nextDoc()
+    while (d != DocScorer.NO_MORE) {
+      val s = scorer.score.toDouble
+      val accept = plan.after.isEmpty ||
+        s < afterS || (s == afterS && d > afterD)
+      if (accept) queue.insert(d, s)
+      d = scorer.nextDoc()
+    }
+    queue.sortedHits
+  }
+
+  /** Compile the (rewritten, expanded) query to a scorer tree over this
+    * shard's blobs — the createWeight / Weight.scorer analog.
+    */
+  private def buildScorer(q: Query, shard: Int, blobs: Map[String, SegRow],
+      plan: Plan, boost: Float): DocScorer = q match {
+    case TermQ(t) => termScorer(t, shard, blobs, plan, boost)
+    case MatchAllQ =>
+      val all = new MatchAllScorer(plan.maxDoc, boost)
+      if (shard >= 0) new ModFilterScorer(all, shard, plan.numShards) else all
+    case MatchNoneQ => EmptyScorer
+    case BoostQ(i, b) => buildScorer(i, shard, blobs, plan, boost * b)
+    case ConstScoreQ(i, s) =>
+      new ConstScorer(buildScorer(i, shard, blobs, plan, 1f), boost * s)
+    case SynonymQ(ts) => synonymScorer(ts, shard, blobs, plan, boost)
+    case DisMaxQ(cs, tie) =>
+      val subs = cs.map(buildScorer(_, shard, blobs, plan, boost)).toArray
+      if (subs.forall(_ eq EmptyScorer)) EmptyScorer
+      else new DisMaxScorer(subs, tie)
+    case BoolQ(must, should, mustNot, filterQs, msm) =>
+      boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
+    case other =>
+      sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
+  }
+
+  private def termScorer(t: String, shard: Int, blobs: Map[String, SegRow],
+      plan: Plan, boost: Float): DocScorer =
+    (blobs.get(t), plan.weights.get(t)) match {
+      case (Some(row), Some(wi)) =>
+        val it = PostingsCodec.iterator(row.docBlocks, row.skipData)
+        val w = if (boost == 1f) wi.weight else wi.weight * boost
+        val ts = new TermScorer(it, w, plan.cache)
+        // cold list inside a sharded query must be mod-filtered so union
+        // semantics count each doc once across shards
+        if (shard >= 0 && row.salt < 0)
+          new ModFilterScorer(ts, shard, plan.numShards)
+        else ts
+      case _ => EmptyScorer
+    }
+
+  private def synonymScorer(ts: Seq[String], shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val rows = ts.flatMap(blobs.get)
+    if (rows.isEmpty) return EmptyScorer
+    val dfs = ts.flatMap(plan.weights.get).map(_.df)
+    if (dfs.isEmpty) return EmptyScorer
+    // SynonymQuery blends: df = max over members
+    val w0 = BM25.weightValue(BM25.idf(dfs.max, plan.maxDoc), plan.params)
+    val w = if (boost == 1f) w0 else w0 * boost
+    // in a sharded context, cold (unsalted) member lists are restricted to
+    // this shard's docs up front (cold lists are small by definition), so
+    // the union never double-counts across shards
+    val its = rows.map { r =>
+      if (shard >= 0 && r.salt < 0) {
+        val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
+        val keep = pl.docs.indices.filter(i => (pl.docs(i) % plan.numShards).toInt == shard)
+        if (keep.isEmpty) null
+        else {
+          val (body, skip) = PostingsCodec.encode(
+            keep.map(pl.docs).toArray, keep.map(pl.tfs).toArray,
+            keep.map(pl.norms).toArray)
+          PostingsCodec.iterator(body, skip)
+        }
+      } else PostingsCodec.iterator(r.docBlocks, r.skipData)
+    }.filter(_ != null).toArray
+    if (its.isEmpty) EmptyScorer
+    else new SynonymScorer(its, w, plan.cache)
+  }
+
+  private def boolScorer(must: Seq[Query], should: Seq[Query],
+      mustNot: Seq[Query], filterQs: Seq[Query], msm: Int, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val mustS = must.map(buildScorer(_, shard, blobs, plan, boost))
+    if (mustS.exists(_ eq EmptyScorer)) return EmptyScorer
+    val shouldS = should.map(buildScorer(_, shard, blobs, plan, boost))
+      .filterNot(_ eq EmptyScorer)
+
+    var req: DocScorer =
+      if (must.nonEmpty) {
+        val conj = if (mustS.size == 1) mustS.head
+          else new ConjunctionScorer(mustS.toArray)
+        if (shouldS.nonEmpty) {
+          val disj = if (shouldS.size == 1) shouldS.head
+            else new DisjunctionScorer(shouldS.toArray, math.max(msm, 1))
+          // msm > 0 with MUST present: the should side (with its msm)
+          // becomes required too, contributing its score
+          if (msm > 0) new ReqOptHack(conj, disj)
+          else new ReqOptScorer(conj, disj)
+        } else conj
+      } else {
+        if (shouldS.isEmpty) return EmptyScorer
+        if (shouldS.size == 1 && msm <= 1) shouldS.head
+        else new DisjunctionScorer(shouldS.toArray, math.max(msm, 1))
+      }
+
+    filterQs.foreach { fq =>
+      val fs = buildScorer(fq, shard, blobs, plan, 1f)
+      if (fs eq EmptyScorer) return EmptyScorer
+      req = new ConjunctionScorer(Array(req, new ConstScorer(fs, 0f)))
+    }
+    mustNot.foreach { nq =>
+      val ns = buildScorer(nq, shard, blobs, plan, 1f)
+      if (!(ns eq EmptyScorer)) req = new ReqExclScorer(req, ns)
+    }
+    req
+  }
+
+  /** must + gated should (msm > 0 with MUST present): both must match;
+    * score = float(must + shouldSum) like ReqOpt but required.
+    */
+  private final class ReqOptHack(req: DocScorer, opt: DocScorer)
+      extends DocScorer {
+    private val conj = new ConjunctionScorer(Array(req, new ConstScorer(opt, 0f)))
+    def doc: Long = conj.doc
+    def nextDoc(): Long = conj.nextDoc()
+    def advance(target: Long): Long = conj.advance(target)
+    def score: Float = (req.score.toDouble + opt.score).toFloat
+    def cost: Long = conj.cost
+    def maxScore: Float = (req.maxScore.toDouble + opt.maxScore).toFloat
+  }
+}
