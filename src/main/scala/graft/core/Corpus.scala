@@ -74,4 +74,37 @@ object Corpus {
     val ds = spark.createDataset(generate(numDocs, seed))
     if (partitions > 0) ds.repartition(partitions) else ds
   }
+
+  /** One file, deterministic from (seed, i) alone — safe to generate on
+    * executors in any partitioning.
+    */
+  def generateOne(i: Long, seed: Long): CodeFile = {
+    val rnd = new Random(seed * 0x9e3779b97f4a7c15L + i)
+    val nVocab = Vocabulary.length
+    val repo = s"org/proj${rnd.nextInt(512)}"
+    val commit = f"${rnd.nextInt(Int.MaxValue)}%08x"
+    val lang = Langs(rnd.nextInt(Langs.length))
+    val nTokens = 5 + rnd.nextInt(396)
+    val sb = new StringBuilder
+    var t = 0
+    while (t < nTokens) {
+      if (t > 0) sb.append(if (rnd.nextInt(12) == 0) "\n" else " ")
+      sb.append(Vocabulary(zipfIndex(rnd, nVocab)))
+      t += 1
+    }
+    CodeFile(repo, f"src/main/F$i%09d.$lang", commit, lang, sb.toString)
+  }
+
+  /** Distributed deterministic corpus: generated ON the executors from
+    * (seed, rowId) — the only scalable way to synthesize 10^12 rows (the
+    * driver never materializes the corpus).
+    */
+  def distributed(spark: SparkSession, numDocs: Long, seed: Long = 42L,
+      partitions: Int = 0): Dataset[CodeFile] = {
+    import spark.implicits._
+    val parts =
+      if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    spark.range(0L, numDocs, 1L, parts).map(i => generateOne(i, seed))
+  }
 }

@@ -1,0 +1,402 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's relational dataflow surface re-expressed Spark-first:
+  * Solr streaming expressions (SURVEY.md §2.10), JSON-facet / stats
+  * aggregations (§2.8), joins incl. block join (§2.9), and function
+  * queries (§2.12) — each over the TPC-H-ish testdata tables with a
+  * DuckDB oracle.
+  *
+  * Money/double aggregates go through DECIMAL casts so sums are exact and
+  * order-independent on both engines (parallel double summation is not).
+  */
+object RelationalGate {
+
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RollupStream + Sum/Min/Max/Mean/CountMetric
+    // (solr/solrj/.../io/stream/RollupStream.java:43, metrics/)
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // StatsComponent (solr/core/.../component/StatsComponent.java):
+    // min/max/sum/count/avg/stddev, distributed-mergeable
+    "q_stats" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+    }),
+
+    // UniqueAgg — exact distinct (facet/UniqueAgg.java:32)
+    "q_unique_agg" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("uniq_parts"),
+          countDistinct("l_suppkey").as("uniq_supps"))
+        .orderBy("l_returnflag")
+    }),
+
+    // PercentileAgg (facet/PercentileAgg.java:31) — exact interpolated
+    // percentile (both engines use linear interpolation on sorted values)
+    "q_percentile" -> ((s, d) => {
+      t(s, d, "orders")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+    }),
+
+    // pivot facet: nested buckets (component/PivotFacetProcessor.java)
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // range facet over a numeric field (facet.range analog)
+    "q_range_facet" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("bucket", floor(col("p_retailprice") / 500).cast("int") * 500)
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
+    // grouping: top-k docs per group via window
+    // (lucene/grouping/.../GroupingSearch.java:52)
+    "q_group_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+        .limit(500)
+    }),
+
+    // field collapse, 1 doc per group (CollapsingQParserPlugin)
+    "q_collapse" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // JoinUtil semi-join (lucene/join/.../JoinUtil.java:92)
+    "q_join_semi" -> ((s, d) => {
+      val bldg = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      o.join(bldg, o("o_custkey") === bldg("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(100)
+    }),
+
+    // HashJoinStream (io/stream/HashJoinStream.java:44): broadcast hash join
+    "q_join_hash" -> ((s, d) => {
+      val n = t(s, d, "nation")
+      t(s, d, "customer")
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("cnt"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("sum_bal"))
+        .orderBy("n_name")
+    }),
+
+    // LeftOuterJoinStream (io/stream/LeftOuterJoinStream.java:34)
+    "q_join_left" -> ((s, d) => {
+      val o = t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("c_custkey").limit(500)
+    }),
+
+    // block join: parent/child over nested docs
+    // (lucene/join/.../ToParentBlockJoinQuery) — children nested as
+    // ArrayType, parent filtered by an exists() over the children
+    "q_blockjoin" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), struct(col("l_partkey"), col("l_quantity")).as("child"))
+        .groupBy("l_orderkey").agg(collect_list("child").as("children"))
+      t(s, d, "orders")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(exists(col("children"), c => c.getField("l_quantity") > 49))
+        .select(col("o_orderkey"), size(col("children")).as("n_children"))
+        .orderBy("o_orderkey").limit(200)
+    }),
+
+    // MergeStream: ordered union of sorted streams (MergeStream.java:40)
+    "q_merge" -> ((s, d) => {
+      val a = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val b = t(s, d, "customer").filter(col("c_mktsegment") === "MACHINERY")
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      a.unionByName(b).orderBy("key").limit(300)
+    }),
+
+    // IntersectStream / ComplementStream (io/stream/*.java:42)
+    "q_intersect" -> ((s, d) => {
+      val y95 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select("o_custkey")
+      val y96 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1996)
+        .select("o_custkey")
+      y95.intersect(y96).orderBy("o_custkey").limit(300)
+    }),
+    "q_complement" -> ((s, d) => {
+      val y95 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1995)
+        .select("o_custkey")
+      val y96 = t(s, d, "orders").filter(year(col("o_orderdate")) === 1996)
+        .select("o_custkey")
+      y95.except(y96).orderBy("o_custkey").limit(300)
+    }),
+
+    // UniqueStream: dedup on sorted stream (UniqueStream.java:45)
+    "q_unique_stream" -> ((s, d) => {
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
+
+    // RankStream: top-N by sort (RankStream.java:45)
+    "q_rank" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice").limit(20)
+    }),
+
+    // SelectStream + ReplaceOperation: projection / rename / computed
+    "q_select" -> ((s, d) => {
+      t(s, d, "part")
+        .select(col("p_partkey").as("id"),
+          upper(col("p_brand")).as("brand"),
+          when(col("p_size") > 25, lit("large")).otherwise(lit("small")).as("size_class"))
+        .orderBy("id").limit(300)
+    }),
+
+    // /export: full sorted export (SortingResponseWriter.java:65)
+    "q_sort_export" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy(asc("l_shipdate"), asc("l_orderkey"), asc("l_linenumber"))
+        .limit(1000)
+    }),
+
+    // function queries (§2.12 ValueSourceParser): math/string/date scalars
+    "q_funcs" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") <= 50)
+        .select(
+          col("p_partkey").as("id"),
+          round(sqrt(col("p_retailprice")), 6).as("f_sqrt"),
+          round(log(col("p_retailprice")), 6).as("f_ln"),
+          round(pow(col("p_size").cast("double"), 2.0), 6).as("f_pow"),
+          abs(col("p_size") - 25).as("f_abs"),
+          ceil(col("p_retailprice")).as("f_ceil"),
+          floor(col("p_retailprice")).as("f_floor"),
+          pmod(col("p_partkey"), lit(7)).as("f_mod"),
+          concat(col("p_brand"), lit("#"), col("p_type")).as("f_concat"),
+          levenshtein(col("p_brand"), lit("Brand#11")).as("f_strdist"),
+          greatest(col("p_size"), lit(10)).as("f_max"),
+          least(col("p_size"), lit(40)).as("f_min"))
+        .orderBy("id")
+    }),
+
+    // date math (DateMathParser analog): truncation + interval arithmetic
+    "q_datemath" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 6 MONTH")).as("plus6m"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ms"))
+        .orderBy("o_orderkey")
+    }),
+
+    // event-time windowed aggregation (batch form of the streaming query;
+    // TopicStream/DaemonStream map to Structured Streaming, §2.10)
+    "q_events_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("hour", "event_type").limit(500)
+    }),
+
+    // GatherNodesStream 2-hop graph expansion (io/graph/GatherNodesStream
+    // .java:54): part → orders containing it → co-ordered parts
+    "q_graph_expand" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_partkey")
+      val seedOrders = li.filter(col("l_partkey") === 1)
+        .select(col("l_orderkey").as("ok")).distinct()
+      li.join(seedOrders, col("l_orderkey") === col("ok"), "left_semi")
+        .select("l_partkey").distinct()
+        .orderBy("l_partkey")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  MIN(l_quantity) AS min_qty, MAX(l_extendedprice) AS max_price,
+  COUNT(*) AS cnt
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_stats" ->
+      """SELECT COUNT(*) AS cnt, MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  ROUND(AVG(l_discount), 6) AS avg_disc,
+  ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty
+FROM lineitem""",
+
+    "q_unique_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS uniq_parts,
+  COUNT(DISTINCT l_suppkey) AS uniq_supps
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_percentile" ->
+      """SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+  ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+  ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders""",
+
+    "q_pivot" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_range_facet" ->
+      """SELECT CAST(FLOOR(p_retailprice / 500) AS INT) * 500 AS bucket, COUNT(*) AS cnt
+FROM part GROUP BY 1 ORDER BY 1""",
+
+    "q_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    CAST(row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+  FROM orders) WHERE rnk <= 2 ORDER BY o_custkey, rnk LIMIT 500""",
+
+    "q_collapse" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk = 1
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q_join_semi" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "q_join_hash" ->
+      """SELECT n_name, COUNT(*) AS cnt,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1 ORDER BY 1""",
+
+    "q_join_left" ->
+      """SELECT c_custkey, COALESCE(o.n_orders, 0) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1) o
+ON c_custkey = o.o_custkey ORDER BY c_custkey LIMIT 500""",
+
+    "q_blockjoin" ->
+      """SELECT o_orderkey, CAST(n_children AS INT) AS n_children FROM (
+  SELECT o_orderkey, (SELECT COUNT(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_children
+  FROM orders
+  WHERE EXISTS (SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_quantity > 49))
+WHERE n_children > 0 ORDER BY o_orderkey LIMIT 200""",
+
+    "q_merge" ->
+      """SELECT key, bal FROM (
+  SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_mktsegment = 'MACHINERY')
+ORDER BY key LIMIT 300""",
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY o_custkey LIMIT 300""",
+
+    "q_complement" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+ORDER BY o_custkey LIMIT 300""",
+
+    "q_unique_stream" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2""",
+
+    "q_rank" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q_select" ->
+      """SELECT p_partkey AS id, UPPER(p_brand) AS brand,
+  CASE WHEN p_size > 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part ORDER BY 1 LIMIT 300""",
+
+    "q_sort_export" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1000""",
+
+    "q_funcs" ->
+      """SELECT p_partkey AS id,
+  ROUND(sqrt(p_retailprice), 6) AS f_sqrt,
+  ROUND(ln(p_retailprice), 6) AS f_ln,
+  ROUND(pow(CAST(p_size AS DOUBLE), 2.0), 6) AS f_pow,
+  ABS(p_size - 25) AS f_abs,
+  CAST(CEIL(p_retailprice) AS BIGINT) AS f_ceil,
+  CAST(FLOOR(p_retailprice) AS BIGINT) AS f_floor,
+  p_partkey % 7 AS f_mod,
+  p_brand || '#' || p_type AS f_concat,
+  levenshtein(p_brand, 'Brand#11') AS f_strdist,
+  GREATEST(p_size, 10) AS f_max,
+  LEAST(p_size, 40) AS f_min
+FROM part WHERE p_partkey <= 50 ORDER BY 1""",
+
+    "q_datemath" ->
+      """SELECT o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+  o_orderdate + INTERVAL 6 MONTH AS plus6m,
+  epoch_ms(o_orderdate) AS ms
+FROM orders WHERE o_orderkey <= 200 ORDER BY 1""",
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
+  ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500""",
+
+    "q_graph_expand" ->
+      """SELECT DISTINCT l_partkey FROM lineitem
+WHERE l_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1)
+ORDER BY 1""")
+}

@@ -31,6 +31,11 @@ object SearchGate {
   private val segmentCache =
     scala.collection.concurrent.TrieMap.empty[String, SegmentSearcher.SegmentIndex]
 
+  /** Drop cached plans (needed when a new SparkSession replaces the one
+    * the cached DataFrames were bound to, e.g. between bench phases).
+    */
+  def clearCaches(): Unit = { logicalCache.clear(); segmentCache.clear() }
+
   def logical(spark: SparkSession, sfDir: String): LogicalIndex =
     logicalCache.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators. All are
+  * DataFrame → DataFrame, shuffle-aware:
+  *
+  *  - exact:        one hash-groupBy (no pairwise work)
+  *  - ngramJaccard: shingle self-join — candidate pairs only come from
+  *                  shared shingles (inverted-index-style blocking)
+  *  - minhashLsh:   MinHash signatures banded into LSH buckets; only
+  *                  bucket-colliding pairs are verified — the scale path:
+  *                  shuffle is O(docs × bands), never O(docs²)
+  *  - simhash:      64-bit fingerprints, banded for hamming-radius search
+  *  - embeddingCosine: cosine near-dup via the Similarity module
+  *
+  * The reference ships MinHash as an analysis filter
+  * (`lucene/analysis/common/.../minhash/MinHashFilter.java:46`); here it
+  * becomes a first-class dedup pipeline.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (id, canonicalId) for every
+    * row whose text equals an earlier row's.
+    */
+  def exactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = sha2(col(textCol), 256)
+    df.select(col(idCol).as("id"), h.as("h"))
+      .withColumn("canonicalId",
+        min("id").over(org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("id") =!= col("canonicalId"))
+      .select("id", "canonicalId")
+  }
+
+  /** Tokenize + n-token shingles, one row per DISTINCT (id, shingle). */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val mk = udf { (s: String) =>
+      val toks = graft.core.Analysis.simpleTokens(s)
+      if (toks.length < n) Array.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+    }
+    df.select(col(idCol).as("id"), explode(mk(col(textCol))).as("sh"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ threshold. Blocking via the shingle
+    * self-join: only docs sharing ≥1 shingle are compared; at 100 TB add
+    * a shingle-df cap (drop ubiquitous shingles) — see `maxShingleDf`.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.7,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingles(df, textCol, idCol, n).persist()
+    try {
+      val filtered =
+        if (maxShingleDf == Int.MaxValue) sh
+        else {
+          // hot-shingle cap: a shingle appearing in > maxShingleDf docs
+          // contributes O(df²) candidate pairs — drop it (it can only be
+          // boilerplate) and log the loss
+          val hot = sh.groupBy("sh").count()
+            .filter(col("count") > maxShingleDf).select("sh")
+          sh.join(hot, Seq("sh"), "left_anti")
+        }
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val a = filtered.select(col("id").as("ia"), col("sh"))
+      val b = filtered.select(col("id").as("ib"), col("sh"))
+      val inter = a.join(b, Seq("sh")).filter(col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
+        .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
+        .withColumn("jaccard",
+          col("inter") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("ia"), col("ib"), col("jaccard"))
+    } finally sh.unpersist()
+  }
+
+  // ---- MinHash + LSH ----
+
+  /** Deterministic 64-bit hash of a shingle string. */
+  def shingleHash(s: String): Long =
+    scala.util.hashing.MurmurHash3.stringHash(s, 0x5eed).toLong & 0xffffffffL |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x7a11).toLong << 32)
+
+  private val MersennePrime = (1L << 61) - 1
+
+  /** numHashes universal-hash params (a, b), seeded. */
+  def hashParams(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)(
+      (math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
+        math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  /** MinHash signature of a shingle-hash set. */
+  def signature(hashes: Iterable[Long], params: Array[(Long, Long)]): Array[Long] = {
+    val sig = Array.fill(params.length)(Long.MaxValue)
+    hashes.foreach { h0 =>
+      val x = h0 & Long.MaxValue
+      var i = 0
+      while (i < params.length) {
+        val (a, b) = params(i)
+        // (a*x + b) mod p via BigInt-free 61-bit Mersenne reduction
+        val v = modMersenne(mulMod(a, x) + b)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    // (a * b) mod 2^61-1 using 128-bit via Math.multiplyHigh
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // 2^64 ≡ 8 (mod 2^61-1): fold
+    modMersenne((lo & MersennePrime) + ((lo >>> 61) | (hi << 3)))
+  }
+
+  private def modMersenne(x0: Long): Long = {
+    var x = (x0 & MersennePrime) + (x0 >>> 61)
+    if (x >= MersennePrime) x -= MersennePrime
+    x
+  }
+
+  /** MinHash + LSH candidate pairs, verified with TRUE Jaccard ≥ threshold.
+    * Signatures: numHashes minwise hashes; LSH: `bands` bands of
+    * numHashes/bands rows — docs colliding in ANY band become candidates.
+    * Recall for j ≥ 0.9 with 64/16: 1 - (1 - 0.9⁴)¹⁶ ≈ 1 - 3e-8.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val params = hashParams(numHashes, seed)
+    val spark = df.sparkSession
+    val sigUdf = udf { (s: String) =>
+      val toks = graft.core.Analysis.simpleTokens(s)
+      val shs = if (toks.length < n) Set.empty[Long]
+        else toks.sliding(n).map(w => shingleHash(w.mkString(" "))).toSet
+      if (shs.isEmpty) Array.empty[Long] else signature(shs, params)
+    }
+    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+      .filter(size(col("sig")) > 0)
+    // band buckets: (bandIdx, hash(band slice)) → candidate join key
+    val banded = sigs.select(col("id"), posexplode(
+      udf((sig: Array[Long]) =>
+        sig.grouped(rows).map(g => g.mkString(",").hashCode.toLong).toArray
+      ).apply(col("sig"))).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+    // verify candidates with exact Jaccard (pair count is tiny post-LSH)
+    val sh = shingles(df, textCol, idCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("cnt"))
+    val aSh = sh.select(col("id").as("ia"), col("sh"))
+    val bSh = sh.select(col("id").as("ib"), col("sh"))
+    cand.join(aSh, Seq("ia")).join(bSh, Seq("ib", "sh"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("ia"), col("cnt").as("na")), Seq("ia"))
+      .join(sizes.select(col("id").as("ib"), col("cnt").as("nb")), Seq("ib"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("ia", "ib", "jaccard")
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash of the token multiset. */
+  def simhash64(tokens: Array[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = shingleHash(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
+    * 16-bit band blocking (pigeonhole: distance ≤ 3 ⇒ one of 4 bands
+    * equal).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "band blocking assumes 4 bands / radius 3")
+    val shUdf = udf((s: String) => simhash64(graft.core.Analysis.simpleTokens(s)))
+    val sigs = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"), posexplode(array(
+      (0 until 4).map(i =>
+        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*
+    )).as(Seq("band", "bucket")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("x.sig").as("sa"),
+        col("y.id").as("ib"), col("y.sig").as("sb")).distinct()
+    val hammingUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    cand.withColumn("hamming", hammingUdf(col("sa"), col("sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select("ia", "ib", "hamming")
+  }
+
+  /** Embedding cosine near-dup pairs (delegates to Similarity). */
+  def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame =
+    Similarity.cosinePairs(df, vecCol, idCol, threshold)
+}

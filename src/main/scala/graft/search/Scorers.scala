@@ -57,20 +57,20 @@ final class TermScorer(it: PostingsIterator, w: Float,
   * (unsalted) posting list is replicated to every shard of a salted query
   * so union counts each doc exactly once.
   */
-final class ModFilterScorer(inner: DocScorer, shard: Int, s: Int)
+final class ModFilterScorer(val innerScorer: DocScorer, shard: Int, s: Int)
     extends DocScorer {
-  def doc: Long = inner.doc
+  def doc: Long = innerScorer.doc
   private def settle(d0: Long): Long = {
     var d = d0
     while (d != DocScorer.NO_MORE && (d % s).toInt != shard)
-      d = inner.nextDoc()
+      d = innerScorer.nextDoc()
     d
   }
-  def nextDoc(): Long = settle(inner.nextDoc())
-  def advance(target: Long): Long = settle(inner.advance(target))
-  def score: Float = inner.score
-  def cost: Long = inner.cost / s + 1
-  def maxScore: Float = inner.maxScore
+  def nextDoc(): Long = settle(innerScorer.nextDoc())
+  def advance(target: Long): Long = settle(innerScorer.advance(target))
+  def score: Float = innerScorer.score
+  def cost: Long = innerScorer.cost / s + 1
+  def maxScore: Float = innerScorer.maxScore
 }
 
 /** Empty stream (term absent from this shard/index). */

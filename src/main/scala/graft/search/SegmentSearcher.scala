@@ -49,11 +49,26 @@ object SegmentSearcher {
 
   final case class Plan(query: Query, k: Int, after: Option[(Double, Long)],
       weights: Map[String, TermWeightInfo], cache: Array[Float],
-      numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params)
+      numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
+      useWand: Boolean = true)
+
+  /** Leaves of a pure term-disjunction (msm ≤ 1): Seq((term, boost)). */
+  def wandLeaves(q: Query): Option[Seq[(String, Float)]] = q match {
+    case TermQ(t) => Some(Seq((t, 1f)))
+    case BoostQ(TermQ(t), b) => Some(Seq((t, b)))
+    case BoolQ(Seq(), should, Seq(), Seq(), msm) if msm <= 1 && should.nonEmpty =>
+      val leaves = should.map {
+        case TermQ(t) => Some((t, 1f))
+        case BoostQ(TermQ(t), b) => Some((t, b))
+        case _ => None
+      }
+      if (leaves.forall(_.isDefined)) Some(leaves.map(_.get)) else None
+    case _ => None
+  }
 
   /** Top-k search. Returns hits in final rank order. */
   def search(spark: SparkSession, ix: SegmentIndex, q0: Query, k: Int,
-      after: Option[(Double, Long)] = None): Array[Hit] = {
+      after: Option[(Double, Long)] = None, useWand: Boolean = true): Array[Hit] = {
     val m = ix.manifest
     val params = ix.bm25
     var q = Query.rewrite(q0)
@@ -85,7 +100,7 @@ object SegmentSearcher {
     }
     val sharded = weights.values.exists(_.salted)
     val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
-      m.docCount, params)
+      m.docCount, params, useWand)
 
     val present = terms.filter(stats.contains)
     if (present.isEmpty && q != MatchAllQ) {
@@ -170,8 +185,21 @@ object SegmentSearcher {
     */
   private def execShard(shard: Int, blobs: Map[String, SegRow],
       plan: Plan): Array[Hit] = {
-    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
     val queue = new BoundedHitQueue(plan.k)
+    // Pure term-disjunction (or single term) → block-max WAND; identical
+    // results to the exhaustive loop by construction (Wand.scala).
+    wandLeaves(plan.query) match {
+      case Some(terms) if plan.useWand =>
+        val leaves = terms.map { case (t, boost) =>
+          termScorer(t, shard, blobs, plan, boost)
+        }.filterNot(_ eq EmptyScorer)
+        if (leaves.forall(Wand.leafable)) {
+          Wand.collect(leaves.toArray, queue, plan.after)
+          return queue.sortedHits
+        }
+      case _ => ()
+    }
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
     val afterS = plan.after.map(_._1).getOrElse(Double.PositiveInfinity)
     val afterD = plan.after.map(_._2).getOrElse(-1L)
     var d = scorer.nextDoc()
