@@ -14,10 +14,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    gate.SearchGate.queries ++ gate.RelationalGate.queries
+    gate.SearchGate.queries ++ gate.RelationalGate.queries ++
+      gate.OpsGate.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    gate.SearchGate.oracleSql ++ gate.RelationalGate.oracleSql
+    gate.SearchGate.oracleSql ++ gate.RelationalGate.oracleSql ++
+      gate.OpsGate.oracleSql
 }

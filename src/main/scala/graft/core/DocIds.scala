@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
 object DocIds {
 
   def withDocIds(df: DataFrame, sortCols: Seq[String],
-      docIdCol: String = "docId", numPartitions: Int = 0): DataFrame = {
+      docIdCol: String = "docId", numPartitions: Int = 0): DataFrame =
+    withDocIdsCounted(df, sortCols, docIdCol, numPartitions)._1
+
+  /** As [[withDocIds]], also returning the total row count (free: the
+    * per-partition counting pass already computes it).
+    */
+  def withDocIdsCounted(df: DataFrame, sortCols: Seq[String],
+      docIdCol: String = "docId", numPartitions: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val cols: Seq[Column] = sortCols.map(col)
     val parts =
@@ -41,10 +48,11 @@ object DocIds {
     import spark.implicits._
     val baseDf = counts.map(_._1).zip(bases).toSeq.toDF("_pid", "_base")
     val w = Window.partitionBy("_pid").orderBy(cols: _*)
-    ranged
+    val out = ranged
       .withColumn("_local", row_number().over(w).cast("long"))
       .join(broadcast(baseDf), Seq("_pid"))
       .withColumn(docIdCol, col("_base") + col("_local") - 1)
       .drop("_pid", "_base", "_local")
+    (out, counts.map(_._2).sum)
   }
 }

@@ -1,0 +1,217 @@
+package graft.gate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Gate queries for the training-data pipeline operators (dedup,
+  * similarity search, text analysis, multimodal plumbing) over the
+  * `documents` and `embeddings` tables.
+  */
+object OpsGate {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** Shared oracle CTE: tokenized positions + shingles (3-token). */
+  private val shingleCte =
+    """WITH posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '') AS arr
+        FROM documents)
+), sh3 AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+      term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh
+    FROM posx WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ) WHERE sh IS NOT NULL
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh3 GROUP BY doc_id
+), jacc AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+  FROM sh3 a JOIN sh3 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT ia, ib,
+    ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+  FROM jacc JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDuplicates(docs(s, d), "text", "doc_id")
+        .orderBy("id")),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("ia", "ib")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(docs(s, d), "text", "doc_id", n = 3,
+        numHashes = 64, bands = 16, threshold = 0.7)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("ia", "ib")),
+
+    // approximate / hash-seeded ops: rows-only driver check, properties
+    // asserted in OpsSpec instead
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("ia", "ib")),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(emb(s, d), "embedding", "vec_id", 0.4)
+        .withColumn("cos", round(col("cos"), 4))
+        .orderBy("ia", "ib")),
+
+    "q_ann_brute" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10,
+        excludeId = Some(0L))
+        .withColumn("cos", round(col("cos"), 4))
+        .select("id", "cos")
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
+        planes = 10, probeRadius = 2, excludeId = Some(0L))
+        .withColumn("cos", round(col("cos"), 4))
+        .select("id", "cos")
+    }),
+
+    "q_text_tokencount" -> ((s, d) =>
+      TextAnalysis.withTokenCounts(docs(s, d), "text")
+        .select("doc_id", "n_ws_tokens", "n_bpe_pieces")
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(docs(s, d), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_ok")
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.withLangId(docs(s, d), "text")
+        .select("doc_id", "lang_guess")
+        .orderBy("doc_id")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprint(docs(s, d), "text")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")),
+
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "text/fake")
+      Multimodal.decode(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("byteLen").as("byte_len"),
+          col("sha256Head").as("sha_head"))
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT a.doc_id AS id, m.canon AS canonicalId
+FROM documents a JOIN (
+  SELECT text, MIN(doc_id) AS canon, COUNT(*) AS c FROM documents GROUP BY text
+) m ON a.text = m.text
+WHERE m.c > 1 AND a.doc_id <> m.canon ORDER BY 1""",
+
+    "q_dedup_ngram" -> (shingleCte +
+      "\nSELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"),
+
+    // MinHash+LSH with 64 hashes / 16 bands has ≈1-3e-8 recall at j≥0.7
+    // and verifies candidates with true Jaccard → equals the exact pairs
+    "q_dedup_minhash" -> (shingleCte +
+      "\nSELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"),
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS ia, b.vec_id AS ib,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY ia, ib""",
+
+    "q_ann_brute" ->
+      """SELECT e.vec_id AS id,
+  ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS cos
+FROM embeddings e,
+  (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
+LIMIT 10""",
+
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+  CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_pieces
+FROM documents ORDER BY doc_id""",
+
+    "q_text_quality" ->
+      """WITH q AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks,
+    text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS INT) AS n_tokens,
+  ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0
+    / GREATEST(length(text), 1), 6) AS punct_ratio,
+  ROUND(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) * 1.0
+    / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+  (len(toks) >= 5
+   AND (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g'))) * 1.0 / GREATEST(length(text), 1) < 0.3
+   AND len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) * 1.0 / GREATEST(len(toks), 1) < 0.9
+  ) AS quality_ok
+FROM q ORDER BY doc_id""",
+
+    "q_text_langid" ->
+      """WITH q AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS h_en,
+    len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein','mit'))) AS h_de,
+    len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','pour'))) AS h_fr,
+    len(list_filter(toks, x -> x IN ('el','los','las','es','una','para','por','como'))) AS h_es
+  FROM q
+)
+SELECT doc_id,
+  CASE
+    WHEN h_es > GREATEST(h_en, h_de, h_fr, 0) THEN 'es'
+    WHEN h_fr > GREATEST(h_en, h_de, 0) THEN 'fr'
+    WHEN h_de > GREATEST(h_en, 0) THEN 'de'
+    WHEN h_en > 0 THEN 'en'
+    ELSE 'und'
+  END AS lang_guess
+FROM h ORDER BY doc_id""",
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+  sha256(array_to_string(
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+    ' ')) AS fingerprint
+FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+  CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+  3 AS channels,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  substr(sha256(text), 1, 16) AS sha_head
+FROM documents ORDER BY doc_id""")
+}

@@ -150,6 +150,26 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** MUST m + optional boosted SHOULDs + MUST_NOT n (the parsed-query
+    * gate shape: `+m s1 s2^b -n`).
+    */
+  def mustShouldNot(m: String, shoulds: Seq[(String, Float)], n: String,
+      k: Int): String = {
+    val names = shoulds.indices.map(i => s"s$i")
+    val ctes = termCtes("m", m) + termCtes("n", n) +
+      names.zip(shoulds).map { case (nm, (t, b)) => termCtes(nm, t, b) }.mkString
+    val union = names.map(nm => s"SELECT doc_id, s FROM sc_$nm").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), sa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+), res AS (
+  SELECT sc_m.doc_id,
+    ${R("CAST(sc_m.s AS DOUBLE) + COALESCE(CAST(sa.s AS DOUBLE), 0)")} AS s
+  FROM sc_m LEFT JOIN sa ON sc_m.doc_id = sa.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM sc_n WHERE sc_n.doc_id = sc_m.doc_id)
+)""" + finish("res", k)
+  }
+
   /** MUST m FILTER f: filter matches without contributing score. */
   def mustFilter(m: String, f: String, k: Int): String =
     prologue + termCtes("m", m) + termCtes("f", f) +

@@ -30,11 +30,19 @@ object SearchGate {
     scala.collection.concurrent.TrieMap.empty[String, LogicalIndex]
   private val segmentCache =
     scala.collection.concurrent.TrieMap.empty[String, SegmentSearcher.SegmentIndex]
+  private val searcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
   /** Drop cached plans (needed when a new SparkSession replaces the one
     * the cached DataFrames were bound to, e.g. between bench phases).
     */
-  def clearCaches(): Unit = { logicalCache.clear(); segmentCache.clear() }
+  def clearCaches(): Unit = {
+    logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
+  }
+
+  def searcher(spark: SparkSession, sfDir: String): Searcher =
+    searcherCache.getOrElseUpdate(sfDir,
+      new Searcher(spark, segment(spark, sfDir), cacheSegments = true))
 
   def logical(spark: SparkSession, sfDir: String): LogicalIndex =
     logicalCache.getOrElseUpdate(sfDir, {
@@ -66,18 +74,18 @@ object SearchGate {
   /** Run a query through the segment engine → gate-shaped DataFrame. */
   def seg(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
     (spark, sfDir) =>
-      hitsDf(spark, SegmentSearcher.search(spark, segment(spark, sfDir), q, k))
+      hitsDf(spark, searcher(spark, sfDir).search(q, k))
 
   /** Page 2: search k, then searchAfter from the k-th hit. */
   def segPage2(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
     (spark, sfDir) => {
-      val six = segment(spark, sfDir)
-      val page1 = SegmentSearcher.search(spark, six, q, k)
+      val s = searcher(spark, sfDir)
+      val page1 = s.search(q, k)
       val hits =
         if (page1.length < k) Array.empty[Hit]
         else {
           val c = page1.last
-          SegmentSearcher.search(spark, six, q, k, Some((c.score, c.docId)))
+          s.search(q, k, Some((c.score, c.docId)))
         }
       val start = k
       import spark.implicits._
@@ -123,7 +131,9 @@ object SearchGate {
     "q_bm25_boost" -> seg(Query.or(BoostQ(TermQ("spark"), 2f), TermQ("key"))),
     "q_bm25_page2" -> segPage2(TermQ("batch")),
     "q_bm25_prefix" -> seg(PrefixQ("sc")),
-    "q_bm25_phrase" -> dfPath(PhraseQ(Seq("order", "sort"))))
+    "q_bm25_phrase" -> dfPath(PhraseQ(Seq("order", "sort"))),
+    // string-syntax surface (§2.13): parsed query ≡ programmatic ADT
+    "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_term_common" -> Oracles.term("batch", K),
@@ -147,5 +157,7 @@ object SearchGate {
       boosts = Map("spark" -> 2f)),
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
-    "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K))
+    "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
+    "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
+      Seq("spark" -> 1f, "key" -> 1.5f), "window", K))
 }

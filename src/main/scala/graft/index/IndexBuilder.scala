@@ -69,40 +69,78 @@ object IndexBuilder {
     * @param sortCols   total order for docId assignment (input_hint:
     *                   (repo, path, commit))
     */
+  /** Build the logical index with ONE tokenize pass materialized: the
+    * postings Dataset is persisted and every downstream consumer (stats,
+    * segment encode, collStats) reuses it. A second tokenize happens only
+    * if the caller materializes `docs` (norms/sha table).
+    *
+    * @param persistPostings cache the postings across the downstream jobs
+    *                        (true for builds; false for one-shot plans)
+    */
   def buildLogical(corpus: DataFrame, contentCol: String,
       docIdCol: Option[String], sortCols: Seq[String],
-      cfg: BuildConfig = BuildConfig()): LogicalIndex = {
+      cfg: BuildConfig = BuildConfig(),
+      persistPostings: Boolean = true): LogicalIndex = {
     val spark = corpus.sparkSession
     val tok = tokenizerFn(cfg.tokenizer)
-    val tokensUdf = udf((s: String) => tok(s))
     val normUdf = udf((len: Int) => Norms.normByte(len))
+    // Per-doc tf aggregation INSIDE the tokenize UDF: every token of a doc
+    // lives in one input row, so (term → tf) needs no shuffle at all —
+    // this is the DWPT-local TermsHash of the reference
+    // (`index/TermsHashPerField.java:145-183`) done per row. Output is
+    // (fieldLength, [(term, tf)…]) — ~3× fewer rows enter the pipeline
+    // than raw tokens, and the Catalyst groupBy shuffle disappears.
+    val docTfUdf = udf { (s: String) =>
+      val toks = tok(s)
+      val m = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i < toks.length) {
+        m.merge(toks(i), 1, Integer.sum _)
+        i += 1
+      }
+      val out = new Array[(String, Int)](m.size)
+      val it = m.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = (e.getKey, e.getValue)
+        j += 1
+      }
+      (toks.length, out)
+    }
 
-    val withId = docIdCol match {
-      case Some(c) => corpus.withColumn("docId", col(c).cast("long"))
-      case None => DocIds.withDocIds(corpus, sortCols)
+    // docId assignment; docCount falls out of the counting pass for free
+    val (withId, docCountKnown) = docIdCol match {
+      case Some(c) =>
+        (corpus.withColumn("docId", col(c).cast("long")), None)
+      case None =>
+        val (df, n) = DocIds.withDocIdsCounted(corpus, sortCols)
+        (df, Some(n))
     }
     val docs = withId
-      .withColumn("_toks", tokensUdf(col(contentCol)))
-      .withColumn("length", size(col("_toks")))
+      .withColumn("length", udf((s: String) => tok(s).length).apply(col(contentCol)))
       .withColumn("normByte", normUdf(col("length")))
       .withColumn("contentSha256", sha2(col(contentCol), 256))
 
-    // (term, docId, tf) — tf via Catalyst hash aggregate with map-side
-    // partial combine; normByte rides along (constant per docId)
-    val postings = docs
-      .select(col("docId"), col("normByte"), explode(col("_toks")).as("term"))
-      .groupBy("term", "docId", "normByte")
-      .agg(count(lit(1)).cast("int").as("tf"))
+    val postings0 = withId
+      .withColumn("_p", docTfUdf(col(contentCol)))
+      .select(col("docId"), normUdf(col("_p._1")).as("normByte"),
+        explode(col("_p._2")).as("_kv"))
+      .select(col("docId"), col("normByte"),
+        col("_kv._1").as("term"), col("_kv._2").as("tf"))
+    val postings = if (persistPostings) postings0.persist() else postings0
 
     val termStats = postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
 
-    val Seq(docCount, sumTtf) = {
-      val r = docs.agg(count(lit(1)), coalesce(sum("length"), lit(0L))).collect()(0)
-      Seq(r.getLong(0), r.getLong(1))
-    }
+    // collection stats: sumTTF from the (persisted) postings aggregate;
+    // docCount from the docId pass (or one cheap count of the raw corpus
+    // — no tokenize either way)
+    val sumTtf = termStats.agg(coalesce(sum("ttf"), lit(0L)))
+      .collect()(0).getLong(0)
+    val docCount = docCountKnown.getOrElse(withId.count())
 
-    LogicalIndex(docs.drop("_toks"), postings, termStats,
+    LogicalIndex(docs, postings, termStats,
       CollStats(docCount, sumTtf), cfg, contentCol)
   }
 
@@ -127,11 +165,17 @@ object IndexBuilder {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
 
-    // df join decides salting; termStats is itself an aggregate of
-    // postings — Catalyst plans a shuffle-on-term for both sides
-    val salted0 = ix.postings
-      .join(ix.termStats.select(col("term"), col("df").as("_df")), Seq("term"))
-      .withColumn("bucket", bucketUdf(col("term")))
+    // Salting decision: hot terms (df ≥ threshold) are FEW by definition —
+    // broadcast the hot set instead of joining the full stats table (saves
+    // a whole shuffle of the postings by term)
+    val hotTerms: Set[String] = ix.termStats
+      .filter(col("df") >= cfg.saltThreshold)
+      .select("term").collect().map(_.getString(0)).toSet
+    val bHot = spark.sparkContext.broadcast(hotTerms)
+    val saltUdf = udf((t: String, docId: Long) =>
+      if (bHot.value.contains(t)) (docId % cfg.numDocShards).toInt else -1)
+
+    val salted0 = ix.postings.withColumn("bucket", bucketUdf(col("term")))
     // group filter BEFORE the encode shuffle: a resume run only shuffles
     // the missing groups' postings
     val salted1 = bucketGroup match {
@@ -139,16 +183,16 @@ object IndexBuilder {
       case None => salted0
     }
     val salted = salted1
-      .withColumn("salt",
-        when(col("_df") >= cfg.saltThreshold,
-          pmod(col("docId"), lit(cfg.numDocShards.toLong)).cast("int"))
-        .otherwise(lit(-1)))
+      .withColumn("salt", saltUdf(col("term"), col("docId")))
       .select(col("bucket"), col("term"), col("salt"), col("docId"),
         col("tf"), col("normByte"))
       .as[PRow]
 
+    // shuffle key (bucket, salt): a task owns whole buckets (one output
+    // file per bucket instead of buckets×tasks small files) while hot
+    // terms still spread across numDocShards reducers via their salt
     salted
-      .repartition(parts, col("term"), col("salt"))
+      .repartition(parts, col("bucket"), col("salt"))
       .sortWithinPartitions(col("term"), col("salt"), col("docId"))
       .mapPartitions { it => encodePartition(it) }
   }
@@ -231,12 +275,20 @@ object IndexBuilder {
     *                       groups (simulates a mid-build crash)
     */
   def writeIndex(ix: LogicalIndex, dir: String, snapshotId: String,
-      numGroups: Int = 4, failAfterGroup: Int = Int.MaxValue): Manifest = {
+      numGroups: Int = 4, failAfterGroup: Int = Int.MaxValue,
+      verbose: Boolean = false): Manifest = {
     val spark = ix.docs.sparkSession
     import spark.implicits._
     val cfg = ix.cfg
     val fs = new java.io.File(dir)
     fs.mkdirs()
+    def timed[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      if (verbose)
+        System.err.println(f"[writeIndex] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      a
+    }
 
     val existing = readManifest(dir).filter(m =>
       m.snapshotId == snapshotId && m.numGroups == numGroups)
@@ -244,30 +296,34 @@ object IndexBuilder {
 
     if (existing.isEmpty) {
       // fresh build: docs + termstats first (small relative to segments)
-      ix.docs.write.mode("overwrite").parquet(s"$dir/docs")
-      ix.termStats
+      timed("docs.write")(
+        ix.docs.write.mode("overwrite").parquet(s"$dir/docs"))
+      timed("termstats.write")(ix.termStats
         .withColumn("bucket", udf((t: String) => bucketOf(t, cfg.numBuckets)).apply(col("term")))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats"))
       commitManifest(dir, mkManifest(ix, snapshotId, Nil, numGroups))
     }
 
     // one cached copy of the logical postings backs all group jobs
-    val posted = ix.postings.persist()
+    val alreadyPersisted =
+      ix.postings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val posted = if (alreadyPersisted) ix.postings else ix.postings.persist()
     val ixp = ix.copy(postings = posted)
     try {
       var committed = 0
       var g = 0
       while (g < numGroups) {
         if (!done.contains(g)) {
-          encodeSegments(ixp, bucketGroup = Some((g, numGroups)))
-            .toDF()
-            .write.mode("overwrite").partitionBy("bucket")
-            .parquet(s"$dir/segments/grp=$g")
+          timed(s"segments grp=$g")(
+            encodeSegments(ixp, bucketGroup = Some((g, numGroups)))
+              .toDF()
+              .write.mode("overwrite").partitionBy("bucket")
+              .parquet(s"$dir/segments/grp=$g"))
           // lineage from the bytes actually on disk: per-bucket counts /
           // bytes + order-independent content digest (per-row sha256
           // equality lives in docs.contentSha256; this digest detects
           // segment drift on resume)
-          spark.read.parquet(s"$dir/segments/grp=$g")
+          timed(s"lineage grp=$g")(spark.read.parquet(s"$dir/segments/grp=$g")
             .groupBy("bucket")
             .agg(count(lit(1)).as("postingLists"),
               sum("df").cast("long").as("postingCount"),
@@ -276,7 +332,7 @@ object IndexBuilder {
               expr("bit_xor(xxhash64(term, salt, docBlocks))")
                 .as("contentDigest"))
             .withColumn("snapshotId", lit(snapshotId))
-            .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g")
+            .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g"))
           done += g
           committed += 1
           commitManifest(dir, mkManifest(ix, snapshotId, done.toSeq.sorted, numGroups))
@@ -286,7 +342,7 @@ object IndexBuilder {
         g += 1
       }
     } finally {
-      posted.unpersist()
+      if (!alreadyPersisted) posted.unpersist()
     }
     readManifest(dir).get
   }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with typed metadata; decode / feature-extract
+  * run batched inside `mapPartitions` so a real decoder (JNI/FFI or a
+  * model runtime) can amortize per-batch setup.
+  *
+  * ==== STUB NOTICE ====
+  * No image/audio libraries exist in this container, so `decodeStub`
+  * produces a DETERMINISTIC FAKE decode (dimensions/fingerprint derived
+  * from the bytes). The Spark-side contract — schema, binary transport,
+  * partition-batched execution, feature vector shape — is real and
+  * tested; swap `decodeStub`/`extractStub` for a real codec to go live.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted by decode. */
+  final case class MediaMeta(width: Int, height: Int, channels: Int,
+      byteLen: Long, sha256Head: String)
+
+  final case class MediaRow(id: Long, mediaType: String, blob: Array[Byte])
+  final case class DecodedRow(id: Long, mediaType: String, width: Int,
+      height: Int, channels: Int, byteLen: Long, sha256Head: String)
+
+  /** STUB decoder: deterministic pseudo-dimensions from the payload. A
+    * real implementation would parse the container header here.
+    */
+  def decodeStub(blob: Array[Byte]): MediaMeta = {
+    val len = blob.length.toLong
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(blob)
+    val head = d.take(8).map(b => f"${b & 0xff}%02x").mkString
+    MediaMeta(
+      width = (len % 640).toInt + 1,
+      height = ((len * 7) % 480).toInt + 1,
+      channels = 3,
+      byteLen = len,
+      sha256Head = head)
+  }
+
+  /** STUB feature extractor: deterministic pseudo-embedding (dim floats
+    * from the payload hash). A real implementation would run a vision /
+    * audio encoder over the decoded tensor, batched per partition.
+    */
+  def extractStub(blob: Array[Byte], dim: Int = 16): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(blob)
+    Array.tabulate(dim) { i =>
+      val b = d(i % d.length) & 0xff
+      (b - 128) / 128.0f
+    }
+  }
+
+  /** Attach text payloads as binary media columns (demo path: utf-8
+    * bytes stand in for image bytes; the pipeline shape is identical).
+    */
+  def asMedia(df: DataFrame, idCol: String, payloadCol: String,
+      mediaType: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        encode(col(payloadCol), "UTF-8").as("blob"))
+      .withColumn("mediaType", lit(mediaType))
+      .select("id", "mediaType", "blob").as[MediaRow]
+  }
+
+  /** Batched decode over partitions — the mapInPandas/mapPartitions shape
+    * for heavyweight decoders: one decoder instance per partition, rows
+    * streamed through it.
+    */
+  def decode(media: Dataset[MediaRow]): Dataset[DecodedRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder setup would happen HERE (load codec once)
+      it.map { r =>
+        val m = decodeStub(r.blob)
+        DecodedRow(r.id, r.mediaType, m.width, m.height, m.channels,
+          m.byteLen, m.sha256Head)
+      }
+    }
+  }
+
+  final case class FeatureRow(id: Long, features: Array[Float])
+
+  /** Batched feature extraction (same per-partition amortization shape). */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[FeatureRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(r => FeatureRow(r.id, extractStub(r.blob, dim)))
+    }
+  }
+
+  /** Frame-sample: pick every `stride`-th chunk of `frameBytes` bytes —
+    * the video-frame-sampling plumbing (chunk boundaries, order, ids)
+    * with the stub "frame" being a byte slice.
+    */
+  final case class FrameRow(id: Long, frameIdx: Int, frame: Array[Byte])
+
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int = 64,
+      stride: Int = 4): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      r.blob.grouped(frameBytes).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (chunk, i) => FrameRow(r.id, i, chunk) }
+    }
+  }
+}

@@ -66,83 +66,24 @@ object SegmentSearcher {
     case _ => None
   }
 
-  /** Top-k search. Returns hits in final rank order. */
+  /** Top-k search (one-shot: re-reads stats/segments from parquet).
+    * For repeated queries use [[Searcher]], which caches the pruned-read
+    * inputs and picks driver-local vs distributed execution adaptively.
+    */
   def search(spark: SparkSession, ix: SegmentIndex, q0: Query, k: Int,
-      after: Option[(Double, Long)] = None, useWand: Boolean = true): Array[Hit] = {
-    val m = ix.manifest
-    val params = ix.bm25
-    var q = Query.rewrite(q0)
-    q = expandMultiTerm(spark, ix, q)
-    q = Query.rewrite(q)
-    if (q == MatchNoneQ) return Array.empty
+      after: Option[(Double, Long)] = None, useWand: Boolean = true): Array[Hit] =
+    new Searcher(spark, ix, cacheSegments = false).search(q0, k, after, useWand)
 
-    val terms = Query.literalTerms(q)
-    if (terms.isEmpty && q != MatchAllQ) return Array.empty
-
-    // --- stats lookup (pruned read of termstats) ---
-    val stats: Map[String, (Long, Long)] =
-      if (terms.isEmpty) Map.empty
-      else {
-        val buckets = terms.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
-        spark.read.parquet(s"${ix.dir}/termstats")
-          .filter(col("bucket").isin(buckets: _*) &&
-            col("term").isin(terms.toSeq: _*))
-          .select("term", "df", "ttf").collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-      }
-
-    val avgdl = BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount)
-    val cache = BM25.normCache(params, avgdl)
-    val weights = stats.map { case (t, (df, _)) =>
-      t -> TermWeightInfo(t, df,
-        BM25.weightValue(BM25.idf(df, m.docCount), params),
-        df >= m.saltThreshold)
-    }
-    val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand)
-
-    val present = terms.filter(stats.contains)
-    if (present.isEmpty && q != MatchAllQ) {
-      // every literal term is absent; only const/match-all structures
-      // could still match — handled by empty iterators below, but if NO
-      // term exists the result is empty for term-driven queries
-      if (Query.literalTerms(q).nonEmpty) return Array.empty
-    }
-
-    // --- pruned segment read ---
-    import spark.implicits._
-    val partials: Array[Array[Hit]] =
-      if (terms.isEmpty) {
-        // MatchAll only: score all docs driver-side is nonsense; use one task
-        Array(execShard(-1, Map.empty, plan))
-      } else {
-        val buckets = present.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
-        val rows = spark.read
-          .option("basePath", s"${ix.dir}/segments")
-          .parquet(ix.segmentPaths: _*)
-          .filter(col("bucket").isin(buckets: _*) &&
-            col("term").isin(present.toSeq: _*))
-          .select("term", "salt", "docBlocks", "skipData")
-          .as[SegRow]
-        val S = m.numDocShards
-        val bPlan = spark.sparkContext.broadcast(plan)
-        val shardOf: SegRow => Seq[(Int, SegRow)] =
-          if (!sharded) r => Seq((0, r))
-          else r =>
-            if (r.salt >= 0) Seq((r.salt, r))
-            else (0 until S).map(s => (s, r))
-        rows.flatMap(shardOf)
-          .groupByKey(_._1)
-          .mapGroups { (shard, it) =>
-            val p = bPlan.value
-            val blobs = it.map(_._2).map(r => r.term -> r).toMap
-            execShard(if (p.sharded) shard else -1, blobs, p)
-          }
-          .collect()
-      }
-
-    TopK.merge(partials.toSeq, k)
+  /** Shared daemon pool for driver-local shard execution — the
+    * IndexSearcher leaf-slice executor analog (`IndexSearcher.java:605-615`).
+    */
+  lazy val localPool: java.util.concurrent.ExecutorService = {
+    val n = math.max(2, Runtime.getRuntime.availableProcessors())
+    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+      val t = new Thread(r, "graft-search")
+      t.setDaemon(true)
+      t
+    })
   }
 
   /** Expand prefix/regexp/fuzzy/range against the term dictionary into
@@ -183,7 +124,7 @@ object SegmentSearcher {
   /** Run the scorer tree for one shard and collect its top-k. Runs inside
     * an executor task. shard == -1 → unsharded (no mod filtering).
     */
-  private def execShard(shard: Int, blobs: Map[String, SegRow],
+  private[search] def execShard(shard: Int, blobs: Map[String, SegRow],
       plan: Plan): Array[Hit] = {
     val queue = new BoundedHitQueue(plan.k)
     // Pure term-disjunction (or single term) → block-max WAND; identical
@@ -331,5 +272,214 @@ object SegmentSearcher {
     def score: Float = (req.score.toDouble + opt.score).toFloat
     def cost: Long = conj.cost
     def maxScore: Float = (req.maxScore.toDouble + opt.maxScore).toFloat
+  }
+}
+
+/** Reusable query handle over one index: caches the segments / termstats
+  * DataFrames (optionally pinned in memory), memoizes term stats, and
+  * picks the execution mode per query:
+  *
+  *  - DRIVER-LOCAL when the estimated posting bytes for the query terms
+  *    fit `maxLocalBytes`: collect the pruned blobs once and run the
+  *    per-shard scorer trees on a thread pool — the coordinator-side
+  *    merge of SolrCloud (`QueryComponent.mergeIds`) fused with the
+  *    leaf-slice executor of `IndexSearcher.java:605-615`. This removes
+  *    the per-query shuffle: sub-10ms queries instead of Spark-job
+  *    latency.
+  *  - DISTRIBUTED (groupByKey over shards) when the blobs are large —
+  *    hot salted terms at 100 TB scale — so no single node ever holds a
+  *    full posting list.
+  */
+final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentIndex,
+    cacheSegments: Boolean = true, maxLocalBytes: Long = 256L << 20) {
+  import SegmentSearcher._
+
+  private val m = index.manifest
+  private val params = index.bm25
+  private val cache = BM25.normCache(params,
+    BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount))
+
+  lazy val segmentsDf: DataFrame = {
+    val df = spark.read
+      .option("basePath", s"${index.dir}/segments")
+      .parquet(index.segmentPaths: _*)
+      .select("bucket", "term", "salt", "docBlocks", "skipData")
+    if (cacheSegments) { val p = df.persist(); p.count(); p } else df
+  }
+
+  lazy val termStatsDf: DataFrame = {
+    val df = spark.read.parquet(s"${index.dir}/termstats")
+    if (cacheSegments) { val p = df.persist(); p.count(); p } else df
+  }
+
+  /** term → (df, ttf); None memoized for absent terms. */
+  private val statsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Long)]]
+
+  /** Driver-side posting-blob cache (the LRUQueryCache / OS-page-cache
+    * analog, `search/LRUQueryCache.java:94`): term → its SegRows.
+    * Lock-free reads (the hot path must not serialize concurrent
+    * queries); coarse whole-cache reset when the byte budget overflows —
+    * a simple, contention-free stand-in for LRU.
+    */
+  private object blobCache {
+    private val map =
+      scala.collection.concurrent.TrieMap.empty[String, Array[SegRow]]
+    private val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    def getSync(t: String): Option[Array[SegRow]] = map.get(t)
+    def putSized(t: String, rows: Array[SegRow]): Unit = {
+      val sz = rows.map(r => r.docBlocks.length + r.skipData.length.toLong).sum
+      if (bytes.addAndGet(sz) > maxLocalBytes * 2) {
+        map.clear()
+        bytes.set(sz)
+      }
+      map.put(t, rows)
+      ()
+    }
+  }
+
+  def stats(terms: Set[String]): Map[String, (Long, Long)] = {
+    val missing = terms.filterNot(statsCache.contains)
+    if (missing.nonEmpty) {
+      val buckets = missing.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
+      val got = termStatsDf
+        .filter(col("bucket").isin(buckets: _*) &&
+          col("term").isin(missing.toSeq: _*))
+        .select("term", "df", "ttf").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      missing.foreach(t => statsCache.put(t, got.get(t)))
+    }
+    terms.flatMap(t => statsCache(t).map(t -> _)).toMap
+  }
+
+  /** Multi-term expansion against the cached term dictionary. */
+  def expandMultiTerm(q: Query, maxExpansions: Int = 1024): Query = {
+    def expand(pred: org.apache.spark.sql.Column): Seq[String] =
+      termStatsDf.filter(pred).select("term").orderBy("term")
+        .limit(maxExpansions).collect().map(_.getString(0)).toSeq
+    def go(q: Query): Query = q match {
+      case PrefixQ(p) =>
+        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").startsWith(p)): _*)))
+      case RegexpQ(p) =>
+        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").rlike(p)): _*)))
+      case FuzzyQ(t, e) =>
+        ConstScoreQ(BoolQ(should =
+          Query.terms(expand(levenshtein(col("term"), lit(t)) <= e): _*)))
+      case TermRangeQ(lo, hi, il, iu) =>
+        val lower = if (il) col("term") >= lo else col("term") > lo
+        val upper = if (iu) col("term") <= hi else col("term") < hi
+        ConstScoreQ(BoolQ(should = Query.terms(expand(lower && upper): _*)))
+      case BoolQ(mu, sh, mn, fl, msm) =>
+        BoolQ(mu.map(go), sh.map(go), mn.map(go), fl.map(go), msm)
+      case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
+      case BoostQ(i, b) => BoostQ(go(i), b)
+      case ConstScoreQ(i, s) => ConstScoreQ(go(i), s)
+      case other => other
+    }
+    go(q)
+  }
+
+  def search(q0: Query, k: Int, after: Option[(Double, Long)] = None,
+      useWand: Boolean = true): Array[Hit] = {
+    var q = Query.rewrite(q0)
+    q = expandMultiTerm(q)
+    q = Query.rewrite(q)
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    if (terms.isEmpty && q != MatchAllQ) return Array.empty
+
+    val st = stats(terms)
+    val weights = st.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand)
+
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && q != MatchAllQ) return Array.empty
+
+    val partials: Seq[Array[Hit]] =
+      if (terms.isEmpty) Seq(execShard(-1, Map.empty, plan))
+      else {
+        // ~3.2 bytes/posting (delta varint + tf varint + norm byte)
+        val estBytes = present.toSeq.map(t => st(t)._1 * 4L + 64L).sum
+        if (estBytes <= maxLocalBytes) execLocal(present, plan)
+        else execDistributed(present, plan)
+      }
+    TopK.merge(partials, k)
+  }
+
+  /** Pruned read (through the blob cache) → thread-pool over shards on
+    * the driver.
+    */
+  private def execLocal(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+    val cached = present.toSeq.map(t => t -> blobCache.getSync(t))
+    val missing = cached.collect { case (t, None) => t }.toSet
+    if (missing.nonEmpty) {
+      val fetched = prunedRows(missing).collect().groupBy(_.term)
+      missing.foreach(t =>
+        blobCache.putSized(t, fetched.getOrElse(t, Array.empty[SegRow])))
+    }
+    val rows = present.toSeq.flatMap(t => blobCache.getSync(t).getOrElse(
+      Array.empty[SegRow])).toArray
+    if (rows.isEmpty) return Nil
+    if (!plan.sharded) Seq(execShard(-1, rows.map(r => r.term -> r).toMap, plan))
+    else {
+      val byShard = (0 until plan.numShards).map { s =>
+        s -> rows.filter(r => r.salt == s || r.salt < 0)
+          .map(r => r.term -> r).toMap
+      }.filter(_._2.nonEmpty)
+      val futs = byShard.map { case (s, blobs) =>
+        SegmentSearcher.localPool.submit(
+          new java.util.concurrent.Callable[Array[Hit]] {
+            def call(): Array[Hit] = execShard(s, blobs, plan)
+          })
+      }
+      futs.map(_.get())
+    }
+  }
+
+  /** Shuffle blobs to shard tasks (the 100 TB path: hot posting lists
+    * never centralize).
+    */
+  private def execDistributed(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+    import spark.implicits._
+    val rows = prunedRows(present)
+    val S = plan.numShards
+    val sharded = plan.sharded
+    val bPlan = spark.sparkContext.broadcast(plan)
+    val shardOf: SegRow => Seq[(Int, SegRow)] =
+      if (!sharded) r => Seq((0, r))
+      else r =>
+        if (r.salt >= 0) Seq((r.salt, r))
+        else (0 until S).map(s => (s, r))
+    rows.flatMap(shardOf)
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val p = bPlan.value
+        val blobs = it.map(_._2).map(r => r.term -> r).toMap
+        execShard(if (p.sharded) shard else -1, blobs, p)
+      }
+      .collect().toSeq
+  }
+
+  private def prunedRows(present: Set[String]): Dataset[SegRow] = {
+    import spark.implicits._
+    val buckets = present.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
+    segmentsDf
+      .filter(col("bucket").isin(buckets: _*) &&
+        col("term").isin(present.toSeq: _*))
+      .select("term", "salt", "docBlocks", "skipData")
+      .as[SegRow]
+  }
+
+  def close(): Unit = {
+    if (cacheSegments) {
+      segmentsDf.unpersist()
+      termStatsDf.unpersist()
+    }
   }
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.index.{IndexBuilder, Merge}
+import graft.index.IndexBuilder.BuildConfig
+
+/** Incremental index build via Structured Streaming — the TopicStream /
+  * DaemonStream analog (`solr/solrj/.../io/stream/TopicStream.java:67`,
+  * `DaemonStream.java:42`): the reference's "streaming" is checkpointed
+  * incremental pull by `_version_`, which maps exactly to a file-source
+  * stream + checkpointed offsets + `Trigger.AvailableNow` (SURVEY.md
+  * §2.10 — no watermarks/event-time needed for index build).
+  *
+  * Each micro-batch becomes one immutable snapshot (a Lucene "segment
+  * generation"); [[compact]] merges snapshots into a single queryable
+  * index (the ConcurrentMergeScheduler moment, run on demand).
+  *
+  * Incoming rows must carry a pre-assigned globally-unique docId column
+  * (at ingest scale that's a sequencer/ledger concern, same as Solr's
+  * `_version_`).
+  */
+object StreamingIndex {
+
+  /** Start the incremental build: corpus parquet files appearing under
+    * `inputDir` are indexed into `indexDir/snap=<batchId>`.
+    */
+  def start(spark: SparkSession, inputDir: String, schema: String,
+      indexDir: String, checkpointDir: String, cfg: BuildConfig,
+      contentCol: String = "content", docIdCol: String = "docId",
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schema))
+      .parquet(inputDir)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ix = IndexBuilder.buildLogical(batch, contentCol,
+            Some(docIdCol), Nil, cfg)
+          IndexBuilder.writeIndex(ix, s"$indexDir/snap=$batchId",
+            s"stream-$batchId", numGroups = 1)
+          ix.postings.unpersist()
+          ()
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Snapshot dirs currently committed under `indexDir`. */
+  def snapshots(indexDir: String): Seq[String] = {
+    val d = new java.io.File(indexDir)
+    if (!d.exists()) Nil
+    else d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("snap="))
+      .map(_.getAbsolutePath).sorted.toSeq
+      .filter(p => IndexBuilder.readManifest(p).isDefined)
+  }
+
+  /** Merge all committed snapshots into one queryable index. */
+  def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
+    val snaps = snapshots(indexDir)
+    require(snaps.nonEmpty, s"no committed snapshots under $indexDir")
+    Merge.mergeIndexes(spark, snaps, outDir, s"compact-${snaps.size}")
+    ()
+  }
+}

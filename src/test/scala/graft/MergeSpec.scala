@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.index.{IndexBuilder, Merge}
+import graft.index.IndexBuilder.BuildConfig
+import graft.search._
+import graft.streaming.StreamingIndex
+
+/** Segment merge + incremental streaming build: merged/compacted indexes
+  * must answer rank-identically to a from-scratch build of the union
+  * corpus (SegmentMerger + ExactStatsCache semantics).
+  */
+class MergeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-merge").toString
+  private val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
+    saltThreshold = 150L)
+
+  /** Corpus with pre-assigned global docIds (rank over repo/path/commit). */
+  lazy val numbered: Seq[(Long, CodeFile)] =
+    Corpus.generate(400, seed = 31L)
+      .sortBy(f => (f.repo, f.path, f.commit)).zipWithIndex
+      .map { case (f, i) => (i.toLong, f) }
+
+  private def toDf(rows: Seq[(Long, CodeFile)]) = {
+    import spark.implicits._
+    rows.map { case (id, f) => (id, f.repo, f.path, f.commit, f.lang, f.content) }
+      .toDF("docId", "repo", "path", "commit", "lang", "content")
+  }
+
+  private def build(rows: Seq[(Long, CodeFile)], dir: String): Unit = {
+    val ix = IndexBuilder.buildLogical(toDf(rows), "content",
+      Some("docId"), Nil, cfg)
+    IndexBuilder.writeIndex(ix, dir, s"snap-$dir", numGroups = 1)
+    ix.postings.unpersist()
+  }
+
+  val queries = Seq[Query](
+    TermQ("def"), TermQ("getindexwriter"),
+    Query.and(TermQ("index"), TermQ("merge")),
+    Query.orMin(2, TermQ("spark"), TermQ("val"), TermQ("score")),
+    Query.not(TermQ("class"), TermQ("spark")))
+
+  def hits(dir: String, q: Query): Seq[(Long, Double)] =
+    SegmentSearcher.search(spark, SegmentSearcher.load(dir), q, 20)
+      .map(h => (h.docId, h.score)).toSeq
+
+  test("merged halves == from-scratch union build (rank + score identical)") {
+    build(numbered, s"$tmp/full")
+    build(numbered.take(200), s"$tmp/half1")
+    build(numbered.drop(200), s"$tmp/half2")
+    Merge.mergeIndexes(spark, Seq(s"$tmp/half1", s"$tmp/half2"),
+      s"$tmp/merged", "merged-1")
+    val mergedM = IndexBuilder.readManifest(s"$tmp/merged").get
+    val fullM = IndexBuilder.readManifest(s"$tmp/full").get
+    assert(mergedM.docCount === fullM.docCount)
+    assert(mergedM.sumTotalTermFreq === fullM.sumTotalTermFreq)
+    for (q <- queries)
+      assert(hits(s"$tmp/merged", q) === hits(s"$tmp/full", q), s"q=$q")
+    // df/ttf equality after re-aggregation
+    val fullStats = spark.read.parquet(s"$tmp/full/termstats")
+      .select("term", "df", "ttf").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mergedStats = spark.read.parquet(s"$tmp/merged/termstats")
+      .select("term", "df", "ttf").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mergedStats === fullStats)
+  }
+
+  test("streaming incremental build + compact == batch build") {
+    val in = s"$tmp/stream-in"
+    val idx = s"$tmp/stream-idx"
+    val ckpt = s"$tmp/stream-ckpt"
+    new java.io.File(in).mkdirs()
+    // batch 1 files
+    toDf(numbered.take(200)).coalesce(1).write.mode("append").parquet(in)
+    val schema = "docId LONG, repo STRING, path STRING, commit STRING, " +
+      "lang STRING, content STRING"
+    val q1 = StreamingIndex.start(spark, in, schema, idx, ckpt, cfg)
+    q1.awaitTermination(120000)
+    // batch 2 files — restart picks up only the new files (checkpointed
+    // offsets = the TopicStream _version_ checkpoint analog)
+    toDf(numbered.drop(200)).coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamingIndex.start(spark, in, schema, idx, ckpt, cfg)
+    q2.awaitTermination(120000)
+
+    val snaps = StreamingIndex.snapshots(idx)
+    assert(snaps.size === 2, s"snapshots: $snaps")
+    StreamingIndex.compact(spark, idx, s"$tmp/stream-compacted")
+    if (!new java.io.File(s"$tmp/full/manifest.json").exists())
+      build(numbered, s"$tmp/full")
+    for (q <- queries)
+      assert(hits(s"$tmp/stream-compacted", q) === hits(s"$tmp/full", q), s"q=$q")
+  }
+}

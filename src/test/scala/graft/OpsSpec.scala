@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Properties for the training-pipeline operators: LSH recall vs exact,
+  * simhash sensitivity, winnowing determinism, multimodal plumbing.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Synthetic doc set with planted near-duplicates. */
+  lazy val docs = {
+    val rnd = new scala.util.Random(3L)
+    val vocab = graft.core.Corpus.Vocabulary
+    val base = (0 until 120).map { i =>
+      val n = 30 + rnd.nextInt(80)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    // plant near-dups: copy with one token changed
+    val dups = (0 until 15).map { i =>
+      val (srcId, text) = base(i * 3)
+      val toks = text.split(" ")
+      toks(toks.length / 2) = "mutated"
+      ((1000 + i).toLong, toks.mkString(" "))
+    }
+    (base ++ dups).toDF("id", "text")
+  }
+
+  test("minhash LSH pairs == exact ngram jaccard pairs (recall property)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "id", 3, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "text", "id", 3, 64, 16, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "planted dups must be found")
+    assert(lsh === exact)
+  }
+
+  test("exact duplicates found by hash dedup") {
+    val withExact = docs.union(Seq((2000L, null: String)).toDF("id", "text")
+      .filter(col("text").isNotNull)) // no-op, keep schema
+    val copy = docs.filter(col("id") === 5).select(lit(2001L).as("id"), col("text"))
+    val d2 = docs.unionByName(copy)
+    val dups = Dedup.exactDuplicates(d2, "text", "id").collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2001L, 5L)))
+  }
+
+  test("simhash finds planted near-dups with small hamming distance") {
+    val pairs = Dedup.simhashPairs(docs, "text", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted dup differs by one token from its source → tiny
+    // simhash distance; expect most planted pairs recovered
+    // one changed token in a 30-110-token doc usually stays within
+    // hamming 3, but not always — simhash is a recall/precision tradeoff
+    val planted = (0 until 15).map(i => ((i * 3).toLong, (1000 + i).toLong)).toSet
+    val found = planted.count(pairs.contains)
+    assert(found >= 10, s"recovered only $found/15 planted pairs")
+  }
+
+  test("LSH ANN top-k has high recall vs brute force (planted neighbors)") {
+    val rnd = new scala.util.Random(11L)
+    val q = Array.fill(32)(rnd.nextGaussian().toFloat)
+    // 10 genuine near neighbors (q + small noise) among 390 noise vectors —
+    // sign-LSH concentrates true neighbors in the query's probe set;
+    // pure-noise "neighbors" are uniformly spread and unfindable by design
+    val planted = (0 until 10).map { i =>
+      (i.toLong, q.map(v => v + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    val noise = (10 until 400).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat))
+    }
+    val vecs = (planted ++ noise).toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === (0L until 10L).toSet, "planted vectors are the true top-10")
+    val approx = Similarity.lshTopK(vecs, "embedding", "vec_id", q, 10,
+      planes = 10, probeRadius = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall too low")
+  }
+
+  test("cosineCol matches a plain scala computation") {
+    val a = Array(1f, 2f, 3f)
+    val b = Array(-1f, 0.5f, 2f)
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosineCol(col("a"), col("b"))).collect()(0).getDouble(0)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val exp = dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+      math.sqrt(b.map(x => x.toDouble * x).sum))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("winnowing sketch is deterministic and shift-sensitive") {
+    val t1 = graft.core.Analysis.simpleTokens("a b c d e f g h i j k l")
+    val s1 = TextAnalysis.winnow(t1, 3, 4)
+    val s2 = TextAnalysis.winnow(t1, 3, 4)
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.nonEmpty)
+    // near-identical docs share most fingerprints
+    val t2 = graft.core.Analysis.simpleTokens("a b c d e f g h i j k z")
+    val s3 = TextAnalysis.winnow(t2, 3, 4)
+    assert(s1.toSet.intersect(s3.toSet).nonEmpty)
+  }
+
+  test("multimodal: decode + features + frame sampling plumbing") {
+    val media = Multimodal.asMedia(docs, "id", "text", "text/fake")
+    val decoded = Multimodal.decode(media).collect()
+    assert(decoded.length === docs.count())
+    decoded.foreach { r =>
+      assert(r.width >= 1 && r.width <= 640 && r.channels === 3)
+      assert(r.sha256Head.length === 16)
+    }
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.forall(_.features.length === 16))
+    // deterministic
+    val feats2 = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(feats.sortBy(_.id).zip(feats2.sortBy(_.id))
+      .forall { case (x, y) => x.features.toSeq == y.features.toSeq })
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+    val f0 = frames.filter(_.id == 0L).collect()
+    assert(f0.forall(_.frameIdx % 2 == 0))
+    assert(f0.map(_.frameIdx).distinct.length === f0.length)
+  }
+
+  test("langId picks the language with most marker hits") {
+    val df = Seq(
+      (1L, "the cat and the dog is in that house with food"),
+      (2L, "der hund und die katze ist nicht ein problem mit"),
+      (3L, "le chat et la maison est dans une grande pour"),
+      (4L, "el gato es una cosa para los perros por como"),
+      (5L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Corpus
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+
+/** Physical-plan assertions: the scans and joins must look the way a
+  * 100 TB deployment needs them to (pushdown, pruning, broadcast,
+  * whole-stage codegen) — `.explain` is part of the contract.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  private val tmp = java.nio.file.Files.createTempDirectory("graft-plan").toString
+
+  lazy val indexDir: String = {
+    import spark.implicits._
+    val ix = IndexBuilder.buildLogical(
+      spark.createDataset(Corpus.generate(300, 17L)).toDF(),
+      "content", None, Seq("repo", "path", "commit"),
+      BuildConfig(numBuckets = 8, numDocShards = 4))
+    IndexBuilder.writeIndex(ix, s"$tmp/ix", "p1", 1)
+    ix.postings.unpersist()
+    s"$tmp/ix"
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** numFiles metric of the (executed) file scan — counts files actually
+    * selected after partition pruning, unlike `inputFiles`.
+    */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("segment read is bucket-partition-pruned with term pushdown") {
+    val m = IndexBuilder.readManifest(indexDir).get
+    val b = IndexBuilder.bucketOf("index", m.numBuckets)
+    val df = spark.read
+      .option("basePath", s"$indexDir/segments")
+      .parquet(s"$indexDir/segments/grp=0")
+      .filter(col("bucket") === b && col("term") === "index")
+    val plan = planOf(df)
+    // predicate reaches the parquet scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("IsNotNull(term)"), s"no term pushdown:\n$plan")
+    // bucket is a partition column → pruned, not a data filter
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("bucket"), s"no partition pruning:\n$plan")
+    // only the one bucket directory's files are actually read
+    val allBuckets = spark.read
+      .option("basePath", s"$indexDir/segments")
+      .parquet(s"$indexDir/segments/grp=0")
+    assert(filesRead(df) < filesRead(allBuckets),
+      s"pruned read (${filesRead(df)}) not smaller than full (${filesRead(allBuckets)})")
+  }
+
+  test("termstats lookup reads only the query terms' buckets") {
+    val m = IndexBuilder.readManifest(indexDir).get
+    val terms = Set("index", "merge")
+    val buckets = terms.map(t => IndexBuilder.bucketOf(t, m.numBuckets))
+    val pruned = spark.read.parquet(s"$indexDir/termstats")
+      .filter(col("bucket").isin(buckets.toSeq: _*) &&
+        col("term").isin(terms.toSeq: _*))
+    val full = spark.read.parquet(s"$indexDir/termstats")
+    assert(filesRead(pruned) < filesRead(full),
+      s"stats read not pruned: ${filesRead(pruned)} vs ${filesRead(full)}")
+  }
+
+  test("small-dimension join broadcasts (q_join_hash plan)") {
+    val df = gate.RelationalGate.queries("q_join_hash")(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("filter + projection reach the lineitem parquet scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_quantity") > 49)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(l_quantity"), s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.replaceAll("(?s).*ReadSchema: ([^\\n]*).*", "$1").contains("l_tax"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scoring aggregation") {
+    import spark.implicits._
+    val ix = IndexBuilder.buildLogical(
+      spark.createDataset(Corpus.generate(50, 2L)).toDF(),
+      "content", None, Seq("repo", "path", "commit"))
+    val scored = graft.search.DataFrameSearcher.search(ix,
+      graft.search.Query.or(graft.search.TermQ("def"), graft.search.TermQ("val")), 5)
+    scored.collect() // AQE reveals the final plan only after execution
+    val plan = scored.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the final AQE plan
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"),
+      s"no codegen spans:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k not TakeOrderedAndProject:\n$plan")
+  }
+}
