@@ -31,10 +31,25 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.local.dir", benchTmp)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Scratch space for shuffle + bench indexes. Defaults to tmpfs when
+    * available: the sandbox's virtual disk degrades 10×+ in bursts, which
+    * would measure the host, not the engine (a real cluster writes to
+    * distributed storage). Override with SPARK_GRAFT_TMP.
+    */
+  lazy val benchTmp: String = sys.env.getOrElse("SPARK_GRAFT_TMP", {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = new java.io.File(shm, "graft-bench")
+      d.mkdirs()
+      d.getAbsolutePath
+    } else sys.props("java.io.tmpdir")
+  })
 
   private def time[A](f: => A): (Double, A) = {
     val t0 = System.nanoTime()
@@ -117,7 +132,7 @@ object Bench {
   }
 
   private def runPhase(cpus: Int, reps: Int, tag: String): Unit = {
-    val tmp = sys.props("java.io.tmpdir")
+    val tmp = benchTmp
     val s = session(cpus)
     val gc0 = gcMillis()
     val tBuild = buildIndex(s, s"$tmp/graft-bench-$tag", cpus)

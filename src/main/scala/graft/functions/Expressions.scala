@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths — a codegen'd
+  * `Expression` beats a Scala UDF (no serialization boundary, stays
+  * inside whole-stage codegen). The Lucene ValueSource surface (§2.12)
+  * maps here.
+  */
+
+/** BM25 partial score: weight * tf / (tf + cache(normByte & 0xFF)).
+  * `weight` and the 256-entry `cache` are query-time constants
+  * (TermWeight analog); arithmetic is 32-bit float in the reference's
+  * order (`BM25Similarity.java:240-245`) — bit-identical to
+  * [[graft.search.BM25.score]].
+  */
+case class Bm25Score(tf: Expression, normByte: Expression,
+    weight: Float, cache: Array[Float])
+  extends BinaryExpression {
+
+  override def left: Expression = tf
+  override def right: Expression = normByte
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "bm25_score"
+
+  override protected def nullSafeEval(t: Any, n: Any): Any = {
+    val freq = t.asInstanceOf[Int].toFloat
+    weight * freq / (freq + cache(n.asInstanceOf[Byte] & 0xff))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cacheRef = ctx.addReferenceObj("bm25cache", cache, "float[]")
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"""
+         |float freq = (float) $t;
+         |${ev.value} = ${weight}f * freq / (freq + $cacheRef[$n & 0xFF]);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Bm25Score = copy(tf = newLeft, normByte = newRight)
+}
+
+/** Tokenize with the engine's analyzer — array<string>. SQL surface for
+  * the analysis chain (TokenStream → Generator mapping, SURVEY.md §2.2).
+  */
+case class GraftTokens(child: Expression, analyzer: String = "simple")
+  extends UnaryExpression {
+
+  @transient private lazy val tok =
+    graft.index.IndexBuilder.tokenizerFn(analyzer)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  override protected def nullSafeEval(s: Any): Any = {
+    val toks = tok(s.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(toks.map(UTF8String.fromString(_)))
+  }
+
+  // evaluation calls back into the analyzer object; keep interpreted
+  // (the build pipeline's hot path aggregates per doc anyway)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val expr = ctx.addReferenceObj("graftTokens", this, classOf[GraftTokens].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (${classOf[ArrayData].getName}) $expr.nullSafeEval($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftTokens =
+    copy(child = newChild)
+}
+
+/** byte315 norm byte for a field length (`SmallFloat.floatToByte315`). */
+case class NormByteExpr(child: Expression)
+  extends UnaryExpression {
+  override def dataType: DataType = ByteType
+  override def prettyName: String = "graft_norm_byte"
+  override protected def nullSafeEval(len: Any): Any =
+    graft.core.Norms.normByte(len.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.core.Norms.normByte($c);")
+  override protected def withNewChildInternal(newChild: Expression): NormByteExpr =
+    copy(child = newChild)
+}
+
+/** BM25 idf as an expression: (float) ln(1 + (N - df + 0.5)/(df + 0.5)). */
+case class Bm25Idf(df: Expression, docCount: Expression)
+  extends BinaryExpression {
+  override def left: Expression = df
+  override def right: Expression = docCount
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "bm25_idf"
+  override protected def nullSafeEval(d: Any, n: Any): Any =
+    graft.search.BM25.idf(d.asInstanceOf[Long], n.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, n) =>
+      s"${ev.value} = (float) Math.log(1 + ($n - $d + 0.5D)/($d + 0.5D));")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Bm25Idf = copy(df = l, docCount = r)
+}
+
+/** Column builders + SQL registration. */
+object GraftFunctions {
+
+  def bm25Score(tf: Column, normByte: Column, weight: Float,
+      cache: Array[Float]): Column =
+    GraftColumnBridge.column(Bm25Score(GraftColumnBridge.expression(tf),
+      GraftColumnBridge.expression(normByte), weight, cache))
+
+  def graftTokens(text: Column, analyzer: String = "simple"): Column =
+    GraftColumnBridge.column(GraftTokens(GraftColumnBridge.expression(text), analyzer))
+
+  def normByte(length: Column): Column = GraftColumnBridge.column(NormByteExpr(GraftColumnBridge.expression(length)))
+
+  def bm25Idf(df: Column, docCount: Column): Column =
+    GraftColumnBridge.column(Bm25Idf(GraftColumnBridge.expression(df),
+      GraftColumnBridge.expression(docCount)))
+
+  /** Register the SQL-surface functions on a session (ValueSourceParser
+    * registry analog, `solr/core/.../search/ValueSourceParser.java`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_tokens",
+      exprs => GraftTokens(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_norm_byte",
+      exprs => NormByteExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bm25_idf",
+      exprs => Bm25Idf(exprs(0), exprs(1)), "scala_udf")
+  }
+}

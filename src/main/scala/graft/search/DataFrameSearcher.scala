@@ -129,10 +129,12 @@ object DataFrameSearcher {
     val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
     val cache = BM25.normCache(params, avgdl)
     val w = BM25.weightValue(BM25.idf(df, stats.docCount), params, boost)
-    val scoreUdf = udf((tf: Int, nb: Byte) =>
-      BM25.score(w, tf.toFloat, cache(nb & 0xff)))
+    // native codegen'd expression — bit-identical to BM25.score, stays
+    // inside whole-stage codegen (no UDF serialization boundary)
     ix.postings.filter(col("term") === term)
-      .select(col("docId"), scoreUdf(col("tf"), col("normByte")).as("score"))
+      .select(col("docId"),
+        graft.functions.GraftFunctions
+          .bm25Score(col("tf"), col("normByte"), w, cache).as("score"))
   }
 
   /** SynonymQuery (SynonymQuery.java:46): union postings, per-doc summed
