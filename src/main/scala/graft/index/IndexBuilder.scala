@@ -298,6 +298,18 @@ object IndexBuilder {
       // fresh build: docs + termstats first (small relative to segments)
       timed("docs.write")(
         ix.docs.write.mode("overwrite").parquet(s"$dir/docs"))
+      // per-chunk input sha256 lineage (north rule "input sha256s"):
+      // chunk = docId >> 12 (≤4096 rows, bounded collect), chunk hash =
+      // sha256 over the '\n'-joined sorted per-row content sha256s — a
+      // restart or a re-run over the same snapshot must reproduce these
+      // exactly (asserted in SegmentSpec)
+      timed("docs.lineage")(spark.read.parquet(s"$dir/docs")
+        .groupBy(shiftright(col("docId"), 12).as("chunk"))
+        .agg(count(lit(1)).as("docCount"),
+          sha2(concat_ws("\n", sort_array(collect_list(col("contentSha256")))), 256)
+            .as("inputSha256"))
+        .withColumn("snapshotId", lit(snapshotId))
+        .write.mode("overwrite").parquet(s"$dir/lineage/docs"))
       timed("termstats.write")(ix.termStats
         .withColumn("bucket", udf((t: String) => bucketOf(t, cfg.numBuckets)).apply(col("term")))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats"))

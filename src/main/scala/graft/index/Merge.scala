@@ -43,6 +43,13 @@ object Merge {
     // docs: plain union (docId spaces disjoint)
     val docs = dirs.map(d => spark.read.parquet(s"$d/docs")).reduce(_ unionByName _)
     docs.write.mode("overwrite").parquet(s"$outDir/docs")
+    spark.read.parquet(s"$outDir/docs")
+      .groupBy(shiftright(col("docId"), 12).as("chunk"))
+      .agg(count(lit(1)).as("docCount"),
+        sha2(concat_ws("\n", sort_array(collect_list(col("contentSha256")))), 256)
+          .as("inputSha256"))
+      .withColumn("snapshotId", lit(snapshotId))
+      .write.mode("overwrite").parquet(s"$outDir/lineage/docs")
 
     // termstats: re-aggregate (df/ttf sum across snapshots)
     val nb = head.numBuckets

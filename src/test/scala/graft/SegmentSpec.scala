@@ -158,6 +158,18 @@ class SegmentSpec extends AnyFunSuite {
     val joined = docs.join(src, Seq("repo", "path", "commit"))
     assert(joined.filter(col("sha") =!= col("contentSha256")).count() === 0)
     assert(joined.count() === 400)
+    // per-chunk input sha256 lineage reproduces from the source rows
+    val lin = spark.read.parquet(s"${six.dir}/lineage/docs")
+      .select("chunk", "inputSha256", "docCount").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val recomputed = docs
+      .groupBy(shiftright(col("docId"), 12).as("chunk"))
+      .agg(count(lit(1)).as("docCount"),
+        sha2(concat_ws("\n", sort_array(collect_list(col("contentSha256")))), 256)
+          .as("inputSha256"))
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(1))).toMap
+    assert(lin === recomputed)
+    assert(lin.values.map(_._2).sum === 400L)
   }
 
   test("resume: killed build restarts at segment-group granularity") {
