@@ -61,7 +61,8 @@ final case class SegmentPosting(
     df: Int,
     maxTf: Int,
     docBlocks: Array[Byte],
-    skipData: Array[Byte])
+    skipData: Array[Byte],
+    posBlocks: Array[Byte])  // positions sidecar; empty when positions off
 
 /** Per-partition lineage row (north rule): replaces `segments_N` +
   * CRC footers (`codecs/CodecUtil.java:367-413`). `inputSha256` is the

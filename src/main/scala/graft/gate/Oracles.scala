@@ -237,6 +237,85 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Filter-only bool: matches the term intersection with score 0
+    * (BooleanWeight filter-only semantics) — ranking degenerates to the
+    * docId-asc tie-break.
+    */
+  def filterOnly(terms: Seq[String], k: Int): String = {
+    val exists = terms.map(t =>
+      s"EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(t)})")
+      .mkString(" AND ")
+    prologue +
+      s""", res AS (
+  SELECT d.doc_id, CAST(0.0 AS REAL) AS s FROM documents d WHERE $exists
+)""" + finish("res", k)
+  }
+
+  /** MUST MatchAll (scores 1.0) AND NOT `t` — 'all docs except…'. */
+  def notAll(t: String, k: Int): String =
+    prologue +
+      s""", res AS (
+  SELECT d.doc_id, CAST(1.0 AS REAL) AS s FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(t)})
+)""" + finish("res", k)
+
+  /** Sloppy phrase, 2 terms (SloppyPhraseScorer.java:92-126 semantics).
+    * The greedy sweep has a closed form for two streams: each cycle pops
+    * the lesser ADJUSTED position stream (tie → lower phrase offset),
+    * emits one candidate match with gap = other.current − (largest popped
+    * element ≤ other.current), and jumps past other.current; the final
+    * cycle at exhaustion still emits (validated against the sweep over
+    * 2000 random cases in PhraseSpec). Expressed as a recursive CTE whose
+    * accumulator adds float slop factors 1/(gap+1) IN CYCLE ORDER — the
+    * reference's float `freq +=` (computeSlopFactor,
+    * `BM25Similarity.java:77,253`).
+    */
+  def phraseSloppy2(a: String, b: String, slop: Int, k: Int): String = {
+    val idfSum = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(a)})")} + ${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(b)})")}")
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    val one = R("1.0")
+    "WITH RECURSIVE" + prologue.stripPrefix("WITH") +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), pa AS (
+  SELECT doc_id, list(pos - 1 ORDER BY pos) AS al
+  FROM posx WHERE term = ${lit(a)} GROUP BY doc_id
+), pb AS (
+  SELECT doc_id, list(pos - 2 ORDER BY pos) AS bl
+  FROM posx WHERE term = ${lit(b)} GROUP BY doc_id
+), rec AS (
+  SELECT pa.doc_id, al, bl, 1 AS ia, 1 AS ib,
+         CAST(NULL AS INTEGER) AS gap, CAST(0 AS REAL) AS freq, TRUE AS alive
+  FROM pa JOIN pb USING (doc_id)
+  UNION ALL
+  SELECT doc_id, al, bl,
+    CASE WHEN amin THEN lastA + 1 ELSE ia END,
+    CASE WHEN amin THEN ib ELSE lastB + 1 END,
+    g,
+    CAST(freq + CASE WHEN g <= $slop
+      THEN ${R(s"$one / CAST(g + 1 AS REAL)")} ELSE CAST(0 AS REAL) END AS REAL),
+    CASE WHEN amin THEN lastA + 1 <= len(al) ELSE lastB + 1 <= len(bl) END
+  FROM (
+    SELECT *, CASE WHEN amin THEN bl[ib] - al[lastA] ELSE al[ia] - bl[lastB] END AS g
+    FROM (
+      SELECT *, al[ia] <= bl[ib] AS amin,
+        len(list_filter(al, x -> x <= bl[ib])) AS lastA,
+        len(list_filter(bl, x -> x <= al[ia])) AS lastB
+      FROM rec WHERE alive
+    )
+  )
+), ph AS (
+  SELECT doc_id, freq FROM rec WHERE NOT alive AND freq > 0
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   /** Prefix: const-score 1.0 over docs containing any matching term. */
   def prefix(p: String, k: Int): String =
     prologue +

@@ -49,8 +49,9 @@ object SearchGate {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig)
-      ix.copy(docs = ix.docs.persist(), postings = ix.postings.persist(),
-        termStats = ix.termStats.persist())
+      // buildLogical already caches the per-doc intermediate (docs and
+      // postings are narrow reads of it) — only termStats needs its own pin
+      ix.copy(termStats = ix.termStats.persist())
     })
 
   def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
@@ -131,7 +132,14 @@ object SearchGate {
     "q_bm25_boost" -> seg(Query.or(BoostQ(TermQ("spark"), 2f), TermQ("key"))),
     "q_bm25_page2" -> segPage2(TermQ("batch")),
     "q_bm25_prefix" -> seg(PrefixQ("sc")),
-    "q_bm25_phrase" -> dfPath(PhraseQ(Seq("order", "sort"))),
+    // phrases run the SEGMENT path: conjunction + positions-sidecar verify
+    // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
+    "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
+    "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
+    // filter-only bool: matches with score 0 (BooleanWeight semantics)
+    "q_bm25_filter_only" -> seg(BoolQ(filter = Seq(TermQ("spark"), TermQ("key")))),
+    // MUST MatchAll + MUST_NOT: 'all docs except…', scored 1.0
+    "q_bm25_notall" -> seg(Query.not(MatchAllQ, TermQ("spark"))),
     // string-syntax surface (§2.13): parsed query ≡ programmatic ADT
     "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")))
 
@@ -158,6 +166,9 @@ object SearchGate {
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
+    "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
+    "q_bm25_filter_only" -> Oracles.filterOnly(Seq("spark", "key"), K),
+    "q_bm25_notall" -> Oracles.notAll("spark", K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K))
 }

@@ -34,7 +34,12 @@ object IndexBuilder {
       numDocShards: Int = 8,
       saltThreshold: Long = 50000L,
       tokenizer: String = "simple",
-      bm25: graft.search.BM25Params = graft.search.BM25.Default)
+      bm25: graft.search.BM25Params = graft.search.BM25.Default,
+      /** Index per-occurrence positions (IndexOptions
+        * DOCS_AND_FREQS_AND_POSITIONS analog) — required for segment-path
+        * phrase queries; false = DOCS_AND_FREQS (smaller index).
+        */
+      positions: Boolean = true)
 
   /** Stable term → bucket hash (murmur3; must be identical on driver for
     * partition pruning and in executors at build time).
@@ -54,11 +59,15 @@ object IndexBuilder {
     */
   final case class LogicalIndex(
       docs: DataFrame,      // docId, length, normByte, contentSha256, meta…
-      postings: DataFrame,  // term, docId, tf, normByte
+      postings: DataFrame,  // term, docId, tf, pos[], normByte
       termStats: DataFrame, // term, df, ttf
       collStats: CollStats,
       cfg: BuildConfig,
-      contentCol: String = "content")
+      contentCol: String = "content",
+      /** DataFrames persisted by buildLogical (for caller cleanup). */
+      cached: Seq[DataFrame] = Nil) {
+    def unpersistCached(): Unit = cached.foreach(_.unpersist())
+  }
 
   /** Build the logical index from a corpus.
     *
@@ -84,26 +93,31 @@ object IndexBuilder {
     val spark = corpus.sparkSession
     val tok = tokenizerFn(cfg.tokenizer)
     val normUdf = udf((len: Int) => Norms.normByte(len))
-    // Per-doc tf aggregation INSIDE the tokenize UDF: every token of a doc
-    // lives in one input row, so (term → tf) needs no shuffle at all —
-    // this is the DWPT-local TermsHash of the reference
-    // (`index/TermsHashPerField.java:145-183`) done per row. Output is
-    // (fieldLength, [(term, tf)…]) — ~3× fewer rows enter the pipeline
-    // than raw tokens, and the Catalyst groupBy shuffle disappears.
-    val docTfUdf = udf { (s: String) =>
+    // ONE tokenize pass per row produces BOTH the doc-side stats (length →
+    // norm byte) and the postings with per-term POSITIONS: every token of
+    // a doc lives in one input row, so (term → positions) needs no shuffle
+    // at all — the DWPT-local TermsHash of the reference
+    // (`index/TermsHashPerField.java:145-183`) done per row; tf falls out
+    // as positions.length. Output: (fieldLength, [(term, positions)…]).
+    val docPosUdf = udf { (s: String) =>
       val toks = tok(s)
-      val m = new java.util.HashMap[String, Int]()
+      val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
       var i = 0
       while (i < toks.length) {
-        m.merge(toks(i), 1, Integer.sum _)
+        var b = m.get(toks(i))
+        if (b == null) {
+          b = new scala.collection.mutable.ArrayBuilder.ofInt()
+          m.put(toks(i), b)
+        }
+        b += i
         i += 1
       }
-      val out = new Array[(String, Int)](m.size)
+      val out = new Array[(String, Array[Int])](m.size)
       val it = m.entrySet().iterator()
       var j = 0
       while (it.hasNext) {
         val e = it.next()
-        out(j) = (e.getKey, e.getValue)
+        out(j) = (e.getKey, e.getValue.result())
         j += 1
       }
       (toks.length, out)
@@ -117,23 +131,28 @@ object IndexBuilder {
         val (df, n) = DocIds.withDocIdsCounted(corpus, sortCols)
         (df, Some(n))
     }
-    val docs = withId
-      .withColumn("length", udf((s: String) => tok(s).length).apply(col(contentCol)))
+    // ONE shared (optionally cached) intermediate backs BOTH the docs
+    // table and the postings — tokenize + sha run exactly once per row
+    val perDoc0 = withId
+      .withColumn("_p", docPosUdf(col(contentCol)))
+      .withColumn("length", col("_p._1"))
       .withColumn("normByte", normUdf(col("length")))
       .withColumn("contentSha256", sha2(col(contentCol), 256))
+    val perDoc = if (persistPostings) perDoc0.persist() else perDoc0
 
-    val postings0 = withId
-      .withColumn("_p", docTfUdf(col(contentCol)))
-      .select(col("docId"), normUdf(col("_p._1")).as("normByte"),
-        explode(col("_p._2")).as("_kv"))
-      .select(col("docId"), col("normByte"),
-        col("_kv._1").as("term"), col("_kv._2").as("tf"))
-    val postings = if (persistPostings) postings0.persist() else postings0
+    val docs = perDoc.drop("_p")
+    val posCol =
+      if (cfg.positions) col("_kv._2")
+      else array().cast("array<int>")
+    val postings = perDoc
+      .select(col("docId"), col("normByte"), explode(col("_p._2")).as("_kv"))
+      .select(col("docId"), col("normByte"), col("_kv._1").as("term"),
+        size(col("_kv._2")).as("tf"), posCol.as("pos"))
 
     val termStats = postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
 
-    // collection stats: sumTTF from the (persisted) postings aggregate;
+    // collection stats: sumTTF from the (cached) postings aggregate;
     // docCount from the docId pass (or one cheap count of the raw corpus
     // — no tokenize either way)
     val sumTtf = termStats.agg(coalesce(sum("ttf"), lit(0L)))
@@ -141,13 +160,14 @@ object IndexBuilder {
     val docCount = docCountKnown.getOrElse(withId.count())
 
     LogicalIndex(docs, postings, termStats,
-      CollStats(docCount, sumTtf), cfg, contentCol)
+      CollStats(docCount, sumTtf), cfg, contentCol,
+      cached = if (persistPostings) Seq(perDoc) else Nil)
   }
 
   // ---------- segment encode ----------
 
   final case class PRow(bucket: Int, term: String, salt: Int,
-      docId: Long, tf: Int, normByte: Byte)
+      docId: Long, tf: Int, normByte: Byte, pos: Array[Int])
 
   /** Encode the logical postings into segment rows. One shuffle keyed by
     * (term, salt) — hot terms spread over numDocShards reducers — then a
@@ -182,41 +202,54 @@ object IndexBuilder {
       case Some((g, n)) => salted0.filter(pmod(col("bucket"), lit(n)) === g)
       case None => salted0
     }
+    val posCol =
+      if (cfg.positions) col("pos")
+      else array().cast("array<int>")
     val salted = salted1
       .withColumn("salt", saltUdf(col("term"), col("docId")))
       .select(col("bucket"), col("term"), col("salt"), col("docId"),
-        col("tf"), col("normByte"))
+        col("tf"), col("normByte"), posCol.as("pos"))
       .as[PRow]
 
     // shuffle key (bucket, salt): a task owns whole buckets (one output
     // file per bucket instead of buckets×tasks small files) while hot
     // terms still spread across numDocShards reducers via their salt
+    val withPos = cfg.positions
     salted
       .repartition(parts, col("bucket"), col("salt"))
       .sortWithinPartitions(col("term"), col("salt"), col("docId"))
-      .mapPartitions { it => encodePartition(it) }
+      .mapPartitions { it => encodePartition(it, withPos) }
   }
 
   /** Stream consecutive (term, salt) groups into encoded blobs. */
-  private def encodePartition(it: Iterator[PRow]): Iterator[SegmentPosting] =
+  private def encodePartition(it: Iterator[PRow],
+      withPositions: Boolean): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
+      private val noPos = Array.empty[Byte]
       def hasNext: Boolean = buf.hasNext
       def next(): SegmentPosting = {
         val head = buf.head
         val docs = scala.collection.mutable.ArrayBuilder.make[Long]
         val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
         val norms = scala.collection.mutable.ArrayBuilder.make[Byte]
+        val poss =
+          if (withPositions) scala.collection.mutable.ArrayBuilder.make[Array[Int]]
+          else null
         var maxTf = 0
         var n = 0
         while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
           val r = buf.next()
           docs += r.docId; tfs += r.tf; norms += r.normByte
+          if (poss != null) poss += r.pos
           if (r.tf > maxTf) maxTf = r.tf
           n += 1
         }
         val (body, skip) = PostingsCodec.encode(docs.result(), tfs.result(), norms.result())
-        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body, skip)
+        val posBlob =
+          if (poss == null) noPos
+          else PostingsCodec.encodePositions(poss.result())
+        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body, skip, posBlob)
       }
     }
 
@@ -242,7 +275,8 @@ object IndexBuilder {
       k1: Float,
       b: Float,
       completedGroups: Seq[Int],
-      numGroups: Int)
+      numGroups: Int,
+      positions: Boolean = false)
 
   object Manifest {
     def toJson(m: Manifest): String = {
@@ -250,6 +284,7 @@ object IndexBuilder {
         s""""sumTotalTermFreq":${m.sumTotalTermFreq},"numBuckets":${m.numBuckets},""" +
         s""""numDocShards":${m.numDocShards},"saltThreshold":${m.saltThreshold},""" +
         s""""tokenizer":"${m.tokenizer}","k1":${m.k1},"b":${m.b},""" +
+        s""""positions":${m.positions},""" +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
     }
     def fromJson(s: String): Manifest = {
@@ -257,12 +292,14 @@ object IndexBuilder {
       def num(k: String) = s""""$k":(-?[0-9.eE+]+)""".r.findFirstMatchIn(s).get.group(1)
       val groups = s""""completedGroups":\\[([0-9,]*)\\]""".r
         .findFirstMatchIn(s).get.group(1)
+      val positions = """"positions":(true|false)""".r
+        .findFirstMatchIn(s).exists(_.group(1) == "true")
       Manifest(str("snapshotId"), num("docCount").toLong,
         num("sumTotalTermFreq").toLong, num("numBuckets").toInt,
         num("numDocShards").toInt, num("saltThreshold").toLong,
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
-        num("numGroups").toInt)
+        num("numGroups").toInt, positions)
     }
   }
 
@@ -316,8 +353,10 @@ object IndexBuilder {
       commitManifest(dir, mkManifest(ix, snapshotId, Nil, numGroups))
     }
 
-    // one cached copy of the logical postings backs all group jobs
-    val alreadyPersisted =
+    // one cached copy backs all group jobs: either buildLogical already
+    // persisted the per-doc intermediate (postings are a narrow explode of
+    // it — re-persisting would double the memory), or we persist here
+    val alreadyPersisted = ix.cached.nonEmpty ||
       ix.postings.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val posted = if (alreadyPersisted) ix.postings else ix.postings.persist()
     val ixp = ix.copy(postings = posted)
@@ -363,7 +402,8 @@ object IndexBuilder {
       done: Seq[Int], numGroups: Int): Manifest =
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
-      ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups)
+      ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
+      ix.cfg.positions)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

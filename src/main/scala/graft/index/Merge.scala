@@ -21,7 +21,7 @@ import graft.index.IndexBuilder.Manifest
 object Merge {
 
   final case class MergeRow(bucket: Int, term: String, salt: Int,
-      docBlocks: Array[Byte], skipData: Array[Byte])
+      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte])
 
   /** Merge the segment data of `dirs` (all built with identical
     * BuildConfig; docId spaces must be disjoint) into `outDir`.
@@ -33,10 +33,17 @@ object Merge {
     val manifests = dirs.map(d => IndexBuilder.readManifest(d)
       .getOrElse(sys.error(s"no manifest at $d")))
     val head = manifests.head
+    // saltThreshold must match too: the hot-set decision below re-salts
+    // cold pieces against head.saltThreshold, so a snapshot built with a
+    // LOWER threshold could carry salted pieces for terms the merged
+    // convention treats as cold — leaving mixed-salt terms whose SegRows
+    // silently shadow each other in the searcher's term→row map.
     require(manifests.forall(m => m.numBuckets == head.numBuckets &&
       m.numDocShards == head.numDocShards && m.tokenizer == head.tokenizer &&
-      m.k1 == head.k1 && m.b == head.b),
-      "merge requires identical build configs")
+      m.k1 == head.k1 && m.b == head.b &&
+      m.saltThreshold == head.saltThreshold &&
+      m.positions == head.positions),
+      "merge requires identical build configs (incl. saltThreshold, positions)")
 
     new java.io.File(outDir).mkdirs()
 
@@ -79,12 +86,13 @@ object Merge {
       m.completedGroups.map(g => s"$d/segments/grp=$g")
     }
     val parts = spark.sessionState.conf.numShufflePartitions
+    val withPos = head.positions
     val merged = allRows
       .map(p => spark.read.option("basePath", p).parquet(p))
       .reduce(_ unionByName _)
       .withColumn("bucket", bucketUdf(col("term")))
       .select(col("bucket"), col("term"), col("salt"),
-        col("docBlocks"), col("skipData"))
+        col("docBlocks"), col("skipData"), col("posBlocks"))
       .as[MergeRow]
       .flatMap { r =>
         val hot = bHot.value.contains(r.term)
@@ -96,6 +104,7 @@ object Merge {
         } else {
           // split a cold piece into its per-salt sub-lists
           val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
+          val pos = if (withPos) PostingsCodec.decodePositions(r.posBlocks, pl.tfs) else null
           (0 until S).flatMap { s =>
             val keep = pl.docs.indices.filter(i => (pl.docs(i) % S).toInt == s)
             if (keep.isEmpty) None
@@ -103,14 +112,17 @@ object Merge {
               val (body, skip) = PostingsCodec.encode(
                 keep.map(pl.docs).toArray, keep.map(pl.tfs).toArray,
                 keep.map(pl.norms).toArray)
-              Some(MergeRow(r.bucket, r.term, s, body, skip))
+              val pb =
+                if (pos == null) Array.empty[Byte]
+                else PostingsCodec.encodePositions(keep.map(pos).toArray)
+              Some(MergeRow(r.bucket, r.term, s, body, skip, pb))
             }
           }
         }
       }
       .repartition(parts, col("bucket"), col("salt"))
       .sortWithinPartitions(col("term"), col("salt"))
-      .mapPartitions(mergeGroups)
+      .mapPartitions(it => mergeGroups(it, withPos))
 
     merged.toDF()
       .write.mode("overwrite").partitionBy("bucket")
@@ -131,7 +143,7 @@ object Merge {
       manifests.map(_.docCount).sum,
       manifests.map(_.sumTotalTermFreq).sum,
       head.numBuckets, head.numDocShards, head.saltThreshold,
-      head.tokenizer, head.k1, head.b, Seq(0), 1)
+      head.tokenizer, head.k1, head.b, Seq(0), 1, head.positions)
     IndexBuilder.commitManifest(outDir, manifest)
     manifest
   }
@@ -140,7 +152,8 @@ object Merge {
     * lists in docId order and re-encode (DocIDMerger analog — global
     * docIds make the remap a no-op, SURVEY.md §2.4).
     */
-  private def mergeGroups(it: Iterator[MergeRow]): Iterator[SegmentPosting] =
+  private def mergeGroups(it: Iterator[MergeRow],
+      withPos: Boolean): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
@@ -149,12 +162,17 @@ object Merge {
         val pieces = scala.collection.mutable.ArrayBuffer.empty[PostingsCodec.PostingList]
         while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
           val r = buf.next()
-          pieces += PostingsCodec.decode(r.docBlocks, r.skipData)
+          val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
+          pieces +=
+            (if (withPos)
+              pl.copy(positions = PostingsCodec.decodePositions(r.posBlocks, pl.tfs))
+            else pl)
         }
         val total = pieces.map(_.docs.length).sum
         val docs = new Array[Long](total)
         val tfs = new Array[Int](total)
         val norms = new Array[Byte](total)
+        val poss = if (withPos) new Array[Array[Int]](total) else null
         // k-way merge by docId (pieces are internally sorted; docId spaces
         // of snapshots are usually disjoint ranges → near-concatenation)
         val idx = Array.fill(pieces.length)(0)
@@ -173,12 +191,15 @@ object Merge {
           docs(out) = pieces(best).docs(idx(best))
           tfs(out) = pieces(best).tfs(idx(best))
           norms(out) = pieces(best).norms(idx(best))
+          if (poss != null) poss(out) = pieces(best).positions(idx(best))
           if (tfs(out) > maxTf) maxTf = tfs(out)
           idx(best) += 1
           out += 1
         }
         val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
-        SegmentPosting(head.bucket, head.term, head.salt, total, maxTf, body, skip)
+        val pb = if (poss == null) Array.empty[Byte]
+          else PostingsCodec.encodePositions(poss)
+        SegmentPosting(head.bucket, head.term, head.salt, total, maxTf, body, skip, pb)
       }
     }
 }

@@ -128,6 +128,70 @@ object PostingsCodec {
     new Skips(lastDocs, maxTfs, minNorms, offsets, docCounts)
   }
 
+  // ---- positions sidecar ----
+
+  /** Encode per-doc position lists into the positions sidecar blob —
+    * the IndexOptions.DOCS_AND_FREQS_AND_POSITIONS analog
+    * (`Lucene50PostingsFormat.java:42-63`; positions written at
+    * `Lucene50PostingsWriter.java:214-247`). Layout:
+    *   varint numBlocks, numBlocks varints of per-block payload byteLen,
+    *   then the payloads. Per-block payload: for each doc in the block,
+    *   tf(doc) position varints — first absolute, then gaps (strictly
+    *   ascending within a doc). Per-doc counts come from the tf stream of
+    *   the doc blob, so none are repeated here.
+    * Blocking mirrors the doc blob (128 docs), so a block of positions is
+    * decodable on demand without touching the rest — phrase queries pay
+    * for position decode only on conjunction-aligned blocks.
+    */
+  def encodePositions(positions: Array[Array[Int]]): Array[Byte] = {
+    val nBlocks = (positions.length + BlockSize - 1) / BlockSize
+    val payload = new ByteBuf(positions.length * 2)
+    val lens = new Array[Int](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val start = b * BlockSize
+      val end = math.min(start + BlockSize, positions.length)
+      val at = payload.len
+      var i = start
+      while (i < end) {
+        val ps = positions(i)
+        var prev = 0
+        var j = 0
+        while (j < ps.length) {
+          payload.writeVInt(ps(j) - prev)
+          prev = ps(j)
+          j += 1
+        }
+        i += 1
+      }
+      lens(b) = payload.len - at
+      b += 1
+    }
+    val out = new ByteBuf(payload.len + nBlocks * 4 + 5)
+    out.writeVInt(nBlocks)
+    lens.foreach(out.writeVInt)
+    val head = out.len
+    val arr = new Array[Byte](head + payload.len)
+    System.arraycopy(out.arr, 0, arr, 0, head)
+    System.arraycopy(payload.arr, 0, arr, head, payload.len)
+    arr
+  }
+
+  /** Byte offsets of each block's positions payload within posBlocks. */
+  def readPosOffsets(posBlocks: Array[Byte]): Array[Int] = {
+    val r = new ByteReader(posBlocks)
+    val n = r.readVInt()
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var acc = 0
+    val lens = new Array[Int](n)
+    while (i < n) { lens(i) = r.readVInt(); i += 1 }
+    offs(0) = r.pos
+    i = 0
+    while (i < n) { acc = offs(i) + lens(i); offs(i + 1) = acc; i += 1 }
+    offs
+  }
+
   // ---- encode ----
 
   /** Encode one posting list (docs strictly ascending, tfs ≥ 1, one norm
@@ -186,7 +250,24 @@ object PostingsCodec {
   // ---- decode ----
 
   final case class PostingList(docs: Array[Long], tfs: Array[Int],
-      norms: Array[Byte])
+      norms: Array[Byte], positions: Array[Array[Int]] = null)
+
+  /** Full positions decode, aligned with a full `decode` (merge, tests). */
+  def decodePositions(posBlocks: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val offs = readPosOffsets(posBlocks)
+    val r = new ByteReader(posBlocks, offs(0))
+    val out = new Array[Array[Int]](tfs.length)
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Int](tfs(i))
+      var prev = 0
+      var j = 0
+      while (j < ps.length) { prev += r.readVInt(); ps(j) = prev; j += 1 }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
 
   /** Full decode (merge, tests, non-WAND paths). */
   def decode(docBlocks: Array[Byte], skipData: Array[Byte]): PostingList = {
@@ -222,11 +303,15 @@ object PostingsCodec {
   /** Streaming iterator with skip-aware `advance` — the DocIdSetIterator
     * analog (`search/DocIdSetIterator.java`) plus block-max metadata.
     */
-  final class PostingsIterator(docBlocks: Array[Byte], val skips: Skips) {
+  final class PostingsIterator(docBlocks: Array[Byte], val skips: Skips,
+      posBlocks: Array[Byte] = null) {
     private val r = new ByteReader(docBlocks)
     private var block = -1
     private var inBlock = 0
     private var blockLen = 0
+    private var posOffsets: Array[Int] = null
+    private var posBlockIdx = -1
+    private var blockPositions: Array[Array[Int]] = null
     private val blockDocs = new Array[Long](BlockSize)
     private val blockTfs = new Array[Int](BlockSize)
     private val blockNorms = new Array[Byte](BlockSize)
@@ -283,6 +368,34 @@ object PostingsCodec {
       norm = blockNorms(inBlock); inBlock += 1
     }
 
+    def hasPositions: Boolean = posBlocks != null && posBlocks.length > 0
+
+    /** Positions of the CURRENT doc. Decodes the current block's positions
+      * lazily and memoizes them (a phrase query pays position decode only
+      * on conjunction-aligned blocks — the two-phase-iterator economics of
+      * `search/ExactPhraseScorer.java:27`).
+      */
+    def positions(): Array[Int] = {
+      require(hasPositions, "posting list has no positions sidecar")
+      if (posBlockIdx != block) {
+        if (posOffsets == null) posOffsets = readPosOffsets(posBlocks)
+        val pr = new ByteReader(posBlocks, posOffsets(block))
+        val bp = new Array[Array[Int]](blockLen)
+        var i = 0
+        while (i < blockLen) {
+          val ps = new Array[Int](blockTfs(i))
+          var prev = 0
+          var j = 0
+          while (j < ps.length) { prev += pr.readVInt(); ps(j) = prev; j += 1 }
+          bp(i) = ps
+          i += 1
+        }
+        blockPositions = bp
+        posBlockIdx = block
+      }
+      blockPositions(inBlock - 1)
+    }
+
     /** Advance to next doc; false at exhaustion (doc = Long.MaxValue). */
     def nextDoc(): Boolean = {
       if (block >= 0 && inBlock < blockLen) { setCurrent(); true }
@@ -309,6 +422,7 @@ object PostingsCodec {
     }
   }
 
-  def iterator(docBlocks: Array[Byte], skipData: Array[Byte]): PostingsIterator =
-    new PostingsIterator(docBlocks, readSkips(skipData))
+  def iterator(docBlocks: Array[Byte], skipData: Array[Byte],
+      posBlocks: Array[Byte] = null): PostingsIterator =
+    new PostingsIterator(docBlocks, readSkips(skipData), posBlocks)
 }

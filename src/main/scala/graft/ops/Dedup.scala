@@ -44,37 +44,44 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold. Blocking via the shingle
-    * self-join: only docs sharing ≥1 shingle are compared; at 100 TB add
-    * a shingle-df cap (drop ubiquitous shingles) — see `maxShingleDf`.
+    * self-join: only docs sharing ≥1 NON-HOT shingle become candidates —
+    * a shingle in > maxShingleDf docs contributes O(df²) candidate pairs,
+    * so it is dropped from BLOCKING ONLY (it can only be boilerplate; the
+    * dropped count is logged). Candidates are then verified with the TRUE
+    * Jaccard over the full shingle sets, so the cap never distorts a
+    * reported similarity — it can only miss a pair whose every shared
+    * shingle is boilerplate. The default cap is inert at test scale and
+    * protective at 10⁹ docs.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = 100000): DataFrame = {
     val sh = shingles(df, textCol, idCol, n).persist()
+    val hot = sh.groupBy("sh").count()
+      .filter(col("count") > maxShingleDf).select("sh").persist()
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngramJaccardPairs: dropping $nHot shingles with df > $maxShingleDf from blocking")
     try {
-      val filtered =
-        if (maxShingleDf == Int.MaxValue) sh
-        else {
-          // hot-shingle cap: a shingle appearing in > maxShingleDf docs
-          // contributes O(df²) candidate pairs — drop it (it can only be
-          // boilerplate) and log the loss
-          val hot = sh.groupBy("sh").count()
-            .filter(col("count") > maxShingleDf).select("sh")
-          sh.join(hot, Seq("sh"), "left_anti")
-        }
-      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val filtered = if (nHot == 0) sh else sh.join(hot, Seq("sh"), "left_anti")
       val a = filtered.select(col("id").as("ia"), col("sh"))
       val b = filtered.select(col("id").as("ib"), col("sh"))
-      val inter = a.join(b, Seq("sh")).filter(col("ia") < col("ib"))
+      val cand = a.join(b, Seq("sh")).filter(col("ia") < col("ib"))
+        .select("ia", "ib").distinct()
+      // exact verify over the FULL shingle sets (cand is small post-block)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
+      val aSh = sh.select(col("id").as("ia"), col("sh"))
+      val bSh = sh.select(col("id").as("ib"), col("sh"))
+      cand.join(aSh, Seq("ia")).join(bSh, Seq("ib", "sh"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
-      inter
         .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
         .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
         .withColumn("jaccard",
           col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("ia"), col("ib"), col("jaccard"))
-    } finally sh.unpersist()
+    } finally { sh.unpersist(); hot.unpersist(); () }
   }
 
   // ---- MinHash + LSH ----
@@ -145,10 +152,13 @@ object Dedup {
     }
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
       .filter(size(col("sig")) > 0)
-    // band buckets: (bandIdx, hash(band slice)) → candidate join key
+    // band buckets: (bandIdx, 64-bit hash of the band slice) → candidate
+    // join key. 64-bit (shingleHash), not String.hashCode: a 32-bit key at
+    // 10⁹ docs yields millions of accidental candidate pairs per band
+    // (verification rescues correctness but pays the join cost)
     val banded = sigs.select(col("id"), posexplode(
       udf((sig: Array[Long]) =>
-        sig.grouped(rows).map(g => g.mkString(",").hashCode.toLong).toArray
+        sig.grouped(rows).map(g => shingleHash(g.mkString(","))).toArray
       ).apply(col("sig"))).as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&

@@ -86,16 +86,22 @@ object DataFrameSearcher {
     case SynonymQ(ts) => synonymScoreDf(ix, ts, boost, stats, params)
 
     case DisMaxQ(clauses, tie) =>
+      // max + (sum-max)*tie with the sum folded in FLOAT in clause order —
+      // matches DisMaxScorer (the reference accumulates `float scoreSum`,
+      // DisjunctionMaxScorer.java:50-61). Per-clause columns via full-outer
+      // joins keep the fold order deterministic (a groupBy sum would not).
       val parts = clauses.zipWithIndex.map { case (c, i) =>
         scoreDf(ix, c, boost, stats, params)
+          .select(col("docId"), col("score").as(s"_c$i"))
       }
-      val unioned = parts.reduce(_ unionByName _)
-      // max + tie*(sum-max), float ops (DisjunctionMaxScorer.java:28)
-      unioned.groupBy("docId")
-        .agg(max("score").as("_mx"), sum(col("score").cast("double")).as("_sm"))
-        .select(col("docId"),
-          (col("_mx") + lit(tie) * (col("_sm").cast("float") - col("_mx")))
-            .cast("float").as("score"))
+      val joined = parts.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+      val cols = clauses.indices.map(i =>
+        coalesce(col(s"_c$i"), lit(0f)).cast("float"))
+      val sm = cols.reduce((a, b) => (a + b).cast("float"))
+      val mx = greatest(cols: _*)
+      joined.select(col("docId"),
+        (mx + ((sm - mx).cast("float") * lit(tie)).cast("float"))
+          .cast("float").as("score"))
 
     case PrefixQ(p) =>
       multiTermConstScore(ix, col("term").startsWith(p), boost)
@@ -164,16 +170,18 @@ object DataFrameSearcher {
       .select("docId").distinct()
       .select(col("docId"), lit(boost).cast("float").as("score"))
 
-  /** Exact/sloppy phrase via positional re-analysis (PhraseQuery.java:69;
-    * two-phase doc-match + position-verify becomes a positions self-join).
-    * Scored like one pseudo-term with freq = phrase occurrences and
+  /** Exact/sloppy phrase via the positions column (PhraseQuery.java:69;
+    * two-phase doc-match + position-verify becomes a positions self-join
+    * for slop=0, a per-doc sweep over collected position arrays for
+    * slop>0 — SloppyPhraseScorer semantics via PhraseFreq.sloppy).
+    * Scored like one pseudo-term with freq = phrase frequency and
     * idf = Σ idf(term_i) (PhraseWeight sums constituent idfs).
     */
   private def phraseScoreDf(ix: LogicalIndex, terms: Seq[String], slop: Int,
       boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
-    require(slop == 0, "sloppy phrase not yet supported")
     if (terms.exists(t => stats.dfByTerm.getOrElse(t, 0L) == 0L))
       return emptyScores(ix)
+    if (slop > 0) return sloppyPhraseScoreDf(ix, terms, slop, boost, stats, params)
     val pos = positionalPostings(ix)
     // chain join: positions of term_i at pos p+i
     val base = pos.filter(col("term") === terms.head)
@@ -199,11 +207,45 @@ object DataFrameSearcher {
       .select(col("docId"), scoreUdf(col("_freq"), col("normByte")).as("score"))
   }
 
-  /** Positions table (docId, pos, term) derived by re-tokenizing —
-    * positions are not kept in tf postings (v1 blob has no positions,
-    * matching IndexOptions.DOCS_AND_FREQS).
+  /** Sloppy phrase: per-doc sweep over the per-term position arrays the
+    * postings already carry — one join per term, no explode, freq via
+    * PhraseFreq.sloppy (SloppyPhraseScorer.java:92-126 semantics).
+    */
+  private def sloppyPhraseScoreDf(ix: LogicalIndex, terms: Seq[String],
+      slop: Int, boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
+    require(ix.cfg.positions, "sloppy phrase requires BuildConfig.positions")
+    require(terms.distinct.size == terms.size,
+      "sloppy phrase with repeated terms is not supported")
+    val base = terms.zipWithIndex.map { case (t, i) =>
+      val p = ix.postings.filter(col("term") === t)
+      if (i == 0) p.select(col("docId"), col("normByte"), col("pos").as("_p0"))
+      else p.select(col("docId"), col("pos").as(s"_p$i"))
+    }.reduce((a, b) => a.join(b, "docId"))
+    val offsets = terms.indices.toArray
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    var idfSum = 0f
+    terms.foreach(t => idfSum += BM25.idf(stats.dfByTerm(t), stats.docCount))
+    val w = BM25.weightValue(idfSum, params, boost)
+    val scoreUdf = udf { (ps: Seq[Seq[Int]], nb: Byte) =>
+      val freq = PhraseFreq.sloppy(ps.map(_.toArray).toArray, offsets, slop)
+      if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
+    }
+    base.select(col("docId"),
+        scoreUdf(array(terms.indices.map(i => col(s"_p$i")): _*),
+          col("normByte")).as("score"))
+      .filter(col("score").isNotNull)
+      .select(col("docId"), col("score").cast("float").as("score"))
+  }
+
+  /** Positions table (docId, pos, term). When the build kept positions
+    * (cfg.positions) this is a narrow explode of the postings' pos arrays;
+    * otherwise it re-tokenizes (DOCS_AND_FREQS fallback).
     */
   def positionalPostings(ix: LogicalIndex): DataFrame = {
+    if (ix.cfg.positions)
+      return ix.postings.select(col("docId"), col("term"),
+        explode(col("pos")).as("pos"))
     val tok = graft.index.IndexBuilder.tokenizerFn(ix.cfg.tokenizer)
     val tokensUdf = udf((s: String) => tok(s))
     ix.docs
@@ -234,6 +276,15 @@ object DataFrameSearcher {
         .groupBy("docId")
         .agg(sum(col("score").cast("double")).as("_sScore"),
           count(lit(1)).as("_sCnt")))
+
+    // filter-only bool (no MUST/SHOULD): matches the filter intersection
+    // with score 0 (BooleanWeight filter-only semantics)
+    if (mustDfs.isEmpty && shouldAgg.isEmpty && filterQs.nonEmpty) {
+      val base = filterQs.map(scoreDf(ix, _, 1f, stats, params).select("docId"))
+        .reduce((a, b) => a.join(b, Seq("docId"), "left_semi"))
+        .select(col("docId"), lit(0f).as("score"))
+      return finishBool(ix, base, mustNot, Nil, boost, stats, params)
+    }
 
     val scored: DataFrame =
       if (mustDfs.isEmpty) {

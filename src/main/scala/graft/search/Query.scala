@@ -7,7 +7,10 @@ package graft.search
   *
   * `rewrite` reproduces the reference's rewrite-fixpoint simplifications
   * (`IndexSearcher.java:682-689` loop; `BooleanQuery.java:230-290`):
-  * single-clause unwrap, empty → MatchNone, nested flatten, clause dedup.
+  * single-clause unwrap, empty → MatchNone, clause dedup. (Nested boolean
+  * clauses are NOT flattened — matching the reference, whose rewrite keeps
+  * them and whose scorer tree rounds each inner sum to float; the string
+  * parser produces flat clauses directly.)
   */
 sealed trait Query
 
@@ -77,10 +80,17 @@ object Query {
 
   private def rewriteOnce(q: Query): Query = q match {
     case BoolQ(must, should, mustNot, filter, msm) =>
-      val m = must.map(rewriteOnce).filter(_ != MatchAllQ)
+      // MUST MatchAll is KEPT: it both matches and contributes its boosted
+      // 1.0 score (BooleanQuery.java rewrite never drops a MUST
+      // MatchAllDocsQuery). A FILTER MatchAll is redundant only when some
+      // other positive clause already constrains the doc set.
+      val m = must.map(rewriteOnce)
       val s = should.map(rewriteOnce)
       val n = mustNot.map(rewriteOnce).filter(_ != MatchNoneQ)
-      val f = filter.map(rewriteOnce).filter(_ != MatchAllQ)
+      val f0 = filter.map(rewriteOnce)
+      val f =
+        if (m.nonEmpty || f0.exists(_ != MatchAllQ)) f0.filter(_ != MatchAllQ)
+        else f0.distinct // filter-only MatchAll: keep one (matches all, score 0)
       if (m.contains(MatchNoneQ) || f.contains(MatchNoneQ)) MatchNoneQ
       else {
         val s2 = s.distinct
@@ -118,6 +128,19 @@ object Query {
     * pruning on the segment table. Multi-term expansions (prefix/regexp/
     * fuzzy/range) are resolved against the term dictionary separately.
     */
+  /** Whether the (rewritten) tree can match docs through MatchAllQ even
+    * when every literal term is absent from the index — gates the
+    * searcher's "no terms → no hits" early returns.
+    */
+  def containsMatchAll(q: Query): Boolean = q match {
+    case MatchAllQ => true
+    case BoolQ(m, s, _, f, _) => (m ++ s ++ f).exists(containsMatchAll)
+    case DisMaxQ(cs, _) => cs.exists(containsMatchAll)
+    case BoostQ(i, _) => containsMatchAll(i)
+    case ConstScoreQ(i, _) => containsMatchAll(i)
+    case _ => false
+  }
+
   def literalTerms(q: Query): Set[String] = q match {
     case TermQ(t) => Set(t)
     case BoolQ(m, s, n, f, _) =>

@@ -76,8 +76,15 @@ object QueryParser {
         val op = keyword()
         op match {
           case Some("AND") | Some("&&") =>
+            // flatten chains: 'a AND b AND c' → ONE BoolQ(+a +b +c) like the
+            // reference parser's flat BooleanQuery (nested conjunctions
+            // would round the inner float sum before the outer add)
             val right = parsePart()
-            left = Query.and(left, right)
+            left = left match {
+              case BoolQ(m, Seq(), Seq(), Seq(), 0) if m.nonEmpty =>
+                BoolQ(must = m :+ right)
+              case other => Query.and(other, right)
+            }
           case Some("OR") | Some("||") =>
             val right = parsePart()
             left = left match {

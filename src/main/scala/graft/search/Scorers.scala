@@ -255,7 +255,13 @@ final class BoostScorer(inner: DocScorer, boost: Float) extends DocScorer {
   def maxScore: Float = inner.maxScore * boost
 }
 
-/** max + tie*(sum-max) (DisjunctionMaxScorer.java:28). */
+/** max + (sum-max)*tie, accumulated in FLOAT like the reference
+  * (DisjunctionMaxScorer.java:50-61: `float scoreSum`). We fold in clause
+  * order (deterministic); the reference folds in its DisiWrapper list
+  * order, so for 3+ clauses scores can differ from Lucene by an ulp — an
+  * ambiguity internal to the reference itself (its own order depends on
+  * queue state). The DF path folds in the same clause order.
+  */
 final class DisMaxScorer(scorers: Array[DocScorer], tie: Float)
     extends DocScorer {
   private val disj = new DisjunctionScorer(scorers, 1)
@@ -264,7 +270,7 @@ final class DisMaxScorer(scorers: Array[DocScorer], tie: Float)
   def advance(target: Long): Long = disj.advance(target)
   def score: Float = {
     var mx = 0f
-    var sm = 0d
+    var sm = 0f
     var i = 0
     while (i < scorers.length) {
       if (scorers(i).doc == disj.doc) {
@@ -274,10 +280,24 @@ final class DisMaxScorer(scorers: Array[DocScorer], tie: Float)
       }
       i += 1
     }
-    (mx + tie * (sm.toFloat - mx)).toFloat
+    mx + (sm - mx) * tie
   }
   def cost: Long = disj.cost
-  lazy val maxScore: Float = scorers.map(_.maxScore).max
+  /** Upper bound includes the tie-break contribution:
+    * max + (sum-max)*tie dominates every reachable score.
+    */
+  lazy val maxScore: Float = {
+    var mx = 0f
+    var sm = 0f
+    var i = 0
+    while (i < scorers.length) {
+      val m = scorers(i).maxScore
+      if (m > mx) mx = m
+      sm += m
+      i += 1
+    }
+    mx + (sm - mx) * tie
+  }
 }
 
 /** Union of several term iterators scored as ONE pseudo-term with summed

@@ -41,7 +41,7 @@ object SegmentSearcher {
 
   /** One shuffled unit of query work: a (term, salt) posting list. */
   final case class SegRow(term: String, salt: Int,
-      docBlocks: Array[Byte], skipData: Array[Byte])
+      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte])
 
   /** Per-term scoring constants, computed driver-side like TermWeight. */
   final case class TermWeightInfo(term: String, df: Long, weight: Float,
@@ -174,8 +174,42 @@ object SegmentSearcher {
       else new DisMaxScorer(subs, tie)
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
+    case PhraseQ(terms, slop) =>
+      phraseScorer(terms, slop, shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
+  }
+
+  /** Exact/sloppy phrase over the positions sidecar: conjunction +
+    * position verify (`ExactPhraseScorer.java:27`,
+    * `SloppyPhraseScorer.java:32`), scored as one pseudo-term with
+    * idf = Σ member idfs (`BM25Similarity.java:194-205`).
+    */
+  private def phraseScorer(terms: Seq[String], slop: Int, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    if (slop > 0 && terms.distinct.size != terms.size)
+      sys.error("sloppy phrase with repeated terms is not supported " +
+        "(reference repeating-pp machinery out of scope)")
+    val rows = terms.map(blobs.get)
+    if (rows.exists(_.isEmpty)) return EmptyScorer
+    if (terms.exists(t => !plan.weights.contains(t))) return EmptyScorer
+    // float sum of constituent idfs, in query order
+    var idfSum = 0f
+    terms.foreach { t =>
+      idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    }
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val its = rows.map(_.get).map(r =>
+      PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray
+    if (its.exists(!_.hasPositions))
+      sys.error("phrase query requires an index built with positions " +
+        "(BuildConfig.positions = true)")
+    val ps = new PhraseScorer(its, terms.indices.toArray, slop, w, plan.cache)
+    // all-cold members in a sharded query: restrict the output stream to
+    // this shard so the cross-shard union counts each doc exactly once
+    if (shard >= 0 && rows.forall(_.get.salt < 0))
+      new ModFilterScorer(ps, shard, plan.numShards)
+    else ps
   }
 
   private def termScorer(t: String, shard: Int, blobs: Map[String, SegRow],
@@ -242,11 +276,22 @@ object SegmentSearcher {
           if (msm > 0) new ReqOptHack(conj, disj)
           else new ReqOptScorer(conj, disj)
         } else conj
-      } else {
-        if (shouldS.isEmpty) return EmptyScorer
+      } else if (shouldS.nonEmpty) {
         if (shouldS.size == 1 && msm <= 1) shouldS.head
         else new DisjunctionScorer(shouldS.toArray, math.max(msm, 1))
-      }
+      } else if (filterQs.nonEmpty) {
+        // filter-only bool: matches the filter intersection with score 0
+        // (BooleanWeight keeps filter-only queries matching; they just
+        // contribute no score)
+        val fs = filterQs.map(buildScorer(_, shard, blobs, plan, 1f))
+        if (fs.exists(_ eq EmptyScorer)) return EmptyScorer
+        val conj = if (fs.size == 1) fs.head
+          else new ConjunctionScorer(fs.toArray)
+        return mustNot.foldLeft[DocScorer](new ConstScorer(conj, 0f)) { (acc, nq) =>
+          val ns = buildScorer(nq, shard, blobs, plan, 1f)
+          if (ns eq EmptyScorer) acc else new ReqExclScorer(acc, ns)
+        }
+      } else return EmptyScorer
 
     filterQs.foreach { fq =>
       val fs = buildScorer(fq, shard, blobs, plan, 1f)
@@ -303,7 +348,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     val df = spark.read
       .option("basePath", s"${index.dir}/segments")
       .parquet(index.segmentPaths: _*)
-      .select("bucket", "term", "salt", "docBlocks", "skipData")
+      .select("bucket", "term", "salt", "docBlocks", "skipData", "posBlocks")
     if (cacheSegments) { val p = df.persist(); p.count(); p } else df
   }
 
@@ -386,7 +431,12 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     q = Query.rewrite(q)
     if (q == MatchNoneQ) return Array.empty
     val terms = Query.literalTerms(q)
-    if (terms.isEmpty && q != MatchAllQ) return Array.empty
+    // A query can match with zero present terms when a MatchAllQ backs the
+    // tree (ConstScoreQ(MatchAllQ), BoostQ(MatchAllQ), a bool with a
+    // MatchAll clause) — only bail out when neither terms nor MatchAll can
+    // produce hits; the scorer tree handles absent terms as EmptyScorer.
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
 
     val st = stats(terms)
     val weights = st.map { case (t, (df, _)) =>
@@ -399,10 +449,10 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
       m.docCount, params, useWand)
 
     val present = terms.filter(st.contains)
-    if (present.isEmpty && q != MatchAllQ) return Array.empty
+    if (present.isEmpty && !hasAll) return Array.empty
 
     val partials: Seq[Array[Hit]] =
-      if (terms.isEmpty) Seq(execShard(-1, Map.empty, plan))
+      if (present.isEmpty) Seq(execShard(-1, Map.empty, plan))
       else {
         // ~3.2 bytes/posting (delta varint + tf varint + norm byte)
         val estBytes = present.toSeq.map(t => st(t)._1 * 4L + 64L).sum
@@ -472,7 +522,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     segmentsDf
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(present.toSeq: _*))
-      .select("term", "salt", "docBlocks", "skipData")
+      .select("term", "salt", "docBlocks", "skipData", "posBlocks")
       .as[SegRow]
   }
 

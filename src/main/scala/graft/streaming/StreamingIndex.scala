@@ -41,6 +41,7 @@ object StreamingIndex {
             Some(docIdCol), Nil, cfg)
           IndexBuilder.writeIndex(ix, s"$indexDir/snap=$batchId",
             s"stream-$batchId", numGroups = 1)
+          ix.unpersistCached()
           ix.postings.unpersist()
           ()
         }

@@ -1,0 +1,207 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.index.PostingsCodec
+import graft.search.PhraseFreq
+
+/** Positions codec round-trip + phrase-frequency semantics vs brute force.
+  * Sloppy expectations follow the reference's greedy sweep
+  * (`SloppyPhraseScorer.java:92-126`), validated two ways: hand-traced
+  * examples and an independent run-boundary formulation for 2-term
+  * phrases (each queue crossing emits one candidate match whose length is
+  * the gap across the crossing).
+  */
+class PhraseSpec extends AnyFunSuite {
+
+  // ---------- positions codec ----------
+
+  test("positions round-trip (block boundaries, random tfs)") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 127, 128, 129, 300, 1000)) {
+      val docs = Array.tabulate(n)(i => i.toLong * 3 + (i % 2))
+      val tfs = Array.tabulate(n)(_ => 1 + rnd.nextInt(5))
+      val norms = Array.tabulate(n)(i => (i % 250).toByte)
+      val positions = Array.tabulate(n) { i =>
+        var p = rnd.nextInt(4)
+        Array.fill(tfs(i)) { val v = p; p += 1 + rnd.nextInt(9); v }
+      }
+      val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
+      val posBlob = PostingsCodec.encodePositions(positions)
+      val dec = PostingsCodec.decodePositions(posBlob, tfs)
+      assert(dec.map(_.toSeq).toSeq === positions.map(_.toSeq).toSeq)
+      // iterator-side lazy per-block decode agrees, incl. after advance
+      val it = PostingsCodec.iterator(body, skip, posBlob)
+      var i = 0
+      while (it.nextDoc()) {
+        assert(it.positions().toSeq === positions(i).toSeq, s"doc $i")
+        i += 1
+      }
+      val it2 = PostingsCodec.iterator(body, skip, posBlob)
+      val probe = Seq(n / 3, n / 2, n - 1).map(docs)
+      probe.foreach { d =>
+        it2.advance(d)
+        val idx = docs.indexOf(it2.doc)
+        assert(it2.positions().toSeq === positions(idx).toSeq)
+      }
+    }
+  }
+
+  // ---------- exact freq ----------
+
+  private def tokensToPositions(tokens: Array[String],
+      terms: Seq[String]): Option[Array[Array[Int]]] = {
+    val arrs = terms.map(t => tokens.indices.filter(tokens(_) == t).toArray)
+    if (arrs.exists(_.isEmpty)) None else Some(arrs.toArray)
+  }
+
+  private def bruteExact(tokens: Array[String], terms: Seq[String]): Int =
+    (0 to tokens.length - terms.length).count(p =>
+      terms.indices.forall(i => tokens(p + i) == terms(i)))
+
+  test("exact freq == brute-force scan (random corpora, incl. repeats)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = Array("a", "b", "c", "d")
+    for (_ <- 1 to 300) {
+      val tokens = Array.fill(3 + rnd.nextInt(40))(alphabet(rnd.nextInt(4)))
+      val len = 2 + rnd.nextInt(2)
+      val terms = Seq.fill(len)(alphabet(rnd.nextInt(4)))
+      tokensToPositions(tokens, terms).foreach { pos =>
+        val got = PhraseFreq.exact(pos, terms.indices.toArray)
+        assert(got === bruteExact(tokens, terms),
+          s"tokens=${tokens.mkString(" ")} terms=$terms")
+      }
+    }
+  }
+
+  // ---------- sloppy freq ----------
+
+  /** Independent 2-term check: two-pointer CYCLE simulation. Each sweep
+    * cycle pops the lesser stream P (tie → lower offset), minimizes the
+    * match length while P ≤ other.current, and emits exactly one candidate
+    * match with gap = other.current − (largest P element ≤ other.current);
+    * the sweep ends when a stream exhausts (its final cycle still emits).
+    * This is the closed form of SloppyPhraseScorer's loop for 2 streams
+    * (end == max(curA, curB) because both streams only move forward).
+    * `a`/`b` are RAW positions; b is adjusted by its offset (1).
+    */
+  private def sloppy2Cycles(aRaw: Array[Int], bRaw: Array[Int], slop: Int): Float = {
+    val a = aRaw
+    val b = bRaw.map(_ - 1)
+    var ia = 0
+    var ib = 0
+    var freq = 0f
+    var alive = true
+    while (alive) {
+      if (a(ia) <= b(ib)) {
+        var last = ia
+        while (last + 1 < a.length && a(last + 1) <= b(ib)) last += 1
+        val gap = b(ib) - a(last)
+        if (gap <= slop) freq += 1f / (gap + 1)
+        ia = last + 1
+        if (ia >= a.length) alive = false
+      } else {
+        var last = ib
+        while (last + 1 < b.length && b(last + 1) <= a(ia)) last += 1
+        val gap = a(ia) - b(last)
+        if (gap <= slop) freq += 1f / (gap + 1)
+        ib = last + 1
+        if (ib >= b.length) alive = false
+      }
+    }
+    freq
+  }
+
+  test("sloppy freq: hand-traced reference sweep examples") {
+    def f(a: Seq[Int], b: Seq[Int], slop: Int): Float =
+      PhraseFreq.sloppy(Array(a.toArray, b.toArray), Array(0, 1), slop)
+    // "x a b a y": query "a b"~2 scores a-b (d=0) and b-a (d=2)
+    // (SloppyPhraseScorer.java:84-86 javadoc example) — tokens a@1 b@2 a@3
+    assert(f(Seq(1, 3), Seq(2), 2) === 1f + 1f / 3)
+    // single pair at adjusted distance 2
+    assert(f(Seq(5), Seq(8), 2) === 1f / 3)
+    // greedy minimization picks the closer a
+    assert(f(Seq(5, 6), Seq(8), 2) === 1f / 2)
+    // two independent matches
+    assert(f(Seq(5, 18), Seq(21), 2) === 1f / 3)
+    // out of slop → no match
+    assert(f(Seq(0), Seq(10), 2) === 0f)
+    // exact adjacency scores 1.0 under slop too
+    assert(f(Seq(4), Seq(5), 2) === 1f)
+  }
+
+  test("sloppy freq (2 terms) == two-pointer cycle closed form, randomized") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 2000) {
+      def mkPos(n: Int): Array[Int] = {
+        var p = rnd.nextInt(3)
+        Array.fill(n) { val v = p; p += 1 + rnd.nextInt(6); v }
+      }
+      val a = mkPos(1 + rnd.nextInt(6))
+      val b = mkPos(1 + rnd.nextInt(6))
+      val slop = rnd.nextInt(4)
+      val got = PhraseFreq.sloppy(Array(a, b.map(_ - 1)), Array(0, 0), slop)
+      val gotOffs = PhraseFreq.sloppy(Array(a, b), Array(0, 1), slop)
+      val want = sloppy2Cycles(a, b, slop)
+      assert(math.abs(gotOffs - want) < 1e-6f,
+        s"a=${a.toSeq} b=${b.toSeq} slop=$slop got=$gotOffs want=$want")
+      // offset handling == pre-adjusted positions (ties break by offset
+      // which coincides with ord here)
+      assert(got === gotOffs)
+    }
+  }
+
+  test("sloppy freq: 3-term sweep matches a direct pq transcription") {
+    val rnd = new scala.util.Random(31)
+    // independent transcription using a scala PriorityQueue
+    def reference(pos: Array[Array[Int]], offsets: Array[Int], slop: Int): Float = {
+      case class PP(var idx: Int, ord: Int) {
+        def position: Int = pos(ord)(idx) - offsets(ord)
+      }
+      implicit val ord: Ordering[PP] = Ordering.by(pp => (-pp.position, -offsets(pp.ord), -pp.ord))
+      val pq = scala.collection.mutable.PriorityQueue.empty[PP]
+      var end = Int.MinValue
+      pos.indices.foreach { i =>
+        val pp = PP(0, i)
+        end = math.max(end, pp.position)
+        pq.enqueue(pp)
+      }
+      var freq = 0f
+      var pp = pq.dequeue()
+      var matchLength = end - pp.position
+      var next = pq.head.position
+      var run = true
+      while (run) {
+        pp.idx += 1
+        if (pp.idx >= pos(pp.ord).length) run = false
+        else {
+          end = math.max(end, pp.position)
+          if (pp.position > next) {
+            if (matchLength <= slop) freq += 1f / (matchLength + 1)
+            pq.enqueue(pp)
+            pp = pq.dequeue()
+            next = pq.head.position
+            matchLength = end - pp.position
+          } else {
+            matchLength = math.min(matchLength, end - pp.position)
+          }
+        }
+      }
+      if (matchLength <= slop) freq += 1f / (matchLength + 1)
+      freq
+    }
+    for (_ <- 1 to 500) {
+      def mkPos(n: Int): Array[Int] = {
+        var p = rnd.nextInt(3)
+        Array.fill(n) { val v = p; p += 1 + rnd.nextInt(5); v }
+      }
+      val n = 2 + rnd.nextInt(2)
+      val pos = Array.fill(n)(mkPos(1 + rnd.nextInt(5)))
+      val offsets = Array.range(0, n)
+      val slop = rnd.nextInt(5)
+      val got = PhraseFreq.sloppy(pos, offsets, slop)
+      val want = reference(pos, offsets, slop)
+      assert(math.abs(got - want) < 1e-6f,
+        s"pos=${pos.map(_.toSeq).toSeq} slop=$slop got=$got want=$want")
+    }
+  }
+}

@@ -233,7 +233,15 @@ class SearchSpec extends AnyFunSuite {
   test("query rewrite simplifications (BooleanQuery.java:230-290)") {
     assert(Query.rewrite(BoolQ(should = Seq(TermQ("a")), minShouldMatch = 1))
       === TermQ("a"))
-    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a"), MatchAllQ))) === TermQ("a"))
+    // MUST MatchAll is KEPT — it matches and scores its boosted 1.0
+    // (BooleanQuery rewrite never drops a MUST MatchAllDocsQuery)
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a"), MatchAllQ)))
+      === BoolQ(must = Seq(TermQ("a"), MatchAllQ)))
+    // FILTER MatchAll drops only when another positive clause remains
+    assert(Query.rewrite(BoolQ(must = Seq(TermQ("a")), filter = Seq(MatchAllQ)))
+      === TermQ("a"))
+    assert(Query.rewrite(BoolQ(filter = Seq(MatchAllQ)))
+      === BoolQ(filter = Seq(MatchAllQ)))
     assert(Query.rewrite(BoolQ(must = Seq(TermQ("a"), MatchNoneQ))) === MatchNoneQ)
     assert(Query.rewrite(BoolQ()) === MatchNoneQ)
     assert(Query.rewrite(BoostQ(TermQ("a"), 1f)) === TermQ("a"))

@@ -71,7 +71,19 @@ class SegmentSpec extends AnyFunSuite {
     "nested" -> BoolQ(
       must = Seq(Query.or(TermQ("def"), TermQ("class"))),
       should = Seq(Query.and(TermQ("index"), TermQ("merge")))),
-    "prefix" -> PrefixQ("get"))
+    "prefix" -> PrefixQ("get"),
+    // segment-path phrases over the positions sidecar (exact + sloppy)
+    "phrase exact" -> PhraseQ(Seq("def", "class")),
+    "phrase exact 3" -> PhraseQ(Seq("def", "class", "val")),
+    "phrase sloppy" -> PhraseQ(Seq("index", "merge"), 2),
+    "phrase sloppy wide" -> PhraseQ(Seq("def", "index"), 4),
+    "phrase in bool" -> BoolQ(must = Seq(TermQ("score")),
+      should = Seq(PhraseQ(Seq("def", "class")))),
+    // MatchAll-backed trees and filter-only bools (BooleanWeight semantics)
+    "must with matchall" -> BoolQ(must = Seq(TermQ("def"), MatchAllQ)),
+    "not matchall" -> Query.not(MatchAllQ, TermQ("def")),
+    "filter only" -> BoolQ(filter = Seq(TermQ("def"), TermQ("merge"))),
+    "const all" -> ConstScoreQ(MatchAllQ, 2f))
 
   test("dual-path equivalence: segment == DataFrame on the query matrix") {
     val (ix, six) = built
