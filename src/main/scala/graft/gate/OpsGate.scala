@@ -15,6 +15,21 @@ object OpsGate {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Persisted sign-LSH ANN index per sf dir: embeddings written once
+    * partitioned by sig; queries are partition-pruned probe reads.
+    */
+  private val annIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def annIndexDir(s: SparkSession, d: String): String =
+    annIndexCache.getOrElseUpdate(d, {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ann-index-" +
+        Integer.toHexString(d.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      Similarity.writeLshIndex(emb(s, d), "embedding", "vec_id", dir,
+        planes = 10, seed = 42L)
+      dir
+    })
+
   /** Shared oracle CTE: tokenized positions + shingles (3-token). */
   private val shingleCte =
     """WITH posx AS (
@@ -59,8 +74,8 @@ object OpsGate {
         .withColumn("jaccard", round(col("jaccard"), 4))
         .orderBy("ia", "ib")),
 
-    // approximate / hash-seeded ops: rows-only driver check, properties
-    // asserted in OpsSpec instead
+    // simhash is deterministic (sha256-based token hash) and its band
+    // blocking is exact at radius 3 — full DuckDB oracle above
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy("ia", "ib")),
@@ -84,7 +99,7 @@ object OpsGate {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
         .collect()(0).getSeq[Float](0).toArray
-      Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
+      Similarity.lshTopKIndexed(s, annIndexDir(s, d), q, 10,
         planes = 10, probeRadius = 2, excludeId = Some(0L))
         .withColumn("cos", round(col("cos"), 4))
         .select("id", "cos")
@@ -119,7 +134,64 @@ object OpsGate {
         .orderBy("doc_id")
     }))
 
+  /** Inlined hyperplane literals (exact doubles — `Float.toDouble` printed
+    * via Double.toString round-trips) so DuckDB reproduces the engine's
+    * sign computation bit-exactly: sig bit i = (hp_i · v ≥ 0), both sides
+    * accumulating DOUBLE in ascending element order.
+    */
+  private def annLshOracle(k: Int): String = {
+    val hp = Similarity.hyperplanes(64, 10, 42L)
+    val hpRows = hp.zipWithIndex.map { case (row, i) =>
+      s"($i, [${row.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH hp(i, hv) AS (VALUES
+  $hpRows
+), emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN list_inner_product(hp.hv, emb.v) >= 0
+             THEN 1 << hp.i ELSE 0 END) AS UBIGINT) AS sig
+  FROM emb, hp GROUP BY vec_id
+), q AS (
+  SELECT e.v AS qv, s.sig AS qsig
+  FROM emb e JOIN sigs s USING (vec_id) WHERE vec_id = 0
+)
+SELECT e.vec_id AS id, ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos
+FROM emb e JOIN sigs s ON e.vec_id = s.vec_id, q
+WHERE e.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 2
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+LIMIT $k"""
+  }
+
+  /** SimHash sigs recomputed from scratch: token hash = first 8 bytes of
+    * sha256 (hex nibbles → bits), per-bit votes, sign → sig; pairs by
+    * hamming ≤ 3. The engine's 16-bit band blocking is EXACT for radius 3
+    * (pigeonhole), so the oracle needs no banding.
+    */
+  private val simhashOracle: String =
+    """WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+       x -> x <> '' AND length(x) <= 255)) AS term FROM documents
+), th AS (
+  SELECT doc_id, substr(sha256(term), 1, 16) AS hx FROM toks
+), bits AS (
+  SELECT doc_id, i,
+    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 16 - CAST(i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+  FROM th, range(64) t(i)
+  GROUP BY doc_id, i
+), sigs AS (
+  SELECT doc_id, SUM(CASE WHEN votes > 0 THEN CAST(1 AS UBIGINT) << CAST(i AS INT) ELSE CAST(0 AS UBIGINT) END) AS sig
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS ia, b.doc_id AS ib,
+  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+ORDER BY ia, ib"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshOracle(10),
+    "q_dedup_simhash" -> simhashOracle,
     "q_dedup_exact" ->
       """SELECT a.doc_id AS id, m.canon AS canonicalId
 FROM documents a JOIN (

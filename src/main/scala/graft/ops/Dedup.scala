@@ -180,11 +180,25 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash of the token multiset. */
+  /** 64-bit token hash for SimHash: the first 8 bytes (big-endian) of
+    * sha256(utf8(token)) — chosen over murmur so the DuckDB oracle can
+    * reproduce the exact bits (`substr(sha256(term), 1, 16)` parsed as
+    * hex); quality is cryptographic.
+    */
+  def tokenHash64(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** 64-bit SimHash of the token multiset. Bit i (LSB = 0) is set when the
+    * per-token votes on bit i of [[tokenHash64]] sum positive.
+    */
   def simhash64(tokens: Array[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h = shingleHash(t)
+      val h = tokenHash64(md, t)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -224,8 +238,12 @@ object Dedup {
       .select("ia", "ib", "hamming")
   }
 
-  /** Embedding cosine near-dup pairs (delegates to Similarity). */
+  /** Embedding cosine near-dup pairs: banded sign-LSH candidates + exact
+    * cosine verify (Similarity.lshBandedCosinePairs) — O(docs × bands)
+    * shuffle, never a cartesian product. `Similarity.cosinePairs` remains
+    * as the brute-force oracle for the recall spec.
+    */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame =
-    Similarity.cosinePairs(df, vecCol, idCol, threshold)
+    Similarity.lshBandedCosinePairs(df, vecCol, idCol, threshold)
 }

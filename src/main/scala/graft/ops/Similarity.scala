@@ -52,42 +52,77 @@ object Similarity {
     Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Sign-LSH bucketed ANN: bucket = sign bits against `planes` random
-    * hyperplanes; query probes its own bucket plus all buckets within
-    * hamming distance ≤ probeRadius (multi-probe). Approximate — recall
-    * measured against bruteForceTopK in OpsSpec.
-    *
-    * Scale shape: the embedding table is bucketed ONCE (a write-side
-    * shuffle); each query touches ~(planes choose ≤radius) buckets via
-    * partition-pruned reads instead of a full scan.
+  /** Sign signature: bit i set iff hp(i)·v ≥ 0 (double accumulation,
+    * ascending element order — the DuckDB oracle replicates this with
+    * `list_inner_product` over DOUBLE[] for bit-identical signs).
+    */
+  def sigOf(hp: Array[Array[Float]], v: Array[Float]): Int = {
+    var s = 0
+    var i = 0
+    while (i < hp.length) {
+      var d = 0d
+      var j = 0
+      while (j < v.length) { d += hp(i)(j).toDouble * v(j); j += 1 }
+      if (d >= 0) s |= (1 << i)
+      i += 1
+    }
+    s
+  }
+
+  /** All signatures within hamming distance ≤ probeRadius of qSig. */
+  def probeSet(qSig: Int, planes: Int, probeRadius: Int): Seq[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer(qSig)
+    if (probeRadius >= 1) (0 until planes).foreach(i => buf += (qSig ^ (1 << i)))
+    if (probeRadius >= 2)
+      for (i <- 0 until planes; j <- (i + 1) until planes)
+        buf += (qSig ^ (1 << i) ^ (1 << j))
+    buf.distinct.toSeq
+  }
+
+  /** Build the persisted sign-LSH ANN index: the embedding table written
+    * ONCE partitioned by sig bucket. This is the scale path — at 10⁹
+    * vectors the build is one shuffle-free write (sig is a per-row
+    * function) and every query reads only its probed partitions.
+    */
+  def writeLshIndex(df: DataFrame, vecCol: String, idCol: String,
+      dir: String, planes: Int = 10, seed: Long = 42L): Unit = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val hp = hyperplanes(dim, planes, seed)
+    val sigUdf = udf((v: Array[Float]) => sigOf(hp, v))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        sigUdf(col(vecCol)).as("sig"))
+      .write.mode("overwrite").partitionBy("sig").parquet(dir)
+  }
+
+  /** Query the persisted index: multi-probe (hamming ≤ probeRadius around
+    * the query's sig) via a PARTITION-PRUNED read — directory pruning on
+    * the sig partition column, asserted in PlanSpec — then exact cosine
+    * top-k over the candidates only. Approximate: recall vs
+    * bruteForceTopK measured in OpsSpec.
+    */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+      query: Array[Float], k: Int, planes: Int = 10, probeRadius: Int = 2,
+      seed: Long = 42L, excludeId: Option[Long] = None): DataFrame = {
+    val hp = hyperplanes(query.length, planes, seed)
+    val probes = probeSet(sigOf(hp, query), planes, probeRadius)
+    val qCol = array(query.map(v => lit(v)): _*)
+    val base = spark.read.parquet(dir)
+      .filter(col("sig").isin(probes: _*))
+      .select(col("id"), cosineCol(col("vec"), qCol).as("cos"))
+    val filtered = excludeId.map(e => base.filter(col("id") =!= e)).getOrElse(base)
+    filtered.orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
+  /** One-shot sign-LSH top-k WITHOUT a persisted index (computes sigs with
+    * a full scan) — only for ad-hoc queries over unindexed tables; use
+    * [[writeLshIndex]] + [[lshTopKIndexed]] for repeated queries at scale.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
       query: Array[Float], k: Int, planes: Int = 12, probeRadius: Int = 1,
       seed: Long = 42L, excludeId: Option[Long] = None): DataFrame = {
     val hp = hyperplanes(query.length, planes, seed)
-    def sig(v: Array[Float]): Int = {
-      var s = 0
-      var i = 0
-      while (i < hp.length) {
-        var d = 0d
-        var j = 0
-        while (j < v.length) { d += hp(i)(j).toDouble * v(j); j += 1 }
-        if (d >= 0) s |= (1 << i)
-        i += 1
-      }
-      s
-    }
-    val sigUdf = udf((v: Array[Float]) => sig(v))
-    val qSig = sig(query)
-    // probe set: qSig + all signatures within hamming distance probeRadius
-    val probes = {
-      val buf = scala.collection.mutable.ArrayBuffer(qSig)
-      if (probeRadius >= 1) (0 until planes).foreach(i => buf += (qSig ^ (1 << i)))
-      if (probeRadius >= 2)
-        for (i <- 0 until planes; j <- (i + 1) until planes)
-          buf += (qSig ^ (1 << i) ^ (1 << j))
-      buf.distinct.toSeq
-    }
+    val sigUdf = udf((v: Array[Float]) => sigOf(hp, v))
+    val probes = probeSet(sigOf(hp, query), planes, probeRadius)
     val qCol = array(query.map(v => lit(v)): _*)
     val base = df
       .withColumn("_sig", sigUdf(col(vecCol)))
@@ -95,5 +130,56 @@ object Similarity {
       .select(col(idCol).as("id"), cosineCol(col(vecCol), qCol).as("cos"))
     val filtered = excludeId.map(e => base.filter(col("id") =!= e)).getOrElse(base)
     filtered.orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
+  /** Candidate pairs via banded sign-LSH + EXACT cosine verification —
+    * the scale shape for embedding near-dup: shuffle is O(docs × bands)
+    * and the only pairwise work happens inside band buckets (no
+    * CartesianProduct — asserted in PlanSpec). Approximate by nature:
+    * a pair is found iff it collides in ≥1 band; with bandBits=3,
+    * bands=32 the per-pair miss probability at cos=0.4 is
+    * (1 − p³)³² ≈ 1e-4 (p = 1 − arccos(0.4)/π ≈ 0.63), and far lower for
+    * more-similar pairs. OpsSpec asserts banded == brute force on the
+    * test tables. NOTE: low thresholds (τ≈0.4) are hostile to sign-LSH —
+    * production near-dup at τ ≥ 0.9 gets far better pruning per band.
+    */
+  def lshBandedCosinePairs(df: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, planes: Int = 96, bandBits: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    require(planes % bandBits == 0)
+    val bands = planes / bandBits
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val hp = hyperplanes(dim, planes, seed)
+    val keysUdf = udf { (v: Array[Float]) =>
+      val bits = new Array[Boolean](planes)
+      var i = 0
+      while (i < planes) {
+        var d = 0d
+        var j = 0
+        while (j < v.length) { d += hp(i)(j).toDouble * v(j); j += 1 }
+        bits(i) = d >= 0
+        i += 1
+      }
+      Array.tabulate(bands) { b =>
+        var key = 0L
+        var k = 0
+        while (k < bandBits) {
+          key = (key << 1) | (if (bits(b * bandBits + k)) 1L else 0L)
+          k += 1
+        }
+        (b.toLong << 32) | key
+      }
+    }
+    val keyed = df.select(col(idCol).as("id"),
+      explode(keysUdf(col(vecCol))).as("bk"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.bk") === col("y.bk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("ia"), col("y.id").as("ib")).distinct()
+    val va = df.select(col(idCol).as("ia"), col(vecCol).as("_va"))
+    val vb = df.select(col(idCol).as("ib"), col(vecCol).as("_vb"))
+    cand.join(va, Seq("ia")).join(vb, Seq("ib"))
+      .withColumn("cos", cosineCol(col("_va"), col("_vb")))
+      .filter(col("cos") >= threshold)
+      .select("ia", "ib", "cos")
   }
 }

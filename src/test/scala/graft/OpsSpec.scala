@@ -83,6 +83,50 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low")
   }
 
+  test("banded embedding pairs == brute-force pairs on the real test tables") {
+    // the gate's q_dedup_embedding oracle computes EXACT pairs; the banded
+    // path must reach recall 1 on the driver's data (deterministic seeded
+    // hyperplanes make this a fixed property, not a coin flip)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val brute = Similarity.cosinePairs(e, "embedding", "vec_id", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = Similarity.lshBandedCosinePairs(e, "embedding", "vec_id", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.nonEmpty)
+      assert(banded === brute, s"banded != brute at $sf")
+    }
+  }
+
+  test("banded embedding pairs plan has no CartesianProduct") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.lshBandedCosinePairs(e, "embedding", "vec_id", 0.4)
+    df.collect() // force execution so the final plan is available
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested-loop in plan:\n$plan")
+  }
+
+  test("indexed ANN (partition-pruned probes) == one-shot LSH scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-annspec").toString
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    Similarity.writeLshIndex(e, "embedding", "vec_id", dir, planes = 10)
+    val indexed = Similarity.lshTopKIndexed(spark, dir, q, 10,
+      planes = 10, probeRadius = 2, excludeId = Some(0L))
+    val rows = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val scan = Similarity.lshTopK(e, "embedding", "vec_id", q, 10,
+      planes = 10, probeRadius = 2, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rows === scan)
+    // the probe read prunes on the sig partition column
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"probe read not partition-pruned:\n$plan")
+  }
+
   test("cosineCol matches a plain scala computation") {
     val a = Array(1f, 2f, 3f)
     val b = Array(-1f, 0.5f, 2f)
