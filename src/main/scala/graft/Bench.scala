@@ -77,6 +77,7 @@ object Bench {
       }
       System.err.println(
         f"[bench] build@$cpus: logical=$tLogical%.1fs write=$tWrite%.1fs")
+      ix.unpersistCached()
       ix.postings.unpersist()
     }
     t

@@ -323,4 +323,43 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
   SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
   FROM tok WHERE term LIKE ${lit(p + "%")}
 )""" + finish("res", k)
+
+  /** Wildcard: const-score over docs with any term matching the regex. */
+  def wildcard(regex: String, k: Int): String =
+    prologue +
+      s""", res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE regexp_matches(term, ${lit(regex)})
+)""" + finish("res", k)
+
+  /** Sort-by-field over the term's matches (TopFieldCollector analog):
+    * rank by the docs-table column, ties docId asc; no scores.
+    */
+  def sortByField(term: String, field: String, k: Int,
+      asc: Boolean): String = {
+    val dir = if (asc) "ASC" else "DESC"
+    prologue +
+      s""", res AS (
+  SELECT d.doc_id, d.$field AS sort_val FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(term)})
+)
+SELECT doc_id, sort_val,
+  CAST(row_number() OVER (ORDER BY sort_val $dir, doc_id) AS INT) AS rnk
+FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
+  }
+
+  /** QueryRescorer: top-`firstK` hits of `first`, re-ranked by
+    * combined = firstScore + weight × secondScore (float ops) when
+    * `second` matches, else firstScore.
+    */
+  def rescoreTerm(first: String, second: String, weight: Float,
+      firstK: Int, k: Int): String =
+    prologue + termCtes("a", first) + termCtes("b", second) +
+      s""", fp AS (
+  SELECT doc_id, s FROM sc_a ORDER BY s DESC, doc_id LIMIT $firstK
+), res AS (
+  SELECT fp.doc_id,
+    ${R(s"fp.s + COALESCE(${R(s"${R(weight.toString)} * sc_b.s")}, ${R("0")})")} AS s
+  FROM fp LEFT JOIN sc_b ON fp.doc_id = sc_b.doc_id
+)""" + finish("res", k)
 }

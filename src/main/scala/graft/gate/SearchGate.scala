@@ -47,11 +47,9 @@ object SearchGate {
   def logical(spark: SparkSession, sfDir: String): LogicalIndex =
     logicalCache.getOrElseUpdate(sfDir, {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
-        gateConfig)
-      // buildLogical already caches the per-doc intermediate (docs and
-      // postings are narrow reads of it) — only termStats needs its own pin
-      ix.copy(termStats = ix.termStats.persist())
+      // buildLogical caches the per-doc intermediate AND termStats; docs
+      // and postings are narrow reads of the former
+      IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil, gateConfig)
     })
 
   def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
@@ -141,7 +139,26 @@ object SearchGate {
     // MUST MatchAll + MUST_NOT: 'all docs except…', scored 1.0
     "q_bm25_notall" -> seg(Query.not(MatchAllQ, TermQ("spark"))),
     // string-syntax surface (§2.13): parsed query ≡ programmatic ADT
-    "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")))
+    "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")),
+    // mid-token wildcard through the parser (WildcardQuery.java:42-46)
+    "q_bm25_wildcard" -> seg(QueryParser.parse("sp?rk")),
+    // dismax/edismax end-user surface with Solr mm spec ("75%" of 4 ⇒ 3)
+    "q_bm25_dismax_mm" -> seg(QueryParser.parseDisMax("dup spark key vector", "75%")),
+    // sort-by-field through the Searcher (TopFieldCollector analog)
+    "q_bm25_sort_field" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .searchByField(TermQ("spark"), K, "n_chars", asc = false)
+        .zipWithIndex.toSeq
+        .map { case ((d, v), i) => (d, v, i + 1) }
+        .toDF("doc_id", "sort_val", "rnk")
+    }),
+    // second-pass re-ranking (QueryRescorer analog)
+    "q_bm25_rescore" -> ((spark, sfDir) => {
+      val s = searcher(spark, sfDir)
+      val first = s.search(TermQ("batch"), 20)
+      hitsDf(spark, s.rescore(first, TermQ("spark"), 2f, K))
+    }))
 
   val oracleSql: Map[String, String] = Map(
     "q_bm25_term_common" -> Oracles.term("batch", K),
@@ -170,5 +187,9 @@ object SearchGate {
     "q_bm25_filter_only" -> Oracles.filterOnly(Seq("spark", "key"), K),
     "q_bm25_notall" -> Oracles.notAll("spark", K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
-      Seq("spark" -> 1f, "key" -> 1.5f), "window", K))
+      Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
+    "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),
+    "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
+    "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
+    "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K))
 }

@@ -149,8 +149,11 @@ object IndexBuilder {
       .select(col("docId"), col("normByte"), col("_kv._1").as("term"),
         size(col("_kv._2")).as("tf"), posCol.as("pos"))
 
-    val termStats = postings.groupBy("term")
+    val termStats0 = postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+    // termStats is consumed 3× per build (sumTTF, termstats.write, hot-set
+    // collect) — pin it so the 15M-row aggregation runs once
+    val termStats = if (persistPostings) termStats0.persist() else termStats0
 
     // collection stats: sumTTF from the (cached) postings aggregate;
     // docCount from the docId pass (or one cheap count of the raw corpus
@@ -161,7 +164,7 @@ object IndexBuilder {
 
     LogicalIndex(docs, postings, termStats,
       CollStats(docCount, sumTtf), cfg, contentCol,
-      cached = if (persistPostings) Seq(perDoc) else Nil)
+      cached = if (persistPostings) Seq(perDoc, termStats) else Nil)
   }
 
   // ---------- segment encode ----------
@@ -169,13 +172,64 @@ object IndexBuilder {
   final case class PRow(bucket: Int, term: String, salt: Int,
       docId: Long, tf: Int, normByte: Byte, pos: Array[Int])
 
+  /** Per-bucket lineage aggregate, folded INTO the encode pass via an
+    * accumulator — no read-back of the written segments (the round-1 shape
+    * re-read every blob from disk just to aggregate counts). Updates
+    * happen in the write job's ResultStage, where Spark counts each
+    * partition's accumulator exactly once per successful task.
+    */
+  final case class BucketLineage(postingLists: Long, postingCount: Long,
+      bytesWritten: Long, contentDigest: Long)
+
+  final class LineageAcc extends org.apache.spark.util.AccumulatorV2[
+      (Int, BucketLineage), Map[Int, BucketLineage]] {
+    private val m = scala.collection.mutable.HashMap.empty[Int, BucketLineage]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): LineageAcc = {
+      val a = new LineageAcc
+      a.m ++= m
+      a
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (Int, BucketLineage)): Unit = {
+      val (b, l) = v
+      val prev = m.getOrElse(b, BucketLineage(0, 0, 0, 0L))
+      m(b) = BucketLineage(prev.postingLists + l.postingLists,
+        prev.postingCount + l.postingCount,
+        prev.bytesWritten + l.bytesWritten,
+        prev.contentDigest ^ l.contentDigest)
+    }
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Int, BucketLineage), Map[Int, BucketLineage]]): Unit =
+      other.value.foreach { case (b, l) => add((b, l)) }
+    override def value: Map[Int, BucketLineage] = m.toMap
+  }
+
+  /** 64-bit posting-list digest: the xxhash64(term, salt, docBlocks)
+    * seed-chain (seed 42 → term utf8 bytes → salt int → blob bytes), same
+    * shape as the SQL `xxhash64` the merge-side lineage uses. Order-
+    * independent under xor-combine across a bucket's lists.
+    */
+  def rowDigest(term: String, salt: Int, docBlocks: Array[Byte]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    var h = 42L
+    val tb = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    h = XXH64.hashUnsafeBytes(tb, Platform.BYTE_ARRAY_OFFSET, tb.length, h)
+    h = XXH64.hashInt(salt, h)
+    h = XXH64.hashUnsafeBytes(docBlocks, Platform.BYTE_ARRAY_OFFSET,
+      docBlocks.length, h)
+    h
+  }
+
   /** Encode the logical postings into segment rows. One shuffle keyed by
     * (term, salt) — hot terms spread over numDocShards reducers — then a
     * within-partition sort and a streaming group-encode (no per-task
     * materialization beyond one posting list).
     */
   def encodeSegments(ix: LogicalIndex, numPartitions: Int = 0,
-      bucketGroup: Option[(Int, Int)] = None): Dataset[SegmentPosting] = {
+      bucketGroup: Option[(Int, Int)] = None,
+      lineage: Option[LineageAcc] = None): Dataset[SegmentPosting] = {
     val spark = ix.postings.sparkSession
     import spark.implicits._
     val cfg = ix.cfg
@@ -218,12 +272,13 @@ object IndexBuilder {
     salted
       .repartition(parts, col("bucket"), col("salt"))
       .sortWithinPartitions(col("term"), col("salt"), col("docId"))
-      .mapPartitions { it => encodePartition(it, withPos) }
+      .mapPartitions { it => encodePartition(it, withPos, lineage) }
   }
 
   /** Stream consecutive (term, salt) groups into encoded blobs. */
   private def encodePartition(it: Iterator[PRow],
-      withPositions: Boolean): Iterator[SegmentPosting] =
+      withPositions: Boolean,
+      lineage: Option[LineageAcc] = None): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
       private val noPos = Array.empty[Byte]
@@ -249,6 +304,9 @@ object IndexBuilder {
         val posBlob =
           if (poss == null) noPos
           else PostingsCodec.encodePositions(poss.result())
+        lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
+          body.length.toLong + skip.length + posBlob.length,
+          rowDigest(head.term, head.salt, body)))))
         SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body, skip, posBlob)
       }
     }
@@ -339,8 +397,11 @@ object IndexBuilder {
       // chunk = docId >> 12 (≤4096 rows, bounded collect), chunk hash =
       // sha256 over the '\n'-joined sorted per-row content sha256s — a
       // restart or a re-run over the same snapshot must reproduce these
-      // exactly (asserted in SegmentSpec)
-      timed("docs.lineage")(spark.read.parquet(s"$dir/docs")
+      // exactly (asserted in SegmentSpec). Aggregated from the cached docs
+      // frame, NOT a read-back of the just-written parquet (the round-1
+      // shape re-read the whole table, content column included).
+      timed("docs.lineage")(ix.docs
+        .select(col("docId"), col("contentSha256"))
         .groupBy(shiftright(col("docId"), 12).as("chunk"))
         .agg(count(lit(1)).as("docCount"),
           sha2(concat_ws("\n", sort_array(collect_list(col("contentSha256")))), 256)
@@ -365,25 +426,28 @@ object IndexBuilder {
       var g = 0
       while (g < numGroups) {
         if (!done.contains(g)) {
+          // lineage folds into the encode job via an accumulator: per-
+          // bucket counts/bytes + order-independent xor of per-list
+          // xxhash64 digests — no second pass over the written segments
+          val acc = new LineageAcc
+          spark.sparkContext.register(acc, s"lineage-grp-$g")
           timed(s"segments grp=$g")(
-            encodeSegments(ixp, bucketGroup = Some((g, numGroups)))
+            encodeSegments(ixp, bucketGroup = Some((g, numGroups)),
+              lineage = Some(acc))
               .toDF()
               .write.mode("overwrite").partitionBy("bucket")
               .parquet(s"$dir/segments/grp=$g"))
-          // lineage from the bytes actually on disk: per-bucket counts /
-          // bytes + order-independent content digest (per-row sha256
-          // equality lives in docs.contentSha256; this digest detects
-          // segment drift on resume)
-          timed(s"lineage grp=$g")(spark.read.parquet(s"$dir/segments/grp=$g")
-            .groupBy("bucket")
-            .agg(count(lit(1)).as("postingLists"),
-              sum("df").cast("long").as("postingCount"),
-              sum(length(col("docBlocks")) + length(col("skipData")))
-                .cast("long").as("bytesWritten"),
-              expr("bit_xor(xxhash64(term, salt, docBlocks))")
-                .as("contentDigest"))
-            .withColumn("snapshotId", lit(snapshotId))
-            .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g"))
+          timed(s"lineage grp=$g") {
+            val rows = acc.value.toSeq.sortBy(_._1).map { case (b, l) =>
+              (b, l.postingLists, l.postingCount, l.bytesWritten,
+                l.contentDigest, snapshotId)
+            }
+            spark.createDataFrame(rows.toSeq)
+              .toDF("bucket", "postingLists", "postingCount",
+                "bytesWritten", "contentDigest", "snapshotId")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$dir/lineage/grp=$g")
+          }
           done += g
           committed += 1
           commitManifest(dir, mkManifest(ix, snapshotId, done.toSeq.sorted, numGroups))

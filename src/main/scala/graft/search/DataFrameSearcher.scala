@@ -107,6 +107,8 @@ object DataFrameSearcher {
       multiTermConstScore(ix, col("term").startsWith(p), boost)
     case RegexpQ(pat) =>
       multiTermConstScore(ix, col("term").rlike(pat), boost)
+    case WildcardQ(pat) =>
+      multiTermConstScore(ix, col("term").rlike(WildcardQ.toRegex(pat)), boost)
     case FuzzyQ(t, maxEdits) =>
       multiTermConstScore(ix, levenshtein(col("term"), lit(t)) <= maxEdits, boost)
     case TermRangeQ(lo, hi, il, iu) =>

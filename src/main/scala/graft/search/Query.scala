@@ -49,6 +49,27 @@ final case class PrefixQ(prefix: String) extends Query
 /** Regex over the term dictionary (RegexpQuery.java:48 analog). */
 final case class RegexpQ(pattern: String) extends Query
 
+/** Wildcard over the term dictionary: `*` = any run, `?` = one char,
+  * anywhere in the token (WildcardQuery.java:42-46).
+  */
+final case class WildcardQ(pattern: String) extends Query
+
+object WildcardQ {
+  /** Compile the wildcard into an anchored regex (WildcardQuery.java:
+    * toAutomaton analog — we go via the term-dictionary regex path).
+    */
+  def toRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString
+  }
+}
+
 /** Terms within Levenshtein distance maxEdits (FuzzyQuery.java:53). */
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
 

@@ -25,6 +25,39 @@ object QueryParser {
   final case class ParseError(msg: String, pos: Int)
     extends RuntimeException(s"$msg at $pos")
 
+  /** Solr dismax/edismax end-user surface, single-field specialization
+    * (`solr/core/src/java/org/apache/solr/search/DisMaxQParser.java:40-80`):
+    * the user string is analyzed into terms — per-term dismax over fields
+    * degenerates to the term itself with one field — combined as SHOULD
+    * with minimum-match `mm` (Solr mm spec subset: "N", "-N", "P%",
+    * "-P%"; `DisMaxQParser.parseMinShouldMatch` →
+    * `SolrPluginUtils.setMinShouldMatch`). `tie` is accepted for API
+    * parity; it only matters with >1 field.
+    */
+  def parseDisMax(input: String, mm: String = "1", tie: Float = 0f): Query = {
+    val terms = graft.core.Analysis.simpleTokens(input)
+    if (terms.isEmpty) throw ParseError("empty dismax query", 0)
+    val msm = resolveMm(mm, terms.length)
+    Query.rewrite(BoolQ(should = terms.toSeq.map(TermQ.apply),
+      minShouldMatch = math.max(msm, 1)))
+  }
+
+  /** Solr mm spec subset: "3" = 3; "-2" = n-2; "75%" = floor(0.75n);
+    * "-25%" = n - floor(0.25n) (SolrPluginUtils.calculateMinShouldMatch).
+    */
+  def resolveMm(mm: String, n: Int): Int = {
+    val s = mm.trim
+    val v =
+      if (s.endsWith("%")) {
+        val p = s.dropRight(1).toInt
+        if (p < 0) n - (n * -p) / 100 else (n * p) / 100
+      } else {
+        val p = s.toInt
+        if (p < 0) n + p else p
+      }
+    math.min(n, math.max(v, 0))
+  }
+
   def parse(input: String): Query = {
     val p = new P(input)
     val q = p.parseQuery()
@@ -171,13 +204,35 @@ object QueryParser {
       toks(0)
     }
 
+    /** Word including embedded wildcard chars (for `te*t` / `te?t`). */
+    private def wildcardWord(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && !" \t\n()\"[]{}^~:".contains(peek)) pos += 1
+      if (pos == start) throw ParseError("expected word", pos)
+      s.substring(start, pos)
+    }
+
+    /** Lowercase the literal runs of a wildcard pattern, keep `*`/`?`. */
+    private def analyzeWildcard(w: String): String = {
+      val lowered = w.toLowerCase(java.util.Locale.ROOT)
+      require(lowered.exists(c => c != '*' && c != '?'),
+        "pure-wildcard term not allowed")
+      lowered
+    }
+
     private def parseTerm(): Query = {
-      var w = word()
+      var w = wildcardWord()
       // field: prefix — single-field engine, accept and drop
-      if (!eof && peek == ':' ) { pos += 1; w = word() }
-      else if (w.endsWith(":")) w = word()
+      if (!eof && peek == ':' ) { pos += 1; w = wildcardWord() }
+      val hasStar = w.contains('*')
+      val hasQm = w.contains('?')
       var q: Query =
-        if (!eof && peek == '*') { pos += 1; PrefixQ(analyzeOne(w)) }
+        if (hasStar && w.indexOf('*') == w.length - 1 && !hasQm &&
+            w.count(_ == '*') == 1)
+          PrefixQ(analyzeOne(w.dropRight(1)))    // trailing-only star
+        else if (hasStar || hasQm)
+          WildcardQ(analyzeWildcard(w))          // mid-token wildcard
         else if (!eof && peek == '~') {
           pos += 1
           val edits =

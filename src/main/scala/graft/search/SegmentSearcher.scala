@@ -102,6 +102,9 @@ object SegmentSearcher {
         ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").startsWith(p)): _*)))
       case RegexpQ(p) =>
         ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").rlike(p)): _*)))
+      case WildcardQ(p) =>
+        ConstScoreQ(BoolQ(should =
+          Query.terms(expand(col("term").rlike(WildcardQ.toRegex(p))): _*)))
       case FuzzyQ(t, e) =>
         ConstScoreQ(BoolQ(should =
           Query.terms(expand(levenshtein(col("term"), lit(t)) <= e): _*)))
@@ -157,7 +160,7 @@ object SegmentSearcher {
   /** Compile the (rewritten, expanded) query to a scorer tree over this
     * shard's blobs — the createWeight / Weight.scorer analog.
     */
-  private def buildScorer(q: Query, shard: Int, blobs: Map[String, SegRow],
+  private[search] def buildScorer(q: Query, shard: Int, blobs: Map[String, SegRow],
       plan: Plan, boost: Float): DocScorer = q match {
     case TermQ(t) => termScorer(t, shard, blobs, plan, boost)
     case MatchAllQ =>
@@ -397,23 +400,117 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     terms.flatMap(t => statsCache(t).map(t -> _)).toMap
   }
 
-  /** Multi-term expansion against the cached term dictionary. */
+  /** Sorted in-memory term dictionary — the BlockTree terms-dict analog
+    * for multi-term expansion. Loaded ONCE per Searcher when the
+    * vocabulary fits `maxDictTerms` (round 1 ran a filter+orderBy+limit
+    * SCAN of the stats table per prefix/fuzzy/range query — a full
+    * dictionary pass per query at 10¹²-file vocabulary); oversized
+    * vocabularies fall back to that pruned DataFrame scan.
+    */
+  private val maxDictTerms: Int =
+    sys.env.getOrElse("SPARK_GRAFT_MAX_DICT_TERMS", "2000000").toInt
+  private lazy val termDict: Option[Array[String]] = {
+    val n = termStatsDf.count()
+    if (n <= maxDictTerms) {
+      val d = termStatsDf.select("term").collect().map(_.getString(0))
+      java.util.Arrays.sort(d.asInstanceOf[Array[AnyRef]])
+      Some(d)
+    } else None
+  }
+
+  /** First index with dict(i) >= key. */
+  private def lowerBound(dict: Array[String], key: String): Int = {
+    var lo = 0
+    var hi = dict.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (dict(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Levenshtein distance, matching Spark's `levenshtein` function. */
+  private def editDistance(a: String, b: String): Int = {
+    val prev = new Array[Int](b.length + 1)
+    val cur = new Array[Int](b.length + 1)
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, b.length + 1)
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  /** Multi-term expansion: dictionary-cached when it fits (binary-search
+    * prefix/range, linear regexp/fuzzy/wildcard over the in-memory sorted
+    * vocab), DataFrame scan otherwise. Expansions are term-sorted and
+    * capped like the reference's maxClauseCount.
+    */
   def expandMultiTerm(q: Query, maxExpansions: Int = 1024): Query = {
-    def expand(pred: org.apache.spark.sql.Column): Seq[String] =
+    def viaDf(pred: org.apache.spark.sql.Column): Seq[String] =
       termStatsDf.filter(pred).select("term").orderBy("term")
         .limit(maxExpansions).collect().map(_.getString(0)).toSeq
+    def prefix(p: String): Seq[String] = termDict match {
+      case Some(d) =>
+        val out = Seq.newBuilder[String]
+        var i = lowerBound(d, p)
+        var n = 0
+        while (i < d.length && d(i).startsWith(p) && n < maxExpansions) {
+          out += d(i); i += 1; n += 1
+        }
+        out.result()
+      case None => viaDf(col("term").startsWith(p))
+    }
+    def range(lo: String, hi: String, il: Boolean, iu: Boolean): Seq[String] =
+      termDict match {
+        case Some(d) =>
+          val out = Seq.newBuilder[String]
+          var i = lowerBound(d, lo)
+          if (!il) while (i < d.length && d(i) == lo) i += 1
+          var n = 0
+          while (i < d.length && n < maxExpansions &&
+              (d(i) < hi || (iu && d(i) == hi))) {
+            out += d(i); i += 1; n += 1
+          }
+          out.result()
+        case None =>
+          val lower = if (il) col("term") >= lo else col("term") > lo
+          val upper = if (iu) col("term") <= hi else col("term") < hi
+          viaDf(lower && upper)
+      }
+    def scan(pred: String => Boolean,
+        dfPred: => org.apache.spark.sql.Column): Seq[String] =
+      termDict match {
+        case Some(d) => d.iterator.filter(pred).take(maxExpansions).toSeq
+        case None => viaDf(dfPred)
+      }
     def go(q: Query): Query = q match {
       case PrefixQ(p) =>
-        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").startsWith(p)): _*)))
+        ConstScoreQ(BoolQ(should = Query.terms(prefix(p): _*)))
       case RegexpQ(p) =>
-        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").rlike(p)): _*)))
+        val re = java.util.regex.Pattern.compile(p)
+        ConstScoreQ(BoolQ(should = Query.terms(
+          scan(t => re.matcher(t).find(), col("term").rlike(p)): _*)))
+      case WildcardQ(p) =>
+        val re = java.util.regex.Pattern.compile(WildcardQ.toRegex(p))
+        ConstScoreQ(BoolQ(should = Query.terms(
+          scan(t => re.matcher(t).matches(),
+            col("term").rlike(WildcardQ.toRegex(p))): _*)))
       case FuzzyQ(t, e) =>
-        ConstScoreQ(BoolQ(should =
-          Query.terms(expand(levenshtein(col("term"), lit(t)) <= e): _*)))
+        ConstScoreQ(BoolQ(should = Query.terms(
+          scan(c => math.abs(c.length - t.length) <= e && editDistance(c, t) <= e,
+            levenshtein(col("term"), lit(t)) <= e): _*)))
       case TermRangeQ(lo, hi, il, iu) =>
-        val lower = if (il) col("term") >= lo else col("term") > lo
-        val upper = if (iu) col("term") <= hi else col("term") < hi
-        ConstScoreQ(BoolQ(should = Query.terms(expand(lower && upper): _*)))
+        ConstScoreQ(BoolQ(should = Query.terms(range(lo, hi, il, iu): _*)))
       case BoolQ(mu, sh, mn, fl, msm) =>
         BoolQ(mu.map(go), sh.map(go), mn.map(go), fl.map(go), msm)
       case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
@@ -462,10 +559,8 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     TopK.merge(partials, k)
   }
 
-  /** Pruned read (through the blob cache) → thread-pool over shards on
-    * the driver.
-    */
-  private def execLocal(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+  /** Pruned read of the query terms' blobs, through the driver cache. */
+  private def fetchRows(present: Set[String]): Array[SegRow] = {
     val cached = present.toSeq.map(t => t -> blobCache.getSync(t))
     val missing = cached.collect { case (t, None) => t }.toSet
     if (missing.nonEmpty) {
@@ -473,8 +568,15 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
       missing.foreach(t =>
         blobCache.putSized(t, fetched.getOrElse(t, Array.empty[SegRow])))
     }
-    val rows = present.toSeq.flatMap(t => blobCache.getSync(t).getOrElse(
+    present.toSeq.flatMap(t => blobCache.getSync(t).getOrElse(
       Array.empty[SegRow])).toArray
+  }
+
+  /** Pruned read (through the blob cache) → thread-pool over shards on
+    * the driver.
+    */
+  private def execLocal(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+    val rows = fetchRows(present)
     if (rows.isEmpty) return Nil
     if (!plan.sharded) Seq(execShard(-1, rows.map(r => r.term -> r).toMap, plan))
     else {
@@ -524,6 +626,139 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
         col("term").isin(present.toSeq: _*))
       .select("term", "salt", "docBlocks", "skipData", "posBlocks")
       .as[SegRow]
+  }
+
+  // ---------- second-pass re-ranking (QueryRescorer analog) ----------
+
+  /** Re-rank a first-pass hit set with a second query
+    * (`search/QueryRescorer.java:40-70`): hits are walked in docId order,
+    * the rescore query's scorer advances alongside, and
+    * combined = firstScore + weight × secondScore (float ops) when it
+    * matches, else firstScore. Returns the top-k under the combined score
+    * (ties docId asc) — the standard LTR second-pass hook.
+    */
+  def rescore(first: Array[Hit], q0: Query, weight: Float, k: Int): Array[Hit] = {
+    val queue = new BoundedHitQueue(k)
+    if (first.isEmpty) return Array.empty
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    val st = stats(terms)
+    val weights = st.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+    val present = terms.filter(st.contains)
+    if (q == MatchNoneQ || (present.isEmpty && !hasAll)) {
+      first.foreach(h => queue.insert(h.docId, h.score))
+      return queue.sortedHits
+    }
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val rows = if (present.isEmpty) Array.empty[SegRow] else fetchRows(present)
+    val byShard: Map[Int, Array[Hit]] =
+      if (!sharded) Map(-1 -> first)
+      else first.groupBy(h => (h.docId % plan.numShards).toInt)
+    byShard.foreach { case (shard, hits) =>
+      val blobs =
+        if (shard < 0) rows.map(r => r.term -> r).toMap
+        else rows.filter(r => r.salt == shard || r.salt < 0)
+          .map(r => r.term -> r).toMap
+      val scorer = SegmentSearcher.buildScorer(q, shard, blobs, plan, 1f)
+      hits.sortBy(_.docId).foreach { h =>
+        val d = if (scorer.doc < h.docId) scorer.advance(h.docId) else scorer.doc
+        val combined: Float =
+          if (d == h.docId) h.score.toFloat + weight * scorer.score
+          else h.score.toFloat
+        queue.insert(h.docId, combined.toDouble)
+      }
+    }
+    queue.sortedHits
+  }
+
+  // ---------- sort-by-field (TopFieldCollector analog) ----------
+
+  /** Long-valued docvalues column from the index's docs table, loaded ONCE
+    * per field into a dense array (engine-assigned docIds are dense; a
+    * sparse id space falls back to a hash map). The NumericDocValues
+    * analog (`index/NumericDocValues.java`) for the driver-local path —
+    * a 10⁹-doc index wants per-executor columnar fetch instead (the docs
+    * table IS that column store; future distributed mode).
+    */
+  private val dvCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long => Long]
+  def docValues(field: String): Long => Long =
+    dvCache.getOrElseUpdate(field, {
+      val rows = spark.read.parquet(s"${index.dir}/docs")
+        .select(col("docId"), col(field).cast("long")).collect()
+      val maxId = rows.iterator.map(_.getLong(0)).max
+      if (maxId < Int.MaxValue && maxId + 1 <= rows.length.toLong * 4) {
+        val arr = new Array[Long](maxId.toInt + 1)
+        rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+        (d: Long) => arr(d.toInt)
+      } else {
+        val m = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (d: Long) => m(d)
+      }
+    })
+
+  /** Top-k of the MATCHING docs ordered by a numeric field (asc/desc, ties
+    * docId asc) — `search(q, k, sortBy = field)` through the engine, the
+    * TopFieldCollector analog (`search/TopFieldCollector.java:35`): every
+    * match streams from the scorer tree, sort keys come from docvalues,
+    * scores are not computed. Returns (docId, fieldValue) pairs in rank
+    * order.
+    */
+  def searchByField(q0: Query, k: Int, field: String,
+      asc: Boolean = true): Array[(Long, Long)] = {
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = st.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+
+    val get = docValues(field)
+    // reuse the score queue with a signed key: asc ⇒ key = -value (so the
+    // queue's score-desc order yields value asc); ties docId asc either way
+    val sign = if (asc) -1d else 1d
+    def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+      val queue = new BoundedHitQueue(k)
+      val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
+      var d = scorer.nextDoc()
+      while (d != DocScorer.NO_MORE) {
+        queue.insert(d, sign * get(d))
+        d = scorer.nextDoc()
+      }
+      queue.sortedHits
+    }
+    val partials: Seq[Array[Hit]] =
+      if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+      else {
+        val rows = fetchRows(present)
+        if (rows.isEmpty) Nil
+        else if (!plan.sharded) Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+        else (0 until plan.numShards).flatMap { s =>
+          val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+            .map(r => r.term -> r).toMap
+          if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+        }
+      }
+    TopK.merge(partials, k).map(h => (h.docId, (sign * h.score).toLong))
   }
 
   def close(): Unit = {

@@ -66,4 +66,36 @@ object StreamingIndex {
     Merge.mergeIndexes(spark, snaps, outDir, s"compact-${snaps.size}")
     ()
   }
+
+  /** Size-tiered compaction — the TieredMergePolicy selection
+    * (`lucene/core/src/java/org/apache/lucene/index/TieredMergePolicy.java:75-88`:
+    * segsPerTier, maxMergeAtOnce) adapted to snapshot granularity: each
+    * round merges the `maxMergeAtOnce` SMALLEST committed snapshots (by
+    * docCount) into one new snapshot and deletes the inputs, until at most
+    * `segsPerTier` remain. A long-running incremental index pays
+    * O(N·log N) total write amplification instead of the O(N²) of
+    * re-merging its whole history per compaction (round-1 `compact`).
+    *
+    * @return number of merge rounds executed (≤ ceil(log_maxMergeAtOnce N))
+    */
+  def compactTiered(spark: SparkSession, indexDir: String,
+      maxMergeAtOnce: Int = 10, segsPerTier: Int = 1): Int = {
+    require(maxMergeAtOnce >= 2)
+    var round = 0
+    var snaps = snapshots(indexDir)
+    require(snaps.nonEmpty, s"no committed snapshots under $indexDir")
+    while (snaps.size > math.max(segsPerTier, 1)) {
+      val sized = snaps
+        .map(p => (p, IndexBuilder.readManifest(p).get.docCount))
+        .sortBy { case (p, n) => (n, p) }
+      val pick = sized.take(maxMergeAtOnce).map(_._1)
+      val out = s"$indexDir/snap=tier-r$round"
+      Merge.mergeIndexes(spark, pick, out, s"tier-r$round")
+      pick.foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      round += 1
+      snaps = snapshots(indexDir)
+    }
+    round
+  }
 }

@@ -47,7 +47,7 @@ object ProfileBuild {
     t("writeIndex (docs+stats+segments+lineage)") {
       IndexBuilder.writeIndex(ix, dir, "profile", numGroups = 1, verbose = true)
     }
-    ix.postings.unpersist()
+    ix.unpersistCached()
     spark.stop()
   }
 }

@@ -95,4 +95,27 @@ class MergeSpec extends AnyFunSuite {
     for (q <- queries)
       assert(hits(s"$tmp/stream-compacted", q) === hits(s"$tmp/full", q), s"q=$q")
   }
+
+  test("tiered compaction: 12 snapshots -> <=2 rounds, rank-identical") {
+    val idx = s"$tmp/tiered"
+    // 12 snapshots over disjoint docId ranges, deliberately uneven sizes
+    val slices = Seq(60, 20, 20, 30, 30, 30, 30, 30, 30, 40, 40, 40)
+    assert(slices.sum === 400)
+    var off = 0
+    slices.zipWithIndex.foreach { case (n, i) =>
+      build(numbered.slice(off, off + n), f"$idx/snap=$i%03d")
+      off += n
+    }
+    assert(StreamingIndex.snapshots(idx).size === 12)
+    val rounds = StreamingIndex.compactTiered(spark, idx,
+      maxMergeAtOnce = 10, segsPerTier = 1)
+    // 12 → (merge 10 smallest) → 3 → (merge 3) → 1: ceil(log10 12) = 2
+    assert(rounds <= 2, s"took $rounds rounds")
+    val snaps = StreamingIndex.snapshots(idx)
+    assert(snaps.size === 1)
+    if (!new java.io.File(s"$tmp/full/manifest.json").exists())
+      build(numbered, s"$tmp/full")
+    for (q <- queries)
+      assert(hits(snaps.head, q) === hits(s"$tmp/full", q), s"q=$q")
+  }
 }

@@ -65,6 +65,33 @@ class ParserSpec extends AnyFunSuite {
     assert(p("content:spark") === TermQ("spark"))
   }
 
+  test("wildcard terms: trailing * stays prefix, mid-token becomes wildcard") {
+    assert(QueryParser.parse("te*") === PrefixQ("te"))
+    assert(QueryParser.parse("te*t") === WildcardQ("te*t"))
+    assert(QueryParser.parse("te?t") === WildcardQ("te?t"))
+    assert(QueryParser.parse("TE?T") === WildcardQ("te?t"))
+    assert(QueryParser.parse("a*b*c") === WildcardQ("a*b*c"))
+    assert(WildcardQ.toRegex("te*t") === "^te.*t$")
+    assert(WildcardQ.toRegex("te?t") === "^te.t$")
+  }
+
+  test("AND chains parse flat (one BoolQ, no nested float rounding)") {
+    assert(QueryParser.parse("a AND b AND c")
+      === BoolQ(must = Seq(TermQ("a"), TermQ("b"), TermQ("c"))))
+  }
+
+  test("dismax mm spec resolution (SolrPluginUtils semantics)") {
+    assert(QueryParser.resolveMm("3", 5) === 3)
+    assert(QueryParser.resolveMm("-2", 5) === 3)
+    assert(QueryParser.resolveMm("75%", 4) === 3)
+    assert(QueryParser.resolveMm("-25%", 4) === 3)
+    assert(QueryParser.resolveMm("100%", 7) === 7)
+    assert(QueryParser.resolveMm("9", 4) === 4) // capped at n
+    assert(QueryParser.parseDisMax("dup spark key vector", "75%")
+      === BoolQ(should = Query.terms("dup", "spark", "key", "vector"),
+        minShouldMatch = 3))
+  }
+
   test("errors") {
     assertThrows[QueryParser.ParseError](p(""))
     assertThrows[QueryParser.ParseError](p("-only"))
