@@ -120,4 +120,35 @@ object Analysis {
     */
   def standardTokens(text: String): Array[String] =
     simpleTokens(text).filterNot(EnglishStopWords.contains)
+
+  /** PatternTokenizer (`lucene/analysis/common/.../pattern/
+    * PatternTokenizer.java:43`, group = -1 split semantics): tokens are
+    * the runs BETWEEN regex matches, lowercased, length-capped.
+    */
+  def patternTokens(pattern: String): String => Array[String] = {
+    val re = java.util.regex.Pattern.compile(pattern)
+    (text: String) =>
+      if (text == null || text.isEmpty) Array.empty
+      else re.split(text, -1).iterator
+        .filter(t => t.nonEmpty && t.length <= MaxTokenLength)
+        .map(_.toLowerCase(Locale.ROOT))
+        .toArray
+  }
+
+  /** EdgeNGramTokenFilter (`lucene/analysis/common/.../ngram/
+    * EdgeNGramTokenFilter.java:33`): leading-edge n-grams of each token,
+    * minGram..maxGram — the search-as-you-type expansion. Tokens shorter
+    * than minGram are dropped, grams are capped at the token length.
+    */
+  def edgeNGrams(tokens: Array[String], minGram: Int,
+      maxGram: Int): Array[String] = {
+    require(minGram >= 1 && maxGram >= minGram)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    tokens.foreach { t =>
+      var g = minGram
+      val hi = math.min(maxGram, t.length)
+      while (g <= hi) { out += t.substring(0, g); g += 1 }
+    }
+    out.toArray
+  }
 }

@@ -348,6 +348,34 @@ SELECT doc_id, sort_val,
 FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
   }
 
+  /** MoreLikeThis: source doc's terms with tf ≥ minTf, df ≥ minDf ranked
+    * by float tf × idf (ties term asc), top `maxTerms` → BM25 disjunction.
+    */
+  def mlt(docId: Long, minTf: Int, minDf: Int, maxTerms: Int, k: Int): String =
+    prologue +
+      s""", src AS (
+  SELECT term, count(*) AS tf FROM tok WHERE doc_id = $docId GROUP BY term
+), srcdf AS (
+  SELECT s.term, s.tf,
+    (SELECT count(DISTINCT t.doc_id) FROM tok t WHERE t.term = s.term) AS df
+  FROM src s
+), mlt AS (
+  SELECT term, ${R(s"CAST(tf AS REAL) * ${idfExpr("df")}")} AS msc
+  FROM srcdf WHERE tf >= $minTf AND df >= $minDf
+  ORDER BY msc DESC, term LIMIT $maxTerms
+), tf2 AS (
+  SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
+  WHERE t.term IN (SELECT term FROM mlt) GROUP BY 1, 2
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM mlt) GROUP BY 1
+), sc AS (
+  SELECT tf2.doc_id, ${scoreExpr("tf2.tf", "dn.qlen", "dfs.df")} AS s
+  FROM tf2 JOIN dfs USING (term) JOIN dn ON tf2.doc_id = dn.doc_id
+), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM sc GROUP BY doc_id
+)""" + finish("res", k)
+
   /** QueryRescorer: top-`firstK` hits of `first`, re-ranked by
     * combined = firstScore + weight × secondScore (float ops) when
     * `second` matches, else firstScore.

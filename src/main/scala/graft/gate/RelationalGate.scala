@@ -253,6 +253,19 @@ object RelationalGate {
       li.join(seedOrders, col("l_orderkey") === col("ok"), "left_semi")
         .select("l_partkey").distinct()
         .orderBy("l_partkey")
+    }),
+
+    // ShortestPathStream (io/graph/ShortestPathStream.java:60): BFS over
+    // the customer→order→part edge graph; canonical shortest path
+    "q_graph_shortest" -> ((s, d) => {
+      val orders = t(s, d, "orders").select(
+        concat(lit("c_"), col("o_custkey")).as("src"),
+        concat(lit("o_"), col("o_orderkey")).as("dst"))
+      val li = t(s, d, "lineitem").select(
+        concat(lit("o_"), col("l_orderkey")).as("src"),
+        concat(lit("p_"), col("l_partkey")).as("dst"))
+      graft.ops.Graph.shortestPath(orders.unionByName(li),
+        "c_102", "p_1784", maxDepth = 3)
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -398,5 +411,30 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500""",
     "q_graph_expand" ->
       """SELECT DISTINCT l_partkey FROM lineitem
 WHERE l_orderkey IN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_partkey = 1)
-ORDER BY 1""")
+ORDER BY 1""",
+
+    // BFS shortest path: depth-bounded recursive walk over the (DAG) edge
+    // graph; canonical = min path string at the minimum depth
+    "q_graph_shortest" ->
+      """WITH RECURSIVE edges AS (
+  SELECT 'c_' || o_custkey AS src, 'o_' || o_orderkey AS dst FROM orders
+  UNION ALL
+  SELECT 'o_' || l_orderkey, 'p_' || l_partkey FROM lineitem
+), walk(node, path, depth) AS (
+  SELECT 'c_102', 'c_102', 0
+  UNION ALL
+  SELECT e.dst, w.path || '/' || e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 3 AND w.node <> 'p_1784'
+), hits AS (
+  SELECT path, depth FROM walk WHERE node = 'p_1784'
+), best AS (
+  SELECT min(path) AS path FROM hits
+  WHERE depth = (SELECT min(depth) FROM hits)
+)
+SELECT CAST(i - 1 AS INT) AS step, part AS node
+FROM (SELECT unnest(string_split(path, '/')) AS part,
+             generate_subscripts(string_split(path, '/'), 1) AS i
+      FROM best WHERE path IS NOT NULL)
+ORDER BY step""")
 }

@@ -153,6 +153,13 @@ object SearchGate {
         .map { case ((d, v), i) => (d, v, i + 1) }
         .toDF("doc_id", "sort_val", "rnk")
     }),
+    // more-like-this: top tf×idf terms of doc 42 → BM25 disjunction
+    "q_bm25_mlt" -> ((spark, sfDir) => {
+      val s = searcher(spark, sfDir)
+      val q = s.moreLikeThis(42L, contentCol = "text",
+        maxQueryTerms = 15, minTf = 2, minDocFreq = 5)
+      hitsDf(spark, s.search(q, K))
+    }),
     // second-pass re-ranking (QueryRescorer analog)
     "q_bm25_rescore" -> ((spark, sfDir) => {
       val s = searcher(spark, sfDir)
@@ -191,5 +198,6 @@ object SearchGate {
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),
     "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
+    "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),
     "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K))
 }

@@ -51,6 +51,14 @@ object IndexBuilder {
     case "simple" => Analysis.simpleTokens
     case "code" => Analysis.codeTokens
     case "standard" => Analysis.standardTokens
+    // "pattern:<regex>" — PatternTokenizer, split on the regex
+    case p if p.startsWith("pattern:") =>
+      Analysis.patternTokens(p.stripPrefix("pattern:"))
+    // "edge:<min>:<max>" — simple tokens expanded to edge n-grams
+    // (search-as-you-type index)
+    case e if e.startsWith("edge:") =>
+      val Array(_, lo, hi) = e.split(":", 3)
+      (s: String) => Analysis.edgeNGrams(Analysis.simpleTokens(s), lo.toInt, hi.toInt)
     case other => sys.error(s"unknown tokenizer: $other")
   }
 

@@ -52,16 +52,30 @@ object SegmentSearcher {
       numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
       useWand: Boolean = true)
 
-  /** Leaves of a pure term-disjunction (msm ≤ 1): Seq((term, boost)). */
-  def wandLeaves(q: Query): Option[Seq[(String, Float)]] = q match {
-    case TermQ(t) => Some(Seq((t, 1f)))
-    case BoostQ(TermQ(t), b) => Some(Seq((t, b)))
-    case BoolQ(Seq(), should, Seq(), Seq(), msm) if msm <= 1 && should.nonEmpty =>
-      val leaves = should.map {
-        case TermQ(t) => Some((t, 1f))
-        case BoostQ(TermQ(t), b) => Some((t, b))
-        case _ => None
-      }
+  private def termLeaf(q: Query): Option[(String, Float)] = q match {
+    case TermQ(t) => Some((t, 1f))
+    case BoostQ(TermQ(t), b) => Some((t, b))
+    case _ => None
+  }
+
+  /** Leaves of a pure term-disjunction, ANY minShouldMatch:
+    * Some((Seq((term, boost)), msm)).
+    */
+  def wandLeaves(q: Query): Option[(Seq[(String, Float)], Int)] = q match {
+    case TermQ(t) => Some((Seq((t, 1f)), 1))
+    case BoostQ(TermQ(t), b) => Some((Seq((t, b)), 1))
+    case BoolQ(Seq(), should, Seq(), Seq(), msm) if should.nonEmpty =>
+      val leaves = should.map(termLeaf)
+      if (leaves.forall(_.isDefined))
+        Some((leaves.map(_.get), math.max(msm, 1)))
+      else None
+    case _ => None
+  }
+
+  /** Leaves of a pure term-conjunction (AND of terms, nothing else). */
+  def andLeaves(q: Query): Option[Seq[(String, Float)]] = q match {
+    case BoolQ(must, Seq(), Seq(), Seq(), 0) if must.size >= 2 =>
+      val leaves = must.map(termLeaf)
       if (leaves.forall(_.isDefined)) Some(leaves.map(_.get)) else None
     case _ => None
   }
@@ -130,17 +144,31 @@ object SegmentSearcher {
   private[search] def execShard(shard: Int, blobs: Map[String, SegRow],
       plan: Plan): Array[Hit] = {
     val queue = new BoundedHitQueue(plan.k)
-    // Pure term-disjunction (or single term) → block-max WAND; identical
-    // results to the exhaustive loop by construction (Wand.scala).
+    // Pure term-disjunction (any msm) → block-max WAND; identical results
+    // to the exhaustive loop by construction (Wand.scala).
     wandLeaves(plan.query) match {
-      case Some(terms) if plan.useWand =>
+      case Some((terms, msm)) if plan.useWand =>
         val leaves = terms.map { case (t, boost) =>
           termScorer(t, shard, blobs, plan, boost)
         }.filterNot(_ eq EmptyScorer)
         if (leaves.forall(Wand.leafable)) {
-          Wand.collect(leaves.toArray, queue, plan.after)
+          Wand.collect(leaves.toArray, queue, plan.after, msm)
           return queue.sortedHits
         }
+      case _ => ()
+    }
+    // Pure term-conjunction → leapfrog + block-max score pruning
+    // (MaxScore/BMW for AND), identical to the ConjunctionScorer loop.
+    andLeaves(plan.query) match {
+      case Some(terms) if plan.useWand =>
+        val leaves = terms.map { case (t, boost) =>
+          termScorer(t, shard, blobs, plan, boost)
+        }
+        if (leaves.forall(s => !(s eq EmptyScorer)) && leaves.forall(Wand.leafable)) {
+          Wand.collectConjunction(leaves.toArray, queue, plan.after)
+          return queue.sortedHits
+        }
+        if (leaves.exists(_ eq EmptyScorer)) return queue.sortedHits // AND with absent term
       case _ => ()
     }
     val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
@@ -626,6 +654,35 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
         col("term").isin(present.toSeq: _*))
       .select("term", "salt", "docBlocks", "skipData", "posBlocks")
       .as[SegRow]
+  }
+
+  // ---------- more-like-this ----------
+
+  /** Build a query of the doc's most interesting terms — MoreLikeThis
+    * (`lucene/queries/src/java/org/apache/lucene/queries/mlt/MoreLikeThis.java:141`,
+    * createQueue term selection): re-analyze the stored content (our docs
+    * table is the stored-fields row store), keep terms with tf ≥ minTf and
+    * df ≥ minDocFreq, rank by tf × idf (BM25 idf; the reference uses its
+    * similarity's idf the same way), take the top maxQueryTerms (ties term
+    * asc) as a SHOULD disjunction.
+    */
+  def moreLikeThis(docId: Long, contentCol: String = "content",
+      maxQueryTerms: Int = 25, minTf: Int = 2, minDocFreq: Int = 5): Query = {
+    val rows = spark.read.parquet(s"${index.dir}/docs")
+      .filter(col("docId") === docId).select(contentCol).collect()
+    require(rows.nonEmpty, s"no doc $docId")
+    val toks = IndexBuilder.tokenizerFn(m.tokenizer)(rows(0).getString(0))
+    val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val df = stats(tf.keySet)
+    val selected = tf.toSeq
+      .filter { case (t, f) =>
+        f >= minTf && df.get(t).exists(_._1 >= minDocFreq)
+      }
+      .map { case (t, f) => (t, f.toFloat * BM25.idf(df(t)._1, m.docCount)) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms)
+    if (selected.isEmpty) MatchNoneQ
+    else BoolQ(should = selected.map(x => TermQ(x._1)), minShouldMatch = 1)
   }
 
   // ---------- second-pass re-ranking (QueryRescorer analog) ----------

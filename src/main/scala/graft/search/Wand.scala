@@ -47,13 +47,21 @@ object Wand {
     case _ => false
   }
 
-  /** Collect top-k of the disjunction of `scorers` into `queue`.
-    * All scorers must be un-started (doc == -1).
+  /** Collect top-k of the disjunction of `scorers` (minShouldMatch = msm)
+    * into `queue`. All scorers must be un-started (doc == -1).
+    *
+    * msm ≥ 2 generalizes the pivot rule (the WAND paper's original form,
+    * mirrored by `MinShouldMatchSumScorer.java:33-70`): the pivot must sit
+    * at index ≥ msm−1 in doc order — a doc with fewer than msm scorers at
+    * or before it can never match — AND the bound prefix must beat the
+    * threshold. An aligned candidate inserts only when ≥ msm scorers sit
+    * on it.
     */
   def collect(scorers0: Array[DocScorer], queue: BoundedHitQueue,
-      after: Option[(Double, Long)]): Unit = {
+      after: Option[(Double, Long)], msm: Int = 1): Int = {
+    var scored = 0
     val scorers = scorers0.filterNot(_ eq EmptyScorer)
-    if (scorers.isEmpty) return
+    if (scorers.isEmpty || scorers.length < msm) return 0
     val n = scorers.length
     val maxScores = scorers.map(_.maxScore.toDouble)
     // searchAfter: scores >= cursor score can never be accepted, so the
@@ -99,11 +107,11 @@ object Wand {
         if (s.doc == DocScorer.NO_MORE) { i = n }
         else {
           acc += maxScores(order(i))
-          if (acc > th) pivotIdx = i
+          if (acc > th && i + 1 >= msm) pivotIdx = i
           else i += 1
         }
       }
-      if (pivotIdx == -1) return // nothing can beat the threshold
+      if (pivotIdx == -1) return scored // nothing can beat the threshold
       val pivotDoc = scorers(order(pivotIdx)).doc
       // extend to every scorer positioned exactly at pivotDoc
       while (pivotIdx + 1 < n && scorers(order(pivotIdx + 1)).doc == pivotDoc)
@@ -143,14 +151,17 @@ object Wand {
       } else if (scorers(order(0)).doc == pivotDoc) {
         // all leading scorers aligned: score fully
         var s = 0d
+        var cnt = 0
+        scored += 1
         i = 0
         while (i < n && scorers(order(i)).doc == pivotDoc) {
           s += scorers(order(i)).score
+          cnt += 1
           i += 1
         }
         val score = s.toFloat.toDouble
-        val accept = after.isEmpty ||
-          score < afterS.get || (score == afterS.get && pivotDoc > afterD)
+        val accept = cnt >= msm && (after.isEmpty ||
+          score < afterS.get || (score == afterS.get && pivotDoc > afterD))
         if (accept) queue.insert(pivotDoc, score)
         // advance all scorers at pivotDoc
         i = 0
@@ -173,5 +184,75 @@ object Wand {
         resort()
       }
     }
+    scored // unreachable (loop exits via the pivot return); typing only
+  }
+
+  /** Top-k of a CONJUNCTION of term leaves with block-max score pruning —
+    * the MaxScore/BMW treatment of AND queries: leapfrog alignment as in
+    * ConjunctionDISI, but an aligned candidate whose summed per-block
+    * bounds cannot beat the heap threshold is skipped, and the cursor
+    * jumps past the tightest block boundary. Exact: the block bound
+    * dominates the true score, and an equal-to-threshold candidate loses
+    * the docId-asc tie-break anyway (docs stream ascending).
+    * Scores sum in cost-sorted order, matching ConjunctionScorer.
+    */
+  def collectConjunction(scorers0: Array[DocScorer], queue: BoundedHitQueue,
+      after: Option[(Double, Long)]): Int = {
+    var scored = 0
+    if (scorers0.isEmpty || scorers0.exists(_ eq EmptyScorer)) return 0
+    val scorers = scorers0.sortBy(_.cost)
+    val n = scorers.length
+    val afterS = after.map(_._1)
+    val afterD = after.map(_._2).getOrElse(-1L)
+    def threshold: Double = {
+      val t = queue.thresholdScore
+      afterS match {
+        case Some(a) => math.max(t, math.nextDown(a))
+        case None => t
+      }
+    }
+    scorers.foreach(_.nextDoc())
+    var target = 0L
+    var i = 0
+    while (i < n) {
+      if (scorers(i).doc > target) target = scorers(i).doc
+      i += 1
+    }
+    while (target != DocScorer.NO_MORE) {
+      var agreed = true
+      i = 0
+      while (i < n && agreed) {
+        if (scorers(i).doc < target) scorers(i).advance(target)
+        if (scorers(i).doc > target) { target = scorers(i).doc; agreed = false }
+        i += 1
+      }
+      if (agreed) {
+        val th = threshold
+        var ub = 0d
+        var minBlockLast = Long.MaxValue
+        i = 0
+        while (i < n) {
+          ub += boundAt(scorers(i), target)
+          val bl = blockLastAt(scorers(i), target)
+          if (bl < minBlockLast) minBlockLast = bl
+          i += 1
+        }
+        if (ub <= th) {
+          // nothing in the current block alignment can enter the heap
+          target = math.max(minBlockLast + 1, target + 1)
+        } else {
+          var s = 0d
+          scored += 1
+          i = 0
+          while (i < n) { s += scorers(i).score; i += 1 }
+          val score = s.toFloat.toDouble
+          val accept = after.isEmpty ||
+            score < afterS.get || (score == afterS.get && target > afterD)
+          if (accept) queue.insert(target, score)
+          target += 1
+        }
+      }
+    }
+    scored
   }
 }

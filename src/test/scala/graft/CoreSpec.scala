@@ -87,6 +87,24 @@ class CoreSpec extends AnyFunSuite {
       Seq("quick", "slow"))
   }
 
+  test("patternTokens: regex-split tokenizer (PatternTokenizer group=-1)") {
+    val tok = Analysis.patternTokens("[,;\\s]+")
+    assert(tok("a,b; c  d").toSeq === Seq("a", "b", "c", "d"))
+    assert(tok("Foo,BAR").toSeq === Seq("foo", "bar"))
+    assert(tok("").toSeq === Seq.empty)
+    // usable as a build tokenizer by name
+    assert(graft.index.IndexBuilder.tokenizerFn("pattern:[,]+")("x,Y").toSeq
+      === Seq("x", "y"))
+  }
+
+  test("edgeNGrams: leading-edge grams min..max (EdgeNGramTokenFilter)") {
+    assert(Analysis.edgeNGrams(Array("spark"), 2, 4).toSeq
+      === Seq("sp", "spa", "spar"))
+    assert(Analysis.edgeNGrams(Array("ab", "c"), 2, 3).toSeq === Seq("ab"))
+    assert(graft.index.IndexBuilder.tokenizerFn("edge:1:2")("Hi there").toSeq
+      === Seq("h", "hi", "t", "th"))
+  }
+
   test("BM25 formula spot checks (hand-computed, SURVEY.md §2.5)") {
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     assert(math.abs(graft.search.BM25.idf(1, 2) -

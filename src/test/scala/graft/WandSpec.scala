@@ -52,7 +52,16 @@ class WandSpec extends AnyFunSuite {
     val boosted = Seq(
       Query.or(BoostQ(TermQ("def"), 2.5f), TermQ("merge")),
       Query.or(BoostQ(TermQ("index"), 0.5f), BoostQ(TermQ("spark"), 3f)))
-    singles ++ pairs ++ triples ++ boosted
+    // msm ≥ 2 disjunctions and pure conjunctions now run WAND paths too
+    val msms = (1 to 8).map { _ =>
+      val ts = Seq.fill(3 + rnd.nextInt(2))(TermQ(vocab(rnd.nextInt(vocab.size))))
+      Query.orMin(2 + rnd.nextInt(2), ts.distinct: _*)
+    }
+    val ands = (1 to 8).map { _ =>
+      val ts = Seq.fill(2 + rnd.nextInt(2))(TermQ(vocab(rnd.nextInt(vocab.size))))
+      Query.and(ts.distinct: _*)
+    }
+    singles ++ pairs ++ triples ++ boosted ++ msms ++ ands
   }
 
   def run(ix: SegmentSearcher.SegmentIndex, q: Query, k: Int, wand: Boolean,
@@ -93,5 +102,49 @@ class WandSpec extends AnyFunSuite {
   test("WAND handles k larger than result set") {
     val q = TermQ("getindexwriter")
     assert(run(six, q, 10000, wand = true) === run(six, q, 10000, wand = false))
+  }
+
+  test("pruning effectiveness: scored candidates far below match count") {
+    import graft.index.PostingsCodec
+    val params = BM25.Default
+    val cache = BM25.normCache(params, 100f)
+    val norm = graft.core.Norms.normByte(100)
+    def mkList(n: Int, spikeEvery: Int): (Array[Byte], Array[Byte]) = {
+      val docs = Array.tabulate(n)(_.toLong)
+      val tfs = Array.tabulate(n)(i => if (i % spikeEvery == 0) 10 else 1)
+      val norms = Array.fill(n)(norm)
+      PostingsCodec.encode(docs, tfs, norms)
+    }
+    val n = 50000
+    val (b1, s1) = mkList(n, 1000)
+    val (b2, s2) = mkList(n, 777)
+    def t1() = new TermScorer(PostingsCodec.iterator(b1, s1), 2.0f, cache)
+    def t2() = new TermScorer(PostingsCodec.iterator(b2, s2), 1.5f, cache)
+
+    // disjunction (single-term degenerate): block-max skips flat blocks
+    val qw = new BoundedHitQueue(10)
+    val scoredW = Wand.collect(Array[DocScorer](t1()), qw, None)
+    val qe = new BoundedHitQueue(10)
+    val ex = t1()
+    var d = ex.nextDoc()
+    var cnt = 0
+    while (d != DocScorer.NO_MORE) {
+      qe.insert(d, ex.score.toDouble); cnt += 1; d = ex.nextDoc()
+    }
+    assert(qw.sortedHits.toSeq === qe.sortedHits.toSeq)
+    assert(scoredW < cnt / 5, s"disjunction scored $scoredW of $cnt")
+
+    // conjunction: block-max skips aligned blocks whose bound sum loses
+    val qc = new BoundedHitQueue(10)
+    val scoredC = Wand.collectConjunction(Array[DocScorer](t1(), t2()), qc, None)
+    val qce = new BoundedHitQueue(10)
+    val con = new ConjunctionScorer(Array[DocScorer](t1(), t2()))
+    d = con.nextDoc()
+    var cntC = 0
+    while (d != DocScorer.NO_MORE) {
+      qce.insert(d, con.score.toDouble); cntC += 1; d = con.nextDoc()
+    }
+    assert(qc.sortedHits.toSeq === qce.sortedHits.toSeq)
+    assert(scoredC < cntC / 2, s"conjunction scored $scoredC of $cntC")
   }
 }
