@@ -19,8 +19,13 @@ import graft.search._
   */
 object Bench {
 
+  // 600k docs: large enough that per-job fixed costs stop dominating the
+  // 2-core/8-core comparison (the 10^12-file regime the north rule
+  // targets amortizes them entirely); phases run with a real heap
+  // (SPARK_DRIVER_MEM, default 24g) — an undersized heap measures the
+  // external-sort spill path instead of the engine.
   val BenchDocs: Long =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "200000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -132,9 +137,42 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Fixed single-thread workload (~0.5s on a quiet host): measures the
+    * HOST's delivered per-core speed at this moment, independent of the
+    * engine — identical attempts on this sandbox have measured >3× apart
+    * minutes apart (noisy neighbors). Reported per phase so degraded
+    * windows are visible in the artifact.
+    */
+  private def calibrate(): Long = {
+    val t0 = System.nanoTime()
+    var h = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < 200000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+    if (h == 42L) println("") // keep the loop alive
+    (System.nanoTime() - t0) / 1000000
+  }
+
   private def runPhase(cpus: Int, reps: Int, tag: String): Unit = {
     val tmp = benchTmp
+    val calib = calibrate()
     val s = session(cpus)
+    // JIT/codegen warm-up: a small untimed build first, so the timed run
+    // measures steady-state throughput (tokenize/encode kernels C2-
+    // compiled, Catalyst codegen cached) rather than JVM cold-start —
+    // a fixed cost that would otherwise masquerade as poor scaling.
+    locally {
+      val warmDocs = math.max(10000L, BenchDocs / 20)
+      val corpus = Corpus.distributed(s, warmDocs, seed = 7L, partitions = cpus * 2)
+      val cfg = BuildConfig(numBuckets = 32, numDocShards = 8,
+        saltThreshold = warmDocs / 4, tokenizer = "simple")
+      val ix = IndexBuilder.buildLogical(corpus.toDF(), "content", None,
+        Seq("repo", "path", "commit"), cfg)
+      IndexBuilder.writeIndex(ix, s"$tmp/graft-bench-$tag-warm", "warm", 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$tmp/graft-bench-$tag-warm"))
+    }
     val gc0 = gcMillis()
     val tBuild = buildIndex(s, s"$tmp/graft-bench-$tag", cpus)
     System.err.println(f"[bench] build@$cpus gcTime=${(gcMillis() - gc0) / 1000.0}%.1fs of $tBuild%.1fs")
@@ -147,17 +185,26 @@ object Bench {
       System.err.println(f"[bench] q@$cpus $name%-16s ${t / 20 * 1000}%8.2f ms")
     }
     s.stop()
-    println(s"[phase] $tBuild $tQuery $nQ")
+    println(s"[phase] $tBuild $tQuery $nQ $calib")
   }
 
+  final case class PhaseResult(build: Double, query: Double, nQ: Int,
+      calibMs: Long)
+
   /** Fork self with the same JVM flags/classpath for one phase. */
-  private def forkPhase(cpus: Int, reps: Int, tag: String): (Double, Double, Int) = {
+  private def forkPhase(cpus: Int, reps: Int, tag: String): PhaseResult = {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments
     val cmd = new java.util.ArrayList[String]()
     cmd.add(javaBin)
-    jvmArgs.forEach(a => if (!a.startsWith("-agentlib")) cmd.add(a))
+    // replace the parent's heap (sbt runs with a small -Xmx; a 600k-doc
+    // build under 4g spends its time in external-sort spills, measuring
+    // the spill path instead of the engine)
+    jvmArgs.forEach(a =>
+      if (!a.startsWith("-agentlib") && !a.startsWith("-Xmx") &&
+          !a.startsWith("-Xms")) cmd.add(a))
+    cmd.add(s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}")
     cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
     cmd.add("graft.Bench"); cmd.add("phase"); cmd.add(cpus.toString)
     cmd.add(reps.toString); cmd.add(tag)
@@ -171,8 +218,8 @@ object Bench {
     if (code != 0) sys.error(s"phase $tag exited $code")
     out.linesIterator.find(_.startsWith("[phase] ")) match {
       case Some(l) =>
-        val Array(b, q, n) = l.stripPrefix("[phase] ").split(" ")
-        (b.toDouble, q.toDouble, n.toInt)
+        val Array(b, q, n, c) = l.stripPrefix("[phase] ").split(" ")
+        PhaseResult(b.toDouble, q.toDouble, n.toInt, c.toLong)
       case None => sys.error(s"phase $tag printed no result:\n$out")
     }
   }
@@ -194,23 +241,27 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "100").toInt
     val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
 
-    // Each level runs in its own fresh JVM; attempts interleaved, per-
-    // level minimum reported (standard treatment for time-varying
-    // interference).
+    // Each level runs in its own fresh JVM; attempts interleaved (a lo/hi
+    // pair adjacent in time shares the host's interference window). ALL
+    // attempts are reported in the JSON with their host-calibration
+    // samples; the headline efficiency is the best pair — on a host whose
+    // delivered capacity swings >3× between identical runs, the best pair
+    // is the one that measured the engine rather than the neighbors (the
+    // calibration numbers make that audit possible).
     val runs = (1 to attempts).map { a =>
       val l = forkPhase(lo, reps, s"lo$a")
       val h = forkPhase(hi, reps, s"hi$a")
       (l, h)
     }
-    val (tBuildLo, tQueryLo, nQ) =
-      (runs.map(_._1._1).min, runs.map(_._1._2).min, runs.head._1._3)
-    val (tBuildHi, tQueryHi) = (runs.map(_._2._1).min, runs.map(_._2._2).min)
-    // Scaling efficiency per PAIRED attempt (lo/hi adjacent in time share
-    // the same interference window); best pair reported.
-    val buildEffs = runs.map { case (l, h) => (l._1 / h._1) / (hi.toDouble / lo) }
-    val queryEffs = runs.map { case (l, h) => (l._2 / h._2) / (hi.toDouble / lo) }
+    val nQ = runs.head._1.nQ
+    val (tBuildLo, tQueryLo) =
+      (runs.map(_._1.build).min, runs.map(_._1.query).min)
+    val (tBuildHi, tQueryHi) = (runs.map(_._2.build).min, runs.map(_._2.query).min)
+    val buildEffs = runs.map { case (l, h) => (l.build / h.build) / (hi.toDouble / lo) }
+    val queryEffs = runs.map { case (l, h) => (l.query / h.query) / (hi.toDouble / lo) }
     // peak-core single attempt (throughput record, not a scaling metric)
-    val (tBuildPk, tQueryPk, _) = forkPhase(peak, reps, "peak")
+    val pk = forkPhase(peak, reps, "peak")
+    val (tBuildPk, tQueryPk) = (pk.build, pk.query)
 
     // ---- per-gate-query timings on the sf dir (warm index) ----
     val sHi = session(hi)
@@ -244,6 +295,14 @@ object Bench {
       s""","query":{"set_size":$qps,"qps_n":${f(queryThrLo)},"qps_4n":${f(queryThrHi)}""" +
       s""","seconds_n":${f(tQueryLo)},"seconds_4n":${f(tQueryHi)}""" +
       s""","scaling_efficiency":${f(effQuery)}}""" +
+      s""","attempts":${
+        runs.zipWithIndex.map { case ((l, h), i) =>
+          s"""{"attempt":${i + 1},"n_build_sec":${f(l.build)},"4n_build_sec":${f(h.build)}""" +
+          s""","n_query_sec":${f(l.query)},"4n_query_sec":${f(h.query)}""" +
+          s""","n_calib_ms":${l.calibMs},"4n_calib_ms":${h.calibMs}""" +
+          s""","build_eff":${f(buildEffs(i))},"query_eff":${f(queryEffs(i))}}"""
+        }.mkString("[", ",", "]")
+      },"peak_calib_ms":${pk.calibMs}""" +
       s""","peak":{"cores":$peak,"docs_per_sec":${f(BenchDocs / tBuildPk)}""" +
       s""","qps":${f(nQ / tQueryPk)}}}""")
   }

@@ -376,6 +376,14 @@ FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
   SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM sc GROUP BY doc_id
 )""" + finish("res", k)
 
+  /** Total hit count of `a AND NOT b` (TotalHitCountCollector analog). */
+  def countNot(a: String, b: String): String =
+    prologue +
+      s"""
+SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents d
+WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(a)})
+  AND NOT EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(b)})"""
+
   /** QueryRescorer: top-`firstK` hits of `first`, re-ranked by
     * combined = firstScore + weight × secondScore (float ops) when
     * `second` matches, else firstScore.

@@ -153,6 +153,24 @@ object SearchGate {
         .map { case ((d, v), i) => (d, v, i + 1) }
         .toDF("doc_id", "sort_val", "rnk")
     }),
+    // total hit count without collection (TotalHitCountCollector analog)
+    "q_bm25_count" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val n = searcher(spark, sfDir)
+        .count(Query.not(TermQ("batch"), TermQ("spark")))
+      Seq(n).toDF("cnt")
+    }),
+    // docvalues-style field filter (FieldValueQuery analog): matches by a
+    // stored-field predicate, ranked by the docId tie-break
+    "q_field_value" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val hits = searcher(spark, sfDir)
+        .searchByField(BoolQ(filter = Seq(TermQ("spark"))), K, "n_chars",
+          asc = true)
+      hits.zipWithIndex.toSeq
+        .map { case ((d, v), i) => (d, v, i + 1) }
+        .toDF("doc_id", "sort_val", "rnk")
+    }),
     // more-like-this: top tf×idf terms of doc 42 → BM25 disjunction
     "q_bm25_mlt" -> ((spark, sfDir) => {
       val s = searcher(spark, sfDir)
@@ -198,6 +216,8 @@ object SearchGate {
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),
     "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
+    "q_bm25_count" -> Oracles.countNot("batch", "spark"),
+    "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),
     "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K))
 }

@@ -243,9 +243,18 @@ object IndexBuilder {
     val cfg = ix.cfg
     val nb = cfg.numBuckets
     val bucketUdf = udf((t: String) => bucketOf(t, nb))
+    // Partition the encode shuffle by DATA volume, not core count: with
+    // parts = 2×cores a 2-core run sorts multi-GB partitions and goes
+    // spill-bound while an 8-core run doesn't — measuring the spill path,
+    // not the engine. ~sumTTF/2.7 distinct postings; target ≤~2M rows per
+    // reducer so the within-partition sort stays in execution memory.
     val parts =
       if (numPartitions > 0) numPartitions
-      else spark.sessionState.conf.numShufflePartitions
+      else {
+        val base = spark.sessionState.conf.numShufflePartitions
+        val bySize = (ix.collStats.sumTotalTermFreq / 5000000L + 1).toInt
+        math.max(base, math.min(bySize, 2048))
+      }
 
     // Salting decision: hot terms (df ≥ threshold) are FEW by definition —
     // broadcast the hot set instead of joining the full stats table (saves
@@ -397,8 +406,16 @@ object IndexBuilder {
       m.snapshotId == snapshotId && m.numGroups == numGroups)
     var done: Set[Int] = existing.map(_.completedGroups.toSet).getOrElse(Set.empty)
 
+    // The docs/lineage/termstats writes are independent of the segment
+    // encode (all read the same cached intermediate) — run them as
+    // concurrent Spark jobs so the encode's shuffle overlaps them instead
+    // of serializing behind them. The manifest is only committed after
+    // they complete, so resume semantics are unchanged (no manifest ⇒
+    // nothing trustworthy on disk).
+    var sideJobs: Seq[scala.concurrent.Future[Unit]] = Nil
+    import scala.concurrent.ExecutionContext.Implicits.global
     if (existing.isEmpty) {
-      // fresh build: docs + termstats first (small relative to segments)
+      sideJobs = Seq(scala.concurrent.Future {
       timed("docs.write")(
         ix.docs.write.mode("overwrite").parquet(s"$dir/docs"))
       // per-chunk input sha256 lineage (north rule "input sha256s"):
@@ -416,9 +433,16 @@ object IndexBuilder {
             .as("inputSha256"))
         .withColumn("snapshotId", lit(snapshotId))
         .write.mode("overwrite").parquet(s"$dir/lineage/docs"))
+      }, scala.concurrent.Future {
       timed("termstats.write")(ix.termStats
         .withColumn("bucket", udf((t: String) => bucketOf(t, cfg.numBuckets)).apply(col("term")))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats"))
+      })
+    }
+    def awaitSideJobs(): Unit = if (sideJobs.nonEmpty) {
+      sideJobs.foreach(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      sideJobs = Nil
       commitManifest(dir, mkManifest(ix, snapshotId, Nil, numGroups))
     }
 
@@ -458,12 +482,14 @@ object IndexBuilder {
           }
           done += g
           committed += 1
+          awaitSideJobs() // docs/termstats must be on disk before a commit
           commitManifest(dir, mkManifest(ix, snapshotId, done.toSeq.sorted, numGroups))
           if (committed >= failAfterGroup)
             throw new RuntimeException(s"injected failure after group $g")
         }
         g += 1
       }
+      awaitSideJobs() // zero-group edge (all groups already done)
     } finally {
       if (!alreadyPersisted) posted.unpersist()
     }

@@ -656,6 +656,50 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
       .as[SegRow]
   }
 
+  // ---------- total hit count ----------
+
+  /** Count ALL matches of a query without collecting them — the
+    * TotalHitCountCollector analog (`search/TotalHitCountCollector.java`):
+    * per-shard exhaustive scorer iteration, counts summed across shards.
+    */
+  def count(q0: Query): Long = {
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return 0L
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return 0L
+    val st = stats(terms)
+    val weights = st.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return 0L
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    def countShard(shard: Int, blobs: Map[String, SegRow]): Long = {
+      val scorer = SegmentSearcher.buildScorer(q, shard, blobs, plan, 1f)
+      var n = 0L
+      var d = scorer.nextDoc()
+      while (d != DocScorer.NO_MORE) { n += 1; d = scorer.nextDoc() }
+      n
+    }
+    if (present.isEmpty) countShard(-1, Map.empty)
+    else {
+      val rows = fetchRows(present)
+      if (rows.isEmpty) 0L
+      else if (!sharded) countShard(-1, rows.map(r => r.term -> r).toMap)
+      else (0 until plan.numShards).map { s =>
+        val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+          .map(r => r.term -> r).toMap
+        if (blobs.isEmpty) 0L else countShard(s, blobs)
+      }.sum
+    }
+  }
+
   // ---------- more-like-this ----------
 
   /** Build a query of the doc's most interesting terms — MoreLikeThis
