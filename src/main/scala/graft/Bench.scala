@@ -137,24 +137,52 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
-  /** Fixed single-thread workload (~0.5s on a quiet host): measures the
-    * HOST's delivered per-core speed at this moment, independent of the
-    * engine — identical attempts on this sandbox have measured >3× apart
-    * minutes apart (noisy neighbors). Reported per phase so degraded
-    * windows are visible in the artifact.
+  /** Fixed spin workload per thread, run on `threads` threads; wall ms.
+    * With truly delivered cores the time is ≈ the 1-thread time; when the
+    * hypervisor under-delivers (noisy neighbors — identical runs on this
+    * sandbox have measured >3× apart), the N-thread time inflates
+    * proportionally. This measures the HOST, independent of the engine,
+    * and is reported per phase so degraded windows are auditable.
     */
-  private def calibrate(): Long = {
+  private def calibrate(threads: Int): Long = {
+    def spin(): Unit = {
+      var h = 0x9e3779b97f4a7c15L
+      var i = 0
+      while (i < 150000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
+      if (h == 42L) println("")
+    }
     val t0 = System.nanoTime()
-    var h = 0x9e3779b97f4a7c15L
-    var i = 0
-    while (i < 200000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
-    if (h == 42L) println("") // keep the loop alive
+    val ts = (1 to threads).map(_ => new Thread(() => spin()))
+    ts.foreach(_.start())
+    ts.foreach(_.join())
     (System.nanoTime() - t0) / 1000000
+  }
+
+  /** Wait (bounded) for a host window that actually delivers `cpus`
+    * cores: the scaling rule measures the ENGINE at two parallelism
+    * levels, which is meaningless in a window where the hypervisor hands
+    * out 2 of 8 requested cores. Returns (1-thread ms, cpus-thread ms).
+    */
+  private def awaitCleanWindow(cpus: Int, tag: String): (Long, Long) = {
+    val maxTries = sys.env.getOrElse("SPARK_GRAFT_CALIB_TRIES", "6").toInt
+    var tries = 0
+    var best: (Long, Long) = (0L, 0L)
+    while (tries < maxTries) {
+      val s1 = calibrate(1)
+      val sN = calibrate(cpus)
+      best = (s1, sN)
+      if (sN <= s1 * 1.6) return best
+      System.err.println(
+        s"[bench] $tag: degraded window (1t=${s1}ms, ${cpus}t=${sN}ms), waiting 30s")
+      Thread.sleep(30000)
+      tries += 1
+    }
+    best
   }
 
   private def runPhase(cpus: Int, reps: Int, tag: String): Unit = {
     val tmp = benchTmp
-    val calib = calibrate()
+    val (calib1, calibN) = awaitCleanWindow(cpus, tag)
     val s = session(cpus)
     // JIT/codegen warm-up: a small untimed build first, so the timed run
     // measures steady-state throughput (tokenize/encode kernels C2-
@@ -185,11 +213,11 @@ object Bench {
       System.err.println(f"[bench] q@$cpus $name%-16s ${t / 20 * 1000}%8.2f ms")
     }
     s.stop()
-    println(s"[phase] $tBuild $tQuery $nQ $calib")
+    println(s"[phase] $tBuild $tQuery $nQ $calib1 $calibN")
   }
 
   final case class PhaseResult(build: Double, query: Double, nQ: Int,
-      calibMs: Long)
+      calib1Ms: Long, calibNMs: Long)
 
   /** Fork self with the same JVM flags/classpath for one phase. */
   private def forkPhase(cpus: Int, reps: Int, tag: String): PhaseResult = {
@@ -218,8 +246,8 @@ object Bench {
     if (code != 0) sys.error(s"phase $tag exited $code")
     out.linesIterator.find(_.startsWith("[phase] ")) match {
       case Some(l) =>
-        val Array(b, q, n, c) = l.stripPrefix("[phase] ").split(" ")
-        PhaseResult(b.toDouble, q.toDouble, n.toInt, c.toLong)
+        val Array(b, q, n, c1, cn) = l.stripPrefix("[phase] ").split(" ")
+        PhaseResult(b.toDouble, q.toDouble, n.toInt, c1.toLong, cn.toLong)
       case None => sys.error(s"phase $tag printed no result:\n$out")
     }
   }
@@ -299,10 +327,10 @@ object Bench {
         runs.zipWithIndex.map { case ((l, h), i) =>
           s"""{"attempt":${i + 1},"n_build_sec":${f(l.build)},"4n_build_sec":${f(h.build)}""" +
           s""","n_query_sec":${f(l.query)},"4n_query_sec":${f(h.query)}""" +
-          s""","n_calib_ms":${l.calibMs},"4n_calib_ms":${h.calibMs}""" +
+          s""","n_calib_ms":[${l.calib1Ms},${l.calibNMs}],"4n_calib_ms":[${h.calib1Ms},${h.calibNMs}]""" +
           s""","build_eff":${f(buildEffs(i))},"query_eff":${f(queryEffs(i))}}"""
         }.mkString("[", ",", "]")
-      },"peak_calib_ms":${pk.calibMs}""" +
+      },"peak_calib_ms":[${pk.calib1Ms},${pk.calibNMs}]""" +
       s""","peak":{"cores":$peak,"docs_per_sec":${f(BenchDocs / tBuildPk)}""" +
       s""","qps":${f(nQ / tQueryPk)}}}""")
   }

@@ -30,6 +30,18 @@ object OpsGate {
       dir
     })
 
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexCache.getOrElseUpdate(d, {
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-ivf-index-" +
+        Integer.toHexString(d.hashCode)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      Similarity.writeIvfIndex(emb(s, d), "embedding", "vec_id", dir,
+        nlist = 16, seed = 4242L)
+      dir
+    })
+
   /** Shared oracle CTE: tokenized positions + shingles (3-token). */
   private val shingleCte =
     """WITH posx AS (
@@ -101,6 +113,16 @@ object OpsGate {
         .collect()(0).getSeq[Float](0).toArray
       Similarity.lshTopKIndexed(s, annIndexDir(s, d), q, 10,
         planes = 10, probeRadius = 2, excludeId = Some(0L))
+        .withColumn("cos", round(col("cos"), 4))
+        .select("id", "cos")
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getSeq[Float](0).toArray
+      Similarity.ivfTopK(s, ivfIndexDir(s, d), q, 10,
+        nlist = 16, nprobe = 4, excludeId = Some(0L))
         .withColumn("cos", round(col("cos"), 4))
         .select("id", "cos")
     }),
@@ -189,8 +211,43 @@ FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 3
 ORDER BY ia, ib"""
 
+  /** IVF oracle: centroids inlined as exact doubles; cell = argmax
+    * centroid·v (ties → lowest index), probes = top-nprobe cells by
+    * centroid·query, exact cosine over probed cells.
+    */
+  private def annIvfOracle(nlist: Int, nprobe: Int, k: Int): String = {
+    val cents = Similarity.ivfCentroids(64, nlist, 4242L)
+    val rows = cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(_.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""WITH cent(i, cv) AS (VALUES
+  $rows
+), emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cells AS (
+  SELECT vec_id, i AS cell FROM (
+    SELECT e.vec_id, c.i,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_inner_product(c.cv, e.v) DESC, c.i) AS rn
+    FROM emb e, cent c
+  ) WHERE rn = 1
+), q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+probes AS (
+  SELECT i FROM (
+    SELECT c.i,
+      row_number() OVER (ORDER BY list_inner_product(c.cv, q.qv) DESC, c.i) AS rn
+    FROM cent c, q
+  ) WHERE rn <= $nprobe
+)
+SELECT e.vec_id AS id, ROUND(list_cosine_similarity(e.v, q.qv), 4) AS cos
+FROM emb e JOIN cells ON e.vec_id = cells.vec_id, q
+WHERE e.vec_id <> 0 AND cells.cell IN (SELECT i FROM probes)
+ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
+LIMIT $k"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle(10),
+    "q_ann_ivf" -> annIvfOracle(16, 4, 10),
     "q_dedup_simhash" -> simhashOracle,
     "q_dedup_exact" ->
       """SELECT a.doc_id AS id, m.canon AS canonicalId

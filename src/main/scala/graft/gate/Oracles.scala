@@ -316,6 +316,35 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Exact multi-phrase, 2 offsets: term `a` followed by ANY of `bs`
+    * (MultiPhraseQuery union semantics). idf = Σ over all member terms,
+    * float-folded in offset-then-list order like the engine.
+    */
+  def multiPhrase2(a: String, bs: Seq[String], k: Int): String = {
+    val idfs = (a +: bs).map(t =>
+      idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"))
+    val idfSum = idfs.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val tfR = R("p.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    val inList = bs.map(lit).mkString(", ")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), ph AS (
+  SELECT p1.doc_id, count(*) AS tf
+  FROM posx p1 JOIN posx p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = ${lit(a)} AND p2.term IN ($inList)
+  GROUP BY p1.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   /** Prefix: const-score 1.0 over docs containing any matching term. */
   def prefix(p: String, k: Int): String =
     prologue +

@@ -134,6 +134,8 @@ object SearchGate {
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
     "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
+    // multi-phrase: "order (sort|merge)" — per-offset union of postings
+    "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // filter-only bool: matches with score 0 (BooleanWeight semantics)
     "q_bm25_filter_only" -> seg(BoolQ(filter = Seq(TermQ("spark"), TermQ("key")))),
     // MUST MatchAll + MUST_NOT: 'all docs except…', scored 1.0
@@ -209,6 +211,7 @@ object SearchGate {
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
+    "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),
     "q_bm25_filter_only" -> Oracles.filterOnly(Seq("spark", "key"), K),
     "q_bm25_notall" -> Oracles.notAll("spark", K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",

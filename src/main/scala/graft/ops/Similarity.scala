@@ -132,6 +132,69 @@ object Similarity {
     filtered.orderBy(desc("cos"), asc("id")).limit(k)
   }
 
+  // ---------- IVF (inverted-file) ANN ----------
+
+  /** Deterministic random codebook: `nlist` gaussian centroids. A
+    * data-independent codebook (random-projection IVF) trades a little
+    * recall vs k-means for full cross-engine reproducibility — the DuckDB
+    * oracle inlines the same centroids and must produce identical cells.
+    */
+  def ivfCentroids(dim: Int, nlist: Int, seed: Long = 4242L): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nlist)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  /** Cell assignment: argmax centroid dot product (double accumulation in
+    * element order; ties → lowest centroid index).
+    */
+  def ivfAssign(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var i = 0
+    while (i < centroids.length) {
+      var d = 0d
+      var j = 0
+      while (j < v.length) { d += centroids(i)(j).toDouble * v(j); j += 1 }
+      if (d > bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Build the IVF index: embeddings written once partitioned by cell. */
+  def writeIvfIndex(df: DataFrame, vecCol: String, idCol: String,
+      dir: String, nlist: Int = 16, seed: Long = 4242L): Unit = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val cents = ivfCentroids(dim, nlist, seed)
+    val cellUdf = udf((v: Array[Float]) => ivfAssign(cents, v))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        cellUdf(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+  }
+
+  /** Query the IVF index: the `nprobe` cells whose centroids score
+    * highest against the query are read (partition-pruned), then exact
+    * cosine top-k over the candidates.
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+      query: Array[Float], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 4242L, excludeId: Option[Long] = None): DataFrame = {
+    val cents = ivfCentroids(query.length, nlist, seed)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0d
+      var j = 0
+      while (j < query.length) { d += c(j).toDouble * query(j); j += 1 }
+      (i, d)
+    }
+    val probes = scored.sortBy { case (i, d) => (-d, i) }.take(nprobe).map(_._1)
+    val qCol = array(query.map(v => lit(v)): _*)
+    val base = spark.read.parquet(dir)
+      .filter(col("cell").isin(probes.toSeq: _*))
+      .select(col("id"), cosineCol(col("vec"), qCol).as("cos"))
+    val filtered = excludeId.map(e => base.filter(col("id") =!= e)).getOrElse(base)
+    filtered.orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
   /** Candidate pairs via banded sign-LSH + EXACT cosine verification —
     * the scale shape for embedding near-dup: shuffle is O(docs × bands)
     * and the only pairwise work happens inside band buckets (no

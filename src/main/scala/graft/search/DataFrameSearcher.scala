@@ -118,6 +118,9 @@ object DataFrameSearcher {
 
     case PhraseQ(terms, slop) => phraseScoreDf(ix, terms, slop, boost, stats, params)
 
+    case MultiPhraseQ(ps, slop) =>
+      multiPhraseScoreDf(ix, ps, slop, boost, stats, params)
+
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScoreDf(ix, must, should, mustNot, filterQs, msm, boost, stats, params)
   }
@@ -236,6 +239,48 @@ object DataFrameSearcher {
     base.select(col("docId"),
         scoreUdf(array(terms.indices.map(i => col(s"_p$i")): _*),
           col("normByte")).as("score"))
+      .filter(col("score").isNotNull)
+      .select(col("docId"), col("score").cast("float").as("score"))
+  }
+
+  /** Multi-phrase (MultiPhraseQuery.java:49): per offset, the per-doc
+    * UNION of member-term positions (flatten + distinct + sort — pure
+    * Catalyst array functions over the postings' pos column), then the
+    * same PhraseFreq kernel as the segment path computes freq.
+    */
+  private def multiPhraseScoreDf(ix: LogicalIndex, ps: Seq[Seq[String]],
+      slop: Int, boost: Float, stats: QueryStats,
+      params: BM25Params): DataFrame = {
+    require(ix.cfg.positions, "multi-phrase requires BuildConfig.positions")
+    if (ps.exists(_.forall(t => stats.dfByTerm.getOrElse(t, 0L) == 0L)))
+      return emptyScores(ix)
+    val base = ps.zipWithIndex.map { case (ts, i) =>
+      val grouped = ix.postings.filter(col("term").isin(ts.distinct: _*))
+        .groupBy("docId")
+        .agg(first("normByte").as(s"_nb$i"),
+          array_sort(array_distinct(flatten(collect_list(col("pos")))))
+            .as(s"_p$i"))
+      if (i == 0) grouped else grouped.drop(s"_nb$i")
+    }.reduce((a, b) => a.join(b, "docId"))
+    val offsets = ps.indices.toArray
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    var idfSum = 0f
+    ps.foreach(_.distinct.foreach { t =>
+      val df = stats.dfByTerm.getOrElse(t, 0L)
+      if (df > 0L) idfSum += BM25.idf(df, stats.docCount)
+    })
+    val w = BM25.weightValue(idfSum, params, boost)
+    val scoreUdf = udf { (arrs: Seq[Seq[Int]], nb: Byte) =>
+      val pos = arrs.map(_.toArray).toArray
+      val freq =
+        if (slop == 0) PhraseFreq.exact(pos, offsets).toFloat
+        else PhraseFreq.sloppy(pos, offsets, slop)
+      if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
+    }
+    base.select(col("docId"),
+        scoreUdf(array(ps.indices.map(i => col(s"_p$i")): _*),
+          col("_nb0")).as("score"))
       .filter(col("score").isNotNull)
       .select(col("docId"), col("score").cast("float").as("score"))
   }

@@ -176,3 +176,101 @@ final class PhraseScorer(its: Array[PostingsIterator], offsets: Array[Int],
   /** BM25 is bounded above by w as freq → ∞. */
   def maxScore: Float = w
 }
+
+/** MultiPhraseQuery scorer (`MultiPhraseQuery.java:49`,
+  * UnionPostingsEnum semantics): each phrase offset accepts a SET of
+  * terms; an offset's matching positions in a doc are the UNION of its
+  * members' positions. Doc matching = conjunction over offsets of member
+  * unions; freq = PhraseFreq over the merged per-offset position arrays.
+  */
+final class MultiPhraseScorer(members: Array[Array[PostingsIterator]],
+    offsets: Array[Int], slop: Int, w: Float, cache: Array[Float])
+    extends DocScorer {
+  require(members.length == offsets.length && members.length >= 2)
+  require(members.forall(_.nonEmpty))
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  /** Min doc ≥ target across the offset's members (union semantics). */
+  private def unionAdvance(o: Int, target: Long): Long = {
+    var min = DocScorer.NO_MORE
+    val its = members(o)
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc < target) its(i).advance(target)
+      if (its(i).doc < min) min = its(i).doc
+      i += 1
+    }
+    min
+  }
+
+  private def alignFrom(t0: Long): Long = {
+    var target = t0
+    var agreed = false
+    while (!agreed && target != DocScorer.NO_MORE) {
+      agreed = true
+      var o = 0
+      while (o < members.length && agreed) {
+        val d = unionAdvance(o, target)
+        if (d > target) { target = d; agreed = false }
+        o += 1
+      }
+    }
+    target
+  }
+
+  /** Sorted distinct union of the offset's member positions at `target`. */
+  private def mergedPositions(o: Int, target: Long): Array[Int] = {
+    val live = members(o).filter(_.doc == target)
+    if (live.length == 1) return live(0).positions()
+    val arrs = live.map(_.positions())
+    val idx = new Array[Int](arrs.length)
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    var last = Int.MinValue
+    var remaining = arrs.map(_.length).sum
+    while (remaining > 0) {
+      var best = -1
+      var bestV = Int.MaxValue
+      var i = 0
+      while (i < arrs.length) {
+        if (idx(i) < arrs(i).length && arrs(i)(idx(i)) < bestV) {
+          bestV = arrs(i)(idx(i)); best = i
+        }
+        i += 1
+      }
+      idx(best) += 1
+      remaining -= 1
+      if (bestV != last) { out += bestV; last = bestV }
+    }
+    out.result()
+  }
+
+  private def settle(t0: Long): Long = {
+    var target = alignFrom(t0)
+    while (target != DocScorer.NO_MORE) {
+      val pos = new Array[Array[Int]](members.length)
+      var o = 0
+      while (o < members.length) { pos(o) = mergedPositions(o, target); o += 1 }
+      val f =
+        if (slop == 0) PhraseFreq.exact(pos, offsets).toFloat
+        else PhraseFreq.sloppy(pos, offsets, slop)
+      if (f > 0f) {
+        freqV = f
+        normB = members(0).find(_.doc == target).get.norm
+        doc = target
+        return doc
+      }
+      target = alignFrom(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = members.map(_.map(_.cost).sum).min
+  def maxScore: Float = w
+}

@@ -80,6 +80,15 @@ final case class TermRangeQ(lower: String, upper: String,
 /** Exact phrase: consecutive positions (PhraseQuery.java:69). */
 final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 
+/** Phrase with a SET of accepted terms per position — "a (b|c) d"
+  * (MultiPhraseQuery.java:49). Matching positions per offset are the
+  * union of the member terms' positions; idf = Σ over ALL member terms
+  * in offset-then-list order (BM25Similarity.idfExplain over the full
+  * term array).
+  */
+final case class MultiPhraseQ(positions: Seq[Seq[String]],
+    slop: Int = 0) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -142,6 +151,9 @@ object Query {
     case SynonymQ(ts) if ts.size == 1 => TermQ(ts.head)
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
+    case MultiPhraseQ(ps, _) if ps.isEmpty || ps.exists(_.isEmpty) => MatchNoneQ
+    case MultiPhraseQ(ps, s) if ps.forall(_.size == 1) =>
+      PhraseQ(ps.map(_.head), s)
     case other => other
   }
 
@@ -171,6 +183,7 @@ object Query {
     case BoostQ(i, _) => literalTerms(i)
     case ConstScoreQ(i, _) => literalTerms(i)
     case PhraseQ(ts, _) => ts.toSet
+    case MultiPhraseQ(ps, _) => ps.flatten.toSet
     case _ => Set.empty
   }
 }

@@ -207,8 +207,44 @@ object SegmentSearcher {
       boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
     case PhraseQ(terms, slop) =>
       phraseScorer(terms, slop, shard, blobs, plan, boost)
+    case MultiPhraseQ(ps, slop) =>
+      multiPhraseScorer(ps, slop, shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
+  }
+
+  /** Multi-phrase over the positions sidecar (MultiPhraseQuery.java:49):
+    * per-offset UNION of member postings, conjunction across offsets,
+    * freq over merged positions. idf = Σ over present member terms in
+    * offset-then-list order.
+    */
+  private def multiPhraseScorer(ps: Seq[Seq[String]], slop: Int, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val flat = ps.flatMap(_.distinct)
+    if (slop > 0 && flat.distinct.size != flat.size)
+      sys.error("sloppy multi-phrase with a term repeated across offsets " +
+        "is not supported")
+    val offsetsRows: Seq[Seq[SegRow]] = ps.map(_.distinct.flatMap(blobs.get))
+    // an offset whose every member is absent can never match
+    if (offsetsRows.exists(_.isEmpty)) return EmptyScorer
+    var idfSum = 0f
+    ps.foreach(_.distinct.foreach { t =>
+      if (plan.weights.contains(t))
+        idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    })
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val members = offsetsRows.map(_.map(r =>
+      PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray).toArray
+    if (members.exists(_.exists(!_.hasPositions)))
+      sys.error("multi-phrase requires an index built with positions")
+    val ms = new MultiPhraseScorer(members, ps.indices.toArray, slop, w, plan.cache)
+    // the stream is shard-restricted only if SOME offset's members are all
+    // salted (that union then contains only this shard's docs); otherwise
+    // cold members could match the same doc in several shards — mod-filter
+    val restricted = offsetsRows.exists(_.forall(_.salt >= 0))
+    if (shard >= 0 && !restricted)
+      new ModFilterScorer(ms, shard, plan.numShards)
+    else ms
   }
 
   /** Exact/sloppy phrase over the positions sidecar: conjunction +

@@ -79,6 +79,8 @@ class SegmentSpec extends AnyFunSuite {
     "phrase sloppy wide" -> PhraseQ(Seq("def", "index"), 4),
     "phrase in bool" -> BoolQ(must = Seq(TermQ("score")),
       should = Seq(PhraseQ(Seq("def", "class")))),
+    "multiphrase" -> MultiPhraseQ(Seq(Seq("def"), Seq("class", "val"))),
+    "multiphrase sloppy" -> MultiPhraseQ(Seq(Seq("index"), Seq("merge", "score")), 2),
     // MatchAll-backed trees and filter-only bools (BooleanWeight semantics)
     "must with matchall" -> BoolQ(must = Seq(TermQ("def"), MatchAllQ)),
     "not matchall" -> Query.not(MatchAllQ, TermQ("def")),
@@ -122,6 +124,26 @@ class SegmentSpec extends AnyFunSuite {
       val pl = graft.index.PostingsCodec.decode(
         r.getAs[Array[Byte]]("docBlocks"), r.getAs[Array[Byte]]("skipData"))
       assert(pl.docs.forall(_ % 4 == salt))
+    }
+  }
+
+  test("forced-distributed execution == DataFrame path (incl. phrases)") {
+    // maxLocalBytes = 0 pushes every query onto the groupByKey shard path
+    // (the 100 TB shape) — including the positions sidecar for phrases
+    val (ix, _) = built
+    val distQueries = Seq[Query](
+      TermQ("def"),
+      Query.and(TermQ("def"), TermQ("merge")),
+      Query.orMin(2, TermQ("spark"), TermQ("lucene"), TermQ("segment")),
+      PhraseQ(Seq("def", "class")),
+      PhraseQ(Seq("index", "merge"), 2),
+      MultiPhraseQ(Seq(Seq("def"), Seq("class", "val"))))
+    for ((name, six) <- Seq("plain" -> built._2, "salted" -> builtSalted._2)) {
+      val s = new Searcher(spark, six, cacheSegments = false, maxLocalBytes = 0)
+      for (q <- distQueries) {
+        assert(s.search(q, 10).map(h => (h.docId, h.score)).toSeq
+          === dfHits(ix, q, 10), s"$name dist q=$q")
+      }
     }
   }
 
