@@ -145,14 +145,24 @@ object Bench {
     * and is reported per phase so degraded windows are auditable.
     */
   private def calibrate(threads: Int): Long = {
-    def spin(): Unit = {
-      var h = 0x9e3779b97f4a7c15L
-      var i = 0
-      while (i < 150000000) { h = h * 6364136223846793005L + 1442695040888963407L; i += 1 }
-      if (h == 42L) println("")
+    // memory-BANDWIDTH-sensitive workload (strided sums over a private
+    // 64 MB array per thread): pure-register spins stayed flat while
+    // builds degraded 3× — the neighbors contend on the memory bus, not
+    // the ALUs, so the probe must stress what the engine stresses
+    def spin(buf: Array[Long]): Long = {
+      var h = 0L
+      var pass = 0
+      while (pass < 6) {
+        var i = 0
+        while (i < buf.length) { h += buf(i); i += 8 }
+        pass += 1
+      }
+      h
     }
+    val bufs = Array.fill(threads)(new Array[Long](8 * 1024 * 1024))
+    val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
-    val ts = (1 to threads).map(_ => new Thread(() => spin()))
+    val ts = bufs.map(b => new Thread(() => { sink.addAndGet(spin(b)); () }))
     ts.foreach(_.start())
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1000000

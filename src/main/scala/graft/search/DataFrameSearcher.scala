@@ -219,21 +219,23 @@ object DataFrameSearcher {
   private def sloppyPhraseScoreDf(ix: LogicalIndex, terms: Seq[String],
       slop: Int, boost: Float, stats: QueryStats, params: BM25Params): DataFrame = {
     require(ix.cfg.positions, "sloppy phrase requires BuildConfig.positions")
-    require(terms.distinct.size == terms.size,
-      "sloppy phrase with repeated terms is not supported")
     val base = terms.zipWithIndex.map { case (t, i) =>
       val p = ix.postings.filter(col("term") === t)
       if (i == 0) p.select(col("docId"), col("normByte"), col("pos").as("_p0"))
       else p.select(col("docId"), col("pos").as(s"_p$i"))
     }.reduce((a, b) => a.join(b, "docId"))
     val offsets = terms.indices.toArray
+    val rpt0 = Array.tabulate(terms.size) { i =>
+      if (terms.count(_ == terms(i)) > 1) terms.indexOf(terms(i)) else -1
+    }
+    val rpt = if (rpt0.exists(_ >= 0)) rpt0 else null
     val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
     val cache = BM25.normCache(params, avgdl)
     var idfSum = 0f
     terms.foreach(t => idfSum += BM25.idf(stats.dfByTerm(t), stats.docCount))
     val w = BM25.weightValue(idfSum, params, boost)
     val scoreUdf = udf { (ps: Seq[Seq[Int]], nb: Byte) =>
-      val freq = PhraseFreq.sloppy(ps.map(_.toArray).toArray, offsets, slop)
+      val freq = PhraseFreq.sloppy(ps.map(_.toArray).toArray, offsets, slop, rpt)
       if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
     }
     base.select(col("docId"),

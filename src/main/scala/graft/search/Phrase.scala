@@ -56,20 +56,46 @@ object PhraseFreq {
     * a match of length `matchLength` contributes
     * `1/(matchLength+1)` (computeSlopFactor = sloppyFreq,
     * `BM25Similarity.java:77,253`) when within `slop`. Float accumulation
-    * like the reference. Distinct terms only (the reference's repeating-pp
-    * machinery, `SloppyPhraseScorer.java:148-200`, is out of scope — a
-    * repeated term with slop > 0 is rejected loudly upstream).
+    * like the reference.
+    *
+    * REPEATED terms (`"ho my my"~2`): pass `rptGroup` — same id for
+    * offsets sharing a term, -1 otherwise. Mirrors the reference's
+    * single-term repeating-pp machinery (`SloppyPhraseScorer.java:
+    * 148-200, advanceRepeatGroups/collide/lesser`): at doc init, the j-th
+    * group member (offset order) advances j occurrences; during the
+    * sweep, a collision (two group members on the same RAW token) is
+    * resolved by advancing the lesser (adjusted position, then offset).
+    * Multi-term-per-position repeats (the hasMultiTermRpts case) are out
+    * of scope and rejected upstream.
     */
   def sloppy(positions: Array[Array[Int]], offsets: Array[Int],
-      slop: Int): Float = {
+      slop: Int, rptGroup: Array[Int] = null): Float = {
     val n = positions.length
     val idx = new Array[Int](n)
     val cur = new Array[Int](n) // adjusted position of each pp
     val inQ = new Array[Boolean](n)
-    var end = Int.MinValue
     var i = 0
+    // doc init: j-th member of each repeat group starts at its j-th
+    // occurrence (advanceRepeatGroups, single-term case) — members in
+    // offset order, which is ascending pp index here
+    i = 0
     while (i < n) {
-      cur(i) = positions(i)(0) - offsets(i)
+      var steps = 0
+      if (rptGroup != null && rptGroup(i) >= 0) {
+        var j = 0
+        while (j < i) {
+          if (rptGroup(j) == rptGroup(i)) steps += 1
+          j += 1
+        }
+      }
+      if (steps >= positions(i).length) return 0f // PPs exhausted at init
+      idx(i) = steps
+      i += 1
+    }
+    var end = Int.MinValue
+    i = 0
+    while (i < n) {
+      cur(i) = positions(i)(idx(i)) - offsets(i)
       if (cur(i) > end) end = cur(i)
       inQ(i) = true
       i += 1
@@ -87,17 +113,49 @@ object PhraseFreq {
       }
       best
     }
+    // advance pp by one occurrence; false at exhaustion (advancePP)
+    def advancePP(p: Int): Boolean = {
+      idx(p) += 1
+      if (idx(p) >= positions(p).length) return false
+      cur(p) = positions(p)(idx(p)) - offsets(p)
+      if (cur(p) > end) end = cur(p)
+      true
+    }
+    // resolve repeat collisions after advancing `pp0` (advanceRpts/
+    // collide/lesser): two group members on the same raw token → advance
+    // the lesser; false at exhaustion
+    def advanceRpts(pp0: Int): Boolean = {
+      if (rptGroup == null || rptGroup(pp0) < 0) return true
+      var p = pp0
+      var k = -1
+      def collide(q: Int): Int = {
+        val raw = cur(q) + offsets(q)
+        var j = 0
+        while (j < n) {
+          if (j != q && rptGroup(j) == rptGroup(q) &&
+              cur(j) + offsets(j) == raw) return j
+          j += 1
+        }
+        -1
+      }
+      k = collide(p)
+      while (k >= 0) {
+        p = if (cur(p) < cur(k) ||
+            (cur(p) == cur(k) && offsets(p) < offsets(k))) p else k
+        if (!advancePP(p)) return false
+        k = collide(p)
+      }
+      true
+    }
+
     var freq = 0f
     var pp = minIdx(); inQ(pp) = false
     var matchLength = end - cur(pp)
     var next = cur(minIdx())
     var exhausted = false
     while (!exhausted) {
-      idx(pp) += 1
-      if (idx(pp) >= positions(pp).length) exhausted = true
+      if (!advancePP(pp) || !advanceRpts(pp)) exhausted = true
       else {
-        cur(pp) = positions(pp)(idx(pp)) - offsets(pp)
-        if (cur(pp) > end) end = cur(pp)
         if (cur(pp) > next) { // done minimizing the current match length
           if (matchLength <= slop) freq += 1f / (matchLength + 1)
           inQ(pp) = true
@@ -123,7 +181,8 @@ object PhraseFreq {
   * frequency, norm = the doc's norm byte.
   */
 final class PhraseScorer(its: Array[PostingsIterator], offsets: Array[Int],
-    slop: Int, w: Float, cache: Array[Float]) extends DocScorer {
+    slop: Int, w: Float, cache: Array[Float],
+    rptGroup: Array[Int] = null) extends DocScorer {
   require(its.length == offsets.length && its.length >= 2)
   var doc: Long = -1L
   private var freqV = 0f
@@ -151,7 +210,7 @@ final class PhraseScorer(its: Array[PostingsIterator], offsets: Array[Int],
     var i = 0
     while (i < its.length) { pos(i) = its(i).positions(); i += 1 }
     if (slop == 0) PhraseFreq.exact(pos, offsets).toFloat
-    else PhraseFreq.sloppy(pos, offsets, slop)
+    else PhraseFreq.sloppy(pos, offsets, slop, rptGroup)
   }
 
   private def settle(t0: Long): Long = {

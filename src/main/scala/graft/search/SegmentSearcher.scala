@@ -254,9 +254,6 @@ object SegmentSearcher {
     */
   private def phraseScorer(terms: Seq[String], slop: Int, shard: Int,
       blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
-    if (slop > 0 && terms.distinct.size != terms.size)
-      sys.error("sloppy phrase with repeated terms is not supported " +
-        "(reference repeating-pp machinery out of scope)")
     val rows = terms.map(blobs.get)
     if (rows.exists(_.isEmpty)) return EmptyScorer
     if (terms.exists(t => !plan.weights.contains(t))) return EmptyScorer
@@ -271,7 +268,13 @@ object SegmentSearcher {
     if (its.exists(!_.hasPositions))
       sys.error("phrase query requires an index built with positions " +
         "(BuildConfig.positions = true)")
-    val ps = new PhraseScorer(its, terms.indices.toArray, slop, w, plan.cache)
+    // repeat groups: offsets sharing a term (first-occurrence index as id)
+    val rpt = Array.tabulate(terms.size) { i =>
+      val first = terms.indexOf(terms(i))
+      if (terms.count(_ == terms(i)) > 1) first else -1
+    }
+    val ps = new PhraseScorer(its, terms.indices.toArray, slop, w, plan.cache,
+      if (rpt.exists(_ >= 0)) rpt else null)
     // all-cold members in a sharded query: restrict the output stream to
     // this shard so the cross-shard union counts each doc exactly once
     if (shard >= 0 && rows.forall(_.get.salt < 0))

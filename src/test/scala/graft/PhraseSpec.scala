@@ -150,6 +150,110 @@ class PhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("sloppy freq with REPEATED terms: hand-traced reference behavior") {
+    // doc "ho my my" (ho@0 my@1 my@2), query "ho my my"~2:
+    // init advances the 2nd 'my' to its 2nd occurrence → exact alignment
+    assert(PhraseFreq.sloppy(
+      Array(Array(0), Array(1, 2), Array(1, 2)),
+      Array(0, 1, 2), 2, Array(-1, 1, 1)) === 1f)
+    // query "my ho my"~2 on the same doc: one match, length 2
+    assert(PhraseFreq.sloppy(
+      Array(Array(1, 2), Array(0), Array(1, 2)),
+      Array(0, 1, 2), 2, Array(0, -1, 0)) === 1f / 3)
+    // too few occurrences for the repeat group → no match (init exhausts)
+    assert(PhraseFreq.sloppy(
+      Array(Array(5), Array(6), Array(5)),
+      Array(0, 1, 2), 3, Array(0, -1, 0)) === 0f)
+  }
+
+  test("sloppy freq with repeats == pq transcription (randomized)") {
+    val rnd = new scala.util.Random(47)
+    // direct transcription with a PriorityQueue + the reference's
+    // advanceRepeatGroups / collide / lesser control flow
+    def reference(pos: Array[Array[Int]], offsets: Array[Int], slop: Int,
+        rpt: Array[Int]): Float = {
+      val n = pos.length
+      val idx = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        var steps = 0
+        var j = 0
+        while (j < i) { if (rpt(j) >= 0 && rpt(j) == rpt(i)) steps += 1; j += 1 }
+        if (steps >= pos(i).length) return 0f
+        idx(i) = steps
+        i += 1
+      }
+      def cur(p: Int) = pos(p)(idx(p)) - offsets(p)
+      var end = (0 until n).map(cur).max
+      def adv(p: Int): Boolean = {
+        idx(p) += 1
+        if (idx(p) >= pos(p).length) false
+        else { end = math.max(end, cur(p)); true }
+      }
+      def collide(p: Int): Int =
+        (0 until n).find(j => j != p && rpt(p) >= 0 && rpt(j) == rpt(p) &&
+          cur(j) + offsets(j) == cur(p) + offsets(p)).getOrElse(-1)
+      def advRpts(p0: Int): Boolean = {
+        if (rpt(p0) < 0) return true
+        var p = p0
+        var k = collide(p)
+        while (k >= 0) {
+          p = if (cur(p) < cur(k) || (cur(p) == cur(k) && offsets(p) < offsets(k))) p else k
+          if (!adv(p)) return false
+          k = collide(p)
+        }
+        true
+      }
+      val pqOrd: Ordering[Int] =
+        Ordering.by((p: Int) => (-cur(p), -offsets(p), -p))
+      val pq = scala.collection.mutable.PriorityQueue.empty[Int](pqOrd)
+      (0 until n).foreach(pq.enqueue(_))
+      var freq = 0f
+      var pp = pq.dequeue()
+      var ml = end - cur(pp)
+      var next = cur(pq.head)
+      var run = true
+      while (run) {
+        if (!adv(pp) || !advRpts(pp)) run = false
+        else {
+          // requeue members the collision loop may have moved (Lucene's
+          // bits/rptStack machinery); `next` stays deliberately stale,
+          // exactly like the reference's captured pq.top()
+          val live = pq.dequeueAll
+          live.foreach(pq.enqueue(_))
+          if (cur(pp) > next) {
+            if (ml <= slop) freq += 1f / (ml + 1)
+            pq.enqueue(pp)
+            pp = pq.dequeue()
+            next = cur(pq.head)
+            ml = end - cur(pp)
+          } else ml = math.min(ml, end - cur(pp))
+        }
+      }
+      if (ml <= slop) freq += 1f / (ml + 1)
+      freq
+    }
+    for (_ <- 1 to 1000) {
+      def mkPos(cnt: Int): Array[Int] = {
+        var p = rnd.nextInt(3)
+        Array.fill(cnt) { val v = p; p += 1 + rnd.nextInt(4); v }
+      }
+      // 3 offsets, terms drawn from {A, B}: at least one repeat likely
+      val terms = Array.fill(3)(rnd.nextInt(2))
+      val posByTerm = Map(0 -> mkPos(1 + rnd.nextInt(5)), 1 -> mkPos(1 + rnd.nextInt(5)))
+      val pos = terms.map(posByTerm)
+      val rpt = terms.indices.toArray.map { i =>
+        if (terms.count(_ == terms(i)) > 1) terms.indexOf(terms(i)) else -1
+      }
+      val offsets = Array(0, 1, 2)
+      val slop = rnd.nextInt(5)
+      val got = PhraseFreq.sloppy(pos, offsets, slop, rpt)
+      val want = reference(pos, offsets, slop, rpt)
+      assert(math.abs(got - want) < 1e-6f,
+        s"terms=${terms.toSeq} pos=${pos.map(_.toSeq).toSeq} slop=$slop got=$got want=$want")
+    }
+  }
+
   test("sloppy freq: 3-term sweep matches a direct pq transcription") {
     val rnd = new scala.util.Random(31)
     // independent transcription using a scala PriorityQueue

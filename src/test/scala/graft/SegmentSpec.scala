@@ -79,6 +79,7 @@ class SegmentSpec extends AnyFunSuite {
     "phrase sloppy wide" -> PhraseQ(Seq("def", "index"), 4),
     "phrase in bool" -> BoolQ(must = Seq(TermQ("score")),
       should = Seq(PhraseQ(Seq("def", "class")))),
+    "phrase sloppy repeat" -> PhraseQ(Seq("def", "class", "def"), 3),
     "multiphrase" -> MultiPhraseQ(Seq(Seq("def"), Seq("class", "val"))),
     "multiphrase sloppy" -> MultiPhraseQ(Seq(Seq("index"), Seq("merge", "score")), 2),
     // MatchAll-backed trees and filter-only bools (BooleanWeight semantics)
