@@ -190,6 +190,12 @@ object Bench {
     best
   }
 
+  /** Host-weather verdict for one (1-thread, N-thread) calibration pair:
+    * with truly delivered cores the N-thread strided-sum time stays within
+    * ~1.6× of the 1-thread time; beyond that the hypervisor under-delivered.
+    */
+  def calibClean(c1: Long, cN: Long): Boolean = cN <= c1 * 1.6
+
   private def runPhase(cpus: Int, reps: Int, tag: String): Unit = {
     val tmp = benchTmp
     val (calib1, calibN) = awaitCleanWindow(cpus, tag)
@@ -214,20 +220,34 @@ object Bench {
     val gc0 = gcMillis()
     val tBuild = buildIndex(s, s"$tmp/graft-bench-$tag", cpus)
     System.err.println(f"[bench] build@$cpus gcTime=${(gcMillis() - gc0) / 1000.0}%.1fs of $tBuild%.1fs")
+    // post-BUILD calibration: the pre-phase probe only gates the phase
+    // START; a long build spans multiple host-weather windows, so a phase
+    // is trusted only when BOTH ends measured clean (round-2 artifact
+    // failed exactly here: clean start, degraded mid-build)
+    val (mid1, midN) = (calibrate(1), calibrate(cpus))
     val searcher = new Searcher(s, SegmentSearcher.load(s"$tmp/graft-bench-$tag"))
     querySet(searcher, 10, cpus) // warm: fill caches + JIT the kernels
     val (tQuery, nQ) = querySet(searcher, reps, cpus)
+    val (post1, postN) = (calibrate(1), calibrate(cpus))
     // per-query-type mean latencies (single-threaded) for the breakdown
     referenceQueries.foreach { case (name, q, k) =>
       val (t, _) = time { (1 to 20).foreach(_ => searcher.search(q, k)) }
       System.err.println(f"[bench] q@$cpus $name%-16s ${t / 20 * 1000}%8.2f ms")
     }
     s.stop()
-    println(s"[phase] $tBuild $tQuery $nQ $calib1 $calibN")
+    println(s"[phase] $tBuild $tQuery $nQ $calib1 $calibN $mid1 $midN $post1 $postN")
   }
 
   final case class PhaseResult(build: Double, query: Double, nQ: Int,
-      calib1Ms: Long, calibNMs: Long)
+      calib1Ms: Long, calibNMs: Long,
+      mid1Ms: Long, midNMs: Long, post1Ms: Long, postNMs: Long) {
+    /** Build phase bracketed by clean windows (pre + mid). */
+    def buildClean: Boolean =
+      calibClean(calib1Ms, calibNMs) && calibClean(mid1Ms, midNMs)
+    /** Query phase bracketed by clean windows (mid + post). */
+    def queryClean: Boolean =
+      calibClean(mid1Ms, midNMs) && calibClean(post1Ms, postNMs)
+  }
 
   /** Fork self with the same JVM flags/classpath for one phase. */
   private def forkPhase(cpus: Int, reps: Int, tag: String): PhaseResult = {
@@ -256,8 +276,10 @@ object Bench {
     if (code != 0) sys.error(s"phase $tag exited $code")
     out.linesIterator.find(_.startsWith("[phase] ")) match {
       case Some(l) =>
-        val Array(b, q, n, c1, cn) = l.stripPrefix("[phase] ").split(" ")
-        PhaseResult(b.toDouble, q.toDouble, n.toInt, c1.toLong, cn.toLong)
+        val Array(b, q, n, c1, cn, m1, mn, p1, pn) =
+          l.stripPrefix("[phase] ").split(" ")
+        PhaseResult(b.toDouble, q.toDouble, n.toInt, c1.toLong, cn.toLong,
+          m1.toLong, mn.toLong, p1.toLong, pn.toLong)
       case None => sys.error(s"phase $tag printed no result:\n$out")
     }
   }
@@ -277,26 +299,51 @@ object Bench {
     val lo = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "2").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_BENCH_4N", "8").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "100").toInt
-    val attempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "2").toInt
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "6").toInt
 
     // Each level runs in its own fresh JVM; attempts interleaved (a lo/hi
-    // pair adjacent in time shares the host's interference window). ALL
-    // attempts are reported in the JSON with their host-calibration
-    // samples; the headline efficiency is the best pair — on a host whose
-    // delivered capacity swings >3× between identical runs, the best pair
-    // is the one that measured the engine rather than the neighbors (the
-    // calibration numbers make that audit possible).
-    val runs = (1 to attempts).map { a =>
+    // pair adjacent in time shares the host's interference window). Every
+    // phase is calibrated BEFORE and AFTER (and between build and query):
+    // a pair counts as CLEAN only when both ends of both phases measured a
+    // delivered-capacity ratio ≤1.6 — the round-2 artifact headlined a
+    // degraded pair precisely because only the phase START was gated.
+    // Attempts continue (bounded) until one clean pair exists; ALL
+    // attempts are reported with their calibration samples so the pick is
+    // auditable. The headline efficiency comes from the best CLEAN pair;
+    // if none is clean after maxAttempts the JSON says "clean": false.
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(PhaseResult, PhaseResult)]
+    var a = 0
+    while (a < maxAttempts &&
+        !runs.exists { case (l, h) => l.buildClean && h.buildClean }) {
+      a += 1
       val l = forkPhase(lo, reps, s"lo$a")
       val h = forkPhase(hi, reps, s"hi$a")
-      (l, h)
+      runs += ((l, h))
+      if (!(l.buildClean && h.buildClean))
+        System.err.println(s"[bench] attempt $a not clean " +
+          s"(lo build=${l.buildClean} query=${l.queryClean}, " +
+          s"hi build=${h.buildClean} query=${h.queryClean}) — retrying")
     }
     val nQ = runs.head._1.nQ
-    val (tBuildLo, tQueryLo) =
-      (runs.map(_._1.build).min, runs.map(_._1.query).min)
-    val (tBuildHi, tQueryHi) = (runs.map(_._2.build).min, runs.map(_._2.query).min)
-    val buildEffs = runs.map { case (l, h) => (l.build / h.build) / (hi.toDouble / lo) }
-    val queryEffs = runs.map { case (l, h) => (l.query / h.query) / (hi.toDouble / lo) }
+    def buildEff(l: PhaseResult, h: PhaseResult): Double =
+      (l.build / h.build) / (hi.toDouble / lo)
+    def queryEff(l: PhaseResult, h: PhaseResult): Double =
+      (l.query / h.query) / (hi.toDouble / lo)
+    val buildEffs = runs.map { case (l, h) => buildEff(l, h) }.toSeq
+    val queryEffs = runs.map { case (l, h) => queryEff(l, h) }.toSeq
+    val cleanBuildPairs = runs.filter { case (l, h) => l.buildClean && h.buildClean }
+    val cleanQueryPairs = runs.filter { case (l, h) => l.queryClean && h.queryClean }
+    val buildCleanFlag = cleanBuildPairs.nonEmpty
+    val queryCleanFlag = cleanQueryPairs.nonEmpty
+    // headline pair: best CLEAN pair when one exists, else best overall
+    val bestBuildPair =
+      (if (buildCleanFlag) cleanBuildPairs else runs)
+        .maxBy { case (l, h) => buildEff(l, h) }
+    val bestQueryPair =
+      (if (queryCleanFlag) cleanQueryPairs else runs)
+        .maxBy { case (l, h) => queryEff(l, h) }
+    val (tBuildLo, tBuildHi) = (bestBuildPair._1.build, bestBuildPair._2.build)
+    val (tQueryLo, tQueryHi) = (bestQueryPair._1.query, bestQueryPair._2.query)
     // peak-core single attempt (throughput record, not a scaling metric)
     val pk = forkPhase(peak, reps, "peak")
     val (tBuildPk, tQueryPk) = (pk.build, pk.query)
@@ -317,27 +364,31 @@ object Bench {
     val qps = nQ
     val queryThrLo = nQ / tQueryLo
     val queryThrHi = nQ / tQueryHi
-    val effBuild = buildEffs.max
-    val effQuery = queryEffs.max
+    val effBuild = buildEff(bestBuildPair._1, bestBuildPair._2)
+    val effQuery = queryEff(bestQueryPair._1, bestQueryPair._2)
 
     val qJson = perQuery.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
     val total = perQuery.map(_._2).sum + tBuildHi + tQueryHi
     def f(d: Double) = f"$d%.4f".toDouble
+    def calibJson(p: PhaseResult): String =
+      s"""[${p.calib1Ms},${p.calibNMs},${p.mid1Ms},${p.midNMs},${p.post1Ms},${p.postNMs}]"""
     println(
       s"""{"metric":"bench_total","value":${f(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
       s""","build":{"docs":$BenchDocs,"cores_n":$lo,"cores_4n":$hi""" +
       s""","docs_per_sec_n":${f(buildThrLo)},"docs_per_sec_4n":${f(buildThrHi)}""" +
       s""","seconds_n":${f(tBuildLo)},"seconds_4n":${f(tBuildHi)}""" +
-      s""","scaling_efficiency":${f(effBuild)}}""" +
+      s""","scaling_efficiency":${f(effBuild)},"clean":$buildCleanFlag}""" +
       s""","query":{"set_size":$qps,"qps_n":${f(queryThrLo)},"qps_4n":${f(queryThrHi)}""" +
       s""","seconds_n":${f(tQueryLo)},"seconds_4n":${f(tQueryHi)}""" +
-      s""","scaling_efficiency":${f(effQuery)}}""" +
+      s""","scaling_efficiency":${f(effQuery)},"clean":$queryCleanFlag}""" +
       s""","attempts":${
         runs.zipWithIndex.map { case ((l, h), i) =>
           s"""{"attempt":${i + 1},"n_build_sec":${f(l.build)},"4n_build_sec":${f(h.build)}""" +
           s""","n_query_sec":${f(l.query)},"4n_query_sec":${f(h.query)}""" +
-          s""","n_calib_ms":[${l.calib1Ms},${l.calibNMs}],"4n_calib_ms":[${h.calib1Ms},${h.calibNMs}]""" +
+          s""","n_calib_ms":${calibJson(l)},"4n_calib_ms":${calibJson(h)}""" +
+          s""","clean_build":${l.buildClean && h.buildClean}""" +
+          s""","clean_query":${l.queryClean && h.queryClean}""" +
           s""","build_eff":${f(buildEffs(i))},"query_eff":${f(queryEffs(i))}}"""
         }.mkString("[", ",", "]")
       },"peak_calib_ms":[${pk.calib1Ms},${pk.calibNMs}]""" +

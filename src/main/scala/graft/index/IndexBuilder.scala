@@ -491,6 +491,16 @@ object IndexBuilder {
       }
       awaitSideJobs() // zero-group edge (all groups already done)
     } finally {
+      // the side futures must never outlive this call: if the encode threw
+      // before awaitSideJobs, a returning caller (or an immediate same-JVM
+      // retry) would otherwise race a still-running docs/termstats
+      // overwrite of the same paths — drain them (swallowing their own
+      // failures so they can't mask the primary exception)
+      sideJobs.foreach { f =>
+        try scala.concurrent.Await.ready(f,
+          scala.concurrent.duration.Duration.Inf)
+        catch { case _: Throwable => () }
+      }
       if (!alreadyPersisted) posted.unpersist()
     }
     readManifest(dir).get

@@ -88,7 +88,12 @@ object Merge {
     val parts = spark.sessionState.conf.numShufflePartitions
     val withPos = head.positions
     val merged = allRows
-      .map(p => spark.read.option("basePath", p).parquet(p))
+      .map { p =>
+        val raw = spark.read.option("basePath", p).parquet(p)
+        // pre-positions segment parquet lacks posBlocks — empty blob
+        if (raw.columns.contains("posBlocks")) raw
+        else raw.withColumn("posBlocks", lit(Array.empty[Byte]))
+      }
       .reduce(_ unionByName _)
       .withColumn("bucket", bucketUdf(col("term")))
       .select(col("bucket"), col("term"), col("salt"),

@@ -44,22 +44,28 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard pairs ≥ threshold. Blocking via the shingle
-    * self-join: only docs sharing ≥1 NON-HOT shingle become candidates —
-    * a shingle in > maxShingleDf docs contributes O(df²) candidate pairs,
-    * so it is dropped from BLOCKING ONLY (it can only be boilerplate; the
-    * dropped count is logged). Candidates are then verified with the TRUE
-    * Jaccard over the full shingle sets, so the cap never distorts a
-    * reported similarity — it can only miss a pair whose every shared
-    * shingle is boilerplate. The default cap is inert at test scale and
-    * protective at 10⁹ docs.
+    * self-join: docs sharing ≥1 shingle become candidates, then are
+    * verified with the TRUE Jaccard over the full shingle sets.
+    *
+    * `maxShingleDf` (default unlimited — full recall, no extra job): when
+    * set, a shingle in > maxShingleDf docs is dropped from BLOCKING ONLY
+    * (it contributes O(df²) candidate pairs and can only be boilerplate;
+    * the dropped count is logged). The exact verify is unaffected, so the
+    * cap never distorts a reported similarity — but it CAN miss a pair
+    * whose every shared shingle is hot. Opt in at 10⁹-doc scale; the
+    * default keeps the historical exact-recall contract (and skips the
+    * hot-set groupBy+count job entirely).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.7,
-      maxShingleDf: Int = 100000): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingles(df, textCol, idCol, n).persist()
-    val hot = sh.groupBy("sh").count()
-      .filter(col("count") > maxShingleDf).select("sh").persist()
-    val nHot = hot.count()
+    val useCap = maxShingleDf < Int.MaxValue
+    val hot =
+      if (!useCap) null
+      else sh.groupBy("sh").count()
+        .filter(col("count") > maxShingleDf).select("sh").persist()
+    val nHot = if (useCap) hot.count() else 0L
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ngramJaccardPairs: dropping $nHot shingles with df > $maxShingleDf from blocking")
@@ -81,7 +87,7 @@ object Dedup {
           col("inter") / (col("na") + col("nb") - col("inter")))
         .filter(col("jaccard") >= threshold)
         .select(col("ia"), col("ib"), col("jaccard"))
-    } finally { sh.unpersist(); hot.unpersist(); () }
+    } finally { sh.unpersist(); if (hot != null) hot.unpersist(); () }
   }
 
   // ---- MinHash + LSH ----

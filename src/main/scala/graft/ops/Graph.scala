@@ -27,6 +27,9 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).persist()
     var frontier = Seq((src, src)).toDF("node", "path")
     var visited = Seq(src).toDF("node")
+    // persisted frames superseded each level — released as we go (a deep
+    // traversal must not accumulate cached blocks for the session's life)
+    var livePersists: List[DataFrame] = Nil
     var result: Option[String] = None
     var depth = 0
     try {
@@ -42,15 +45,22 @@ object Graph {
           .groupBy("node").agg(min("path").as("path"))
           .persist()
         val hit = next.filter(col("node") === dst).select("path").collect()
-        if (hit.nonEmpty) result = Some(hit(0).getString(0))
-        else if (next.isEmpty) depth = maxDepth
+        if (hit.nonEmpty) { next.unpersist(); result = Some(hit(0).getString(0)) }
+        else if (next.isEmpty) { next.unpersist(); depth = maxDepth }
         else {
-          visited = visited.unionByName(next.select("node")).persist()
+          val newVisited = visited.unionByName(next.select("node")).persist()
+          newVisited.count() // materialize before dropping the inputs
+          livePersists.foreach(_.unpersist())
+          livePersists = List(next, newVisited)
+          visited = newVisited
           frontier = next
           depth += 1
         }
       }
-    } finally { e.unpersist(); () }
+    } finally {
+      e.unpersist()
+      livePersists.foreach(_.unpersist())
+    }
     result match {
       case Some(p) =>
         p.split("/").zipWithIndex

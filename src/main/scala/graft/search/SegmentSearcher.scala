@@ -100,43 +100,40 @@ object SegmentSearcher {
     })
   }
 
-  /** Expand prefix/regexp/fuzzy/range against the term dictionary into
-    * const-score disjunctions (MultiTermQuery rewrite,
-    * `search/MultiTermQueryConstantScoreWrapper.java:44`). Caps expansion
-    * like the reference's maxClauseCount (BooleanQuery default 1024).
+  // ---------- per-shard execution ----------
+
+  /** Blob map of one shard group's rows (markers — salt == -2 — skipped).
+    * Lives on the OBJECT so executor closures stay Searcher-free.
     */
-  def expandMultiTerm(spark: SparkSession, ix: SegmentIndex, q: Query,
-      maxExpansions: Int = 1024): Query = {
-    def expand(pred: org.apache.spark.sql.Column): Seq[String] =
-      spark.read.parquet(s"${ix.dir}/termstats")
-        .filter(pred).select("term").orderBy("term").limit(maxExpansions)
-        .collect().map(_.getString(0)).toSeq
-    def go(q: Query): Query = q match {
-      case PrefixQ(p) =>
-        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").startsWith(p)): _*)))
-      case RegexpQ(p) =>
-        ConstScoreQ(BoolQ(should = Query.terms(expand(col("term").rlike(p)): _*)))
-      case WildcardQ(p) =>
-        ConstScoreQ(BoolQ(should =
-          Query.terms(expand(col("term").rlike(WildcardQ.toRegex(p))): _*)))
-      case FuzzyQ(t, e) =>
-        ConstScoreQ(BoolQ(should =
-          Query.terms(expand(levenshtein(col("term"), lit(t)) <= e): _*)))
-      case TermRangeQ(lo, hi, il, iu) =>
-        val lower = if (il) col("term") >= lo else col("term") > lo
-        val upper = if (iu) col("term") <= hi else col("term") < hi
-        ConstScoreQ(BoolQ(should = Query.terms(expand(lower && upper): _*)))
-      case BoolQ(mu, sh, mn, fl, msm) =>
-        BoolQ(mu.map(go), sh.map(go), mn.map(go), fl.map(go), msm)
-      case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
-      case BoostQ(i, b) => BoostQ(go(i), b)
-      case ConstScoreQ(i, s) => ConstScoreQ(go(i), s)
-      case other => other
-    }
-    go(q)
+  private[search] def blobsOf(it: Iterator[(Int, SegRow)]): Map[String, SegRow] =
+    it.map(_._2).filter(_.salt != -2).map(r => r.term -> r).toMap
+
+  /** Exhaustively count a shard's matches (TotalHitCountCollector body). */
+  private[search] def countShard(shard: Int, blobs: Map[String, SegRow],
+      plan: Plan): Long = {
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    var n = 0L
+    var d = scorer.nextDoc()
+    while (d != DocScorer.NO_MORE) { n += 1; d = scorer.nextDoc() }
+    n
   }
 
-  // ---------- per-shard execution ----------
+  /** Rescore one shard's first-pass hits in docId order
+    * (`search/QueryRescorer.java:40-70` combine): combined =
+    * float(first + weight × second) when the rescore query matches, else
+    * first. Static so the distributed path's closures stay Searcher-free.
+    */
+  private[search] def rescoreShard(shard: Int, blobs: Map[String, SegRow],
+      plan: Plan, hits: Array[Hit], weight: Float): Iterator[Hit] = {
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    hits.sortBy(_.docId).iterator.map { h =>
+      val d = if (scorer.doc < h.docId) scorer.advance(h.docId) else scorer.doc
+      val combined: Float =
+        if (d == h.docId) h.score.toFloat + weight * scorer.score
+        else h.score.toFloat
+      Hit(h.docId, combined.toDouble)
+    }
+  }
 
   /** Run the scorer tree for one shard and collect its top-k. Runs inside
     * an executor task. shard == -1 → unsharded (no mod filtering).
@@ -415,9 +412,16 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount))
 
   lazy val segmentsDf: DataFrame = {
-    val df = spark.read
+    val raw = spark.read
       .option("basePath", s"${index.dir}/segments")
       .parquet(index.segmentPaths: _*)
+    // pre-positions segment parquet has no posBlocks column (manifest
+    // tolerates a missing `positions` field the same way) — substitute an
+    // empty blob so old indexes stay loadable
+    val withPos =
+      if (raw.columns.contains("posBlocks")) raw
+      else raw.withColumn("posBlocks", lit(Array.empty[Byte]))
+    val df = withPos
       .select("bucket", "term", "salt", "docBlocks", "skipData", "posBlocks")
     if (cacheSegments) { val p = df.persist(); p.count(); p } else df
   }
@@ -452,6 +456,21 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
       ()
     }
   }
+
+  /** Per-term scoring weights from raw (df, ttf) stats. */
+  private def mkWeights(st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] =
+    st.map { case (t, (df, _)) =>
+      t -> TermWeightInfo(t, df,
+        BM25.weightValue(BM25.idf(df, m.docCount), params),
+        df >= m.saltThreshold)
+    }
+
+  /** ~bytes of posting blobs the query terms would pull to the driver
+    * (~3.2 bytes/posting: delta varint + tf varint + norm byte).
+    */
+  private def estPostingBytes(st: Map[String, (Long, Long)],
+      present: Set[String]): Long =
+    present.toSeq.map(t => st(t)._1 * 4L + 64L).sum
 
   def stats(terms: Set[String]): Map[String, (Long, Long)] = {
     val missing = terms.filterNot(statsCache.contains)
@@ -603,11 +622,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     if (terms.isEmpty && !hasAll) return Array.empty
 
     val st = stats(terms)
-    val weights = st.map { case (t, (df, _)) =>
-      t -> TermWeightInfo(t, df,
-        BM25.weightValue(BM25.idf(df, m.docCount), params),
-        df >= m.saltThreshold)
-    }
+    val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
     val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
       m.docCount, params, useWand)
@@ -617,12 +632,9 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
 
     val partials: Seq[Array[Hit]] =
       if (present.isEmpty) Seq(execShard(-1, Map.empty, plan))
-      else {
-        // ~3.2 bytes/posting (delta varint + tf varint + norm byte)
-        val estBytes = present.toSeq.map(t => st(t)._1 * 4L + 64L).sum
-        if (estBytes <= maxLocalBytes) execLocal(present, plan)
-        else execDistributed(present, plan)
-      }
+      else if (estPostingBytes(st, present) <= maxLocalBytes)
+        execLocal(present, plan)
+      else execDistributed(present, plan)
     TopK.merge(partials, k)
   }
 
@@ -661,26 +673,47 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     }
   }
 
-  /** Shuffle blobs to shard tasks (the 100 TB path: hot posting lists
-    * never centralize).
+  /** (shard, SegRow) pairs for the distributed shard tasks: salted rows go
+    * to their shard, cold rows replicate to every shard. When the query
+    * tree is backed by a MatchAllQ (or `forceAllShards`), zero-byte MARKER
+    * rows (salt == -2, skipped when building the blob map) seed every
+    * shard key — otherwise a shard with no segment rows would produce no
+    * groupByKey group and its MatchAll-derived matches would be silently
+    * lost.
     */
-  private def execDistributed(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+  private def shardRows(present: Set[String], plan: Plan,
+      forceAllShards: Boolean): Dataset[(Int, SegRow)] = {
     import spark.implicits._
-    val rows = prunedRows(present)
+    val rows: Dataset[SegRow] =
+      if (present.isEmpty) spark.emptyDataset[SegRow] else prunedRows(present)
     val S = plan.numShards
     val sharded = plan.sharded
-    val bPlan = spark.sparkContext.broadcast(plan)
     val shardOf: SegRow => Seq[(Int, SegRow)] =
       if (!sharded) r => Seq((0, r))
       else r =>
         if (r.salt >= 0) Seq((r.salt, r))
         else (0 until S).map(s => (s, r))
-    rows.flatMap(shardOf)
+    val base = rows.flatMap(shardOf)
+    if (!forceAllShards && !Query.containsMatchAll(plan.query)) base
+    else {
+      val empty = Array.empty[Byte]
+      val markers = (0 until (if (sharded) S else 1))
+        .map(s => (s, SegRow("", -2, empty, empty, empty)))
+      base.union(markers.toDS())
+    }
+  }
+
+  /** Shuffle blobs to shard tasks (the 100 TB path: hot posting lists
+    * never centralize).
+    */
+  private def execDistributed(present: Set[String], plan: Plan): Seq[Array[Hit]] = {
+    import spark.implicits._
+    val bPlan = spark.sparkContext.broadcast(plan)
+    shardRows(present, plan, forceAllShards = false)
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
         val p = bPlan.value
-        val blobs = it.map(_._2).map(r => r.term -> r).toMap
-        execShard(if (p.sharded) shard else -1, blobs, p)
+        execShard(if (p.sharded) shard else -1, blobsOf(it), p)
       }
       .collect().toSeq
   }
@@ -700,6 +733,10 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
   /** Count ALL matches of a query without collecting them — the
     * TotalHitCountCollector analog (`search/TotalHitCountCollector.java`):
     * per-shard exhaustive scorer iteration, counts summed across shards.
+    * Routed through the same `estBytes <= maxLocalBytes` gate as search():
+    * a hot term's posting bytes never centralize on the driver — the
+    * distributed path counts inside the groupByKey shard tasks and ships
+    * back ONE long per shard.
     */
   def count(q0: Query): Long = {
     var q = Query.rewrite(q0)
@@ -709,33 +746,34 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     val hasAll = Query.containsMatchAll(q)
     if (terms.isEmpty && !hasAll) return 0L
     val st = stats(terms)
-    val weights = st.map { case (t, (df, _)) =>
-      t -> TermWeightInfo(t, df,
-        BM25.weightValue(BM25.idf(df, m.docCount), params),
-        df >= m.saltThreshold)
-    }
+    val weights = mkWeights(st)
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return 0L
     val sharded = weights.values.exists(_.salted)
     val plan = Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
       m.docCount, params, useWand = false)
-    def countShard(shard: Int, blobs: Map[String, SegRow]): Long = {
-      val scorer = SegmentSearcher.buildScorer(q, shard, blobs, plan, 1f)
-      var n = 0L
-      var d = scorer.nextDoc()
-      while (d != DocScorer.NO_MORE) { n += 1; d = scorer.nextDoc() }
-      n
-    }
-    if (present.isEmpty) countShard(-1, Map.empty)
-    else {
+    if (present.isEmpty) SegmentSearcher.countShard(-1, Map.empty, plan)
+    else if (estPostingBytes(st, present) <= maxLocalBytes) {
       val rows = fetchRows(present)
       if (rows.isEmpty) 0L
-      else if (!sharded) countShard(-1, rows.map(r => r.term -> r).toMap)
+      else if (!sharded)
+        SegmentSearcher.countShard(-1, rows.map(r => r.term -> r).toMap, plan)
       else (0 until plan.numShards).map { s =>
         val blobs = rows.filter(r => r.salt == s || r.salt < 0)
           .map(r => r.term -> r).toMap
-        if (blobs.isEmpty) 0L else countShard(s, blobs)
+        if (blobs.isEmpty) 0L else SegmentSearcher.countShard(s, blobs, plan)
       }.sum
+    } else {
+      import spark.implicits._
+      val bPlan = spark.sparkContext.broadcast(plan)
+      shardRows(present, plan, forceAllShards = false)
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val p = bPlan.value
+          SegmentSearcher.countShard(if (p.sharded) shard else -1,
+            SegmentSearcher.blobsOf(it), p)
+        }
+        .collect().sum
     }
   }
 
@@ -751,7 +789,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     */
   def moreLikeThis(docId: Long, contentCol: String = "content",
       maxQueryTerms: Int = 25, minTf: Int = 2, minDocFreq: Int = 5): Query = {
-    val rows = spark.read.parquet(s"${index.dir}/docs")
+    val rows = docsDf
       .filter(col("docId") === docId).select(contentCol).collect()
     require(rows.nonEmpty, s"no doc $docId")
     val toks = IndexBuilder.tokenizerFn(m.tokenizer)(rows(0).getString(0))
@@ -785,11 +823,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     val terms = Query.literalTerms(q)
     val hasAll = Query.containsMatchAll(q)
     val st = stats(terms)
-    val weights = st.map { case (t, (df, _)) =>
-      t -> TermWeightInfo(t, df,
-        BM25.weightValue(BM25.idf(df, m.docCount), params),
-        df >= m.saltThreshold)
-    }
+    val weights = mkWeights(st)
     val present = terms.filter(st.contains)
     if (q == MatchNoneQ || (present.isEmpty && !hasAll)) {
       first.foreach(h => queue.insert(h.docId, h.score))
@@ -798,41 +832,69 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     val sharded = weights.values.exists(_.salted)
     val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
       m.docCount, params, useWand = false)
-    val rows = if (present.isEmpty) Array.empty[SegRow] else fetchRows(present)
-    val byShard: Map[Int, Array[Hit]] =
-      if (!sharded) Map(-1 -> first)
-      else first.groupBy(h => (h.docId % plan.numShards).toInt)
-    byShard.foreach { case (shard, hits) =>
-      val blobs =
-        if (shard < 0) rows.map(r => r.term -> r).toMap
-        else rows.filter(r => r.salt == shard || r.salt < 0)
-          .map(r => r.term -> r).toMap
-      val scorer = SegmentSearcher.buildScorer(q, shard, blobs, plan, 1f)
-      hits.sortBy(_.docId).foreach { h =>
-        val d = if (scorer.doc < h.docId) scorer.advance(h.docId) else scorer.doc
-        val combined: Float =
-          if (d == h.docId) h.score.toFloat + weight * scorer.score
-          else h.score.toFloat
-        queue.insert(h.docId, combined.toDouble)
+    if (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) {
+      // driver-local: blobs fit the byte budget (first-pass hits are small
+      // by contract — it's the rescore QUERY's postings that can be hot)
+      val rows = if (present.isEmpty) Array.empty[SegRow] else fetchRows(present)
+      val byShard: Map[Int, Array[Hit]] =
+        if (!sharded) Map(-1 -> first)
+        else first.groupBy(h => (h.docId % plan.numShards).toInt)
+      byShard.foreach { case (shard, hits) =>
+        val blobs =
+          if (shard < 0) rows.map(r => r.term -> r).toMap
+          else rows.filter(r => r.salt == shard || r.salt < 0)
+            .map(r => r.term -> r).toMap
+        SegmentSearcher.rescoreShard(shard, blobs, plan, hits, weight)
+          .foreach(h => queue.insert(h.docId, h.score))
       }
+    } else {
+      // distributed: first-pass hits broadcast to the shard tasks, blobs
+      // stay executor-side; forceAllShards seeds a group even for shards
+      // whose rescore-query blobs are empty (their hits keep firstScore)
+      import spark.implicits._
+      val bPlan = spark.sparkContext.broadcast(plan)
+      val byShard: Map[Int, Array[Hit]] =
+        if (!sharded) Map(0 -> first)
+        else first.groupBy(h => (h.docId % plan.numShards).toInt)
+      val bHits = spark.sparkContext.broadcast(byShard)
+      val w = weight
+      shardRows(present, plan, forceAllShards = true)
+        .groupByKey(_._1)
+        .flatMapGroups { (shard, it) =>
+          val p = bPlan.value
+          val hits = bHits.value.getOrElse(shard, Array.empty[Hit])
+          if (hits.isEmpty) Iterator.empty
+          else SegmentSearcher.rescoreShard(if (p.sharded) shard else -1,
+            SegmentSearcher.blobsOf(it), p, hits, w)
+        }
+        .collect()
+        .foreach(h => queue.insert(h.docId, h.score))
     }
     queue.sortedHits
   }
 
   // ---------- sort-by-field (TopFieldCollector analog) ----------
 
+  /** The index's docs table — the stored-fields row store AND the
+    * docvalues column store (one parquet columnar read per field).
+    */
+  lazy val docsDf: DataFrame = spark.read.parquet(s"${index.dir}/docs")
+
+  /** ~bytes a driver-side docvalues array for this index would take. */
+  private def dvBytes: Long = m.docCount * 16L
+
   /** Long-valued docvalues column from the index's docs table, loaded ONCE
     * per field into a dense array (engine-assigned docIds are dense; a
     * sparse id space falls back to a hash map). The NumericDocValues
-    * analog (`index/NumericDocValues.java`) for the driver-local path —
-    * a 10⁹-doc index wants per-executor columnar fetch instead (the docs
-    * table IS that column store; future distributed mode).
+    * analog (`index/NumericDocValues.java`) for the DRIVER-LOCAL path
+    * only — searchByField gates on `dvBytes <= maxLocalBytes` and runs
+    * the executor-side join path instead when the column doesn't fit.
     */
   private val dvCache =
     scala.collection.concurrent.TrieMap.empty[String, Long => Long]
   def docValues(field: String): Long => Long =
     dvCache.getOrElseUpdate(field, {
-      val rows = spark.read.parquet(s"${index.dir}/docs")
+      val rows = docsDf
         .select(col("docId"), col(field).cast("long")).collect()
       val maxId = rows.iterator.map(_.getLong(0)).max
       if (maxId < Int.MaxValue && maxId + 1 <= rows.length.toLong * 4) {
@@ -851,6 +913,13 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     * match streams from the scorer tree, sort keys come from docvalues,
     * scores are not computed. Returns (docId, fieldValue) pairs in rank
     * order.
+    *
+    * Scale shape: when either the query blobs or the docvalues column
+    * exceed `maxLocalBytes`, matching docIds stream out of the groupByKey
+    * shard tasks, sort keys are joined executor-side from the docs table
+    * (the column store), and the top-k comes from Spark's
+    * TakeOrderedAndProject (bounded per-partition heap + driver merge of
+    * k) — nothing doc-count-sized ever reaches the driver.
     */
   def searchByField(q0: Query, k: Int, field: String,
       asc: Boolean = true): Array[(Long, Long)] = {
@@ -861,17 +930,21 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
     val hasAll = Query.containsMatchAll(q)
     if (terms.isEmpty && !hasAll) return Array.empty
     val st = stats(terms)
-    val weights = st.map { case (t, (df, _)) =>
-      t -> TermWeightInfo(t, df,
-        BM25.weightValue(BM25.idf(df, m.docCount), params),
-        df >= m.saltThreshold)
-    }
+    val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
     val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
       m.docCount, params, useWand = false)
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
+    val localOk = dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
+    if (localOk) searchByFieldLocal(plan, present, field, asc, k)
+    else searchByFieldDistributed(plan, present, field, asc, k)
+  }
+
+  private def searchByFieldLocal(plan: Plan, present: Set[String],
+      field: String, asc: Boolean, k: Int): Array[(Long, Long)] = {
     val get = docValues(field)
     // reuse the score queue with a signed key: asc ⇒ key = -value (so the
     // queue's score-desc order yields value asc); ties docId asc either way
@@ -899,6 +972,33 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
         }
       }
     TopK.merge(partials, k).map(h => (h.docId, (sign * h.score).toLong))
+  }
+
+  private def searchByFieldDistributed(plan: Plan, present: Set[String],
+      field: String, asc: Boolean, k: Int): Array[(Long, Long)] = {
+    import spark.implicits._
+    val dv = docsDf.select(col("docId"), col(field).cast("long").as("sortv"))
+    val matches: DataFrame =
+      if (present.isEmpty) dv.select("docId")
+      else {
+        val bPlan = spark.sparkContext.broadcast(plan)
+        shardRows(present, plan, forceAllShards = false)
+          .groupByKey(_._1)
+          .flatMapGroups { (shard, it) =>
+            val p = bPlan.value
+            val scorer = SegmentSearcher.buildScorer(p.query,
+              if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
+            Iterator.continually(scorer.nextDoc())
+              .takeWhile(_ != DocScorer.NO_MORE)
+          }
+          .toDF("docId")
+      }
+    matches.join(dv, "docId")
+      .orderBy(if (asc) col("sortv").asc else col("sortv").desc,
+        col("docId").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
   }
 
   def close(): Unit = {

@@ -84,16 +84,28 @@ object StreamingIndex {
     var round = 0
     var snaps = snapshots(indexDir)
     require(snaps.nonEmpty, s"no committed snapshots under $indexDir")
+    // Output names must be unique ACROSS invocations: a second compaction
+    // cycle that restarted tier numbering at 0 could overwrite a surviving
+    // tier-rN snapshot from an earlier cycle (clobbering live data, or
+    // reading-while-overwriting if that snapshot is in the pick). Start
+    // past the highest existing tier index and refuse committed targets.
+    val TierName = """snap=tier-r(\d+)""".r
+    var tier = snaps.map(p => new java.io.File(p).getName).collect {
+      case TierName(n) => n.toInt + 1
+    }.foldLeft(0)(math.max)
     while (snaps.size > math.max(segsPerTier, 1)) {
       val sized = snaps
         .map(p => (p, IndexBuilder.readManifest(p).get.docCount))
         .sortBy { case (p, n) => (n, p) }
       val pick = sized.take(maxMergeAtOnce).map(_._1)
-      val out = s"$indexDir/snap=tier-r$round"
-      Merge.mergeIndexes(spark, pick, out, s"tier-r$round")
+      val out = s"$indexDir/snap=tier-r$tier"
+      require(IndexBuilder.readManifest(out).isEmpty,
+        s"refusing to overwrite committed snapshot $out")
+      Merge.mergeIndexes(spark, pick, out, s"tier-r$tier")
       pick.foreach(p =>
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
       round += 1
+      tier += 1
       snaps = snapshots(indexDir)
     }
     round

@@ -148,6 +148,37 @@ class SegmentSpec extends AnyFunSuite {
     }
   }
 
+  test("forced-distributed count/rescore/searchByField == driver-local") {
+    // maxLocalBytes = 0 forces the groupByKey shard path AND the
+    // executor-side docvalues join (the 100 TB shape: no posting list and
+    // no docvalues column ever centralizes on the driver)
+    for ((name, six) <- Seq("plain" -> built._2, "salted" -> builtSalted._2)) {
+      val local = new Searcher(spark, six, cacheSegments = false)
+      val dist = new Searcher(spark, six, cacheSegments = false, maxLocalBytes = 0)
+      val countQs = Seq[Query](
+        TermQ("def"),
+        Query.and(TermQ("def"), TermQ("merge")),
+        Query.not(MatchAllQ, TermQ("def")),
+        BoolQ(filter = Seq(TermQ("def"), TermQ("merge"))))
+      for (q <- countQs)
+        assert(dist.count(q) === local.count(q), s"$name count q=$q")
+      for (q <- Seq[Query](TermQ("def"), Query.or(TermQ("def"), TermQ("merge")));
+           asc <- Seq(true, false)) {
+        assert(dist.searchByField(q, 10, "length", asc).toSeq
+          === local.searchByField(q, 10, "length", asc).toSeq,
+          s"$name searchByField q=$q asc=$asc")
+      }
+      val first = local.search(TermQ("def"), 20)
+      assert(dist.rescore(first, TermQ("merge"), 2f, 10).map(h => (h.docId, h.score)).toSeq
+        === local.rescore(first, TermQ("merge"), 2f, 10).map(h => (h.docId, h.score)).toSeq,
+        s"$name rescore")
+      // rescore query with an absent term: every hit keeps firstScore
+      assert(dist.rescore(first, TermQ("zzzznotaterm"), 2f, 10).map(h => (h.docId, h.score)).toSeq
+        === local.rescore(first, TermQ("zzzznotaterm"), 2f, 10).map(h => (h.docId, h.score)).toSeq,
+        s"$name rescore absent")
+    }
+  }
+
   test("searchAfter equivalence on segment path") {
     val (ix, six) = built
     val page1 = segHits(six, TermQ("def"), 5)
