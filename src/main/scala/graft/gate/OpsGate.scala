@@ -87,9 +87,15 @@ object OpsGate {
         .orderBy("ia", "ib")),
 
     // simhash is deterministic (sha256-based token hash) and its band
-    // blocking is exact at radius 3 — full DuckDB oracle above
+    // blocking is exact at any radius (pigeonhole) — full DuckDB oracle
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 3)
+        .orderBy("ia", "ib")),
+
+    // wider radius through the parameterized banding (6 × ~11-bit bands)
+    "q_dedup_simhash_r5" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), "text", "doc_id", maxHamming = 5,
+        nBands = 6)
         .orderBy("ia", "ib")),
 
     "q_dedup_embedding" -> ((s, d) =>
@@ -187,11 +193,12 @@ LIMIT $k"""
 
   /** SimHash sigs recomputed from scratch: token hash = first 8 bytes of
     * sha256 (hex nibbles → bits), per-bit votes, sign → sig; pairs by
-    * hamming ≤ 3. The engine's 16-bit band blocking is EXACT for radius 3
-    * (pigeonhole), so the oracle needs no banding.
+    * hamming ≤ r. The engine's pigeonhole band blocking is EXACT at any
+    * radius (nBands > r ⇒ some band matches), so the oracle needs no
+    * banding.
     */
-  private val simhashOracle: String =
-    """WITH toks AS (
+  private def simhashOracle(radius: Int): String =
+    s"""WITH toks AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
        x -> x <> '' AND length(x) <= 255)) AS term FROM documents
 ), th AS (
@@ -208,7 +215,7 @@ LIMIT $k"""
 SELECT a.doc_id AS ia, b.doc_id AS ib,
   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 3
+WHERE bit_count(xor(a.sig, b.sig)) <= $radius
 ORDER BY ia, ib"""
 
   /** IVF oracle: centroids inlined as exact doubles; cell = argmax
@@ -248,7 +255,8 @@ LIMIT $k"""
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle(10),
     "q_ann_ivf" -> annIvfOracle(16, 4, 10),
-    "q_dedup_simhash" -> simhashOracle,
+    "q_dedup_simhash" -> simhashOracle(3),
+    "q_dedup_simhash_r5" -> simhashOracle(5),
     "q_dedup_exact" ->
       """SELECT a.doc_id AS id, m.canon AS canonicalId
 FROM documents a JOIN (

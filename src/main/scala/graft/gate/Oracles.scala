@@ -345,6 +345,112 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Sloppy multi-phrase with a REPEATED term, 2 offsets: `a` then
+    * (any of `bs`), where `a ∈ bs` — the hasMultiTermRpts case
+    * (`SloppyPhraseScorer.java:148-200,292-310`). The oracle simulates the
+    * reference sweep STEP-BY-STEP as a recursive CTE (one row per loop
+    * iteration) over stream A = positions(a) and stream B = the union of
+    * the members' positions (adjusted −1):
+    *
+    *  - init: place firsts; a collision (same RAW token in both streams)
+    *    advances the lesser — always B, whose adjusted position is smaller
+    *  - each step: advance the popped stream; resolve at most one
+    *    collision by advancing B; a queue crossing (popped position >
+    *    captured runner-up) emits 1/(matchLength+1) when within slop;
+    *    exhaustion emits the final candidate
+    *
+    * Validated against the engine kernel by the 2000-case pq-transcription
+    * property in PhraseSpec; float accumulation order matches `freq +=`.
+    */
+  def multiPhraseSloppyRpt2(a: String, bs: Seq[String], slop: Int, k: Int): String = {
+    require(bs.contains(a), "oracle shape: repeated term must be in offset 2")
+    val idfs = (a +: bs).map(t =>
+      idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"))
+    val idfSum = idfs.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    val one = R("1.0")
+    val inList = bs.map(lit).mkString(", ")
+    "WITH RECURSIVE" + prologue.stripPrefix("WITH") +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), pa AS (
+  SELECT doc_id, list(pos - 1 ORDER BY pos) AS al
+  FROM posx WHERE term = ${lit(a)} GROUP BY doc_id
+), pb AS (
+  SELECT doc_id, list(p ORDER BY p) AS rl FROM (
+    SELECT DISTINCT doc_id, pos - 1 AS p FROM posx WHERE term IN ($inList)
+  ) GROUP BY doc_id
+), seed AS (
+  -- init: A at al[1]; B skips an initial same-raw-token collision; docs
+  -- whose B stream exhausts at init can never match
+  SELECT doc_id, al, rl, ia, ib, al[ia] AS curA, rl[ib] - 1 AS curB
+  FROM (
+    SELECT pa.doc_id, al, rl, 1 AS ia,
+      CASE WHEN al[1] = rl[1] THEN 2 ELSE 1 END AS ib
+    FROM pa JOIN pb USING (doc_id)
+  ) WHERE ib <= len(rl)
+), rec AS (
+  SELECT doc_id, al, rl, ia, ib,
+    curA <= curB AS ppA,
+    CASE WHEN curA <= curB THEN curB ELSE curA END AS next,
+    greatest(curA, curB) - CASE WHEN curA <= curB THEN curA ELSE curB END AS ml,
+    greatest(curA, curB) AS e,
+    CAST(0 AS REAL) AS freq, TRUE AS alive
+  FROM seed
+  UNION ALL
+  SELECT doc_id, al, rl, ia1, ibx,
+    CASE WHEN crossed THEN nppA ELSE ppA END,
+    CASE WHEN crossed THEN CASE WHEN nppA THEN curB2 ELSE curA2 END ELSE next END,
+    CASE WHEN dead THEN ml
+         WHEN crossed THEN e2 - CASE WHEN nppA THEN curA2 ELSE curB2 END
+         ELSE least(ml, e2 - curPP) END,
+    e2,
+    CAST(freq + CASE WHEN (dead OR crossed) AND ml <= $slop
+      THEN ${R(s"$one / CAST(ml + 1 AS REAL)")} ELSE CAST(0 AS REAL) END AS REAL),
+    NOT dead
+  FROM (
+    SELECT *,
+      CASE WHEN dead THEN FALSE ELSE curPP > next END AS crossed,
+      CASE WHEN dead THEN FALSE ELSE curA2 <= curB2 END AS nppA
+    FROM (
+      SELECT *,
+        al[ia1] AS curA2, rl[ibx] - 1 AS curB2,
+        CASE WHEN ppA THEN al[ia1] ELSE rl[ibx] - 1 END AS curPP,
+        CASE WHEN dead THEN e
+             WHEN ppA AND coll THEN greatest(e, al[ia1], rl[ibx] - 1)
+             WHEN ppA THEN greatest(e, al[ia1])
+             ELSE greatest(e, rl[ibx] - 1) END AS e2
+      FROM (
+        SELECT *, exh1 OR (coll AND ibx > len(rl)) AS dead
+        FROM (
+          SELECT *, CASE WHEN coll THEN ib1 + 1 ELSE ib1 END AS ibx
+          FROM (
+            SELECT *, NOT exh1 AND al[ia1] = rl[ib1] AS coll
+            FROM (
+              SELECT *,
+                CASE WHEN ppA THEN ia + 1 ELSE ia END AS ia1,
+                CASE WHEN ppA THEN ib ELSE ib + 1 END AS ib1,
+                CASE WHEN ppA THEN ia + 1 > len(al)
+                     ELSE ib + 1 > len(rl) END AS exh1
+              FROM rec WHERE alive
+            )
+          )
+        )
+      )
+    )
+  )
+), ph AS (
+  SELECT doc_id, freq FROM rec WHERE NOT alive AND freq > 0
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   /** Prefix: const-score 1.0 over docs containing any matching term. */
   def prefix(p: String, k: Int): String =
     prologue +

@@ -136,6 +136,10 @@ object SearchGate {
     "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
     // multi-phrase: "order (sort|merge)" — per-offset union of postings
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
+    // sloppy multi-phrase with a REPEATED term across offset sets — the
+    // hasMultiTermRpts collision machinery (union streams share a term)
+    "q_bm25_multiphrase_rpt" -> seg(
+      MultiPhraseQ(Seq(Seq("order"), Seq("order", "sort")), 2)),
     // filter-only bool: matches with score 0 (BooleanWeight semantics)
     "q_bm25_filter_only" -> seg(BoolQ(filter = Seq(TermQ("spark"), TermQ("key")))),
     // MUST MatchAll + MUST_NOT: 'all docs except…', scored 1.0
@@ -212,6 +216,8 @@ object SearchGate {
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),
+    "q_bm25_multiphrase_rpt" ->
+      Oracles.multiPhraseSloppyRpt2("order", Seq("order", "sort"), 2, K),
     "q_bm25_filter_only" -> Oracles.filterOnly(Seq("spark", "key"), K),
     "q_bm25_notall" -> Oracles.notAll("spark", K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",

@@ -220,19 +220,41 @@ object Dedup {
     out
   }
 
+  /** Contiguous (startBit, width) slices partitioning the 64-bit sig into
+    * `nBands` bands (widths differ by at most 1).
+    */
+  def simhashBands(nBands: Int): Seq[(Int, Int)] =
+    (0 until nBands).map { i =>
+      val lo = (i * 64) / nBands
+      val hi = ((i + 1) * 64) / nBands
+      (lo, hi - lo)
+    }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, using
-    * 16-bit band blocking (pigeonhole: distance ≤ 3 ⇒ one of 4 bands
-    * equal).
+    * pigeonhole band blocking: the sig is sliced into `nBands` contiguous
+    * bands (default maxHamming + 1), so distance ≤ maxHamming forces at
+    * least one band to match exactly — blocking is EXACT (full recall) at
+    * any radius, and candidates are verified with the true hamming
+    * distance. Scale knob: more bands ⇒ wider radius support but shorter
+    * band keys ⇒ bigger buckets; at 10⁹+ docs pick nBands for the radius
+    * you need and no more (radius 3 ⇒ 4×16-bit bands, radius 5 ⇒
+    * 6×~11-bit — the Manku et al. multi-table layout with contiguous
+    * blocks).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "band blocking assumes 4 bands / radius 3")
+      maxHamming: Int = 3, nBands: Int = 0): DataFrame = {
+    val bands = if (nBands > 0) nBands else maxHamming + 1
+    require(bands > maxHamming,
+      s"pigeonhole blocking needs nBands > maxHamming (got $bands, $maxHamming)")
+    require(bands <= 64, "at most one band per bit")
     val shUdf = udf((s: String) => simhash64(graft.core.Analysis.simpleTokens(s)))
     val sigs = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"), posexplode(array(
-      (0 until 4).map(i =>
-        shiftright(col("sig"), i * 16).bitwiseAND(lit(0xffffL))): _*
-    )).as(Seq("band", "bucket")))
+    val slices = simhashBands(bands).map { case (lo, w) =>
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      shiftright(col("sig"), lo).bitwiseAND(lit(mask))
+    }
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(slices: _*)).as(Seq("band", "bucket")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))

@@ -273,11 +273,12 @@ object DataFrameSearcher {
       if (df > 0L) idfSum += BM25.idf(df, stats.docCount)
     })
     val w = BM25.weightValue(idfSum, params, boost)
+    val (rptGroup, multiTermRpts) = PhraseFreq.multiPhraseRptGroups(ps)
     val scoreUdf = udf { (arrs: Seq[Seq[Int]], nb: Byte) =>
       val pos = arrs.map(_.toArray).toArray
       val freq =
         if (slop == 0) PhraseFreq.exact(pos, offsets).toFloat
-        else PhraseFreq.sloppy(pos, offsets, slop)
+        else PhraseFreq.sloppy(pos, offsets, slop, rptGroup, multiTermRpts)
       if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
     }
     base.select(col("docId"),

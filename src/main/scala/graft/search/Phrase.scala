@@ -10,6 +10,46 @@ import graft.index.PostingsCodec.PostingsIterator
   */
 object PhraseFreq {
 
+  /** Repeat groups for a multi-phrase's per-offset member sets —
+    * (rptGroup, hasMultiTermRpts). rptGroup(i) = group id of offset i (-1
+    * when none); null when no term repeats across offsets. Groups connect
+    * offsets through shared repeating terms (union-find over the
+    * term↔offset bipartite graph — `SloppyPhraseScorer.java:336-356`
+    * gatherRptGroups + unionTermGroups); hasMultiTermRpts is true when a
+    * repeating offset has >1 member (`SloppyPhraseScorer.java:459-470`).
+    */
+  def multiPhraseRptGroups(ps: Seq[Seq[String]]): (Array[Int], Boolean) = {
+    val memberSets = ps.map(_.distinct)
+    val rptTerms = memberSets.flatten.groupBy(identity)
+      .filter(_._2.size >= 2).keySet
+    if (rptTerms.isEmpty) return (null, false)
+    val multiTerm = memberSets.exists(ms =>
+      ms.size > 1 && ms.exists(rptTerms.contains))
+    val tSeq = rptTerms.toSeq.sorted
+    val parent = Array.tabulate(tSeq.length)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      r
+    }
+    memberSets.foreach { ms =>
+      val in = ms.filter(rptTerms.contains).map(tSeq.indexOf)
+      in.sliding(2).foreach {
+        case Seq(a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        case _ => ()
+      }
+    }
+    val byOffset = memberSets.map { ms =>
+      val in = ms.filter(rptTerms.contains)
+      if (in.isEmpty) -1 else find(tSeq.indexOf(in.head))
+    }
+    // normalize group ids to the first offset carrying them
+    (byOffset.map(g => if (g < 0) -1 else byOffset.indexOf(g)).toArray,
+      multiTerm)
+  }
+
   /** Exact-phrase frequency for ONE doc: the number of positions p such
     * that term i occurs at p + offsets(i) for every i — the reference's
     * int freq (`ExactPhraseScorer.java:112-150` counting loop).
@@ -60,42 +100,111 @@ object PhraseFreq {
     *
     * REPEATED terms (`"ho my my"~2`): pass `rptGroup` — same id for
     * offsets sharing a term, -1 otherwise. Mirrors the reference's
-    * single-term repeating-pp machinery (`SloppyPhraseScorer.java:
-    * 148-200, advanceRepeatGroups/collide/lesser`): at doc init, the j-th
-    * group member (offset order) advances j occurrences; during the
-    * sweep, a collision (two group members on the same RAW token) is
-    * resolved by advancing the lesser (adjusted position, then offset).
-    * Multi-term-per-position repeats (the hasMultiTermRpts case) are out
-    * of scope and rejected upstream.
+    * repeating-pp machinery (`SloppyPhraseScorer.java:148-200,
+    * advanceRepeatGroups/collide/lesser`). Doc init:
+    *
+    *  - single-term groups (`multiTerm = false`): the j-th group member
+    *    (offset order) advances j occurrences — the exact advance count is
+    *    known because members share ONE positions stream
+    *    (`SloppyPhraseScorer.java:311-318`).
+    *  - multi-term groups (`multiTerm = true`, the hasMultiTermRpts case —
+    *    an offset's UNION stream shares a term with another offset):
+    *    the advance count is data-dependent, so init resolves collisions
+    *    directly — while a group member shares a RAW token with another,
+    *    advance the lesser (adjusted position, then offset), restarting
+    *    the scan when an earlier member moved
+    *    (`SloppyPhraseScorer.java:292-310`).
+    *
+    * During the sweep both cases resolve a collision (two group members on
+    * the same RAW token) by advancing the lesser.
     */
   def sloppy(positions: Array[Array[Int]], offsets: Array[Int],
-      slop: Int, rptGroup: Array[Int] = null): Float = {
+      slop: Int, rptGroup: Array[Int] = null,
+      multiTerm: Boolean = false): Float = {
     val n = positions.length
     val idx = new Array[Int](n)
     val cur = new Array[Int](n) // adjusted position of each pp
     val inQ = new Array[Boolean](n)
+    var end = Int.MinValue
+    // placeFirstPositions
     var i = 0
-    // doc init: j-th member of each repeat group starts at its j-th
-    // occurrence (advanceRepeatGroups, single-term case) — members in
-    // offset order, which is ascending pp index here
-    i = 0
     while (i < n) {
-      var steps = 0
-      if (rptGroup != null && rptGroup(i) >= 0) {
-        var j = 0
-        while (j < i) {
-          if (rptGroup(j) == rptGroup(i)) steps += 1
-          j += 1
-        }
-      }
-      if (steps >= positions(i).length) return 0f // PPs exhausted at init
-      idx(i) = steps
+      if (positions(i).isEmpty) return 0f
+      idx(i) = 0
+      cur(i) = positions(i)(0) - offsets(i)
       i += 1
     }
-    var end = Int.MinValue
+    // advancePP/collide/lesser shared by init (multi-term) and the sweep
+    def advancePPEarly(p: Int): Boolean = {
+      idx(p) += 1
+      if (idx(p) >= positions(p).length) return false
+      cur(p) = positions(p)(idx(p)) - offsets(p)
+      if (cur(p) > end) end = cur(p)
+      true
+    }
+    def collideWith(q: Int): Int = {
+      val raw = cur(q) + offsets(q)
+      var j = 0
+      while (j < n) {
+        if (j != q && rptGroup(j) == rptGroup(q) &&
+            cur(j) + offsets(j) == raw) return j
+        j += 1
+      }
+      -1
+    }
+    def lesserOf(a: Int, b: Int): Int =
+      if (cur(a) < cur(b) || (cur(a) == cur(b) && offsets(a) < offsets(b))) a
+      else b
+    // doc init (advanceRepeatGroups)
+    if (rptGroup != null) {
+      if (!multiTerm) {
+        // j-th member of each repeat group starts at its j-th occurrence —
+        // members in offset order, which is ascending pp index here
+        i = 0
+        while (i < n) {
+          if (rptGroup(i) >= 0) {
+            var steps = 0
+            var j = 0
+            while (j < i) {
+              if (rptGroup(j) == rptGroup(i)) steps += 1
+              j += 1
+            }
+            while (steps > 0) {
+              if (!advancePPEarly(i)) return 0f // PPs exhausted at init
+              steps -= 1
+            }
+          }
+          i += 1
+        }
+      } else {
+        // multi-term: resolve collisions member-by-member, restarting when
+        // an earlier member advanced (SloppyPhraseScorer.java:292-310)
+        val groupIds = rptGroup.filter(_ >= 0).distinct.sorted
+        var gi = 0
+        while (gi < groupIds.length) {
+          val rg = (0 until n).filter(rptGroup(_) == groupIds(gi)).toArray
+          var ri = 0
+          while (ri < rg.length) {
+            var incr = 1
+            var pp = rg(ri)
+            var k = collideWith(pp)
+            var stop = false
+            while (k >= 0 && !stop) {
+              pp = lesserOf(pp, k)
+              if (!advancePPEarly(pp)) return 0f // PPs exhausted
+              if (rg.indexOf(pp) >= 0 && rg.indexOf(pp) < ri) {
+                incr = 0; stop = true
+              } else k = collideWith(pp)
+            }
+            ri += incr
+          }
+          gi += 1
+        }
+      }
+    }
+    // fillQueue
     i = 0
     while (i < n) {
-      cur(i) = positions(i)(idx(i)) - offsets(i)
       if (cur(i) > end) end = cur(i)
       inQ(i) = true
       i += 1
@@ -113,37 +222,17 @@ object PhraseFreq {
       }
       best
     }
-    // advance pp by one occurrence; false at exhaustion (advancePP)
-    def advancePP(p: Int): Boolean = {
-      idx(p) += 1
-      if (idx(p) >= positions(p).length) return false
-      cur(p) = positions(p)(idx(p)) - offsets(p)
-      if (cur(p) > end) end = cur(p)
-      true
-    }
     // resolve repeat collisions after advancing `pp0` (advanceRpts/
     // collide/lesser): two group members on the same raw token → advance
     // the lesser; false at exhaustion
     def advanceRpts(pp0: Int): Boolean = {
       if (rptGroup == null || rptGroup(pp0) < 0) return true
       var p = pp0
-      var k = -1
-      def collide(q: Int): Int = {
-        val raw = cur(q) + offsets(q)
-        var j = 0
-        while (j < n) {
-          if (j != q && rptGroup(j) == rptGroup(q) &&
-              cur(j) + offsets(j) == raw) return j
-          j += 1
-        }
-        -1
-      }
-      k = collide(p)
+      var k = collideWith(p)
       while (k >= 0) {
-        p = if (cur(p) < cur(k) ||
-            (cur(p) == cur(k) && offsets(p) < offsets(k))) p else k
-        if (!advancePP(p)) return false
-        k = collide(p)
+        p = lesserOf(p, k)
+        if (!advancePPEarly(p)) return false
+        k = collideWith(p)
       }
       true
     }
@@ -154,7 +243,7 @@ object PhraseFreq {
     var next = cur(minIdx())
     var exhausted = false
     while (!exhausted) {
-      if (!advancePP(pp) || !advanceRpts(pp)) exhausted = true
+      if (!advancePPEarly(pp) || !advanceRpts(pp)) exhausted = true
       else {
         if (cur(pp) > next) { // done minimizing the current match length
           if (matchLength <= slop) freq += 1f / (matchLength + 1)
@@ -241,9 +330,15 @@ final class PhraseScorer(its: Array[PostingsIterator], offsets: Array[Int],
   * terms; an offset's matching positions in a doc are the UNION of its
   * members' positions. Doc matching = conjunction over offsets of member
   * unions; freq = PhraseFreq over the merged per-offset position arrays.
+  *
+  * `rptGroup`/`multiTerm`: repeat groups over offsets sharing a term
+  * (union-find on the term↔offset bipartite graph — the hasMultiTermRpts
+  * machinery, `SloppyPhraseScorer.java:336-356,410-427`); null when no
+  * term repeats across offsets.
   */
 final class MultiPhraseScorer(members: Array[Array[PostingsIterator]],
-    offsets: Array[Int], slop: Int, w: Float, cache: Array[Float])
+    offsets: Array[Int], slop: Int, w: Float, cache: Array[Float],
+    rptGroup: Array[Int] = null, multiTerm: Boolean = false)
     extends DocScorer {
   require(members.length == offsets.length && members.length >= 2)
   require(members.forall(_.nonEmpty))
@@ -313,7 +408,7 @@ final class MultiPhraseScorer(members: Array[Array[PostingsIterator]],
       while (o < members.length) { pos(o) = mergedPositions(o, target); o += 1 }
       val f =
         if (slop == 0) PhraseFreq.exact(pos, offsets).toFloat
-        else PhraseFreq.sloppy(pos, offsets, slop)
+        else PhraseFreq.sloppy(pos, offsets, slop, rptGroup, multiTerm)
       if (f > 0f) {
         freqV = f
         normB = members(0).find(_.doc == target).get.norm

@@ -214,13 +214,17 @@ object SegmentSearcher {
     * per-offset UNION of member postings, conjunction across offsets,
     * freq over merged positions. idf = Σ over present member terms in
     * offset-then-list order.
+    *
+    * Terms repeated across offsets build repeat groups: offsets connected
+    * through shared repeating terms (union-find over the term↔offset
+    * graph) share a group; the sweep then resolves same-raw-token
+    * collisions inside a group — the hasMultiTermRpts machinery
+    * (`SloppyPhraseScorer.java:336-356` gatherRptGroups multi-term case).
     */
   private def multiPhraseScorer(ps: Seq[Seq[String]], slop: Int, shard: Int,
       blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
-    val flat = ps.flatMap(_.distinct)
-    if (slop > 0 && flat.distinct.size != flat.size)
-      sys.error("sloppy multi-phrase with a term repeated across offsets " +
-        "is not supported")
+    val (rptGroup0, multiTerm) = PhraseFreq.multiPhraseRptGroups(ps)
+    val rptGroup = if (slop == 0) null else rptGroup0
     val offsetsRows: Seq[Seq[SegRow]] = ps.map(_.distinct.flatMap(blobs.get))
     // an offset whose every member is absent can never match
     if (offsetsRows.exists(_.isEmpty)) return EmptyScorer
@@ -234,7 +238,8 @@ object SegmentSearcher {
       PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray).toArray
     if (members.exists(_.exists(!_.hasPositions)))
       sys.error("multi-phrase requires an index built with positions")
-    val ms = new MultiPhraseScorer(members, ps.indices.toArray, slop, w, plan.cache)
+    val ms = new MultiPhraseScorer(members, ps.indices.toArray, slop, w,
+      plan.cache, rptGroup, multiTerm)
     // the stream is shard-restricted only if SOME offset's members are all
     // salted (that union then contains only this shard's docs); otherwise
     // cold members could match the same doc in several shards — mod-filter

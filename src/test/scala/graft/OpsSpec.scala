@@ -60,6 +60,35 @@ class OpsSpec extends AnyFunSuite {
     assert(found >= 10, s"recovered only $found/15 planted pairs")
   }
 
+  test("simhash pigeonhole banding is exact at its radius (r=3 and r=5)") {
+    // brute-force pairs from the raw 64-bit sigs == banded engine output:
+    // the pigeonhole blocking (nBands > radius contiguous slices) may not
+    // miss ANY pair within the radius
+    val sigs = docs.collect().map { r =>
+      (r.getLong(0), Dedup.simhash64(
+        graft.core.Analysis.simpleTokens(r.getString(1))))
+    }
+    for ((radius, nBands) <- Seq((3, 4), (5, 6), (7, 8))) {
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= radius
+      } yield (ia, ib)).toSet
+      val banded = Dedup.simhashPairs(docs, "text", "id", radius, nBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded === brute, s"radius=$radius nBands=$nBands")
+    }
+    // band slices partition all 64 bits (no gap, no overlap)
+    for (n <- Seq(4, 6, 8, 13)) {
+      val bands = Dedup.simhashBands(n)
+      assert(bands.map(_._2).sum === 64)
+      assert(bands.head._1 === 0)
+      assert(bands.sliding(2).forall {
+        case Seq((lo1, w1), (lo2, _)) => lo1 + w1 == lo2
+        case _ => true
+      })
+    }
+  }
+
   test("LSH ANN top-k has high recall vs brute force (planted neighbors)") {
     val rnd = new scala.util.Random(11L)
     val q = Array.fill(32)(rnd.nextGaussian().toFloat)

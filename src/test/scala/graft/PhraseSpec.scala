@@ -254,6 +254,156 @@ class PhraseSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-term repeats (hasMultiTermRpts): hand-traced examples") {
+    // query "a (a|b)"~1 over "a a b" (a@0 a@1 b@2): stream0 = pos(a),
+    // stream1 = union(pos(a), pos(b)); init collision at raw 0 advances
+    // the union stream; matches "a a" (len 0) and "a b" (len 0) → 2.0
+    assert(PhraseFreq.sloppy(
+      Array(Array(0, 1), Array(0, 1, 2)), Array(0, 1), 1,
+      Array(0, 0), multiTerm = true) === 2f)
+    // "a b" (a@0 b@1): one exact match
+    assert(PhraseFreq.sloppy(
+      Array(Array(0), Array(0, 1)), Array(0, 1), 2,
+      Array(0, 0), multiTerm = true) === 1f)
+    // doc "a" alone: the two offsets need two tokens → init exhausts
+    assert(PhraseFreq.sloppy(
+      Array(Array(0), Array(0)), Array(0, 1), 2,
+      Array(0, 0), multiTerm = true) === 0f)
+  }
+
+  test("multiPhraseRptGroups: union-find over shared terms") {
+    // no repeats
+    assert(PhraseFreq.multiPhraseRptGroups(Seq(Seq("a"), Seq("b", "c")))
+      === ((null, false)))
+    // single-term repeat: "a ... a"
+    val (g1, mt1) = PhraseFreq.multiPhraseRptGroups(Seq(Seq("a"), Seq("b"), Seq("a")))
+    assert(g1.toSeq === Seq(0, -1, 0) && !mt1)
+    // multi-term repeat: a shared with a union offset
+    val (g2, mt2) = PhraseFreq.multiPhraseRptGroups(Seq(Seq("a"), Seq("a", "b")))
+    assert(g2.toSeq === Seq(0, 0) && mt2)
+    // transitive connection: {a,b} and {b,c} and {c} form ONE group
+    val (g3, mt3) = PhraseFreq.multiPhraseRptGroups(
+      Seq(Seq("a", "b"), Seq("b", "c"), Seq("c")))
+    assert(g3.toSeq === Seq(0, 0, 0) && mt3)
+    // two disjoint groups
+    val (g4, _) = PhraseFreq.multiPhraseRptGroups(
+      Seq(Seq("a"), Seq("b"), Seq("a"), Seq("b")))
+    assert(g4.toSeq === Seq(0, 1, 0, 1))
+  }
+
+  test("multi-term repeat sweep == pq transcription (randomized)") {
+    val rnd = new scala.util.Random(59)
+    // direct transcription of the reference with PP term sets: union
+    // streams per offset, multi-term init (advanceRepeatGroups case 2,
+    // SloppyPhraseScorer.java:292-310), collide/lesser during the sweep
+    def reference(pos: Array[Array[Int]], offsets: Array[Int], slop: Int,
+        rpt: Array[Int]): Float = {
+      val n = pos.length
+      val idx = new Array[Int](n)
+      var end = Int.MinValue
+      var i = 0
+      while (i < n) {
+        if (pos(i).isEmpty) return 0f
+        idx(i) = 0
+        i += 1
+      }
+      def cur(p: Int) = pos(p)(idx(p)) - offsets(p)
+      def adv(p: Int): Boolean = {
+        idx(p) += 1
+        if (idx(p) >= pos(p).length) false
+        else { end = math.max(end, cur(p)); true }
+      }
+      def collide(p: Int): Int =
+        (0 until n).find(j => j != p && rpt(p) >= 0 && rpt(j) == rpt(p) &&
+          cur(j) + offsets(j) == cur(p) + offsets(p)).getOrElse(-1)
+      def lesser(a: Int, b: Int): Int =
+        if (cur(a) < cur(b) || (cur(a) == cur(b) && offsets(a) < offsets(b))) a else b
+      // advanceRepeatGroups, multi-term case
+      val gids = rpt.filter(_ >= 0).distinct.sorted
+      for (g <- gids) {
+        val rg = (0 until n).filter(rpt(_) == g).toArray
+        var ri = 0
+        while (ri < rg.length) {
+          var incr = 1
+          var pp = rg(ri)
+          var k = collide(pp)
+          var stop = false
+          while (k >= 0 && !stop) {
+            pp = lesser(pp, k)
+            if (!adv(pp)) return 0f
+            val ind = rg.indexOf(pp)
+            if (ind >= 0 && ind < ri) { incr = 0; stop = true }
+            else k = collide(pp)
+          }
+          ri += incr
+        }
+      }
+      def advRpts(p0: Int): Boolean = {
+        if (rpt(p0) < 0) return true
+        var p = p0
+        var k = collide(p)
+        while (k >= 0) {
+          p = lesser(p, k)
+          if (!adv(p)) return false
+          k = collide(p)
+        }
+        true
+      }
+      (0 until n).foreach(p => end = math.max(end, cur(p)))
+      val pqOrd: Ordering[Int] =
+        Ordering.by((p: Int) => (-cur(p), -offsets(p), -p))
+      val pq = scala.collection.mutable.PriorityQueue.empty[Int](pqOrd)
+      (0 until n).foreach(pq.enqueue(_))
+      var freq = 0f
+      var pp = pq.dequeue()
+      var ml = end - cur(pp)
+      var next = cur(pq.head)
+      var run = true
+      while (run) {
+        if (!adv(pp) || !advRpts(pp)) run = false
+        else {
+          val live = pq.dequeueAll // re-heapify after collision moves
+          live.foreach(pq.enqueue(_))
+          if (cur(pp) > next) {
+            if (ml <= slop) freq += 1f / (ml + 1)
+            pq.enqueue(pp)
+            pp = pq.dequeue()
+            next = cur(pq.head)
+            ml = end - cur(pp)
+          } else ml = math.min(ml, end - cur(pp))
+        }
+      }
+      if (ml <= slop) freq += 1f / (ml + 1)
+      freq
+    }
+    var multiTermCases = 0
+    for (_ <- 1 to 2000) {
+      // token stream over a 3-letter alphabet; offsets get 1-2 member sets
+      val alphabet = Array("a", "b", "c")
+      val tokens = Array.fill(3 + rnd.nextInt(15))(alphabet(rnd.nextInt(3)))
+      val nOff = 2 + rnd.nextInt(2)
+      val ps: Seq[Seq[String]] = (0 until nOff).map { _ =>
+        val sz = 1 + rnd.nextInt(2)
+        rnd.shuffle(alphabet.toSeq).take(sz)
+      }
+      val (rpt, mt) = PhraseFreq.multiPhraseRptGroups(ps)
+      val posByTerm = alphabet.map(t =>
+        t -> tokens.indices.filter(tokens(_) == t).toArray).toMap
+      val pos: Array[Array[Int]] = ps.map(ms =>
+        ms.flatMap(t => posByTerm(t).toSeq).distinct.sorted.toArray).toArray
+      if (pos.forall(_.nonEmpty) && rpt != null && mt) {
+        multiTermCases += 1
+        val offsets = Array.range(0, nOff)
+        val slop = rnd.nextInt(5)
+        val got = PhraseFreq.sloppy(pos, offsets, slop, rpt, multiTerm = true)
+        val want = reference(pos, offsets, slop, rpt)
+        assert(math.abs(got - want) < 1e-6f,
+          s"tokens=${tokens.mkString} ps=$ps slop=$slop got=$got want=$want")
+      }
+    }
+    assert(multiTermCases > 300, s"only $multiTermCases multi-term cases hit")
+  }
+
   test("sloppy freq: 3-term sweep matches a direct pq transcription") {
     val rnd = new scala.util.Random(31)
     // independent transcription using a scala PriorityQueue

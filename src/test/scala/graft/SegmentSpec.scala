@@ -82,6 +82,10 @@ class SegmentSpec extends AnyFunSuite {
     "phrase sloppy repeat" -> PhraseQ(Seq("def", "class", "def"), 3),
     "multiphrase" -> MultiPhraseQ(Seq(Seq("def"), Seq("class", "val"))),
     "multiphrase sloppy" -> MultiPhraseQ(Seq(Seq("index"), Seq("merge", "score")), 2),
+    // repeated term across offset SETS (hasMultiTermRpts collision path)
+    "multiphrase sloppy rpt" -> MultiPhraseQ(Seq(Seq("def"), Seq("def", "class")), 2),
+    "multiphrase sloppy rpt transitive" ->
+      MultiPhraseQ(Seq(Seq("def", "val"), Seq("val", "class"), Seq("class")), 3),
     // MatchAll-backed trees and filter-only bools (BooleanWeight semantics)
     "must with matchall" -> BoolQ(must = Seq(TermQ("def"), MatchAllQ)),
     "not matchall" -> Query.not(MatchAllQ, TermQ("def")),
