@@ -194,6 +194,82 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** edismax qf: per term a dismax over per-FIELD BM25 scores — each field
+    * (a documents-table column) has its own token stream, df, avgdl and
+    * norms, scaled by its qf boost — then SHOULD across terms with mm
+    * (`ExtendedDismaxQParser.java:40-120`; per-field stats exactly as the
+    * engine's per-field indexes compute them). Float pipeline mirrors the
+    * engine: weight = (boost × idf) × (k1+1), dismax = mx + tie×(sm−mx),
+    * term sum double → float.
+    */
+  def edismaxQf(terms: Seq[String], fields: Seq[(String, Float)],
+      msm: Int, tie: Float, k: Int): String = {
+    def idfE(dfExpr: String, av: String): String =
+      R(s"ln(1 + ((SELECT n FROM $av) - $dfExpr + 0.5)/($dfExpr + 0.5))")
+    def wE(dfExpr: String, av: String, boost: Float): String = {
+      val idf = idfE(dfExpr, av)
+      val bIdf = if (boost == 1f) idf else R(s"${R(boost.toString)} * $idf")
+      R(s"$bIdf * ($K1 + ${R("1")})")
+    }
+    def cacheE(qlenCol: String, av: String): String =
+      R(s"$K1 * ${R(s"(${R("1")} - $B) + ${R(s"${R(s"$B * $qlenCol")} / (SELECT avgdl FROM $av)")}")}")
+
+    val fieldCtes = fields.zipWithIndex.map { case ((colName, _), i) =>
+      s""", tok_f$i AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower($colName), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term <> '' AND length(term) <= 255
+), dlen_f$i AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN tok_f$i t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), dn_f$i AS (
+  SELECT dlen_f$i.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen_f$i JOIN normq ON dlen_f$i.len BETWEEN normq.lo AND normq.hi
+), av_f$i AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+    ${R(s"(SELECT count(*) FROM tok_f$i) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
+)"""
+    }.mkString
+
+    val scCtes = (for {
+      ((_, boost), i) <- fields.zipWithIndex
+      (t, j) <- terms.zipWithIndex
+    } yield {
+      val w = wE(s"(SELECT count(*) FROM tf_f${i}_t$j)", s"av_f$i", boost)
+      val tfR = R("t.tf")
+      val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheE("dn.qlen", s"av_f$i")}")}")
+      s""", tf_f${i}_t$j AS (
+  SELECT doc_id, count(*) AS tf FROM tok_f$i WHERE term = ${lit(t)} GROUP BY doc_id
+), sc_f${i}_t$j AS (
+  SELECT t.doc_id, $score AS s
+  FROM tf_f${i}_t$j t JOIN dn_f$i dn ON t.doc_id = dn.doc_id
+)"""
+    }).mkString
+
+    val dmCtes = terms.indices.map { j =>
+      val union = fields.indices
+        .map(i => s"SELECT doc_id, s FROM sc_f${i}_t$j")
+        .mkString(" UNION ALL ")
+      s""", un_t$j AS ($union), dm_t$j AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM (SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+        FROM un_t$j GROUP BY doc_id)
+)"""
+    }.mkString
+
+    val allUnion = terms.indices
+      .map(j => s"SELECT doc_id, s FROM dm_t$j").mkString(" UNION ALL ")
+    s"""WITH normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+)""" + fieldCtes + scCtes + dmCtes +
+      s""", allt AS ($allUnion), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM allt GROUP BY doc_id HAVING count(*) >= $msm
+)""" + finish("res", k)
+  }
+
   /** SynonymQuery: summed tf, df = max over members. */
   def synonym(terms: Seq[String], k: Int): String = {
     val names = terms.indices.map(i => s"t$i")

@@ -38,6 +38,7 @@ object SearchGate {
     */
   def clearCaches(): Unit = {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
+    fieldSearcherCache.clear()
   }
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
@@ -50,6 +51,27 @@ object SearchGate {
       // buildLogical caches the per-doc intermediate AND termStats; docs
       // and postings are narrow reads of the former
       IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil, gateConfig)
+    })
+
+  /** Per-(sfDir, column) field indexes for the edismax qf surface — each
+    * field is its own inverted index over the SAME doc_id space.
+    */
+  private val fieldSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
+  def fieldSearcher(spark: SparkSession, sfDir: String,
+      fieldCol: String): Searcher =
+    fieldSearcherCache.getOrElseUpdate((sfDir, fieldCol), {
+      val dirHash = Integer.toHexString(s"$sfDir#$fieldCol".hashCode)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-gate-field-$dirHash"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, fieldCol, Some("doc_id"), Nil,
+        gateConfig)
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-field-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
 
   def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
@@ -150,6 +172,15 @@ object SearchGate {
     "q_bm25_wildcard" -> seg(QueryParser.parse("sp?rk")),
     // dismax/edismax end-user surface with Solr mm spec ("75%" of 4 ⇒ 3)
     "q_bm25_dismax_mm" -> seg(QueryParser.parseDisMax("dup spark key vector", "75%")),
+    // edismax qf: per-field boosts over separate field indexes (text^1,
+    // source^2), per-term cross-field dismax, mm=2 of 3 terms
+    "q_bm25_edismax_qf" -> ((spark, sfDir) => {
+      val hits = MultiField.searchDisMax(
+        Seq(MultiField.FieldRef(searcher(spark, sfDir), 1f),
+          MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 2f)),
+        "spark src3 batch", mm = "2", tie = 0.1f, k = K)
+      hitsDf(spark, hits)
+    }),
     // sort-by-field through the Searcher (TopFieldCollector analog)
     "q_bm25_sort_field" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -224,6 +255,8 @@ object SearchGate {
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),
     "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
+    "q_bm25_edismax_qf" -> Oracles.edismaxQf(Seq("spark", "src3", "batch"),
+      Seq(("text", 1f), ("source", 2f)), msm = 2, tie = 0.1f, k = K),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),

@@ -407,13 +407,15 @@ object SegmentSearcher {
   *    hot salted terms at 100 TB scale — so no single node ever holds a
   *    full posting list.
   */
-final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentIndex,
-    cacheSegments: Boolean = true, maxLocalBytes: Long = 256L << 20) {
+final class Searcher(private[search] val spark: SparkSession,
+    val index: SegmentSearcher.SegmentIndex,
+    cacheSegments: Boolean = true,
+    private[search] val maxLocalBytes: Long = 256L << 20) {
   import SegmentSearcher._
 
   private val m = index.manifest
   private val params = index.bm25
-  private val cache = BM25.normCache(params,
+  private[search] val cache = BM25.normCache(params,
     BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount))
 
   lazy val segmentsDf: DataFrame = {
@@ -644,7 +646,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
   }
 
   /** Pruned read of the query terms' blobs, through the driver cache. */
-  private def fetchRows(present: Set[String]): Array[SegRow] = {
+  private[search] def fetchRows(present: Set[String]): Array[SegRow] = {
     val cached = present.toSeq.map(t => t -> blobCache.getSync(t))
     val missing = cached.collect { case (t, None) => t }.toSet
     if (missing.nonEmpty) {
@@ -723,7 +725,7 @@ final class Searcher(spark: SparkSession, val index: SegmentSearcher.SegmentInde
       .collect().toSeq
   }
 
-  private def prunedRows(present: Set[String]): Dataset[SegRow] = {
+  private[search] def prunedRows(present: Set[String]): Dataset[SegRow] = {
     import spark.implicits._
     val buckets = present.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
     segmentsDf

@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Norms
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.search._
+
+/** Cross-field dismax (edismax qf) vs a from-first-principles per-field
+  * BM25 oracle: fields share vocabulary so the tie-break contribution
+  * (max + tie×(sum−max)) is actually exercised, across unsalted/salted
+  * and driver-local/forced-distributed execution.
+  */
+class MultiFieldSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val tmpRoot = java.nio.file.Files
+    .createTempDirectory("graft-mfspec").toString
+
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta")
+
+  /** (docId, f1 text, f2 text) with heavy vocab overlap between fields. */
+  private lazy val docs: Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(91L)
+    (0 until 240).map { i =>
+      val n1 = 4 + rnd.nextInt(20)
+      val n2 = 2 + rnd.nextInt(8)
+      (i.toLong,
+        Seq.fill(n1)(vocab(rnd.nextInt(vocab.length))).mkString(" "),
+        Seq.fill(n2)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+  }
+
+  private def buildField(colName: String, cfg: BuildConfig,
+      tag: String): Searcher = {
+    import spark.implicits._
+    val df = docs.toDF("docId", "f1", "f2")
+    val ix = IndexBuilder.buildLogical(df, colName, Some("docId"), Nil, cfg)
+    val dir = s"$tmpRoot/$tag-$colName"
+    IndexBuilder.writeIndex(ix, dir, s"mf-$tag-$colName", numGroups = 1)
+    ix.unpersistCached()
+    ix.postings.unpersist()
+    new Searcher(spark, SegmentSearcher.load(dir))
+  }
+
+  /** Per-field BM25 from first principles + dismax + mm + tie-break law. */
+  private def brute(terms: Seq[String], boosts: Seq[Float], msm: Int,
+      tie: Float, k: Int): Seq[(Long, Double)] = {
+    val fields: Seq[Seq[Array[String]]] = Seq(
+      docs.map(d => graft.core.Analysis.simpleTokens(d._2)),
+      docs.map(d => graft.core.Analysis.simpleTokens(d._3)))
+    val n = docs.size.toLong
+    val sumTtf = fields.map(_.map(_.length.toLong).sum)
+    val dfOf: Seq[Map[String, Long]] = fields.map(f =>
+      vocab.map(t => t -> f.count(_.contains(t)).toLong).toMap)
+    val hits = docs.indices.flatMap { d =>
+      var termsMatched = 0
+      var total = 0d
+      terms.foreach { t =>
+        var mx = 0f
+        var sm = 0f
+        var any = false
+        fields.indices.foreach { f =>
+          val tf = fields(f)(d).count(_ == t)
+          if (tf > 0) {
+            any = true
+            val s = BM25.scoreOne(tf, Norms.normByte(fields(f)(d).length),
+              dfOf(f)(t), n, sumTtf(f), boost = boosts(f))
+            if (s > mx) mx = s
+            sm += s
+          }
+        }
+        if (any) {
+          termsMatched += 1
+          total += (mx + (sm - mx) * tie).toDouble
+        }
+      }
+      if (termsMatched >= msm) Some((d.toLong, total.toFloat.toDouble))
+      else None
+    }
+    hits.sortBy { case (id, s) => (-s, id) }.take(k)
+  }
+
+  test("edismax qf == first-principles oracle (local/distributed, salting)") {
+    val terms = Seq("alpha", "beta", "gamma")
+    val boosts = Seq(1f, 2.5f)
+    val expected = brute(terms, boosts, msm = 2, tie = 0.15f, k = 10)
+    assert(expected.nonEmpty)
+    for ((tag, threshold) <- Seq(("plain", 1000000L), ("salted", 100L))) {
+      val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
+        saltThreshold = threshold)
+      val s1 = buildField("f1", cfg, tag)
+      val s2 = buildField("f2", cfg, tag)
+      val got = MultiField.dismaxTerms(
+        Seq(MultiField.FieldRef(s1, boosts(0)), MultiField.FieldRef(s2, boosts(1))),
+        terms, msm = 2, tie = 0.15f, k = 10)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got === expected, s"$tag local")
+      // forced-distributed: estBytes gate at 0 pushes the groupByKey path
+      val d1 = new Searcher(spark, s1.index, cacheSegments = false, maxLocalBytes = 0)
+      val d2 = new Searcher(spark, s2.index, cacheSegments = false, maxLocalBytes = 0)
+      val gotDist = MultiField.dismaxTerms(
+        Seq(MultiField.FieldRef(d1, boosts(0)), MultiField.FieldRef(d2, boosts(1))),
+        terms, msm = 2, tie = 0.15f, k = 10)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(gotDist === expected, s"$tag distributed")
+    }
+  }
+
+  test("mm semantics: msm above matched-term count excludes docs") {
+    val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
+      saltThreshold = 1000000L)
+    val s1 = buildField("f1", cfg, "mm")
+    val s2 = buildField("f2", cfg, "mm")
+    val refs = Seq(MultiField.FieldRef(s1, 1f), MultiField.FieldRef(s2, 1f))
+    // a term absent everywhere can never count toward mm
+    val withAbsent = MultiField.dismaxTerms(refs,
+      Seq("alpha", "zzznothere"), msm = 2, tie = 0f, k = 10)
+    assert(withAbsent.isEmpty)
+    val expected = brute(Seq("alpha", "beta"), Seq(1f, 1f), 2, 0f, 10)
+    val got = MultiField.dismaxTerms(refs, Seq("alpha", "beta"),
+      msm = 2, tie = 0f, k = 10).map(h => (h.docId, h.score)).toSeq
+    assert(got === expected)
+  }
+
+  test("parseQf") {
+    assert(MultiField.parseQf("text^2 title") ===
+      Seq(("text", 2f), ("title", 1f)))
+    assert(MultiField.parseQf("  body^0.5 ") === Seq(("body", 0.5f)))
+  }
+}
