@@ -121,6 +121,70 @@ object Analysis {
   def standardTokens(text: String): Array[String] =
     simpleTokens(text).filterNot(EnglishStopWords.contains)
 
+  /** Unicode word-break tokenizer — a UAX#29 subset covering what the
+    * reference's StandardTokenizer emits
+    * (`analysis/standard/StandardTokenizer.java:38,155-170` token types):
+    *
+    *  - IDEOGRAPHIC / HIRAGANA: one token per code point (Han and
+    *    Hiragana get no word boundaries in UAX#29; the reference emits
+    *    them singly so phrase/positional search still works)
+    *  - KATAKANA: maximal Katakana runs (WB13 keeps Katakana together,
+    *    breaks against other letters)
+    *  - ALPHANUM: maximal runs of letters/digits of any other script,
+    *    combining marks (Mn/Mc) extend the current run (WB4 ExtendFormat)
+    *
+    * Everything else breaks. Tokens are lowercased (Locale.ROOT) and
+    * length-capped like the other chains. On pure ASCII this emits
+    * exactly [[simpleTokens]] minus nothing — ASCII letters/digits form
+    * the same runs — so existing ASCII-corpus oracles stay valid.
+    */
+  def unicodeTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    // 0 = none, 1 = alphanum run, 2 = katakana run
+    var mode = 0
+    def flush(): Unit = {
+      if (sb.length > 0 && sb.length <= MaxTokenLength)
+        out += sb.toString.toLowerCase(Locale.ROOT)
+      sb.setLength(0)
+      mode = 0
+    }
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val cc = Character.charCount(cp)
+      val script =
+        try Character.UnicodeScript.of(cp)
+        catch { case _: IllegalArgumentException => Character.UnicodeScript.UNKNOWN }
+      val tpe = Character.getType(cp)
+      val isMark = tpe == Character.NON_SPACING_MARK ||
+        tpe == Character.COMBINING_SPACING_MARK
+      if (script == Character.UnicodeScript.HAN ||
+          script == Character.UnicodeScript.HIRAGANA) {
+        flush()
+        sb.appendCodePoint(cp)
+        flush()
+      } else if (script == Character.UnicodeScript.KATAKANA) {
+        if (mode != 2) flush()
+        mode = 2
+        sb.appendCodePoint(cp)
+      } else if (Character.isLetterOrDigit(cp)) {
+        if (mode == 2) flush()
+        mode = 1
+        sb.appendCodePoint(cp)
+      } else if (isMark && mode != 0) {
+        sb.appendCodePoint(cp) // combining mark extends the open run
+      } else {
+        flush()
+      }
+      i += cc
+    }
+    flush()
+    out.toArray
+  }
+
   /** PatternTokenizer (`lucene/analysis/common/.../pattern/
     * PatternTokenizer.java:43`, group = -1 split semantics): tokens are
     * the runs BETWEEN regex matches, lowercased, length-capped.

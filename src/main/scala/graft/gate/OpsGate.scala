@@ -252,6 +252,50 @@ ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id
 LIMIT $k"""
   }
 
+  /** Language-ID oracle GENERATED from the engine's own marker/script
+    * tables (TextAnalysis.MarkerLangs / ScriptLangs) so the two can't
+    * drift: script detection first (priority order, RE2 `\p{Script}`),
+    * then earliest-marker-language-with-max-hits, zero evidence → und.
+    */
+  private def langidOracle: String = {
+    def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
+    val markerHits = TextAnalysis.MarkerLangs.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(sqlLit).mkString(",")}))) AS h_$l"
+    }.mkString(",\n    ")
+    val scriptHits = TextAnalysis.ScriptLangs.map { case (l, ss) =>
+      ss.map(s => s"len(regexp_extract_all(text, '\\p{$s}'))")
+        .mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n    ")
+    val maxh = TextAnalysis.MarkerLangs.map { case (l, _) => s"h_$l" }
+      .mkString(", ")
+    val scriptCase = TextAnalysis.ScriptLangs.map { case (l, _) =>
+      s"WHEN s_$l > 0 THEN '$l'"
+    }.mkString("\n    ")
+    val markerCase = TextAnalysis.MarkerLangs.map { case (l, _) =>
+      s"WHEN h_$l = mx THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH q AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> x <> '') AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    $markerHits,
+    $scriptHits
+  FROM q
+), m AS (
+  SELECT *, greatest($maxh) AS mx FROM h
+)
+SELECT doc_id,
+  CASE
+    $scriptCase
+    WHEN mx = 0 THEN 'und'
+    $markerCase
+    ELSE 'und'
+  END AS lang_guess
+FROM m ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracle(10),
     "q_ann_ivf" -> annIvfOracle(16, 4, 10),
@@ -313,28 +357,7 @@ SELECT doc_id,
   ) AS quality_ok
 FROM q ORDER BY doc_id""",
 
-    "q_text_langid" ->
-      """WITH q AS (
-  SELECT doc_id,
-    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-  FROM documents
-), h AS (
-  SELECT doc_id,
-    len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS h_en,
-    len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist','ein','mit'))) AS h_de,
-    len(list_filter(toks, x -> x IN ('le','la','les','et','est','une','dans','pour'))) AS h_fr,
-    len(list_filter(toks, x -> x IN ('el','los','las','es','una','para','por','como'))) AS h_es
-  FROM q
-)
-SELECT doc_id,
-  CASE
-    WHEN h_es > GREATEST(h_en, h_de, h_fr, 0) THEN 'es'
-    WHEN h_fr > GREATEST(h_en, h_de, 0) THEN 'fr'
-    WHEN h_de > GREATEST(h_en, 0) THEN 'de'
-    WHEN h_en > 0 THEN 'en'
-    ELSE 'und'
-  END AS lang_guess
-FROM h ORDER BY doc_id""",
+    "q_text_langid" -> langidOracle,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

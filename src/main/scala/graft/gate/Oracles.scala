@@ -527,6 +527,41 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Highlighted top-k for a term query: BM25 top-k (tie-break law), each
+    * hit's snippet = `window` tokens starting `before` tokens ahead of the
+    * term's FIRST occurrence, the term wrapped in <em>…</em>.
+    */
+  def highlightTerm(term: String, k: Int, before: Int = 2,
+      window: Int = 8): String =
+    prologue + termCtes("a", term) +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), arrs AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255) AS arr
+  FROM documents
+), firstp AS (
+  SELECT doc_id, min(pos) AS p FROM posx WHERE term = ${lit(term)} GROUP BY doc_id
+), topk AS (
+  SELECT doc_id, s,
+    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk
+  FROM sc_a ORDER BY s DESC, doc_id LIMIT $k
+)
+SELECT t.doc_id,
+  array_to_string(
+    list_transform(
+      arr[greatest(1, p - $before):greatest(1, p - $before) + ${window - 1}],
+      x -> CASE WHEN x = ${lit(term)} THEN '<em>' || x || '</em>' ELSE x END),
+    ' ') AS snippet,
+  t.rnk
+FROM topk t JOIN arrs USING (doc_id) JOIN firstp USING (doc_id)
+ORDER BY t.rnk"""
+
   /** Prefix: const-score 1.0 over docs containing any matching term. */
   def prefix(p: String, k: Int): String =
     prologue +

@@ -220,6 +220,16 @@ object SearchGate {
       val s = searcher(spark, sfDir)
       val first = s.search(TermQ("batch"), 20)
       hitsDf(spark, s.rescore(first, TermQ("spark"), 2f, K))
+    }),
+    // highlighting: snippets around the first match from the row store
+    "q_highlight" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val hits = s.search(TermQ("spark"), K)
+      val snips = s.highlightAll(hits, Set("spark"), contentCol = "text")
+      hits.zipWithIndex.toSeq
+        .map { case (h, i) => (h.docId, snips.getOrElse(h.docId, ""), i + 1) }
+        .toDF("doc_id", "snippet", "rnk")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -261,5 +271,6 @@ object SearchGate {
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),
-    "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K))
+    "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K),
+    "q_highlight" -> Oracles.highlightTerm("spark", K))
 }

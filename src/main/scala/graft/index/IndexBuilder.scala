@@ -51,6 +51,9 @@ object IndexBuilder {
     case "simple" => Analysis.simpleTokens
     case "code" => Analysis.codeTokens
     case "standard" => Analysis.standardTokens
+    // UAX#29-subset word break (CJK single-char/run semantics) — for
+    // multilingual training-data corpora
+    case "unicode" => Analysis.unicodeTokens
     // "pattern:<regex>" — PatternTokenizer, split on the regex
     case p if p.startsWith("pattern:") =>
       Analysis.patternTokens(p.stripPrefix("pattern:"))

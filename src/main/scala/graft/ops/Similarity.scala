@@ -195,6 +195,87 @@ object Similarity {
     filtered.orderBy(desc("cos"), asc("id")).limit(k)
   }
 
+  /** Lloyd-refined IVF codebook, seeded from the deterministic random
+    * codebook: `iters` rounds of assign (dot-product argmax, [[ivfAssign]])
+    * → per-cell per-dimension mean. The heavy work is distributed
+    * (assignment is a map; the mean is one groupBy over nlist×dim cells) —
+    * only the nlist×dim codebook floats ever reach the driver, so the
+    * shape holds at 10⁹ vectors. Cells that lose all members keep their
+    * previous centroid. Deterministic for a given (table, seed).
+    */
+  def kmeansCentroids(df: DataFrame, vecCol: String, nlist: Int = 16,
+      iters: Int = 5, seed: Long = 4242L): Array[Array[Float]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    var cents = ivfCentroids(dim, nlist, seed)
+    var it = 0
+    while (it < iters) {
+      val bc = df.sparkSession.sparkContext.broadcast(cents)
+      val cellUdf = udf((v: Array[Float]) => ivfAssign(bc.value, v))
+      val means = df
+        .select(cellUdf(col(vecCol)).as("cell"),
+          posexplode(col(vecCol)).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("d")) =
+          r.getAs[Double]("m").toFloat
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Build the IVF index with a k-means-refined codebook; the centroids
+    * are persisted next to the partitions (centroids.json) so queries —
+    * and any external verifier — can reload them exactly.
+    */
+  def writeIvfIndexRefined(df: DataFrame, vecCol: String, idCol: String,
+      dir: String, nlist: Int = 16, iters: Int = 5,
+      seed: Long = 4242L): Array[Array[Float]] = {
+    val cents = kmeansCentroids(df, vecCol, nlist, iters, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val cellUdf = udf((v: Array[Float]) => ivfAssign(bc.value, v))
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        cellUdf(col(vecCol)).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // underscore prefix: Spark's parquet reader ignores _-prefixed files
+    val json = cents.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_centroids.json"), json)
+    cents
+  }
+
+  def readIvfCentroids(dir: String): Array[Array[Float]] = {
+    val s = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_centroids.json"))
+    s.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.replaceAll("[\\[\\]]", "").split(",").map(_.toFloat))
+  }
+
+  /** Query a refined IVF index (centroids from centroids.json): top-nprobe
+    * cells by centroid·query, partition-pruned read, exact cosine top-k.
+    */
+  def ivfTopKRefined(spark: org.apache.spark.sql.SparkSession, dir: String,
+      query: Array[Float], k: Int, nprobe: Int = 4,
+      excludeId: Option[Long] = None): DataFrame = {
+    val cents = readIvfCentroids(dir)
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      var d = 0d
+      var j = 0
+      while (j < query.length) { d += c(j).toDouble * query(j); j += 1 }
+      (i, d)
+    }
+    val probes = scored.sortBy { case (i, d) => (-d, i) }.take(nprobe).map(_._1)
+    val qCol = array(query.map(v => lit(v)): _*)
+    val base = spark.read.parquet(dir)
+      .filter(col("cell").isin(probes.toSeq: _*))
+      .select(col("id"), cosineCol(col("vec"), qCol).as("cos"))
+    val filtered = excludeId.map(e => base.filter(col("id") =!= e)).getOrElse(base)
+    filtered.orderBy(desc("cos"), asc("id")).limit(k)
+  }
+
   /** Candidate pairs via banded sign-LSH + EXACT cosine verification —
     * the scale shape for embedding near-dup: shuffle is O(docs × bands)
     * and the only pairwise work happens inside band buckets (no

@@ -21,39 +21,115 @@ object TextAnalysis {
         size(regexp_extract_all(col(textCol),
           lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))))
 
-  /** Stopword-marker sets per language (tiny n-gram-free heuristic:
-    * function words are the strongest language signal at document scale).
+  /** Function-word marker sets per Latin-script language (public stopword
+    * knowledge; function words are the strongest cheap language signal at
+    * document scale). ORDER is the deterministic tie-break: the earliest
+    * language with the maximal hit count wins.
     */
-  val LangMarkers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
-    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour"),
-    "es" -> Seq("el", "los", "las", "es", "una", "para", "por", "como"))
+  val MarkerLangs: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with",
+      "for", "was", "are", "this"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ein", "mit",
+      "auf", "dem", "sich", "auch"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour",
+      "que", "qui", "pas", "avec"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "por", "como",
+      "pero", "sus", "ser", "tiene"),
+    "pt" -> Seq("não", "são", "também", "já", "em", "dos", "das", "uma",
+      "você", "mais", "os", "ao"),
+    "it" -> Seq("il", "di", "che", "per", "con", "del", "della", "sono",
+      "anche", "più", "questo", "gli"),
+    "nl" -> Seq("het", "een", "van", "dat", "niet", "zijn", "voor",
+      "aan", "ook", "maar", "hij", "naar"),
+    "sv" -> Seq("och", "att", "det", "som", "av", "är", "för", "med",
+      "på", "den", "inte", "jag"),
+    "da" -> Seq("og", "at", "til", "er", "ikke", "jeg", "hun", "havde",
+      "hende", "ham", "især", "hvor"),
+    "no" -> Seq("å", "ikke", "jeg", "han", "hun", "så", "fra", "meg",
+      "noe", "bare", "kan", "vil"),
+    "fi" -> Seq("ja", "on", "ei", "että", "oli", "hän", "mutta", "joka",
+      "myös", "kun", "niin", "sen"),
+    "pl" -> Seq("nie", "się", "jest", "na", "do", "że", "jak", "ale",
+      "przez", "być", "tym", "oraz"),
+    "cs" -> Seq("je", "na", "se", "že", "jako", "ale", "jsem", "jsou",
+      "byl", "pro", "tak", "podle"),
+    "ro" -> Seq("și", "de", "la", "cu", "un", "este", "pentru", "care",
+      "din", "mai", "sunt", "fost"),
+    "hu" -> Seq("és", "az", "hogy", "nem", "egy", "van", "meg", "el",
+      "volt", "csak", "már", "még"),
+    "tr" -> Seq("bir", "ve", "bu", "için", "ile", "ne", "gibi", "çok",
+      "daha", "ama", "olarak", "sonra"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "dalam", "akan", "pada"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong",
+      "một", "người", "những", "này", "cho"))
+
+  /** Back-compat view of the marker tables (quality scoring uses "en"). */
+  val LangMarkers: Map[String, Seq[String]] = MarkerLangs.toMap
+
+  /** Script-detected languages, in priority order: ANY character of the
+    * script decides (Japanese before Chinese — kana presence wins over the
+    * shared Han). Script names are Unicode script classes (Java regex
+    * `\p{IsX}`, RE2 `\p{X}` on the oracle side).
+    */
+  val ScriptLangs: Seq[(String, Seq[String])] = Seq(
+    "ja" -> Seq("Hiragana", "Katakana"),
+    "zh" -> Seq("Han"),
+    "ko" -> Seq("Hangul"),
+    "ru" -> Seq("Cyrillic"),
+    "ar" -> Seq("Arabic"),
+    "el" -> Seq("Greek"),
+    "he" -> Seq("Hebrew"),
+    "th" -> Seq("Thai"),
+    "hi" -> Seq("Devanagari"))
 
   /** Count of marker hits for one language over the token array column. */
   private def markerHits(toks: Column, lang: String): Column =
     size(filter(toks, t => t.isin(LangMarkers(lang).map(lit(_)): _*)))
 
+  /** Unicode-aware tokens for language ID (lowercase, split on anything
+    * that is not a letter or digit) — the ASCII-only split would shred
+    * accented function words ("für" → f, r).
+    */
+  private def uToksCol(textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^\\p{L}\\p{Nd}]+"), t => t =!= "")
+
+  /** ASCII tokens (oracle-parity with the rest of the text-analysis ops). */
   private def toksCol(textCol: String): Column =
     filter(split(lower(col(textCol)), "[^a-z0-9]+"), t => t =!= "")
 
-  /** Language-ID by marker-word counts: argmax over languages, ties and
-    * zero-evidence → "und". Deterministic: languages compared in fixed
-    * order (en, de, fr, es), strictly-greater wins.
+  /** Language-ID, two stages, both deterministic and SQL-replicable:
+    *
+    *  1. script detection: the first [[ScriptLangs]] entry with ≥1
+    *     character of its script decides (covers zh/ja/ko/ru/ar/el/he/
+    *     th/hi — script is a stronger signal than any word list)
+    *  2. else marker-word argmax over [[MarkerLangs]] (18 Latin-script
+    *     languages); earliest language with the max count wins; zero
+    *     evidence → "und"
     */
   def withLangId(df: DataFrame, textCol: String): DataFrame = {
-    val toks = toksCol(textCol)
-    val langs = Seq("en", "de", "fr", "es")
-    val withHits = df.withColumn("_toks", toks)
-    val hitCols = langs.map(l => markerHits(col("_toks"), l).as(s"_h_$l"))
-    val scored = withHits.select(col("*") +: hitCols: _*)
-    val best = langs.foldLeft((lit("und"), lit(0))) {
-      case ((bestLang, bestHits), l) =>
+    val withHits = df.withColumn("_toks", uToksCol(textCol))
+    val hitCols = MarkerLangs.map { case (l, _) =>
+      markerHits(col("_toks"), l).as(s"_h_$l")
+    }
+    val scriptCols = ScriptLangs.map { case (l, scripts) =>
+      scripts.map(s =>
+        size(regexp_extract_all(col(textCol), lit(s"\\p{Is$s}"), lit(0))))
+        .reduce(_ + _).as(s"_s_$l")
+    }
+    val scored = withHits.select(col("*") +: (hitCols ++ scriptCols): _*)
+    val markerBest = MarkerLangs.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), (l, _)) =>
         (when(col(s"_h_$l") > bestHits, lit(l)).otherwise(bestLang),
           greatest(col(s"_h_$l"), bestHits))
     }._1
+    val best = ScriptLangs.foldRight(markerBest) { case ((l, _), rest) =>
+      when(col(s"_s_$l") > 0, lit(l)).otherwise(rest)
+    }
     scored.withColumn("lang_guess", best)
-      .drop("_toks").drop(langs.map(l => s"_h_$l"): _*)
+      .drop("_toks")
+      .drop(MarkerLangs.map { case (l, _) => s"_h_$l" }: _*)
+      .drop(ScriptLangs.map { case (l, _) => s"_s_$l" }: _*)
   }
 
   /** Quality features + a composite score: token count, mean token

@@ -813,6 +813,40 @@ final class Searcher(private[search] val spark: SparkSession,
     else BoolQ(should = selected.map(x => TermQ(x._1)), minShouldMatch = 1)
   }
 
+  // ---------- highlighting (positions + row store) ----------
+
+  /** Deterministic snippet for each hit — the highlighter surface
+    * (`lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
+    * UnifiedHighlighter.java:71` in miniature): re-analyze the stored
+    * content (the docs table IS the row store), take a `window`-token
+    * span starting `before` tokens ahead of the FIRST query-term
+    * occurrence, and wrap matched terms in <em>…</em>. One pruned batch
+    * read for ALL hits (no per-doc round trips); docs with no term
+    * occurrence (e.g. hits of a wider query) get an empty snippet.
+    */
+  def highlightAll(hits: Array[Hit], terms: Set[String],
+      contentCol: String = "content", before: Int = 2,
+      window: Int = 8): Map[Long, String] = {
+    if (hits.isEmpty) return Map.empty
+    val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+    val ids = hits.map(_.docId).toSeq
+    docsDf.filter(col("docId").isin(ids: _*))
+      .select(col("docId"), col(contentCol)).collect()
+      .map { r =>
+        val toks = tok(r.getString(1))
+        val p = toks.indexWhere(terms.contains)
+        val snippet =
+          if (p < 0) ""
+          else {
+            val start = math.max(0, p - before)
+            toks.slice(start, start + window)
+              .map(t => if (terms.contains(t)) s"<em>$t</em>" else t)
+              .mkString(" ")
+          }
+        r.getLong(0) -> snippet
+      }.toMap
+  }
+
   // ---------- second-pass re-ranking (QueryRescorer analog) ----------
 
   /** Re-rank a first-pass hit set with a second query

@@ -82,6 +82,33 @@ class CoreSpec extends AnyFunSuite {
       Seq("val", "max", "docs", "42"))
   }
 
+  test("unicodeTokens: UAX#29-subset word break over mixed scripts") {
+    import graft.core.Analysis.unicodeTokens
+    // ASCII behaves exactly like simpleTokens (runs, lowercase)
+    assert(unicodeTokens("Hello, World 42!").toSeq ===
+      Seq("hello", "world", "42"))
+    // Han + Hiragana: one token per code point; Katakana: runs
+    assert(unicodeTokens("Hello, 世界!").toSeq === Seq("hello", "世", "界"))
+    assert(unicodeTokens("日本語のテキスト").toSeq ===
+      Seq("日", "本", "語", "の", "テキスト"))
+    // Katakana breaks against Latin (WB13 boundary)
+    assert(unicodeTokens("カタカナabc").toSeq === Seq("カタカナ", "abc"))
+    // Hangul syllables form runs like other letters
+    assert(unicodeTokens("한국어 text").toSeq === Seq("한국어", "text"))
+    // precomposed and combining-mark accents both stay in the token
+    assert(unicodeTokens("Café naïve").toSeq === Seq("café", "naïve"))
+    assert(unicodeTokens("Café").toSeq === Seq("café"))
+    // Cyrillic/Greek lowercase via ROOT locale
+    assert(unicodeTokens("Привет МИР").toSeq === Seq("привет", "мир"))
+    assert(unicodeTokens("ΩΜΕΓΑ").toSeq === Seq("ωμεγα"))
+    // digits attach to letter runs, CJK digits split per ideograph
+    assert(unicodeTokens("42度C").toSeq === Seq("42", "度", "c"))
+    // supplementary-plane ideograph (surrogate pair) handled by code point
+    assert(unicodeTokens("x𣎴y").toSeq === Seq("x", "𣎴", "y"))
+    assert(unicodeTokens("").toSeq === Seq())
+    assert(unicodeTokens(null).toSeq === Seq())
+  }
+
   test("standardTokens: stopwords removed") {
     assert(Analysis.standardTokens("the quick and THE slow").toSeq ===
       Seq("quick", "slow"))

@@ -156,6 +156,38 @@ class OpsSpec extends AnyFunSuite {
       s"probe read not partition-pruned:\n$plan")
   }
 
+  test("k-means-refined IVF: recall@10 >= random-codebook recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    val dirR = java.nio.file.Files.createTempDirectory("graft-ivf-rand").toString
+    val dirK = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString
+    Similarity.writeIvfIndex(e, "embedding", "vec_id", dirR, nlist = 16)
+    val cents = Similarity.writeIvfIndexRefined(e, "embedding", "vec_id",
+      dirK, nlist = 16, iters = 5)
+    // persisted codebook round-trips exactly
+    assert(Similarity.readIvfCentroids(dirK).map(_.toSeq).toSeq ===
+      cents.map(_.toSeq).toSeq)
+    val queries = e.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    var hitsRand = 0
+    var hitsKm = 0
+    var total = 0
+    queries.foreach { case (id, v) =>
+      val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", v, 10,
+        excludeId = Some(id)).collect().map(_.getLong(0)).toSet
+      val rand = Similarity.ivfTopK(spark, dirR, v, 10, nlist = 16,
+        nprobe = 4, excludeId = Some(id)).collect().map(_.getLong(0)).toSet
+      val km = Similarity.ivfTopKRefined(spark, dirK, v, 10, nprobe = 4,
+        excludeId = Some(id)).collect().map(_.getLong(0)).toSet
+      hitsRand += exact.intersect(rand).size
+      hitsKm += exact.intersect(km).size
+      total += exact.size
+    }
+    assert(hitsKm >= hitsRand,
+      s"kmeans recall $hitsKm/$total < random-codebook $hitsRand/$total")
+    assert(hitsKm.toDouble / total >= 0.5, s"kmeans recall $hitsKm/$total")
+  }
+
   test("cosineCol matches a plain scala computation") {
     val a = Array(1f, 2f, 3f)
     val b = Array(-1f, 0.5f, 2f)
@@ -210,5 +242,50 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id", "lang_guess").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("langId accuracy on a 27-language labeled fixture") {
+    val fixture: Seq[(String, String)] = Seq(
+      "en" -> "the cat and the dog are in the house with food for everyone",
+      "de" -> "der hund und die katze sind nicht mit dem mann auf dem berg",
+      "fr" -> "le chat et la maison est dans une grande ville pour les gens qui",
+      "es" -> "el gato es una cosa para los perros pero sus amigos como ser",
+      "pt" -> "você não vai mais ao mercado das flores e também já era uma",
+      "it" -> "il gatto che corre per la strada con del pane e anche questo gli piace",
+      "nl" -> "het huis van een man dat niet voor hem maar ook aan hij",
+      "sv" -> "och att det som är för med på den inte jag huset",
+      "da" -> "og jeg havde ikke hende som hun er til at se især hvor",
+      "no" -> "jeg vil bare se noe fra han så hun kan ikke å meg",
+      "fi" -> "ja on ei että oli hän mutta joka myös kun niin sen talo",
+      "pl" -> "nie się jest na do że jak ale przez być tym oraz dom",
+      "cs" -> "je na se že jako ale jsem jsou byl pro tak podle dům",
+      "ro" -> "și de la cu un este pentru care din mai sunt fost casa",
+      "hu" -> "és az hogy nem egy van meg el volt csak már még ház",
+      "tr" -> "bir ve bu için ile ne gibi çok daha ama olarak sonra ev",
+      "id" -> "yang dan di itu dengan untuk tidak ini dari dalam akan pada",
+      "vi" -> "và của là có không được trong một người những này cho nhà",
+      "ru" -> "это русский текст о доме и о людях которые там живут",
+      "zh" -> "这是一个关于房子的中文句子",
+      "ja" -> "これは日本語のテキストです",
+      "ko" -> "이것은 한국어 텍스트입니다",
+      "ar" -> "هذا نص عربي عن البيت والناس",
+      "el" -> "αυτό είναι ένα ελληνικό κείμενο για το σπίτι",
+      "he" -> "זהו טקסט בעברית על הבית והאנשים",
+      "th" -> "นี่คือข้อความภาษาไทยเกี่ยวกับบ้าน",
+      "hi" -> "यह हिंदी में एक वाक्य है")
+    val df = fixture.zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "label", "text")
+    val got = TextAnalysis.withLangId(df, "text")
+      .select("label", "lang_guess").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val correct = got.count { case (l, g) => l == g }
+    val wrong = got.filter { case (l, g) => l != g }
+    assert(correct >= 25, s"accuracy $correct/27; wrong: ${wrong.toSeq}")
+    // script-detected languages must be exact — script is unambiguous
+    val scriptSet = TextAnalysis.ScriptLangs.map(_._1).toSet
+    got.filter(x => scriptSet.contains(x._1)).foreach { case (l, g) =>
+      assert(l == g, s"script language $l detected as $g")
+    }
   }
 }
