@@ -90,10 +90,15 @@ object SegmentSearcher {
 
   /** Shared daemon pool for driver-local shard execution — the
     * IndexSearcher leaf-slice executor analog (`IndexSearcher.java:605-615`).
+    * Size defaults to the host's processors; `graft.search.localPoolSize`
+    * (system property, read once) overrides it — a benchmark phase
+    * emulating an N-core node MUST cap this too, or its "N-core" queries
+    * silently fan shard work across every host core.
     */
   lazy val localPool: java.util.concurrent.ExecutorService = {
-    val n = math.max(2, Runtime.getRuntime.availableProcessors())
-    java.util.concurrent.Executors.newFixedThreadPool(n, r => {
+    val n = sys.props.get("graft.search.localPoolSize").map(_.toInt)
+      .getOrElse(math.max(2, Runtime.getRuntime.availableProcessors()))
+    java.util.concurrent.Executors.newFixedThreadPool(math.max(2, n), r => {
       val t = new Thread(r, "graft-search")
       t.setDaemon(true)
       t
