@@ -202,8 +202,15 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
     * engine: weight = (boost × idf) × (k1+1), dismax = mx + tie×(sm−mx),
     * term sum double → float.
     */
+  /** With `pf` (phrase-boost fields, columns drawn from `fields`): the
+    * whole term sequence as an exact phrase per pf field, dismax-combined
+    * and added to matching docs' scores — score = float(main +
+    * phrase-if-matched), the ReqOpt shape of the engine's outer
+    * BooleanQuery (`ExtendedDismaxQParser.java:230-260`).
+    */
   def edismaxQf(terms: Seq[String], fields: Seq[(String, Float)],
-      msm: Int, tie: Float, k: Int): String = {
+      msm: Int, tie: Float, k: Int,
+      pf: Seq[(String, Float)] = Nil): String = {
     def idfE(dfExpr: String, av: String): String =
       R(s"ln(1 + ((SELECT n FROM $av) - $dfExpr + 0.5)/($dfExpr + 0.5))")
     def wE(dfExpr: String, av: String, boost: Float): String = {
@@ -261,13 +268,68 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 
     val allUnion = terms.indices
       .map(j => s"SELECT doc_id, s FROM dm_t$j").mkString(" UNION ALL ")
-    s"""WITH normq(lo, hi, qlen) AS (
-  SELECT * FROM (VALUES $normValuesRows)
-)""" + fieldCtes + scCtes + dmCtes +
-      s""", allt AS ($allUnion), res AS (
+
+    // pf: per pf field an exact-phrase score CTE (adjacency chain join
+    // over that field's positions), then the same dismax combine
+    val pfCtes = pf.map { case (colName, boost) =>
+      val i = fields.indexWhere(_._1 == colName)
+      require(i >= 0, s"pf column $colName must be in fields")
+      val idfs = terms.map(t => idfE(
+        s"(SELECT count(DISTINCT doc_id) FROM tok_f$i WHERE term = ${lit(t)})",
+        s"av_f$i"))
+      val idfSum = idfs.reduce((x, y) => R(s"$x + $y"))
+      val bIdf = if (boost == 1f) idfSum else R(s"${R(boost.toString)} * $idfSum")
+      val w = R(s"$bIdf * ($K1 + ${R("1")})")
+      val tfR = R("p.tf")
+      val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheE("dn.qlen", s"av_f$i")}")}")
+      val joins = terms.indices.tail.map(j =>
+        s"JOIN px_f$i p$j ON p$j.doc_id = p0.doc_id AND p$j.pos = p0.pos + $j AND p$j.term = ${lit(terms(j))}")
+        .mkString("\n  ")
+      s""", px_f$i AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower($colName), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), phtf_f$i AS (
+  SELECT p0.doc_id, count(*) AS tf
+  FROM px_f$i p0
+  $joins
+  WHERE p0.term = ${lit(terms.head)}
+  GROUP BY p0.doc_id
+), phsc_f$i AS (
+  SELECT p.doc_id, $score AS s
+  FROM phtf_f$i p JOIN dn_f$i dn ON p.doc_id = dn.doc_id
+)"""
+    }.mkString
+    val pfFinal =
+      if (pf.isEmpty) s""", res AS (
   SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
   FROM allt GROUP BY doc_id HAVING count(*) >= $msm
-)""" + finish("res", k)
+)"""
+      else {
+        val pfUnion = pf.map { case (colName, _) =>
+          val i = fields.indexWhere(_._1 == colName)
+          s"SELECT doc_id, s FROM phsc_f$i"
+        }.mkString(" UNION ALL ")
+        s""", res0 AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM allt GROUP BY doc_id HAVING count(*) >= $msm
+), pfun AS ($pfUnion), pfdm AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM (SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+        FROM pfun GROUP BY doc_id)
+), res AS (
+  SELECT r.doc_id,
+    ${R("CAST(r.s AS DOUBLE) + COALESCE(CAST(p.s AS DOUBLE), 0)")} AS s
+  FROM res0 r LEFT JOIN pfdm p ON r.doc_id = p.doc_id
+)"""
+      }
+    s"""WITH normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+)""" + fieldCtes + scCtes + dmCtes + pfCtes +
+      s""", allt AS ($allUnion)""" + pfFinal + finish("res", k)
   }
 
   /** SynonymQuery: summed tf, df = max over members. */

@@ -181,6 +181,17 @@ object SearchGate {
         "spark src3 batch", mm = "2", tie = 0.1f, k = K)
       hitsDf(spark, hits)
     }),
+    // edismax pf: the query as an exact phrase per pf field, added to
+    // matching docs' scores (ReqOpt over the main dismax disjunction)
+    "q_bm25_edismax_pf" -> ((spark, sfDir) => {
+      val text = MultiField.FieldRef(searcher(spark, sfDir), 1f)
+      val src = MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 2f)
+      val hits = MultiField.searchDisMax(Seq(text, src), "order sort",
+        mm = "1", tie = 0.2f, k = K,
+        pf = Seq(MultiField.FieldRef(searcher(spark, sfDir), 1.5f),
+          MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 1f)))
+      hitsDf(spark, hits)
+    }),
     // sort-by-field through the Searcher (TopFieldCollector analog)
     "q_bm25_sort_field" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -267,6 +278,9 @@ object SearchGate {
     "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
     "q_bm25_edismax_qf" -> Oracles.edismaxQf(Seq("spark", "src3", "batch"),
       Seq(("text", 1f), ("source", 2f)), msm = 2, tie = 0.1f, k = K),
+    "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
+      Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
+      pf = Seq(("text", 1.5f), ("source", 1f))),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),

@@ -43,23 +43,34 @@ object MultiField {
   /** Serializable per-query plan for the shard tasks. Weight keys are
     * (fieldIdx, term); caches indexed by fieldIdx.
     */
-  final case class MfPlan(terms: Seq[String],
+  final case class MfPlan(terms: Seq[String], qf: Seq[Int],
       weights: Map[(Int, String), Float], salted: Set[(Int, String)],
+      pf: Seq[Int], pfWeights: Map[Int, Float],
       caches: Array[Array[Float]], numShards: Int, sharded: Boolean,
       tie: Float, msm: Int, k: Int)
 
-  /** edismax main query: analyze, per-term cross-field dismax, Solr mm. */
+  /** edismax main query: analyze, per-term cross-field dismax (qf), Solr
+    * mm, optional phrase-boost fields (pf — the whole analyzed query as
+    * an exact phrase per pf field, dismax-combined, attached as SHOULD to
+    * the matched set: score = float(main + phraseBoost-if-matched), the
+    * outer BooleanQuery shape of `ExtendedDismaxQParser.java:230-260`
+    * addShardPhraseQueries).
+    */
   def searchDisMax(fields: Seq[FieldRef], input: String, mm: String = "1",
-      tie: Float = 0f, k: Int = 10): Array[Hit] = {
+      tie: Float = 0f, k: Int = 10, pf: Seq[FieldRef] = Nil): Array[Hit] = {
     val terms = graft.core.Analysis.simpleTokens(input).toSeq
     require(terms.nonEmpty, "empty edismax query")
     val msm = math.max(1, QueryParser.resolveMm(mm, terms.length))
-    dismaxTerms(fields, terms, msm, tie, k)
+    dismaxTerms(fields, terms, msm, tie, k, pf)
   }
 
-  def dismaxTerms(fields: Seq[FieldRef], terms: Seq[String], msm: Int,
-      tie: Float, k: Int): Array[Hit] = {
-    require(fields.nonEmpty)
+  def dismaxTerms(qfFields: Seq[FieldRef], terms: Seq[String], msm: Int,
+      tie: Float, k: Int, pfFields: Seq[FieldRef] = Nil): Array[Hit] = {
+    require(qfFields.nonEmpty)
+    // the working field list: qf fields, then pf-only fields (a searcher
+    // can appear in both; pf indexes by position in this combined list)
+    val fields: Seq[FieldRef] = qfFields ++
+      pfFields.filterNot(p => qfFields.exists(_.searcher eq p.searcher))
     val S = fields.head.searcher.index.manifest.numDocShards
     require(fields.forall(_.searcher.index.manifest.numDocShards == S),
       "all field indexes must share numDocShards (docId-aligned salting)")
@@ -67,7 +78,7 @@ object MultiField {
     val stats: Seq[Map[String, (Long, Long)]] =
       fields.map(_.searcher.stats(termSet))
     val weights = (for {
-      (fr, i) <- fields.zipWithIndex
+      (fr, i) <- fields.zipWithIndex if i < qfFields.size
       m = fr.searcher.index.manifest
       (t, (df, _)) <- stats(i)
     } yield (i, t) -> BM25.weightValue(BM25.idf(df, m.docCount),
@@ -77,7 +88,26 @@ object MultiField {
       m = fr.searcher.index.manifest
       (t, (df, _)) <- stats(i) if df >= m.saltThreshold
     } yield (i, t)).toSet
-    val plan = MfPlan(terms, weights, salted,
+    // pf: phrase pseudo-term weight per pf field — float-accumulated idf
+    // sum over the query terms IN ORDER (PhraseWeight semantics) × boost;
+    // a field missing any term can never phrase-match (dropped); phrases
+    // need ≥2 terms and a positions-bearing index
+    val pfIdx: Seq[(Int, Float)] =
+      if (terms.size < 2) Nil
+      else pfFields.flatMap { p =>
+        val i = fields.indexWhere(_.searcher eq p.searcher)
+        val m = p.searcher.index.manifest
+        if (!m.positions) sys.error("pf requires an index built with positions")
+        if (terms.forall(stats(i).contains)) Some((i, p.boost)) else None
+      }
+    val pfWeights = pfIdx.map { case (i, boost) =>
+      var idfSum = 0f
+      val m = fields(i).searcher.index.manifest
+      terms.foreach(t => idfSum += BM25.idf(stats(i)(t)._1, m.docCount))
+      i -> BM25.weightValue(idfSum, fields(i).searcher.index.bm25, boost)
+    }.toMap
+    val plan = MfPlan(terms, qfFields.indices, weights, salted,
+      pfIdx.map(_._1), pfWeights,
       fields.map(_.searcher.cache).toArray, S, salted.nonEmpty, tie, msm, k)
 
     val estBytes = stats.map(st =>
@@ -138,34 +168,62 @@ object MultiField {
       .collect().toSeq
   }
 
-  /** One shard's scorer tree: per term a DisMax over field TermScorers
+  /** One shard's scorer tree: per term a DisMax over qf-field TermScorers
     * (cold rows mod-filtered in sharded mode, like the single-field path),
-    * terms combined with DisjunctionScorer(msm), bounded top-k heap.
+    * terms combined with DisjunctionScorer(msm); pf fields contribute an
+    * optional phrase DisMax through ReqOptScorer (score-only SHOULD);
+    * bounded top-k heap.
     */
   private[search] def execShardMf(shard: Int,
       blobs: Map[(Int, String), Seq[SegRow]], plan: MfPlan): Array[Hit] = {
+    def shardRowsOf(key: (Int, String)): Seq[SegRow] =
+      blobs.getOrElse(key, Nil)
+        .filter(r => shard < 0 || r.salt == shard || r.salt < 0)
     val termScorers: Seq[DocScorer] = plan.terms.map { t =>
-      val subs: Seq[DocScorer] = blobs.keys.toSeq.filter(_._2 == t).sorted
-        .flatMap { case key @ (f, _) =>
-          blobs(key)
-            .filter(r => shard < 0 || r.salt == shard || r.salt < 0)
-            .map { r =>
-              val w = plan.weights(key)
-              val ts = new TermScorer(
-                PostingsCodec.iterator(r.docBlocks, r.skipData), w,
-                plan.caches(f))
-              if (shard >= 0 && r.salt < 0)
-                new ModFilterScorer(ts, shard, plan.numShards)
-              else ts
-            }
+      val subs: Seq[DocScorer] = plan.qf.flatMap { f =>
+        shardRowsOf((f, t)).map { r =>
+          val ts = new TermScorer(
+            PostingsCodec.iterator(r.docBlocks, r.skipData),
+            plan.weights((f, t)), plan.caches(f))
+          if (shard >= 0 && r.salt < 0)
+            new ModFilterScorer(ts, shard, plan.numShards)
+          else ts
         }
+      }
       if (subs.isEmpty) EmptyScorer
       else new DisMaxScorer(subs.toArray, plan.tie)
     }
     val live = termScorers.filterNot(_ eq EmptyScorer)
     val queue = new BoundedHitQueue(plan.k)
     if (live.isEmpty || live.size < plan.msm) return queue.sortedHits
-    val root = new DisjunctionScorer(live.toArray, plan.msm)
+    val main = new DisjunctionScorer(live.toArray, plan.msm)
+    // pf: exact phrase per pf field over the positions sidecar, dismax'd
+    val pfSubs: Seq[DocScorer] = plan.pf.flatMap { f =>
+      val rows = plan.terms.map(t => shardRowsOf((f, t)))
+      if (rows.exists(_.isEmpty)) None
+      else {
+        val rpt = {
+          val r = Array.tabulate(plan.terms.size) { i =>
+            val first = plan.terms.indexOf(plan.terms(i))
+            if (plan.terms.count(_ == plan.terms(i)) > 1) first else -1
+          }
+          if (r.exists(_ >= 0)) r else null
+        }
+        val its = rows.map(_.head).map(r =>
+          PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray
+        val ps = new PhraseScorer(its, plan.terms.indices.toArray, 0,
+          plan.pfWeights(f), plan.caches(f), rpt)
+        Some(
+          if (shard >= 0 && rows.forall(_.head.salt < 0))
+            new ModFilterScorer(ps, shard, plan.numShards)
+          else ps)
+      }
+    }
+    val root: DocScorer =
+      if (pfSubs.isEmpty) main
+      else new ReqOptScorer(main,
+        if (pfSubs.size == 1) pfSubs.head
+        else new DisMaxScorer(pfSubs.toArray, plan.tie))
     var d = root.nextDoc()
     while (d != DocScorer.NO_MORE) {
       queue.insert(d, root.score.toDouble)

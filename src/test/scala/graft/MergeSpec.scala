@@ -96,6 +96,72 @@ class MergeSpec extends AnyFunSuite {
       assert(hits(s"$tmp/stream-compacted", q) === hits(s"$tmp/full", q), s"q=$q")
   }
 
+  test("continuous daemon stream (ProcessingTime trigger) indexes arrivals") {
+    val in = s"$tmp/daemon-in"
+    val idx = s"$tmp/daemon-idx"
+    val ckpt = s"$tmp/daemon-ckpt"
+    new java.io.File(in).mkdirs()
+    val schema = "docId LONG, repo STRING, path STRING, commit STRING, " +
+      "lang STRING, content STRING"
+    // availableNow = false → default micro-batch trigger: the query KEEPS
+    // running and picks up files as they arrive (DaemonStream semantics)
+    val q = StreamingIndex.start(spark, in, schema, idx, ckpt, cfg,
+      availableNow = false)
+    try {
+      toDf(numbered.take(150)).coalesce(1).write.mode("append").parquet(in)
+      def waitSnaps(n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 120000
+        while (StreamingIndex.snapshots(idx).size < n &&
+            System.currentTimeMillis() < deadline) Thread.sleep(500)
+        assert(StreamingIndex.snapshots(idx).size >= n,
+          s"expected $n snapshots, got ${StreamingIndex.snapshots(idx)}")
+      }
+      waitSnaps(1)
+      // second arrival indexed by the SAME running query (no restart)
+      toDf(numbered.slice(150, 300)).coalesce(1).write.mode("append").parquet(in)
+      waitSnaps(2)
+    } finally q.stop()
+    StreamingIndex.compact(spark, idx, s"$tmp/daemon-compacted")
+    if (!new java.io.File(s"$tmp/full/manifest.json").exists())
+      build(numbered, s"$tmp/full")
+    val expected = {
+      build(numbered.take(300), s"$tmp/daemon-batch")
+      (q: Query) => hits(s"$tmp/daemon-batch", q)
+    }
+    for (q <- queries)
+      assert(hits(s"$tmp/daemon-compacted", q) === expected(q), s"q=$q")
+  }
+
+  test("document loaders: json and csv sources build identical indexes") {
+    // loader pass-throughs (spark.read.json/csv → buildLogical): the
+    // engine is source-format-agnostic as long as the input_hint columns
+    // arrive; both formats must produce the parquet-built ranking
+    import spark.implicits._
+    val rows = numbered.take(120)
+    val jsonDir = s"$tmp/loaders-json"
+    val csvDir = s"$tmp/loaders-csv"
+    toDf(rows).coalesce(1).write.mode("overwrite").json(jsonDir)
+    toDf(rows).coalesce(1).write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").csv(csvDir)
+    build(rows, s"$tmp/loaders-ref")
+    val fromJson = spark.read.json(jsonDir)
+      .select(col("docId").cast("long"), col("repo"), col("path"),
+        col("commit"), col("lang"), col("content"))
+    val fromCsv = spark.read.option("header", "true")
+      .option("multiLine", "true").csv(csvDir)
+      .select(col("docId").cast("long"), col("repo"), col("path"),
+        col("commit"), col("lang"), col("content"))
+    for ((src, name) <- Seq((fromJson, "json"), (fromCsv, "csv"))) {
+      val dir = s"$tmp/loaders-$name-ix"
+      val ix = IndexBuilder.buildLogical(src, "content", Some("docId"), Nil, cfg)
+      IndexBuilder.writeIndex(ix, dir, s"snap-$name", numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      for (q <- queries)
+        assert(hits(dir, q) === hits(s"$tmp/loaders-ref", q), s"$name q=$q")
+    }
+  }
+
   test("tiered compaction: 12 snapshots -> <=2 rounds, rank-identical") {
     val idx = s"$tmp/tiered"
     // 12 snapshots over disjoint docId ranges, deliberately uneven sizes

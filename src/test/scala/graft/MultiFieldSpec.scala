@@ -109,6 +109,95 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("edismax pf (phrase boost) == first-principles oracle") {
+    val terms = Seq("alpha", "beta")
+    val boosts = Seq(1f, 2.5f)
+    val pfBoosts = Seq(1.5f, 1f)
+    val tie = 0.15f
+    // brute: main term part (as in brute()) + ReqOpt phrase dismax part
+    val fieldsTok: Seq[Seq[Array[String]]] = Seq(
+      docs.map(d => graft.core.Analysis.simpleTokens(d._2)),
+      docs.map(d => graft.core.Analysis.simpleTokens(d._3)))
+    val n = docs.size.toLong
+    val sumTtf = fieldsTok.map(_.map(_.length.toLong).sum)
+    val dfOf = fieldsTok.map(f =>
+      vocab.map(t => t -> f.count(_.contains(t)).toLong).toMap)
+    def phraseScore(f: Int, d: Int, boost: Float): Option[Float] = {
+      val toks = fieldsTok(f)(d)
+      val freq = (0 until toks.length - 1)
+        .count(p => toks(p) == terms(0) && toks(p + 1) == terms(1))
+      if (freq == 0) None
+      else {
+        var idfSum = 0f
+        terms.foreach(t => idfSum += BM25.idf(dfOf(f)(t), n))
+        val w = BM25.weightValue(idfSum, BM25.Default, boost)
+        val avgdl = BM25.avgFieldLength(sumTtf(f), n)
+        val cache = 1.2f * ((1 - 0.75f) + 0.75f *
+          graft.core.Norms.NORM_TABLE(
+            graft.core.Norms.normByte(toks.length) & 0xff) / avgdl)
+        Some(BM25.score(w, freq.toFloat, cache))
+      }
+    }
+    val expected = docs.indices.flatMap { d =>
+      var termsMatched = 0
+      var total = 0d
+      terms.foreach { t =>
+        var mx = 0f; var sm = 0f; var any = false
+        fieldsTok.indices.foreach { f =>
+          val tf = fieldsTok(f)(d).count(_ == t)
+          if (tf > 0) {
+            any = true
+            val s = BM25.scoreOne(tf, graft.core.Norms.normByte(fieldsTok(f)(d).length),
+              dfOf(f)(t), n, sumTtf(f), boost = boosts(f))
+            if (s > mx) mx = s
+            sm += s
+          }
+        }
+        if (any) { termsMatched += 1; total += (mx + (sm - mx) * tie).toDouble }
+      }
+      if (termsMatched < 1) None
+      else {
+        val main = total.toFloat
+        val ph = fieldsTok.indices.flatMap(f => phraseScore(f, d, pfBoosts(f)))
+        val pfPart: Option[Float] =
+          if (ph.isEmpty) None
+          else if (ph.size == 1) Some(ph.head)
+          else {
+            var mx = 0f; var sm = 0f
+            ph.foreach { s => if (s > mx) mx = s; sm += s }
+            Some(mx + (sm - mx) * tie)
+          }
+        val s = pfPart match {
+          case Some(p) => (main.toDouble + p).toFloat.toDouble
+          case None => main.toDouble
+        }
+        Some((d.toLong, s))
+      }
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(expected.nonEmpty)
+    // at least one doc must actually carry the phrase (else vacuous)
+    assert(docs.indices.exists(d => phraseScore(0, d, 1f).isDefined))
+    for ((tag, threshold) <- Seq(("pfplain", 1000000L), ("pfsalted", 100L))) {
+      val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
+        saltThreshold = threshold)
+      val s1 = buildField("f1", cfg, tag)
+      val s2 = buildField("f2", cfg, tag)
+      val refs = Seq(MultiField.FieldRef(s1, boosts(0)), MultiField.FieldRef(s2, boosts(1)))
+      val pfRefs = Seq(MultiField.FieldRef(s1, pfBoosts(0)), MultiField.FieldRef(s2, pfBoosts(1)))
+      val got = MultiField.dismaxTerms(refs, terms, 1, tie, 10, pfRefs)
+        .map(h => (h.docId, h.score)).toSeq
+      assert(got === expected, s"$tag local")
+      val d1 = new Searcher(spark, s1.index, cacheSegments = false, maxLocalBytes = 0)
+      val d2 = new Searcher(spark, s2.index, cacheSegments = false, maxLocalBytes = 0)
+      val gotDist = MultiField.dismaxTerms(
+        Seq(MultiField.FieldRef(d1, boosts(0)), MultiField.FieldRef(d2, boosts(1))),
+        terms, 1, tie, 10,
+        Seq(MultiField.FieldRef(d1, pfBoosts(0)), MultiField.FieldRef(d2, pfBoosts(1))))
+        .map(h => (h.docId, h.score)).toSeq
+      assert(gotDist === expected, s"$tag distributed")
+    }
+  }
+
   test("mm semantics: msm above matched-term count excludes docs") {
     val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
       saltThreshold = 1000000L)
