@@ -332,6 +332,37 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
       s""", allt AS ($allUnion)""" + pfFinal + finish("res", k)
   }
 
+  /** BlendedTermQuery: per-term scores sharing ONE weight (idf of max df
+    * over members — `BlendedTermQuery.java:62-88`), dismax-combined with
+    * the blend tie.
+    */
+  def blended(terms: Seq[String], tie: Float, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val tfCtes = names.zip(terms).map { case (n, t) =>
+      s""", tf_$n AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(t)} GROUP BY doc_id
+)"""
+    }.mkString
+    val dfMax = names.map(n => s"(SELECT count(*) FROM tf_$n)")
+      .reduce((a, b) => s"greatest($a, $b)")
+    val scCtes = names.map { n =>
+      s""", sc_$n AS (
+  SELECT t.doc_id, ${scoreExpr("t.tf", "dn.qlen", dfMax)} AS s
+  FROM tf_$n t JOIN dn ON t.doc_id = dn.doc_id
+)"""
+    }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + tfCtes + scCtes +
+      s""", un AS ($union), ag AS (
+  SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM ag
+)""" + finish("res", k)
+  }
+
   /** SynonymQuery: summed tf, df = max over members. */
   def synonym(terms: Seq[String], k: Int): String = {
     val names = terms.indices.map(i => s"t$i")

@@ -149,6 +149,8 @@ object SearchGate {
       filter = Seq(TermQ("dup")))),
     "q_bm25_dismax" -> seg(DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f)),
     "q_bm25_synonym" -> seg(SynonymQ(Seq("dup", "vector"))),
+    // blended-statistics terms: 'dup' (rare) scored with 'batch's df
+    "q_bm25_blended" -> seg(BlendedQ(Seq("dup", "batch"), 0.01f)),
     "q_bm25_boost" -> seg(Query.or(BoostQ(TermQ("spark"), 2f), TermQ("key"))),
     "q_bm25_page2" -> segPage2(TermQ("batch")),
     "q_bm25_prefix" -> seg(PrefixQ("sc")),
@@ -261,6 +263,7 @@ object SearchGate {
     "q_bm25_filter" -> Oracles.mustFilter("spark", "dup", K),
     "q_bm25_dismax" -> Oracles.dismax(Seq("spark", "key"), 0.3f, K),
     "q_bm25_synonym" -> Oracles.synonym(Seq("dup", "vector"), K),
+    "q_bm25_blended" -> Oracles.blended(Seq("dup", "batch"), 0.01f, K),
     "q_bm25_boost" -> Oracles.or(Seq("spark", "key"), 1, K,
       boosts = Map("spark" -> 2f)),
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),

@@ -85,6 +85,8 @@ object DataFrameSearcher {
 
     case SynonymQ(ts) => synonymScoreDf(ix, ts, boost, stats, params)
 
+    case BlendedQ(ts, tie) => blendedScoreDf(ix, ts, tie, boost, stats, params)
+
     case DisMaxQ(clauses, tie) =>
       // max + (sum-max)*tie with the sum folded in FLOAT in clause order —
       // matches DisMaxScorer (the reference accumulates `float scoreSum`,
@@ -146,6 +148,37 @@ object DataFrameSearcher {
       .select(col("docId"),
         graft.functions.GraftFunctions
           .bm25Score(col("tf"), col("normByte"), w, cache).as("score"))
+  }
+
+  /** BlendedTermQuery (`BlendedTermQuery.java:62-88`): per-term score
+    * frames sharing ONE weight (idf of max df over present members),
+    * combined with the DisMax float fold (DisjunctionMaxRewrite).
+    */
+  private def blendedScoreDf(ix: LogicalIndex, terms: Seq[String],
+      tie: Float, boost: Float, stats: QueryStats,
+      params: BM25Params): DataFrame = {
+    val present = terms.distinct.filter(t => stats.dfByTerm.getOrElse(t, 0L) > 0L)
+    if (present.isEmpty) return emptyScores(ix)
+    val dfMax = present.map(stats.dfByTerm).max
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    val w = BM25.weightValue(BM25.idf(dfMax, stats.docCount), params, boost)
+    val parts = present.zipWithIndex.map { case (t, i) =>
+      ix.postings.filter(col("term") === t)
+        .select(col("docId"),
+          graft.functions.GraftFunctions
+            .bm25Score(col("tf"), col("normByte"), w, cache).as(s"_c$i"))
+    }
+    if (parts.size == 1) // dismax of one clause is the clause
+      return parts.head.select(col("docId"), col("_c0").as("score"))
+    val joined = parts.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+    val cols = present.indices.map(i =>
+      coalesce(col(s"_c$i"), lit(0f)).cast("float"))
+    val sm = cols.reduce((a, b) => (a + b).cast("float"))
+    val mx = greatest(cols: _*)
+    joined.select(col("docId"),
+      (mx + ((sm - mx).cast("float") * lit(tie)).cast("float"))
+        .cast("float").as("score"))
   }
 
   /** SynonymQuery (SynonymQuery.java:46): union postings, per-doc summed

@@ -35,6 +35,14 @@ final case class DisMaxQ(clauses: Seq[Query], tieBreak: Float = 0f) extends Quer
   */
 final case class SynonymQ(terms: Seq[String]) extends Query
 
+/** Several terms scored as a DisjunctionMax of per-term scorers whose df
+  * is BLENDED to the max across members (BlendedTermQuery.java:62-88,
+  * DisjunctionMaxRewrite with its 0.01 tie default) — the cross-term
+  * statistics equalizer: a rare variant scores like its common sibling.
+  */
+final case class BlendedQ(terms: Seq[String],
+    tieBreak: Float = 0.01f) extends Query
+
 /** Multiplies the wrapped query's score (BoostQuery.java:34). */
 final case class BoostQ(query: Query, boost: Float) extends Query
 
@@ -149,6 +157,9 @@ object Query {
       if (i == MatchNoneQ) MatchNoneQ else ConstScoreQ(i, sc)
     case SynonymQ(ts) if ts.isEmpty => MatchNoneQ
     case SynonymQ(ts) if ts.size == 1 => TermQ(ts.head)
+    case BlendedQ(ts, _) if ts.isEmpty => MatchNoneQ
+    // single member: blended df == its own df — plain TermQuery
+    case BlendedQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case MultiPhraseQ(ps, _) if ps.isEmpty || ps.exists(_.isEmpty) => MatchNoneQ
@@ -180,6 +191,7 @@ object Query {
       (m ++ s ++ n ++ f).flatMap(literalTerms).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case SynonymQ(ts) => ts.toSet
+    case BlendedQ(ts, _) => ts.toSet
     case BoostQ(i, _) => literalTerms(i)
     case ConstScoreQ(i, _) => literalTerms(i)
     case PhraseQ(ts, _) => ts.toSet

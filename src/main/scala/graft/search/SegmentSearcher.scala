@@ -201,6 +201,7 @@ object SegmentSearcher {
     case ConstScoreQ(i, s) =>
       new ConstScorer(buildScorer(i, shard, blobs, plan, 1f), boost * s)
     case SynonymQ(ts) => synonymScorer(ts, shard, blobs, plan, boost)
+    case BlendedQ(ts, tie) => blendedScorer(ts, tie, shard, blobs, plan, boost)
     case DisMaxQ(cs, tie) =>
       val subs = cs.map(buildScorer(_, shard, blobs, plan, boost)).toArray
       if (subs.forall(_ eq EmptyScorer)) EmptyScorer
@@ -331,6 +332,26 @@ object SegmentSearcher {
     }.filter(_ != null).toArray
     if (its.isEmpty) EmptyScorer
     else new SynonymScorer(its, w, plan.cache)
+  }
+
+  /** BlendedTermQuery (`BlendedTermQuery.java:62-88`): each present member
+    * scored as its own TermScorer but with the BLENDED weight — idf of
+    * max(df) over members — combined DisjunctionMax with the blend tie.
+    */
+  private def blendedScorer(ts: Seq[String], tie: Float, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val dfs = ts.flatMap(plan.weights.get).map(_.df)
+    if (dfs.isEmpty) return EmptyScorer
+    val w = BM25.weightValue(BM25.idf(dfs.max, plan.maxDoc), plan.params, boost)
+    val subs = ts.distinct.flatMap(blobs.get).map { row =>
+      val sc = new TermScorer(
+        PostingsCodec.iterator(row.docBlocks, row.skipData), w, plan.cache)
+      if (shard >= 0 && row.salt < 0)
+        new ModFilterScorer(sc, shard, plan.numShards)
+      else sc
+    }
+    if (subs.isEmpty) EmptyScorer
+    else new DisMaxScorer(subs.toArray, tie)
   }
 
   private def boolScorer(must: Seq[Query], should: Seq[Query],

@@ -66,6 +66,10 @@ class SegmentSpec extends AnyFunSuite {
     "filter" -> BoolQ(must = Seq(TermQ("def")), filter = Seq(TermQ("merge"))),
     "dismax" -> DisMaxQ(Seq(TermQ("def"), TermQ("merge")), 0.3f),
     "synonym" -> SynonymQ(Seq("index", "merge")),
+    "blended" -> BlendedQ(Seq("getblockmerger", "def"), 0.01f),
+    "blended with absent" -> BlendedQ(Seq("index", "zzzznotaterm"), 0.1f),
+    "blended in bool" -> BoolQ(must = Seq(TermQ("def")),
+      should = Seq(BlendedQ(Seq("index", "merge")))),
     "boost" -> Query.or(BoostQ(TermQ("spark"), 2f), TermQ("lucene")),
     "const" -> ConstScoreQ(TermQ("def"), 1f),
     "nested" -> BoolQ(
