@@ -33,12 +33,34 @@ object SearchGate {
   private val searcherCache =
     scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Dirs this gate created under java.io.tmpdir — deleted on
+    * clearCaches so repeated gate runs in one JVM don't accumulate
+    * tmp indexes (round-3 advisor finding).
+    */
+  private val createdDirs =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private[gate] def trackDir(dir: String): String = {
+    createdDirs.put(dir, ()); dir
+  }
+
   /** Drop cached plans (needed when a new SparkSession replaces the one
     * the cached DataFrames were bound to, e.g. between bench phases).
+    * Also unpersists the cached segment/stat RDDs and deletes the tmp
+    * index dirs this gate created — clearing only the maps leaked both.
     */
   def clearCaches(): Unit = {
+    def quietly(f: => Unit): Unit =
+      try f catch { case _: Exception => } // session may already be stopped
+    (searcherCache.values ++ fieldSearcherCache.values)
+      .foreach(s => quietly(s.close()))
+    logicalCache.values.foreach(ix => quietly {
+      ix.unpersistCached(); ix.postings.unpersist()
+    })
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear()
+    createdDirs.keys.foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    createdDirs.clear()
   }
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
@@ -62,7 +84,7 @@ object SearchGate {
       fieldCol: String): Searcher =
     fieldSearcherCache.getOrElseUpdate((sfDir, fieldCol), {
       val dirHash = Integer.toHexString(s"$sfDir#$fieldCol".hashCode)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-gate-field-$dirHash"
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-field-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val ix = IndexBuilder.buildLogical(docs, fieldCol, Some("doc_id"), Nil,
@@ -77,7 +99,7 @@ object SearchGate {
   def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
     segmentCache.getOrElseUpdate(sfDir, {
       val dirHash = Integer.toHexString(sfDir.hashCode)
-      val dir = s"${sys.props("java.io.tmpdir")}/graft-gate-index-$dirHash"
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-index-$dirHash")
       // rebuild fresh each JVM run (tmp may hold stale indexes)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       IndexBuilder.writeIndex(logical(spark, sfDir), dir,

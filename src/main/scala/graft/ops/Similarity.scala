@@ -34,9 +34,11 @@ object Similarity {
   }
 
   /** All pairs with cosine ≥ threshold. Brute force O(n²) via self-join —
-    * correct baseline; the LSH variant below is the scale path.
+    * correct baseline for specs/oracles ONLY, hence `private[graft]`: a
+    * cartesian over a 10⁹-doc table must not be one import away from user
+    * code. The LSH variant below is the scale path.
     */
-  def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
+  private[graft] def cosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val a = df.select(col(idCol).as("ia"), col(vecCol).as("va"))
     val b = df.select(col(idCol).as("ib"), col(vecCol).as("vb"))

@@ -92,6 +92,16 @@ object MultiField {
     // sum over the query terms IN ORDER (PhraseWeight semantics) × boost;
     // a field missing any term can never phrase-match (dropped); phrases
     // need ≥2 terms and a positions-bearing index
+    // pf bookkeeping is keyed by Searcher reference identity: two pf refs
+    // wrapping the SAME instance would collapse to one pfWeights entry
+    // (last boost wins) and a qf/pf pair wrapping DISTINCT instances over
+    // the same index dir would silently score as different fields — both
+    // must fail loudly, not change scores (round-3 advisor finding).
+    // Callers: reuse ONE Searcher instance per field across qf and pf.
+    require(pfFields.map(p => System.identityHashCode(p.searcher)).distinct
+      .size == pfFields.size,
+      "pf fields must wrap distinct Searcher instances (one per field); " +
+        "to boost one field twice, adjust its single pf boost instead")
     val pfIdx: Seq[(Int, Float)] =
       if (terms.size < 2) Nil
       else pfFields.flatMap { p =>

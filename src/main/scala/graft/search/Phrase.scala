@@ -186,15 +186,17 @@ object PhraseFreq {
           var ri = 0
           while (ri < rg.length) {
             var incr = 1
-            var pp = rg(ri)
+            val pp = rg(ri) // FIXED inside the collision loop: the
+            // reference re-collides from rg[i] each iteration and only
+            // ADVANCES lesser(pp, rg[k]) (SloppyPhraseScorer.java:292-310)
             var k = collideWith(pp)
             var stop = false
             while (k >= 0 && !stop) {
-              pp = lesserOf(pp, k)
-              if (!advancePPEarly(pp)) return 0f // PPs exhausted
-              if (rg.indexOf(pp) >= 0 && rg.indexOf(pp) < ri) {
-                incr = 0; stop = true
-              } else k = collideWith(pp)
+              val adv = lesserOf(pp, k)
+              if (!advancePPEarly(adv)) return 0f // PPs exhausted
+              val ind = rg.indexOf(adv)
+              if (ind >= 0 && ind < ri) { incr = 0; stop = true }
+              else k = collideWith(pp)
             }
             ri += incr
           }

@@ -288,4 +288,21 @@ class OpsSpec extends AnyFunSuite {
       assert(l == g, s"script language $l detected as $g")
     }
   }
+
+  test("quality scoring counts ALL 12 en stopwords (round-3 oracle-drift guard)") {
+    // doc built so the 4 words added in round 3 ("for","was","are","this")
+    // change the ratio: 8 stopwords incl. the new ones + 4 content words
+    val df = Seq(
+      (0L, "for was are this the and spark index merge lucene segment codec"),
+      (1L, "spark index merge lucene segment postings codec wand")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.withQuality(df, "text")
+      .select("doc_id", "n_tokens", "stopword_ratio").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(q(0L)._1 == 12)
+    // 6 of 12 tokens are stopwords ONLY if the full 12-word list is used
+    // (the old 8-word list would count 2/12)
+    assert(math.abs(q(0L)._2 - 0.5) < 1e-9, s"got ${q(0L)._2}")
+    assert(q(1L)._2 == 0.0)
+  }
 }

@@ -325,13 +325,19 @@ class PhraseSpec extends AnyFunSuite {
         var ri = 0
         while (ri < rg.length) {
           var incr = 1
-          var pp = rg(ri)
+          // pp stays FIXED at rg(ri): the reference's collision loop is
+          // `while ((k = collide(pp)) >= 0) { pp2 = lesser(pp, rg[k]);
+          // advancePP(pp2); if (pp2.rptInd < i) ... }` — it re-collides
+          // from rg[i], never from the advanced pp2 (round-3 advisor:
+          // the transcription previously encoded the engine's variant,
+          // which made the property test circular on this nuance)
+          val pp = rg(ri)
           var k = collide(pp)
           var stop = false
           while (k >= 0 && !stop) {
-            pp = lesser(pp, k)
-            if (!adv(pp)) return 0f
-            val ind = rg.indexOf(pp)
+            val pp2 = lesser(pp, k)
+            if (!adv(pp2)) return 0f
+            val ind = rg.indexOf(pp2)
             if (ind >= 0 && ind < ri) { incr = 0; stop = true }
             else k = collide(pp)
           }
