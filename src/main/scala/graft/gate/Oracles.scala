@@ -715,6 +715,31 @@ FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
   SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM sc GROUP BY doc_id
 )""" + finish("res", k)
 
+  /** Batch MoreLikeThis term selection (mltTermsFrame): for every doc in
+    * [loId, hiId], terms with tf ≥ minTf and df ≥ minDf ranked per doc by
+    * float tf × idf (ties term asc), top maxTerms each.
+    */
+  def mltTermsBatch(loId: Long, hiId: Long, minTf: Int, minDf: Int,
+      maxTerms: Int): String =
+    prologue +
+      s""", src AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE doc_id BETWEEN $loId AND $hiId GROUP BY 1, 2
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term IN (SELECT term FROM src) GROUP BY 1
+), m AS (
+  SELECT s.doc_id, s.term, ${R(s"CAST(s.tf AS REAL) * ${idfExpr("dfs.df")}")} AS mscore
+  FROM src s JOIN dfs USING (term)
+  WHERE s.tf >= $minTf AND dfs.df >= $minDf
+), rk AS (
+  SELECT doc_id, term, mscore,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY mscore DESC, term) AS INT) AS rank
+  FROM m
+)
+SELECT doc_id, term, mscore, rank FROM rk
+WHERE rank <= $maxTerms ORDER BY doc_id, rank"""
+
   /** Total hit count of `a AND NOT b` (TotalHitCountCollector analog). */
   def countNot(a: String, b: String): String =
     prologue +

@@ -265,6 +265,29 @@ object SearchGate {
       hits.zipWithIndex.toSeq
         .map { case (h, i) => (h.docId, snips.getOrElse(h.docId, ""), i + 1) }
         .toDF("doc_id", "snippet", "rnk")
+    }),
+    // batch highlight: the FULL q_bm25_term_k100 hit set through the
+    // DataFrame path (executor-side snippets, no driver round-trip)
+    "q_highlight_batch" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val hits = s.search(TermQ("batch"), 100)
+      val hdf = hits.zipWithIndex.toSeq
+        .map { case (h, i) => (h.docId, i + 1) }.toDF("docId", "rnk")
+      s.highlightFrame(hdf, Set("batch"), contentCol = "text")
+        .select(col("docId").as("doc_id"), col("snippet"), col("rnk"))
+        .orderBy("rnk")
+    }),
+    // batch MLT term selection: top tf×idf terms per doc as a DataFrame
+    "q_mlt_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val ids = (40L to 44L).toDF("docId")
+      s.mltTermsFrame(ids, contentCol = "text",
+          maxQueryTerms = 10, minTf = 2, minDocFreq = 5)
+        .select(col("docId").as("doc_id"), col("term"),
+          col("mscore"), col("rank"))
+        .orderBy("doc_id", "rank")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -311,5 +334,7 @@ object SearchGate {
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),
     "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K),
-    "q_highlight" -> Oracles.highlightTerm("spark", K))
+    "q_highlight" -> Oracles.highlightTerm("spark", K),
+    "q_highlight_batch" -> Oracles.highlightTerm("batch", 100),
+    "q_mlt_terms" -> Oracles.mltTermsBatch(40L, 44L, 2, 5, 10))
 }

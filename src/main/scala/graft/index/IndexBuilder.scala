@@ -440,6 +440,19 @@ object IndexBuilder {
       timed("termstats.write")(ix.termStats
         .withColumn("bucket", udf((t: String) => bucketOf(t, cfg.numBuckets)).apply(col("term")))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/termstats"))
+      // sorted term dictionary for beyond-driver vocabularies (the
+      // BlockTree terms-dict analog): directory-partitioned by first
+      // character (pfx) for partition pruning, RANGE-partitioned + sorted
+      // by term within, so pushed prefix/range predicates also skip whole
+      // row groups via footer min/max — a wildcard query at 10¹²-file
+      // vocabulary reads only the files its literal prefix maps to,
+      // instead of scanning the hash-bucketed stats table
+      timed("termdict.write")(ix.termStats
+        .select("term", "df", "ttf")
+        .withColumn("pfx", substring(col("term"), 1, 1))
+        .repartitionByRange(math.max(cfg.numBuckets, 1), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").partitionBy("pfx").parquet(s"$dir/termdict"))
       })
     }
     def awaitSideJobs(): Unit = if (sideJobs.nonEmpty) {

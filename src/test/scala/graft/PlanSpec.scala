@@ -108,4 +108,35 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k not TakeOrderedAndProject:\n$plan")
   }
+
+  test("termdict: over-cap multi-term expansion matches dict path and prunes partitions") {
+    import graft.search._
+    val ixh = SegmentSearcher.load(indexDir)
+    def results(s: Searcher): Map[String, Seq[(Long, Double)]] = Map(
+      "prefix" -> s.search(PrefixQ("par"), 10).toSeq.map(h => (h.docId, h.score)),
+      "wildcard" -> s.search(WildcardQ("m*e"), 10).toSeq.map(h => (h.docId, h.score)),
+      "regexp" -> s.search(RegexpQ("^ind.x"), 10).toSeq.map(h => (h.docId, h.score)),
+      "fuzzy" -> s.search(FuzzyQ("merge", 1), 10).toSeq.map(h => (h.docId, h.score)),
+      "range" -> s.search(TermRangeQ("index", "merge", true, true), 10)
+        .toSeq.map(h => (h.docId, h.score)))
+    val viaDict = results(new Searcher(spark, ixh))
+    // force the beyond-driver path: dictionary never fits
+    sys.props("graft.search.maxDictTerms") = "0"
+    val viaDisk =
+      try results(new Searcher(spark, ixh))
+      finally sys.props.remove("graft.search.maxDictTerms")
+    assert(viaDict("prefix").nonEmpty && viaDict("wildcard").nonEmpty &&
+      viaDict("fuzzy").nonEmpty, s"fixture produced no hits: $viaDict")
+    assert(viaDisk == viaDict, s"over-cap expansion diverged:\n$viaDisk\nvs\n$viaDict")
+
+    // the distributed dict scan must be partition-pruned by first char
+    val dict = spark.read.parquet(s"$indexDir/termdict")
+    val pruned = dict.filter(col("pfx") === "p" && col("term").startsWith("par"))
+    assert(filesRead(pruned) < filesRead(dict),
+      s"termdict scan not pruned: ${filesRead(pruned)} vs ${filesRead(dict)}")
+    // and the term predicate still reaches the parquet scan
+    val plan = planOf(dict.filter(col("term").startsWith("par")))
+    assert(plan.contains("PushedFilters") && plan.contains("StringStartsWith"),
+      s"prefix not pushed:\n$plan")
+  }
 }
