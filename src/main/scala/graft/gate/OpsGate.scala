@@ -143,6 +143,11 @@ object OpsGate {
         .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_ok")
         .orderBy("doc_id")),
 
+    "q_text_quality_v2" -> ((s, d) =>
+      TextAnalysis.withCharLm(docs(s, d), "text")
+        .select("doc_id", "lm_logprob", "natural_ok")
+        .orderBy("doc_id")),
+
     "q_text_langid" -> ((s, d) =>
       TextAnalysis.withLangId(docs(s, d), "text")
         .select("doc_id", "lang_guess")
@@ -285,6 +290,39 @@ SELECT doc_id,
 FROM q ORDER BY doc_id"""
   }
 
+  /** Char-bigram LM oracle GENERATED from the engine's quantized
+    * centi-log table (TextAnalysis.BigramCentiLog) — integer sums keep
+    * the two engines' arithmetic exactly equal.
+    */
+  private def charLmOracle: String = {
+    val vals = TextAnalysis.BigramCentiLog.toSeq.sorted
+      .map { case (bg, c) => s"('$bg', $c)" }.mkString(", ")
+    val floor = TextAnalysis.UnseenCentiLog
+    val none = TextAnalysis.NoBigramScore
+    val thr = TextAnalysis.NaturalLmThreshold
+    s"""WITH bgw(bg, c) AS (VALUES $vals),
+q AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(toks) AS tok FROM q
+), p AS (
+  SELECT doc_id, substr(tok, CAST(i AS INT), 2) AS bg
+  FROM (SELECT doc_id, tok, unnest(range(1, length(tok))) AS i
+        FROM t WHERE length(tok) >= 2)
+), s AS (
+  SELECT p.doc_id, COALESCE(w.c, $floor) AS c
+  FROM p LEFT JOIN bgw w ON p.bg = w.bg
+), agg AS (
+  SELECT doc_id, SUM(c) * 1.0 / COUNT(*) / 100 AS lm
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.lm, $none) AS lm_logprob,
+  COALESCE(a.lm, $none) >= $thr AS natural_ok
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""
+  }
+
   private def langidOracle: String = {
     def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
     val markerHits = TextAnalysis.MarkerLangs.map { case (l, ws) =>
@@ -367,6 +405,7 @@ LIMIT 10""",
 FROM documents ORDER BY doc_id""",
 
     "q_text_quality" -> qualityOracle,
+    "q_text_quality_v2" -> charLmOracle,
 
     "q_text_langid" -> langidOracle,
 

@@ -485,6 +485,59 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Ordered span-near over single-term clauses (SpanNearQuery,
+    * NearSpansOrdered): the greedy enumeration (advance clause 0 one
+    * position at a time, stretch later clauses monotonically) equals an
+    * independent per-first-position chain of minimums, so the oracle is
+    * closed-form: q_i = MIN(pos of clause i ≥ q_{i-1}+1), total gap ≤
+    * slop contributes 1/(1+gap); freq sums in double and rounds to REAL
+    * (the engine's scorer-boundary law). idf folds float-stepwise over
+    * DISTINCT terms in sorted order (SpanWeight's TreeSet).
+    */
+  def spanNearOrdered(terms: Seq[String], slop: Int, k: Int): String = {
+    require(terms.size >= 2)
+    val n = terms.size
+    val idfFold = terms.distinct.sorted.map(t =>
+      idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"))
+      .reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    val pCtes = terms.zipWithIndex.map { case (t, i) =>
+      s"""p$i AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(t)}
+)"""
+    }.mkString(", ")
+    val chain = (2 until n).map { i =>
+      val prevQs = (0 until i).map(j => s"q$j").mkString(", ")
+      s""", m$i AS (
+  SELECT m${i - 1}.doc_id, $prevQs, MIN(p$i.pos) AS q$i
+  FROM m${i - 1} JOIN p$i ON p$i.doc_id = m${i - 1}.doc_id AND p$i.pos >= q${i - 1} + 1
+  GROUP BY ALL
+)"""
+    }.mkString
+    val widthExpr = (1 until n).map(i => s"(q$i - q${i - 1} - 1)").mkString(" + ")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), $pCtes, m1 AS (
+  SELECT p0.doc_id, p0.pos AS q0, MIN(p1.pos) AS q1
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos >= p0.pos + 1
+  GROUP BY ALL
+)$chain, sp AS (
+  SELECT doc_id, $widthExpr AS width FROM m${n - 1}
+), ph AS (
+  SELECT doc_id, CAST(SUM(1.0 / CAST(1 + width AS DOUBLE)) AS REAL) AS freq
+  FROM sp WHERE width <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
   /** Exact multi-phrase, 2 offsets: term `a` followed by ANY of `bs`
     * (MultiPhraseQuery union semantics). idf = Σ over all member terms,
     * float-folded in offset-then-list order like the engine.

@@ -181,6 +181,8 @@ object SearchGate {
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
     "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
     // multi-phrase: "order (sort|merge)" — per-offset union of postings
+    "q_span_near" -> seg(SpanNearQ(Seq("order", "sort"), 4)),
+    "q_span_near3" -> seg(SpanNearQ(Seq("order", "sort", "merge"), 6)),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -313,6 +315,8 @@ object SearchGate {
       boosts = Map("spark" -> 2f)),
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
+    "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
+    "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * run batched inside `mapPartitions` so a real decoder (JNI/FFI or a
   * model runtime) can amortize per-batch setup.
   *
-  * ==== STUB NOTICE ====
-  * No image/audio libraries exist in this container, so `decodeStub`
-  * produces a DETERMINISTIC FAKE decode (dimensions/fingerprint derived
-  * from the bytes). The Spark-side contract — schema, binary transport,
-  * partition-batched execution, feature vector shape — is real and
-  * tested; swap `decodeStub`/`extractStub` for a real codec to go live.
+  * ==== PARTIAL-STUB NOTICE ====
+  * IMAGE decode is REAL: `decodeImage` parses PNG/BMP/GIF/JPEG headers
+  * via `javax.imageio` (JDK built-in, offline) and `decode` dispatches
+  * to it for image-typed payloads. Audio/video decoding and feature
+  * extraction remain DETERMINISTIC FAKES (`decodeStub`/`extractStub`:
+  * dimensions/fingerprint derived from the bytes) because no such codecs
+  * ship in this container. The Spark-side contract — schema, binary
+  * transport, partition-batched execution, feature vector shape — is
+  * real and tested either way.
   */
 object Multimodal {
 
@@ -54,6 +57,46 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode via javax.imageio (PNG/BMP/GIF/JPEG — the readers
+    * the JDK ships): parses the container header for width/height without
+    * materializing the raster when the reader exposes a raw type, full
+    * decode fallback otherwise. None when no installed reader claims the
+    * payload (caller falls back to the stub).
+    */
+  def decodeImage(blob: Array[Byte]): Option[MediaMeta] = {
+    val iis = javax.imageio.ImageIO
+      .createImageInputStream(new java.io.ByteArrayInputStream(blob))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (iis == null || !readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val bands = Option(r.getRawImageType(0)).map(_.getNumBands)
+            .getOrElse(r.read(0).getRaster.getNumBands)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val head = md.digest(blob).take(8).map(b => f"${b & 0xff}%02x").mkString
+          Some(MediaMeta(w, h, bands, blob.length.toLong, head))
+        } catch {
+          case _: Exception => None // truncated/corrupt payload → stub
+        } finally r.dispose()
+      }
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Attach raw binary payloads (real image bytes) as media columns. */
+  def asBinaryMedia(df: DataFrame, idCol: String, blobCol: String,
+      mediaType: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(blobCol).as("blob"))
+      .withColumn("mediaType", lit(mediaType))
+      .select("id", "mediaType", "blob").as[MediaRow]
+  }
+
   /** Attach text payloads as binary media columns (demo path: utf-8
     * bytes stand in for image bytes; the pipeline shape is identical).
     */
@@ -75,9 +118,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // per-partition decoder setup would happen HERE (load codec once)
+      // per-partition decoder setup would happen HERE (load codec once);
+      // image/* payloads go through the REAL javax.imageio header parse,
+      // everything else (and unreadable bytes) through the disclosed stub
       it.map { r =>
-        val m = decodeStub(r.blob)
+        val m =
+          if (r.mediaType != null && r.mediaType.startsWith("image/"))
+            decodeImage(r.blob).getOrElse(decodeStub(r.blob))
+          else decodeStub(r.blob)
         DecodedRow(r.id, r.mediaType, m.width, m.height, m.channels,
           m.byteLen, m.sha256Head)
       }

@@ -154,6 +154,94 @@ object TextAnalysis {
       .drop("_toks")
   }
 
+  /** English character-bigram frequencies, percent of all letter-pair
+    * occurrences (public corpus statistics — the classic English
+    * letter-pair tables; same embedded-data pattern as the langid
+    * markers). Source of the char-LM quality signal: natural English
+    * scores near the table's mass, gibberish falls to the unseen floor.
+    */
+  val EnBigramPct: Seq[(String, Double)] = Seq(
+    "th" -> 3.56, "he" -> 3.07, "in" -> 2.43, "er" -> 2.05, "an" -> 1.99,
+    "re" -> 1.85, "on" -> 1.76, "at" -> 1.49, "en" -> 1.45, "nd" -> 1.35,
+    "ti" -> 1.34, "es" -> 1.34, "or" -> 1.28, "te" -> 1.20, "of" -> 1.17,
+    "ed" -> 1.17, "is" -> 1.13, "it" -> 1.12, "al" -> 1.09, "ar" -> 1.07,
+    "st" -> 1.05, "to" -> 1.05, "nt" -> 1.04, "ng" -> 0.95, "se" -> 0.93,
+    "ha" -> 0.93, "as" -> 0.87, "ou" -> 0.87, "io" -> 0.83, "le" -> 0.83,
+    "ve" -> 0.83, "co" -> 0.79, "me" -> 0.79, "de" -> 0.76, "hi" -> 0.76,
+    "ri" -> 0.73, "ro" -> 0.73, "ic" -> 0.70, "ne" -> 0.69, "ea" -> 0.69,
+    "ra" -> 0.69, "ce" -> 0.65, "li" -> 0.62, "ch" -> 0.60, "ll" -> 0.58,
+    "be" -> 0.58, "ma" -> 0.57, "si" -> 0.55, "om" -> 0.55, "ur" -> 0.54,
+    "ca" -> 0.50, "el" -> 0.46, "ta" -> 0.46, "la" -> 0.45, "ns" -> 0.45,
+    "di" -> 0.43, "fo" -> 0.42, "ho" -> 0.42, "pe" -> 0.42, "ec" -> 0.40,
+    "pr" -> 0.40, "no" -> 0.40, "ct" -> 0.38, "us" -> 0.37, "ac" -> 0.36,
+    "ot" -> 0.36, "il" -> 0.35, "tr" -> 0.35, "ly" -> 0.34, "nc" -> 0.34,
+    "et" -> 0.33, "ut" -> 0.33, "ss" -> 0.33, "so" -> 0.32, "rs" -> 0.32,
+    "un" -> 0.31, "lo" -> 0.31, "wa" -> 0.30, "ge" -> 0.30, "ie" -> 0.30,
+    "wh" -> 0.29, "ee" -> 0.29, "wi" -> 0.28, "em" -> 0.28, "ad" -> 0.27,
+    "ol" -> 0.27, "rt" -> 0.27, "po" -> 0.26, "we" -> 0.26, "na" -> 0.26,
+    "ul" -> 0.25, "ni" -> 0.25, "ts" -> 0.25, "mo" -> 0.24, "ow" -> 0.24,
+    "pa" -> 0.24, "im" -> 0.24, "mi" -> 0.23, "ai" -> 0.23, "sh" -> 0.23,
+    "ir" -> 0.22, "su" -> 0.22, "id" -> 0.21, "os" -> 0.21, "iv" -> 0.21,
+    "ia" -> 0.21, "am" -> 0.21, "fi" -> 0.20, "ci" -> 0.20, "vi" -> 0.19,
+    "pl" -> 0.19, "ig" -> 0.19, "tu" -> 0.18, "ev" -> 0.18, "ld" -> 0.18,
+    "ry" -> 0.18, "mp" -> 0.17, "fe" -> 0.17, "bl" -> 0.17, "ab" -> 0.17,
+    "gh" -> 0.17, "ty" -> 0.17, "op" -> 0.17, "wo" -> 0.17, "sa" -> 0.17,
+    "ay" -> 0.17, "ex" -> 0.16, "ke" -> 0.16, "fr" -> 0.16, "oo" -> 0.16,
+    "av" -> 0.16, "ag" -> 0.16, "if" -> 0.16, "ap" -> 0.15, "gr" -> 0.15,
+    "od" -> 0.15, "bo" -> 0.15, "sp" -> 0.15, "rd" -> 0.15, "do" -> 0.15,
+    "uc" -> 0.15, "bu" -> 0.14, "ei" -> 0.14, "ov" -> 0.14, "by" -> 0.14,
+    "rm" -> 0.14, "ep" -> 0.14, "tt" -> 0.13, "ye" -> 0.13, "ug" -> 0.13,
+    "my" -> 0.13, "ki" -> 0.13, "ga" -> 0.13, "du" -> 0.12, "ub" -> 0.12,
+    "ue" -> 0.12, "da" -> 0.12, "ff" -> 0.12, "dr" -> 0.11, "qu" -> 0.11)
+
+  /** Quantized centi-log10 probability per bigram (integer, so the
+    * engine and the generated DuckDB oracle share EXACT arithmetic);
+    * unseen bigrams take the floor.
+    */
+  val BigramCentiLog: Map[String, Int] = EnBigramPct.map { case (bg, pct) =>
+    bg -> math.round(math.log10(pct / 100.0) * 100).toInt
+  }.toMap
+  val UnseenCentiLog: Int = -400
+  /** Score for a text with no letter-letter bigram at all. */
+  val NoBigramScore: Double = -4.0
+
+  /** Raw (unrounded) mean log10 bigram probability of the letter pairs
+    * within a-z runs of the lowercased text.
+    */
+  def charLmRaw(text: String): Double = {
+    if (text == null) return NoBigramScore
+    val s = text.toLowerCase(java.util.Locale.ROOT)
+    var sum = 0L
+    var n = 0L
+    var i = 1
+    while (i < s.length) {
+      val a = s.charAt(i - 1)
+      val b = s.charAt(i)
+      if (a >= 'a' && a <= 'z' && b >= 'a' && b <= 'z') {
+        sum += BigramCentiLog.getOrElse(s"$a$b", UnseenCentiLog)
+        n += 1
+      }
+      i += 1
+    }
+    if (n == 0) NoBigramScore else sum * 1.0 / n / 100
+  }
+
+  /** Char-n-gram LM quality feature: mean log10 bigram probability
+    * (rounded to 4 decimals) + a natural-text verdict — the
+    * perplexity-class signal the length/punct heuristics above lack.
+    * Natural English sits around −1.5…−2.0; character-level gibberish
+    * falls toward the −4 unseen floor.
+    */
+  val NaturalLmThreshold: Double = -2.6
+  def withCharLm(df: DataFrame, textCol: String): DataFrame = {
+    val u = udf((s: String) => charLmRaw(s))
+    // raw double, NO rounding: the integer centi-log sums and the double
+    // divisions are bit-identical across engines, while ROUND(…, 4)
+    // introduced engine-specific half-way behavior at boundary values
+    df.withColumn("lm_logprob", u(col(textCol)))
+      .withColumn("natural_ok", col("lm_logprob") >= NaturalLmThreshold)
+  }
+
   /** Canonical-form fingerprint: sha256 over the normalized token stream —
     * equal fingerprints ⟺ equal token sequences (whitespace/punct/case
     * insensitive duplicate detection).

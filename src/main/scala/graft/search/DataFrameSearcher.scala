@@ -120,6 +120,9 @@ object DataFrameSearcher {
 
     case PhraseQ(terms, slop) => phraseScoreDf(ix, terms, slop, boost, stats, params)
 
+    case SpanNearQ(terms, slop, inOrder) =>
+      spanNearScoreDf(ix, terms, slop, inOrder, boost, stats, params)
+
     case MultiPhraseQ(ps, slop) =>
       multiPhraseScoreDf(ix, ps, slop, boost, stats, params)
 
@@ -269,6 +272,43 @@ object DataFrameSearcher {
     val w = BM25.weightValue(idfSum, params, boost)
     val scoreUdf = udf { (ps: Seq[Seq[Int]], nb: Byte) =>
       val freq = PhraseFreq.sloppy(ps.map(_.toArray).toArray, offsets, slop, rpt)
+      if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
+    }
+    base.select(col("docId"),
+        scoreUdf(array(terms.indices.map(i => col(s"_p$i")): _*),
+          col("normByte")).as("score"))
+      .filter(col("score").isNotNull)
+      .select(col("docId"), col("score").cast("float").as("score"))
+  }
+
+  /** Span-near via the positions columns — the same one-join-per-clause
+    * shape as the sloppy phrase, freq via the shared
+    * PhraseFreq.spanNearOrdered/Unordered kernels; idf folds float-
+    * stepwise over DISTINCT terms in sorted order (SpanWeight TreeSet).
+    */
+  private def spanNearScoreDf(ix: LogicalIndex, terms: Seq[String],
+      slop: Int, inOrder: Boolean, boost: Float, stats: QueryStats,
+      params: BM25Params): DataFrame = {
+    require(ix.cfg.positions, "span-near requires BuildConfig.positions")
+    if (terms.exists(t => stats.dfByTerm.getOrElse(t, 0L) == 0L))
+      return emptyScores(ix)
+    val base = terms.zipWithIndex.map { case (t, i) =>
+      val p = ix.postings.filter(col("term") === t)
+      if (i == 0) p.select(col("docId"), col("normByte"), col("pos").as("_p0"))
+      else p.select(col("docId"), col("pos").as(s"_p$i"))
+    }.reduce((a, b) => a.join(b, "docId"))
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    var idfSum = 0f
+    terms.distinct.sorted.foreach(t =>
+      idfSum += BM25.idf(stats.dfByTerm(t), stats.docCount))
+    val w = BM25.weightValue(idfSum, params, boost)
+    val ord = inOrder
+    val scoreUdf = udf { (ps: Seq[Seq[Int]], nb: Byte) =>
+      val arr = ps.map(_.toArray).toArray
+      val freq =
+        if (ord) PhraseFreq.spanNearOrdered(arr, slop)
+        else PhraseFreq.spanNearUnordered(arr, slop)
       if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
     }
     base.select(col("docId"),

@@ -262,6 +262,75 @@ object PhraseFreq {
     if (matchLength <= slop) freq += 1f / (matchLength + 1)
     freq
   }
+
+  /** Ordered span-near frequency for ONE doc, single-term (width-1)
+    * clauses (`search/spans/NearSpansOrdered.java`): matches enumerate by
+    * advancing clause 0 one position at a time; stretchToOrder advances
+    * each later clause MONOTONICALLY to its first position ≥ the previous
+    * clause's end; total gap ≤ slop is a match contributing
+    * 1/(1+gap) (the spans SimScorer slop factor over Spans.width()).
+    * Because later pointers only move forward, the enumeration equals an
+    * independent per-first-position minimum — the law the SQL oracle
+    * replicates. Accumulates in double, rounds to float at the boundary.
+    */
+  def spanNearOrdered(positions: Array[Array[Int]], slop: Int): Float = {
+    val n = positions.length
+    val idx = new Array[Int](n)
+    var freq = 0.0
+    var exhausted = false
+    var i0 = 0
+    while (i0 < positions(0).length && !exhausted) {
+      var prevEnd = positions(0)(i0) + 1
+      var width = 0
+      var k = 1
+      var ok = true
+      while (k < n && ok) {
+        val pk = positions(k)
+        while (idx(k) < pk.length && pk(idx(k)) < prevEnd) idx(k) += 1
+        if (idx(k) >= pk.length) { ok = false; exhausted = true }
+        else {
+          width += pk(idx(k)) - prevEnd
+          prevEnd = pk(idx(k)) + 1
+        }
+        k += 1
+      }
+      if (ok && width <= slop) freq += 1.0 / (1 + width)
+      i0 += 1
+    }
+    freq.toFloat
+  }
+
+  /** Unordered span-near frequency (`search/spans/NearSpansUnordered
+    * .java`): walk all clause position lists by repeatedly advancing the
+    * clause with the smallest current position (tie: lowest clause
+    * index); each visited state with
+    * width = (max+1) − min − n ≤ slop is a match contributing
+    * 1/(1+max(width,0)) (width clamped — overlapping same-term clauses
+    * would otherwise divide by zero).
+    */
+  def spanNearUnordered(positions: Array[Array[Int]], slop: Int): Float = {
+    val n = positions.length
+    val idx = new Array[Int](n)
+    var freq = 0.0
+    var done = false
+    while (!done) {
+      var minK = 0
+      var minPos = Int.MaxValue
+      var maxPos = Int.MinValue
+      var k = 0
+      while (k < n) {
+        val p = positions(k)(idx(k))
+        if (p < minPos) { minPos = p; minK = k }
+        if (p > maxPos) maxPos = p
+        k += 1
+      }
+      val width = (maxPos + 1) - minPos - n
+      if (width <= slop) freq += 1.0 / (1 + math.max(width, 0))
+      idx(minK) += 1
+      if (idx(minK) >= positions(minK).length) done = true
+    }
+    freq.toFloat
+  }
 }
 
 /** Conjunction + position-verify scorer: docs stream from the leapfrog
@@ -428,5 +497,65 @@ final class MultiPhraseScorer(members: Array[Array[PostingsIterator]],
     if (target <= doc) doc else settle(target)
   def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
   def cost: Long = members.map(_.map(_.cost).sum).min
+  def maxScore: Float = w
+}
+
+/** SpanNearQuery scorer over single-term clauses
+  * (`search/spans/SpanNearQuery.java:41`): conjunction on docs (every
+  * clause term must appear), then span enumeration over the positions
+  * sidecar via PhraseFreq.spanNearOrdered/Unordered. Weight = float idf
+  * sum over DISTINCT terms in sorted order (SpanWeight collects terms
+  * into a TreeSet) × (k1+1).
+  */
+final class SpanNearScorer(its: Array[PostingsIterator], slop: Int,
+    inOrder: Boolean, w: Float, cache: Array[Float]) extends DocScorer {
+  require(its.length >= 2)
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def alignFrom(t0: Long): Long = {
+    var target = t0
+    var agreed = false
+    while (!agreed && target != DocScorer.NO_MORE) {
+      agreed = true
+      var i = 0
+      while (i < its.length && agreed) {
+        val it = its(i)
+        if (it.doc < target) it.advance(target)
+        if (it.doc > target) { target = it.doc; agreed = false }
+        i += 1
+      }
+    }
+    target
+  }
+
+  private def computeFreq(): Float = {
+    val pos = new Array[Array[Int]](its.length)
+    var i = 0
+    while (i < its.length) { pos(i) = its(i).positions(); i += 1 }
+    if (inOrder) PhraseFreq.spanNearOrdered(pos, slop)
+    else PhraseFreq.spanNearUnordered(pos, slop)
+  }
+
+  private def settle(t0: Long): Long = {
+    var target = alignFrom(t0)
+    while (target != DocScorer.NO_MORE) {
+      val f = computeFreq()
+      if (f > 0f) {
+        freqV = f; normB = its(0).norm; doc = target
+        return doc
+      }
+      target = alignFrom(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = its.map(_.cost).min
   def maxScore: Float = w
 }

@@ -97,6 +97,15 @@ final case class PhraseQ(terms: Seq[String], slop: Int = 0) extends Query
 final case class MultiPhraseQ(positions: Seq[Seq[String]],
     slop: Int = 0) extends Query
 
+/** Span-near over single-term clauses (`search/spans/SpanNearQuery
+  * .java:41`): all clauses within `slop` total gap, ordered
+  * (NearSpansOrdered) or unordered (NearSpansUnordered). Each
+  * enumerated span contributes sloppyFreq = 1/(1+width) like the
+  * spans SimScorer slop factor.
+  */
+final case class SpanNearQ(terms: Seq[String], slop: Int,
+    inOrder: Boolean = true) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -162,6 +171,10 @@ object Query {
     case BlendedQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
+    case SpanNearQ(ts, _, _) if ts.isEmpty => MatchNoneQ
+    // 1-clause span: every position is a width-0 span → freq = tf,
+    // idf identical → rank-identical to the plain TermQuery
+    case SpanNearQ(ts, _, _) if ts.size == 1 => TermQ(ts.head)
     case MultiPhraseQ(ps, _) if ps.isEmpty || ps.exists(_.isEmpty) => MatchNoneQ
     case MultiPhraseQ(ps, s) if ps.forall(_.size == 1) =>
       PhraseQ(ps.map(_.head), s)
@@ -196,6 +209,7 @@ object Query {
     case ConstScoreQ(i, _) => literalTerms(i)
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(ps, _) => ps.flatten.toSet
+    case SpanNearQ(ts, _, _) => ts.toSet
     case _ => Set.empty
   }
 }

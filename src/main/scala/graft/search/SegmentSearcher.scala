@@ -212,8 +212,39 @@ object SegmentSearcher {
       phraseScorer(terms, slop, shard, blobs, plan, boost)
     case MultiPhraseQ(ps, slop) =>
       multiPhraseScorer(ps, slop, shard, blobs, plan, boost)
+    case SpanNearQ(terms, slop, inOrder) =>
+      spanNearScorer(terms, slop, inOrder, shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
+  }
+
+  /** Span-near over the positions sidecar
+    * (`search/spans/SpanNearQuery.java:41`): conjunction on docs, span
+    * enumeration per doc (ordered = NearSpansOrdered's monotone stretch,
+    * unordered = min-advancing walk). Weight = float idf sum over
+    * DISTINCT terms in SORTED order (SpanWeight collects its terms into
+    * a TreeSet) × (k1+1) × boost.
+    */
+  private def spanNearScorer(terms: Seq[String], slop: Int, inOrder: Boolean,
+      shard: Int, blobs: Map[String, SegRow], plan: Plan,
+      boost: Float): DocScorer = {
+    val rows = terms.map(blobs.get)
+    if (rows.exists(_.isEmpty)) return EmptyScorer
+    if (terms.exists(t => !plan.weights.contains(t))) return EmptyScorer
+    var idfSum = 0f
+    terms.distinct.sorted.foreach { t =>
+      idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    }
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val its = rows.map(_.get).map(r =>
+      PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray
+    if (its.exists(!_.hasPositions))
+      sys.error("span-near requires an index built with positions " +
+        "(BuildConfig.positions = true)")
+    val ss = new SpanNearScorer(its, slop, inOrder, w, plan.cache)
+    if (shard >= 0 && rows.forall(_.get.salt < 0))
+      new ModFilterScorer(ss, shard, plan.numShards)
+    else ss
   }
 
   /** Multi-phrase over the positions sidecar (MultiPhraseQuery.java:49):

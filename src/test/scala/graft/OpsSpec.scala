@@ -305,4 +305,64 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(q(0L)._2 - 0.5) < 1e-9, s"got ${q(0L)._2}")
     assert(q(1L)._2 == 0.0)
   }
+
+  test("char-bigram LM separates natural English from character gibberish") {
+    val natural = "the merge scheduler writes each segment to the index " +
+      "directory and then commits the manifest after the postings are sorted"
+    // same letters, deterministically shuffled at CHARACTER level —
+    // destroys the bigram structure the LM scores
+    val chars = natural.replace(" ", "").toCharArray
+    val rnd = new scala.util.Random(11)
+    val shuffled = rnd.shuffle(chars.toSeq).grouped(6).map(_.mkString).mkString(" ")
+    val sN = TextAnalysis.charLmRaw(natural)
+    val sG = TextAnalysis.charLmRaw(shuffled)
+    // calibrated on this table: natural English ≈ −2.25 (the ~160-bigram
+    // table covers ~80% of natural mass; the rest hits the −4 floor),
+    // character gibberish ≈ −2.96
+    assert(sN > -2.4, s"natural text scored $sN")
+    assert(sG < sN - 0.6, s"gibberish $sG not separated from natural $sN")
+    assert(sN >= TextAnalysis.NaturalLmThreshold &&
+      sG < TextAnalysis.NaturalLmThreshold)
+    // edge: no letter pairs at all -> floor constant
+    assert(TextAnalysis.charLmRaw("1 2 3 !") == TextAnalysis.NoBigramScore)
+    // the DataFrame column agrees with the scalar (rounded)
+    val df = Seq((0L, natural), (1L, shuffled)).toDF("doc_id", "text")
+    val got = TextAnalysis.withCharLm(df, "text")
+      .select("doc_id", "lm_logprob", "natural_ok").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(math.abs(got(0L)._1 - sN) < 5e-5 && got(0L)._2)
+    assert(math.abs(got(1L)._1 - sG) < 5e-5 && !got(1L)._2)
+  }
+
+  test("multimodal: REAL png/bmp decode via javax.imageio matches generated dims") {
+    import javax.imageio.ImageIO
+    import java.awt.image.BufferedImage
+    def imgBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      (0 until h).foreach(y => (0 until w).foreach(x =>
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer installed")
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (0L, imgBytes(17, 9, "png"), 17, 9),
+      (1L, imgBytes(64, 48, "png"), 64, 48),
+      (2L, imgBytes(33, 21, "bmp"), 33, 21))
+    val media = Multimodal.asBinaryMedia(
+      rows.map { case (id, b, _, _) => (id, b) }.toDF("id", "blob"),
+      "id", "blob", "image/test")
+    val got = Multimodal.decode(media).collect()
+      .map(d => d.id -> ((d.width, d.height, d.channels))).toMap
+    rows.foreach { case (id, _, w, h) =>
+      assert(got(id) == ((w, h, 3)), s"doc $id decoded ${got(id)}, want ($w,$h,3)")
+    }
+    // scalar surface: corrupt bytes -> None (decode() then falls back to stub)
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)).isEmpty)
+    // non-image media types keep the deterministic stub (gate contract)
+    val stubbed = Multimodal.decode(Multimodal.asBinaryMedia(
+      Seq((9L, Array[Byte](10, 20, 30))).toDF("id", "blob"), "id", "blob",
+      "text/fake")).collect().head
+    assert(stubbed.width == Multimodal.decodeStub(Array[Byte](10, 20, 30)).width)
+  }
 }

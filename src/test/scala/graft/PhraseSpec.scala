@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.index.PostingsCodec
 import graft.search.PhraseFreq
+import graft.search.{DataFrameSearcher, Searcher, SegmentSearcher, SpanNearQ}
 
 /** Positions codec round-trip + phrase-frequency semantics vs brute force.
   * Sloppy expectations follow the reference's greedy sweep
@@ -463,5 +464,72 @@ class PhraseSpec extends AnyFunSuite {
       assert(math.abs(got - want) < 1e-6f,
         s"pos=${pos.map(_.toSeq).toSeq} slop=$slop got=$got want=$want")
     }
+  }
+
+  test("spanNearOrdered: hand-traced NearSpansOrdered enumeration") {
+    // doc "a x b", span_near(a, b, slop): a@0, b@2 -> gap 1
+    assert(PhraseFreq.spanNearOrdered(Array(Array(0), Array(2)), 1) === 0.5f)
+    assert(PhraseFreq.spanNearOrdered(Array(Array(0), Array(2)), 0) === 0f)
+    // adjacent: "a b" -> gap 0 -> 1.0
+    assert(PhraseFreq.spanNearOrdered(Array(Array(0), Array(1)), 0) === 1f)
+    // enumeration advances clause 0 per position: "a a b" a@{0,1} b@2:
+    // p0=0 -> b@2 gap 1; p0=1 -> b@2 gap 0 -> 1/2 + 1 = 1.5
+    assert(PhraseFreq.spanNearOrdered(Array(Array(0, 1), Array(2)), 1) === 1.5f)
+    // later pointers are MONOTONE: "b a b a" pattern a@{1,3} b-clause-
+    // second with b@{0,2}: p0(a)=1 -> b>=2 -> 2 gap 0; p0(a)=3 -> b
+    // exhausted after 2? b@2 < 4 -> advance past end -> no match
+    assert(PhraseFreq.spanNearOrdered(Array(Array(1, 3), Array(0, 2)), 2) === 1f)
+    // 3 clauses: "a b c" exact chain gap 0+0
+    assert(PhraseFreq.spanNearOrdered(
+      Array(Array(0), Array(1), Array(2)), 0) === 1f)
+    // "a x b y c": gaps 1+1 = 2
+    assert(PhraseFreq.spanNearOrdered(
+      Array(Array(0), Array(2), Array(4)), 2) === (1f / 3))
+    assert(PhraseFreq.spanNearOrdered(
+      Array(Array(0), Array(2), Array(4)), 1) === 0f)
+  }
+
+  test("spanNearUnordered: min-advancing walk with clamped width") {
+    // "b a": unordered matches both states (b@0,a@1): width 0 -> 1.0;
+    // then advance b -> exhausted. a@1,b@0 visited once.
+    assert(PhraseFreq.spanNearUnordered(Array(Array(1), Array(0)), 0) === 1f)
+    // ordered would reject the same doc
+    assert(PhraseFreq.spanNearOrdered(Array(Array(1), Array(0)), 0) === 0f)
+    // "a x b" either order: width 1
+    assert(PhraseFreq.spanNearUnordered(Array(Array(2), Array(0)), 1) === 0.5f)
+    // overlapping same positions clamp to width 0, no divide-by-zero
+    assert(PhraseFreq.spanNearUnordered(Array(Array(0), Array(0)), 0) === 1f)
+    // walk enumerates once per min-advance: a@{0,4} b@{1}:
+    // state(0,1) w0 match; advance a; state(4,1) w2; advance b -> done.
+    assert(PhraseFreq.spanNearUnordered(Array(Array(0, 4), Array(1)), 2)
+      === (1f + 1f / 3))
+  }
+
+  test("span-near: segment path == DataFrame path (dual-path law)") {
+    import graft.core.Corpus
+    import graft.index.IndexBuilder
+    import graft.index.IndexBuilder.BuildConfig
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val docs = spark.createDataset(Corpus.generate(200, 23L)).toDF()
+    val ix = IndexBuilder.buildLogical(docs, "content", None,
+      Seq("repo", "path", "commit"), BuildConfig(numBuckets = 4, numDocShards = 2))
+    IndexBuilder.writeIndex(ix, tmp, "sp1", 1)
+    val seg = new Searcher(spark, SegmentSearcher.load(tmp))
+    for (q <- Seq(
+        SpanNearQ(Seq("def", "val"), 3),
+        SpanNearQ(Seq("def", "val"), 3, inOrder = false),
+        SpanNearQ(Seq("index", "merge", "segment"), 20),
+        SpanNearQ(Seq("index", "merge", "segment"), 20, inOrder = false),
+        SpanNearQ(Seq("def", "def"), 2))) {
+      val a = seg.search(q, 10).toSeq.map(h => (h.docId, h.score))
+      val b = DataFrameSearcher.search(ix, q, 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(a.nonEmpty, s"fixture has no hits for $q")
+      assert(a === b, s"dual-path divergence for $q")
+    }
+    ix.unpersistCached()
+    ix.postings.unpersist()
   }
 }
