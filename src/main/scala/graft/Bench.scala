@@ -40,7 +40,11 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", (cpus * 2).toString)
+      // 4 tasks/core: at 2×/core the build's range-partitioned tokenize
+      // tasks are skewed by content length and the straggler tail idles
+      // ~25-35% of the cores (job-level util 0.63-0.73 measured at both
+      // levels); 4×/core halves the tail without meaningful task overhead
+      .config("spark.sql.shuffle.partitions", (cpus * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -86,7 +90,7 @@ object Bench {
       cpus: Int): (Double, Double, Double) = {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     val corpus = Corpus.distributed(spark, BenchDocs, seed = 42L,
-      partitions = cpus * 2)
+      partitions = cpus * 4)
     val cfg = BuildConfig(numBuckets = 32, numDocShards = 8,
       saltThreshold = BenchDocs / 4, tokenizer = "simple")
     var tLogical = 0.0
@@ -295,7 +299,7 @@ object Bench {
     // a fixed cost that would otherwise masquerade as poor scaling.
     locally {
       val warmDocs = math.max(10000L, BenchDocs / 20)
-      val corpus = Corpus.distributed(s, warmDocs, seed = 7L, partitions = cpus * 2)
+      val corpus = Corpus.distributed(s, warmDocs, seed = 7L, partitions = cpus * 4)
       val cfg = BuildConfig(numBuckets = 32, numDocShards = 8,
         saltThreshold = warmDocs / 4, tokenizer = "simple")
       val ix = IndexBuilder.buildLogical(corpus.toDF(), "content", None,
@@ -351,6 +355,12 @@ object Bench {
       if (!a.startsWith("-agentlib") && !a.startsWith("-Xmx") &&
           !a.startsWith("-Xms")) cmd.add(a))
     cmd.add(s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}")
+    // emulate an N-core node faithfully: GC workers, JIT compiler threads,
+    // ForkJoinPool.commonPool and every availableProcessors()-sized pool
+    // must scale WITH the phase's core count — otherwise the 2-core phase
+    // silently borrows the host's 32-core GC/JIT and the measured scaling
+    // ratio under-credits the 8-core phase
+    cmd.add(s"-XX:ActiveProcessorCount=$cpus")
     cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
     cmd.add("graft.Bench"); cmd.add("phase"); cmd.add(cpus.toString)
     cmd.add(reps.toString); cmd.add(tag)
@@ -471,6 +481,24 @@ object Bench {
         s""","build_eff":${f((l.build / h.build) / (hi.toDouble / lo))}""" +
         s""","query_eff":${f((l.query / h.query) / (hi.toDouble / lo))}}"""
       }.mkString("[", ",", "]")
+      // Host memory-bandwidth ceiling: the strided probe's per-thread
+      // slowdown at T threads vs 1 measures how much of a T-fold speedup
+      // this host can physically deliver to bandwidth-bound work (a REAL
+      // 4N-node cluster brings 4N× bandwidth; 4N threads on one box do
+      // not). ceiling = slowdown(N)/slowdown(4N): the max scaling
+      // efficiency a fully bandwidth-bound job could measure here. It is
+      // REPORTED, not used to rescale the headline.
+      def slowdowns(ps: Seq[PhaseResult]): Seq[Double] =
+        ps.flatMap(p => Seq(p.pre, p.mid, p.post)).filter(_.clean)
+          .map(c => c.sN.toDouble / math.max(1L, c.s1))
+      def med(xs: Seq[Double]): Double =
+        if (xs.isEmpty) Double.NaN else xs.sorted.apply(xs.size / 2)
+      val sdLo = med(slowdowns(los))
+      val sdHi = med(slowdowns(his))
+      val hostJson =
+        if (sdLo.isNaN || sdHi.isNaN) """"host":null"""
+        else s""""host":{"strided_slowdown_n":${f(sdLo)},"strided_slowdown_4n":${f(sdHi)}""" +
+          s""","memband_scaling_ceiling":${f(math.min(1.0, sdLo / sdHi))}}"""
       val peakJson = peakResult match {
         case Some(pk) =>
           s"""{"cores":$peak,"docs_per_sec":${f(BenchDocs / pk.build)}""" +
@@ -483,7 +511,8 @@ object Bench {
       s""","seconds_n":${f(tBuildLo)},"seconds_4n":${f(tBuildHi)}""" +
       s""","scaling_efficiency":${f(effBuild)},"clean":${cBLo && cBHi}""" +
       s""","estimator":"min-over-calibration-clean-phases"""" +
-      s""","probes":"strided-sum<=${StridedFactor}x AND tmpfs-write<=${WriteFactor}x, bracketed"}""" +
+      s""","probes":"strided-sum<=${StridedFactor}x AND tmpfs-write<=${WriteFactor}x, bracketed"""" +
+      s""",$hostJson}""" +
       s""","query":{"set_size":$nQ,"qps_n":${f(nQ / tQueryLo)},"qps_4n":${f(nQ / tQueryHi)}""" +
       s""","seconds_n":${f(tQueryLo)},"seconds_4n":${f(tQueryHi)}""" +
       s""","scaling_efficiency":${f(effQuery)},"clean":${cQLo && cQHi}}""" +
@@ -528,8 +557,12 @@ object Bench {
         val h = forkPhase(hi, reps, s"hi$a", calibTries)
         runs += ((l, h))
         attemptEstS = elapsedS - tA0
-        val cleanBuild = runs.exists(_._1.buildClean) && runs.exists(_._2.buildClean)
-        val cleanQuery = runs.exists(_._1.queryClean) && runs.exists(_._2.queryClean)
+        // ≥2 clean phases per level per metric: with a min-over-clean
+        // estimator, a single clean sample is an unconverged minimum —
+        // round 4's query headline paired one level's only-clean phase
+        // with the other level's fastest, mixing two weather windows
+        val cleanBuild = runs.count(_._1.buildClean) >= 2 && runs.count(_._2.buildClean) >= 2
+        val cleanQuery = runs.count(_._1.queryClean) >= 2 && runs.count(_._2.queryClean) >= 2
         System.err.println(f"[bench] attempt $a (${attemptEstS}%.0fs): " +
           f"lo=${l.build}%.1fs (clean=${l.buildClean}) " +
           f"hi=${h.build}%.1fs (clean=${h.buildClean}); " +

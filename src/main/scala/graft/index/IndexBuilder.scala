@@ -169,8 +169,10 @@ object IndexBuilder {
     // collection stats: sumTTF from the (cached) postings aggregate;
     // docCount from the docId pass (or one cheap count of the raw corpus
     // — no tokenize either way)
-    val sumTtf = termStats.agg(coalesce(sum("ttf"), lit(0L)))
-      .collect()(0).getLong(0)
+    spark.sparkContext.setJobDescription("graft:stats.sumTtf")
+    val sumTtf =
+      try termStats.agg(coalesce(sum("ttf"), lit(0L))).collect()(0).getLong(0)
+      finally spark.sparkContext.setJobDescription(null)
     val docCount = docCountKnown.getOrElse(withId.count())
 
     LogicalIndex(docs, postings, termStats,
@@ -180,8 +182,16 @@ object IndexBuilder {
 
   // ---------- segment encode ----------
 
+  /** Encode-shuffle row. `posB` carries the doc's PRE-ENCODED positions
+    * payload (delta varints, [[PostingsCodec.encodeDocPositions]]) when
+    * positions are on — tf falls out as the varint count — or a single
+    * varint(tf) when they're off. Both the 4-bytes-per-position int array
+    * and the 8-byte tf field would otherwise ride the build's one
+    * data-sized shuffle; at 100 TB that shuffle IS the build, so every
+    * byte per posting row is ~2% of cluster traffic.
+    */
   final case class PRow(bucket: Int, term: String, salt: Int,
-      docId: Long, tf: Int, normByte: Byte, pos: Array[Int])
+      docId: Long, normByte: Byte, posB: Array[Byte])
 
   /** Per-bucket lineage aggregate, folded INTO the encode pass via an
     * accumulator — no read-back of the written segments (the round-1 shape
@@ -276,13 +286,24 @@ object IndexBuilder {
       case Some((g, n)) => salted0.filter(pmod(col("bucket"), lit(n)) === g)
       case None => salted0
     }
-    val posCol =
-      if (cfg.positions) col("pos")
-      else array().cast("array<int>")
+    // map-side slimming: positions → per-doc delta-varint bytes (or a
+    // lone varint(tf) when positions are off) BEFORE the shuffle
+    val posBCol =
+      if (cfg.positions)
+        // Array[Int] parameter: decodes the catalyst array primitively
+        // (bulk toIntArray) — a Seq[Int] parameter boxes every position
+        // (~2 positions/row × 45M rows at 600k docs), measured ~25% extra
+        // CPU on the shuffle map side
+        udf((ps: Array[Int]) =>
+          PostingsCodec.encodeDocPositions(ps)).apply(col("pos"))
+      else
+        udf((tf: Int) => {
+          val b = new PostingsCodec.ByteBuf(2); b.writeVInt(tf); b.toArray
+        }).apply(col("tf"))
     val salted = salted1
       .withColumn("salt", saltUdf(col("term"), col("docId")))
       .select(col("bucket"), col("term"), col("salt"), col("docId"),
-        col("tf"), col("normByte"), posCol.as("pos"))
+        col("normByte"), posBCol.as("posB"))
       .as[PRow]
 
     // shuffle key (bucket, salt): a task owns whole buckets (one output
@@ -309,21 +330,26 @@ object IndexBuilder {
         val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
         val norms = scala.collection.mutable.ArrayBuilder.make[Byte]
         val poss =
-          if (withPositions) scala.collection.mutable.ArrayBuilder.make[Array[Int]]
+          if (withPositions) scala.collection.mutable.ArrayBuilder.make[Array[Byte]]
           else null
         var maxTf = 0
         var n = 0
         while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
           val r = buf.next()
-          docs += r.docId; tfs += r.tf; norms += r.normByte
-          if (poss != null) poss += r.pos
-          if (r.tf > maxTf) maxTf = r.tf
+          // positions on: posB = the doc's pre-encoded payload, tf = its
+          // varint count; off: posB = varint(tf) alone
+          val tf =
+            if (withPositions) PostingsCodec.countVarints(r.posB)
+            else new PostingsCodec.ByteReader(r.posB).readVInt()
+          docs += r.docId; tfs += tf; norms += r.normByte
+          if (poss != null) poss += r.posB
+          if (tf > maxTf) maxTf = tf
           n += 1
         }
         val (body, skip) = PostingsCodec.encode(docs.result(), tfs.result(), norms.result())
         val posBlob =
           if (poss == null) noPos
-          else PostingsCodec.encodePositions(poss.result())
+          else PostingsCodec.concatPositionBlocks(poss.result())
         lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
           body.length.toLong + skip.length + posBlob.length,
           rowDigest(head.term, head.salt, body)))))
@@ -398,8 +424,11 @@ object IndexBuilder {
     val fs = new java.io.File(dir)
     fs.mkdirs()
     def timed[A](name: String)(f: => A): A = {
+      spark.sparkContext.setJobDescription(s"graft:$name")
       val t0 = System.nanoTime()
-      val a = f
+      val a =
+        try f
+        finally spark.sparkContext.setJobDescription(null)
       if (verbose)
         System.err.println(f"[writeIndex] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       a

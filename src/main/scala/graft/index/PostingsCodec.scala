@@ -177,6 +177,67 @@ object PostingsCodec {
     arr
   }
 
+  /** One doc's positions payload: first position absolute, then gaps —
+    * exactly the bytes [[encodePositions]] writes for that doc. Encoding
+    * per doc on the MAP side of the build shuffle lets the shuffle carry
+    * ~1 byte per position instead of a 4-byte int plus array padding,
+    * and the reduce side reassembles the sidecar blob bit-for-bit with
+    * [[concatPositionBlocks]] (byte-equality asserted in CodecSpec).
+    */
+  def encodeDocPositions(ps: Array[Int]): Array[Byte] = {
+    val b = new ByteBuf(ps.length + 4)
+    var prev = 0
+    var j = 0
+    while (j < ps.length) { b.writeVInt(ps(j) - prev); prev = ps(j); j += 1 }
+    b.toArray
+  }
+
+  /** Number of varints in a per-doc payload = the doc's tf (a varint ends
+    * at each byte whose continuation bit is clear) — so the shuffle row
+    * doesn't need to carry tf separately.
+    */
+  def countVarints(chunk: Array[Byte]): Int = {
+    var n = 0
+    var i = 0
+    while (i < chunk.length) {
+      if ((chunk(i) & 0x80) == 0) n += 1
+      i += 1
+    }
+    n
+  }
+
+  /** Assemble the positions sidecar from per-doc pre-encoded payloads;
+    * byte-identical to [[encodePositions]] over the decoded arrays.
+    */
+  def concatPositionBlocks(chunks: Array[Array[Byte]]): Array[Byte] = {
+    val nBlocks = (chunks.length + BlockSize - 1) / BlockSize
+    val lens = new Array[Int](nBlocks)
+    var payloadLen = 0
+    var b = 0
+    while (b < nBlocks) {
+      val end = math.min(b * BlockSize + BlockSize, chunks.length)
+      var l = 0
+      var i = b * BlockSize
+      while (i < end) { l += chunks(i).length; i += 1 }
+      lens(b) = l
+      payloadLen += l
+      b += 1
+    }
+    val head = new ByteBuf(nBlocks * 4 + 5)
+    head.writeVInt(nBlocks)
+    lens.foreach(head.writeVInt)
+    val out = new Array[Byte](head.len + payloadLen)
+    System.arraycopy(head.arr, 0, out, 0, head.len)
+    var off = head.len
+    var i = 0
+    while (i < chunks.length) {
+      System.arraycopy(chunks(i), 0, out, off, chunks(i).length)
+      off += chunks(i).length
+      i += 1
+    }
+    out
+  }
+
   /** Byte offsets of each block's positions payload within posBlocks. */
   def readPosOffsets(posBlocks: Array[Byte]): Array[Int] = {
     val r = new ByteReader(posBlocks)

@@ -49,6 +49,31 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("map-side per-doc pre-encode reassembles the sidecar bit-for-bit") {
+    // the build shuffle ships encodeDocPositions(doc) chunks; the reduce
+    // side must produce EXACTLY encodePositions' blob (lineage digests and
+    // phrase scoring depend on the bytes, not just the decoded values)
+    val meta = new scala.util.Random(99L)
+    for (trial <- 1 to 30) {
+      val nDocs = 1 + meta.nextInt(400) // crosses the 128-doc block bound
+      val perDoc = Array.fill(nDocs) {
+        val tf = 1 + meta.nextInt(12)
+        val ps = new Array[Int](tf)
+        var p = meta.nextInt(50)
+        var j = 0
+        while (j < tf) { ps(j) = p; p += 1 + meta.nextInt(300); j += 1 }
+        ps
+      }
+      val direct = PostingsCodec.encodePositions(perDoc)
+      val chunks = perDoc.map(PostingsCodec.encodeDocPositions)
+      val reassembled = PostingsCodec.concatPositionBlocks(chunks)
+      assert(java.util.Arrays.equals(direct, reassembled), s"trial=$trial nDocs=$nDocs")
+      chunks.zip(perDoc).foreach { case (c, ps) =>
+        assert(PostingsCodec.countVarints(c) == ps.length)
+      }
+    }
+  }
+
   test("skip metadata: per-block maxTf and min-cache norm are correct") {
     val (docs, tfs, norms) = mkList(1000, 7L)
     val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
