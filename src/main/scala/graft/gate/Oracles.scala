@@ -724,6 +724,32 @@ ORDER BY t.rnk"""
   FROM tok WHERE regexp_matches(term, ${lit(regex)})
 )""" + finish("res", k)
 
+  /** Fuzzy: const-score over docs with any term within `maxEdits`
+    * Levenshtein edits of `t` (FuzzyQuery.java:53 semantics; DuckDB's
+    * levenshtein == the engine's editDistance == plain Levenshtein).
+    */
+  def fuzzy(t: String, maxEdits: Int, k: Int): String =
+    prologue +
+      s""", res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE abs(length(term) - ${t.length}) <= $maxEdits
+    AND levenshtein(term, ${lit(t)}) <= $maxEdits
+)""" + finish("res", k)
+
+  /** Term range over the dictionary (TermRangeQuery.java:37): const-score
+    * over docs with any term in [lo, hi] under the inclusivity flags.
+    */
+  def termRange(lo: String, hi: String, incLo: Boolean, incHi: Boolean,
+      k: Int): String = {
+    val lower = s"term ${if (incLo) ">=" else ">"} ${lit(lo)}"
+    val upper = s"term ${if (incHi) "<=" else "<"} ${lit(hi)}"
+    prologue +
+      s""", res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE $lower AND $upper
+)""" + finish("res", k)
+  }
+
   /** Sort-by-field over the term's matches (TopFieldCollector analog):
     * rank by the docs-table column, ties docId asc; no scores.
     */

@@ -176,6 +176,14 @@ object SearchGate {
     "q_bm25_boost" -> seg(Query.or(BoostQ(TermQ("spark"), 2f), TermQ("key"))),
     "q_bm25_page2" -> segPage2(TermQ("batch")),
     "q_bm25_prefix" -> seg(PrefixQ("sc")),
+    // fuzzy over the dictionary: 1-edit neighborhood of a misspelling
+    // (FuzzyQuery.java:53); expansion runs the length-guarded dict scan
+    "q_bm25_fuzzy" -> seg(FuzzyQ("sprk", 1)),
+    // anchored regexp over the dictionary (RegexpQuery.java:48); the ^sp
+    // literal prefix prunes the range-partitioned on-disk dict
+    "q_bm25_regexp" -> seg(RegexpQ("^sp[aeiou]rk$")),
+    // dictionary range scan (TermRangeQuery.java:37), half-open interval
+    "q_bm25_term_range" -> seg(TermRangeQ("scala", "scq", true, false)),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -315,6 +323,9 @@ object SearchGate {
       boosts = Map("spark" -> 2f)),
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
+    "q_bm25_fuzzy" -> Oracles.fuzzy("sprk", 1, K),
+    "q_bm25_regexp" -> Oracles.wildcard("^sp[aeiou]rk$", K),
+    "q_bm25_term_range" -> Oracles.termRange("scala", "scq", true, false, K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),

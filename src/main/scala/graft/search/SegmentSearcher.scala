@@ -447,6 +447,85 @@ object SegmentSearcher {
     def cost: Long = conj.cost
     def maxScore: Float = (req.maxScore.toDouble + opt.maxScore).toFloat
   }
+  /** First index with dict(i) >= key. */
+  private[graft] def lowerBound(dict: Array[String], key: String): Int = {
+    var lo = 0
+    var hi = dict.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (dict(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Fuzzy expansion over the SORTED dict with prefix-reuse DP and
+    * subtree skipping — the algorithmic class of the reference's
+    * Levenshtein-automaton × BlockTree intersection
+    * (`search/FuzzyQuery.java:53`, `AutomatonQuery.java:48`) without the
+    * automaton: consecutive sorted terms share prefixes, so DP rows for
+    * the shared prefix are reused, and when every cell of a prefix's row
+    * exceeds maxEdits no completion can match — binary-search past the
+    * whole prefix block instead of scanning it.
+    */
+  private[graft] def fuzzyDictTerms(d: Array[String], t: String, e: Int,
+      max: Int): Seq[String] = {
+    val m = t.length
+    val out = Seq.newBuilder[String]
+    var n = 0
+    // rows(j) = edit distances of the current term's length-j prefix vs
+    // every prefix of t; row 0 is the base row
+    var cap = 16
+    var rows = Array.tabulate(cap)(_ => new Array[Int](m + 1))
+    var j0 = 0
+    while (j0 <= m) { rows(0)(j0) = j0; j0 += 1 }
+    var prev = ""
+    var i = SegmentSearcher.lowerBound(d, "") // 0; kept for symmetry
+    while (i < d.length && n < max) {
+      val w = d(i)
+      if (w.length + 1 >= cap) {
+        val old = rows
+        cap = math.max(cap * 2, w.length + 2)
+        rows = Array.tabulate(cap)(k =>
+          if (k < old.length) old(k) else new Array[Int](m + 1))
+      }
+      var cp = 0
+      val maxCp = math.min(prev.length, w.length)
+      while (cp < maxCp && prev.charAt(cp) == w.charAt(cp)) cp += 1
+      // rows 1..cp are valid from the previous term; extend from cp+1
+      var j = cp + 1
+      var skippedTo = -1
+      while (j <= w.length && skippedTo < 0) {
+        val cur = rows(j)
+        val pr = rows(j - 1)
+        cur(0) = j
+        var best = j
+        var x = 1
+        while (x <= m) {
+          val cost = if (w.charAt(j - 1) == t.charAt(x - 1)) 0 else 1
+          val v = math.min(math.min(cur(x - 1) + 1, pr(x) + 1), pr(x - 1) + cost)
+          cur(x) = v
+          if (v < best) best = v
+          x += 1
+        }
+        if (best > e) {
+          // no completion of w[0..j) can reach ≤ e edits: skip the block
+          val p = w.substring(0, j)
+          skippedTo = SegmentSearcher.lowerBound(d, p + Character.MAX_VALUE)
+          prev = p
+        }
+        j += 1
+      }
+      if (skippedTo >= 0) i = math.max(skippedTo, i + 1)
+      else {
+        if (rows(w.length)(m) <= e) { out += w; n += 1 }
+        prev = w
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+
 }
 
 /** Reusable query handle over one index: caches the segments / termstats
@@ -582,17 +661,6 @@ final class Searcher(private[search] val spark: SparkSession,
       Some(spark.read.parquet(s"${index.dir}/termdict"))
     else None
 
-  /** First index with dict(i) >= key. */
-  private def lowerBound(dict: Array[String], key: String): Int = {
-    var lo = 0
-    var hi = dict.length
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (dict(mid) < key) lo = mid + 1 else hi = mid
-    }
-    lo
-  }
-
   /** Levenshtein distance, matching Spark's `levenshtein` function. */
   private def editDistance(a: String, b: String): Int = {
     val prev = new Array[Int](b.length + 1)
@@ -645,7 +713,7 @@ final class Searcher(private[search] val spark: SparkSession,
     def prefix(p: String): Seq[String] = termDict match {
       case Some(d) =>
         val out = Seq.newBuilder[String]
-        var i = lowerBound(d, p)
+        var i = SegmentSearcher.lowerBound(d, p)
         var n = 0
         while (i < d.length && d(i).startsWith(p) && n < maxExpansions) {
           out += d(i); i += 1; n += 1
@@ -660,7 +728,7 @@ final class Searcher(private[search] val spark: SparkSession,
       termDict match {
         case Some(d) =>
           val out = Seq.newBuilder[String]
-          var i = lowerBound(d, lo)
+          var i = SegmentSearcher.lowerBound(d, lo)
           if (!il) while (i < d.length && d(i) == lo) i += 1
           var n = 0
           while (i < d.length && n < maxExpansions &&
@@ -703,12 +771,16 @@ final class Searcher(private[search] val spark: SparkSession,
         ConstScoreQ(BoolQ(should = Query.terms(
           scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
       case FuzzyQ(t, e) =>
-        // length guard narrows the scan cheaply; the Levenshtein runs
+        // cached dict: prefix-reuse DP with subtree skip; beyond it the
+        // length guard narrows the scan cheaply and the Levenshtein runs
         // executor-side over the dict files (not driver-collected)
-        ConstScoreQ(BoolQ(should = Query.terms(
-          scan(c => math.abs(c.length - t.length) <= e && editDistance(c, t) <= e,
+        val expanded = termDict match {
+          case Some(d) => SegmentSearcher.fuzzyDictTerms(d, t, e, maxExpansions)
+          case None => viaDf(
             length(col("term")).between(t.length - e, t.length + e) &&
-              levenshtein(col("term"), lit(t)) <= e): _*)))
+              levenshtein(col("term"), lit(t)) <= e)
+        }
+        ConstScoreQ(BoolQ(should = Query.terms(expanded: _*)))
       case TermRangeQ(lo, hi, il, iu) =>
         ConstScoreQ(BoolQ(should = Query.terms(range(lo, hi, il, iu): _*)))
       case BoolQ(mu, sh, mn, fl, msm) =>
