@@ -72,21 +72,36 @@ object Norms {
     * quantized length, for lengths in [0, maxLen]. Emitted into oracle SQL
     * as a 256-ish-row join table so DuckDB reproduces the quantization.
     */
-  def lengthRanges(maxLen: Int = 1 << 22): Seq[(Long, Long, Double)] = {
+  def lengthRanges(maxLen: Int = 1 << 22): Seq[(Long, Long, Double)] =
+    rangesOf(l => quantizedLength(l).toDouble, maxLen)
+
+  /** Classic-similarity fieldNorm a stored byte decodes to: the RAW
+    * byte315 float (`ClassicSimilarity` NORM_TABLE = byte315ToFloat(i),
+    * i.e. ≈ 1/sqrt(length)) — NOT the BM25 length table.
+    */
+  def decodedNorm(length: Int): Float =
+    SmallFloat.byte315ToFloat(normByte(length))
+
+  /** length → decoded Classic fieldNorm ranges, for oracle SQL. */
+  def decodedNormRanges(maxLen: Int = 1 << 22): Seq[(Long, Long, Double)] =
+    rangesOf(l => decodedNorm(l).toDouble, maxLen)
+
+  private def rangesOf(f: Int => Double,
+      maxLen: Int): Seq[(Long, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
     var lo = 0L
-    var cur = quantizedLength(0)
+    var cur = f(0)
     var len = 1L
     while (len <= maxLen) {
-      val q = quantizedLength(len.toInt)
+      val q = f(len.toInt)
       if (q != cur) {
-        out += ((lo, len - 1, cur.toDouble))
+        out += ((lo, len - 1, cur))
         lo = len
         cur = q
       }
       len += 1
     }
-    out += ((lo, Long.MaxValue, cur.toDouble))
+    out += ((lo, Long.MaxValue, cur))
     out.toSeq
   }
 }

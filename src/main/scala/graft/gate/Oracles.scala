@@ -25,10 +25,8 @@ object Oracles {
       s"($lo, ${if (hi == Long.MaxValue) "9223372036854775807" else hi}, $q)"
     }.mkString(", ")
 
-  /** Shared CTE prologue over the `documents` table:
-    * tok(doc_id, term), dn(doc_id, qlen REAL), av(n, avgdl REAL).
-    */
-  def prologue: String =
+  /** Tokenize + per-doc length CTEs shared by both similarities. */
+  private def tokDlenCtes: String =
     s"""WITH toks AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
   FROM documents
@@ -37,7 +35,14 @@ object Oracles {
 ), dlen AS (
   SELECT d.doc_id, count(t.term) AS len
   FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
-), normq(lo, hi, qlen) AS (
+)"""
+
+  /** Shared CTE prologue over the `documents` table:
+    * tok(doc_id, term), dn(doc_id, qlen REAL), av(n, avgdl REAL).
+    */
+  def prologue: String =
+    tokDlenCtes +
+    s""", normq(lo, hi, qlen) AS (
   SELECT * FROM (VALUES $normValuesRows)
 ), dn AS (
   SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
@@ -723,6 +728,143 @@ ORDER BY t.rnk"""
   SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
   FROM tok WHERE regexp_matches(term, ${lit(regex)})
 )""" + finish("res", k)
+
+  // ---------- Classic (Lucene-6 TF-IDF) similarity oracles ----------
+  //
+  // Pipeline replayed bit-exactly (`ClassicSimilarity.java`,
+  // `TFIDFSimilarity.java:746-800`, `IndexSearcher.java:732-743`):
+  //   idf        = (float)(ln((N+1)/(df+1)) + 1)
+  //   sumSq      = float fold of idf² in clause order (BooleanWeight)
+  //   queryNorm  = (float)(1/sqrt(sumSq))
+  //   value      = (queryNorm·idf)·idf            [boost = 1]
+  //   fieldNorm  = byte315ToFloat(normByte)       [raw decode, not the
+  //                                                BM25 length table]
+  //   score(t,d) = ((float)sqrt(tf)·value)·fieldNorm
+  //   OR         = (float)Σdouble · coord[overlap], coord = i/(float)n
+  //   AND        = (float)Σdouble                  [coord(n,n) = 1]
+
+  private lazy val classicNormRows: String =
+    Norms.decodedNormRanges().map { case (lo, hi, v) =>
+      s"($lo, ${if (hi == Long.MaxValue) "9223372036854775807" else hi}, $v)"
+    }.mkString(", ")
+
+  /** Classic prologue: tok + cn(doc_id, nv REAL) + av(n). */
+  def classicPrologue: String =
+    tokDlenCtes +
+    s""", cnormq(lo, hi, nv) AS (
+  SELECT * FROM (VALUES $classicNormRows)
+), cn AS (
+  SELECT dlen.doc_id, ${R("cnormq.nv")} AS nv
+  FROM dlen JOIN cnormq ON dlen.len BETWEEN cnormq.lo AND cnormq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM documents) AS n
+)"""
+
+  private def classicIdf(dfExpr: String): String =
+    R(s"ln(((SELECT n FROM av) + 1) / CAST($dfExpr + 1 AS DOUBLE)) + 1.0")
+
+  /** Per-term tf + classic-scored CTEs; `value` must be precomputed
+    * (it depends on every query term via queryNorm).
+    */
+  private def classicTermCtes(a: String, term: String, value: String): String =
+    s""", tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(term)} GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id,
+    ${R(s"${R(s"${R(s"sqrt(CAST(t.tf AS DOUBLE))")} * $value")} * cn.nv")} AS s
+  FROM tf_$a t JOIN cn ON t.doc_id = cn.doc_id
+)"""
+
+  /** df/idf/queryNorm scaffolding: df CTEs plus per-term value exprs. */
+  private def classicValues(terms: Seq[String]): (String, Seq[String]) = {
+    val names = terms.indices.map(i => s"t$i")
+    val dfCtes = names.zip(terms).map { case (n, t) =>
+      s""", df_$n AS (
+  SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = ${lit(t)})"""
+    }.mkString
+    val idfs = names.map(n => classicIdf(s"(SELECT df FROM df_$n)"))
+    // float fold of queryWeight² in clause order (0f + s1 ≡ s1)
+    val sumSq = idfs.map(i => R(s"$i * $i"))
+      .reduceLeft((acc, s) => R(s"$acc + $s"))
+    val qn = R(s"1.0 / sqrt(CAST($sumSq AS DOUBLE))")
+    val values = idfs.map(i => R(s"${R(s"$qn * $i")} * $i"))
+    (dfCtes, values)
+  }
+
+  def classicTerm(term: String, k: Int): String = {
+    val (dfCtes, values) = classicValues(Seq(term))
+    classicPrologue + dfCtes + classicTermCtes("t0", term, values.head) +
+      finish("sc_t0", k)
+  }
+
+  def classicOr(terms: Seq[String], k: Int): String = {
+    val (dfCtes, values) = classicValues(terms)
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).zip(values).map { case ((n, t), v) =>
+      classicTermCtes(n, t, v)
+    }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    val coord = R(s"CAST(count(*) AS REAL) / ${R(terms.size.toString)}")
+    classicPrologue + dfCtes + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R(s"${R("SUM(CAST(s AS DOUBLE))")} * $coord")} AS s
+  FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
+  def classicAnd(terms: Seq[String], k: Int): String = {
+    val (dfCtes, values) = classicValues(terms)
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).zip(values).map { case ((n, t), v) =>
+      classicTermCtes(n, t, v)
+    }.mkString
+    val joins = names.tail.map(n => s"JOIN sc_$n USING (doc_id)").mkString(" ")
+    val sum = names.map(n => s"CAST(sc_$n.s AS DOUBLE)").mkString(" + ")
+    classicPrologue + dfCtes + ctes +
+      s""", res AS (
+  SELECT doc_id, ${R(s"($sum)")} AS s FROM sc_${names.head} $joins
+)""" + finish("res", k)
+  }
+
+  // ---------- LMDirichlet similarity oracles ----------
+  //
+  // `LMDirichletSimilarity.java:59-64` with the default collection model
+  // (`LMSimilarity.java:154-156`): score = max(0, (float)(ln(1 +
+  // freq/(μ·cp)) + ln(μ/(docLen+μ)))), cp = (ttf+1F)/(sumTTF+1F),
+  // docLen = the decoded byte315 length (the BM25 dn.qlen) — inner
+  // ratios in float, logs in double, one float cast, μ = 2000.
+
+  private def lmScoreExpr(tfCol: String, qlenCol: String,
+      term: String): String = {
+    val mu = R("2000.0")
+    val fttf = R(s"CAST((SELECT count(*) FROM tok WHERE term = ${lit(term)}) AS REAL) + ${R("1.0")}")
+    val ftot = R(s"CAST((SELECT count(*) FROM tok) AS REAL) + ${R("1.0")}")
+    val muCp = R(s"$mu * ${R(s"$fttf / $ftot")}")
+    val log1 = s"ln(CAST(${R(s"${R("1.0")} + ${R(s"${R(s"CAST($tfCol AS REAL)")} / $muCp")}")} AS DOUBLE))"
+    val log2 = s"ln(CAST(${R(s"$mu / ${R(s"$qlenCol + $mu")}")} AS DOUBLE))"
+    s"greatest(${R(s"$log1 + $log2")}, ${R("0.0")})"
+  }
+
+  private def lmTermCtes(a: String, term: String): String =
+    s""", tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(term)} GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id, ${lmScoreExpr("t.tf", "dn.qlen", term)} AS s
+  FROM tf_$a t JOIN dn ON t.doc_id = dn.doc_id
+)"""
+
+  def lmTerm(term: String, k: Int): String =
+    prologue + lmTermCtes("a", term) + finish("sc_a", k)
+
+  def lmOr(terms: Seq[String], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => lmTermCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
 
   /** Fuzzy: const-score over docs with any term within `maxEdits`
     * Levenshtein edits of `t` (FuzzyQuery.java:53 semantics; DuckDB's

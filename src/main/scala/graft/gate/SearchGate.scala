@@ -119,6 +119,17 @@ object SearchGate {
     (spark, sfDir) =>
       hitsDf(spark, searcher(spark, sfDir).search(q, k))
 
+  /** Classic (Lucene-6 TF-IDF) similarity runner — same engine, same
+    * index, SimClassic scoring (`ClassicSimilarity.java`).
+    */
+  def segClassic(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
+    segSim(q, SegmentSearcher.SimClassic, k)
+
+  /** Runner under an explicit similarity (`Plan.sim`). */
+  def segSim(q: Query, sim: Int, k: Int = K): (SparkSession, String) => DataFrame =
+    (spark, sfDir) =>
+      hitsDf(spark, searcher(spark, sfDir).search(q, k, None, true, sim))
+
   /** Page 2: search k, then searchAfter from the k-th hit. */
   def segPage2(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
     (spark, sfDir) => {
@@ -184,6 +195,15 @@ object SearchGate {
     "q_bm25_regexp" -> seg(RegexpQ("^sp[aeiou]rk$")),
     // dictionary range scan (TermRangeQuery.java:37), half-open interval
     "q_bm25_term_range" -> seg(TermRangeQ("scala", "scq", true, false)),
+    // Classic (TF-IDF) similarity: idf²·queryNorm weighting, sqrt-tf,
+    // byte315 fieldNorm, coord on the disjunction (§2.5 "other sims")
+    "q_classic_term" -> segClassic(TermQ("spark")),
+    "q_classic_or2" -> segClassic(Query.or(TermQ("dup"), TermQ("vector"))),
+    "q_classic_and2" -> segClassic(Query.and(TermQ("dup"), TermQ("batch"))),
+    // LMDirichlet (language-model) similarity, mu=2000 — WAND stays on
+    "q_lm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMDirichlet),
+    "q_lm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimLMDirichlet),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -326,6 +346,11 @@ object SearchGate {
     "q_bm25_fuzzy" -> Oracles.fuzzy("sprk", 1, K),
     "q_bm25_regexp" -> Oracles.wildcard("^sp[aeiou]rk$", K),
     "q_bm25_term_range" -> Oracles.termRange("scala", "scq", true, false, K),
+    "q_classic_term" -> Oracles.classicTerm("spark", K),
+    "q_classic_or2" -> Oracles.classicOr(Seq("dup", "vector"), K),
+    "q_classic_and2" -> Oracles.classicAnd(Seq("dup", "batch"), K),
+    "q_lm_term" -> Oracles.lmTerm("spark", K),
+    "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),

@@ -212,4 +212,18 @@ object Query {
     case SpanNearQ(ts, _, _) => ts.toSet
     case _ => Set.empty
   }
+
+  /** Scoring term leaves in CLAUSE ORDER with accumulated boosts — the
+    * order `BooleanWeight.getValueForNormalization` (BooleanWeight.java:
+    * 96-110) folds sum-of-squared-weights in. Filter and mustNot clauses
+    * are non-scoring; ConstantScore subtrees normalize independently.
+    */
+  def termLeavesInOrder(q: Query): Seq[(String, Float)] = q match {
+    case TermQ(t) => Seq((t, 1f))
+    case BoostQ(i, b) =>
+      termLeavesInOrder(i).map { case (t, f) => (t, f * b) }
+    case BoolQ(m, s, _, _, _) => (m ++ s).flatMap(termLeavesInOrder)
+    case DisMaxQ(cs, _) => cs.flatMap(termLeavesInOrder)
+    case _ => Nil
+  }
 }

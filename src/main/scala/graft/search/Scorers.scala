@@ -28,11 +28,34 @@ object DocScorer {
   * wraps a single iterator.
   */
 final class TermScorer(it: PostingsIterator, w: Float,
-    cache: Array[Float]) extends DocScorer {
+    cache: Array[Float], sim: Int = 0) extends DocScorer {
   def doc: Long = it.doc
   def nextDoc(): Long = { it.nextDoc(); it.doc }
   def advance(target: Long): Long = { it.advance(target); it.doc }
-  def score: Float = BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
+  /** sim 0 (BM25): w·tf/(tf+cache(norm)), cache = freq-independent
+    * denominators. sim 1 (Classic TF-IDF, `TFIDFSimilarity.java:746-751`):
+    * (tf(freq)·value)·decodeNorm — w = IDFStats.value, cache = the
+    * byte315 decode table, tf(freq) = (float)sqrt(freq)
+    * (`ClassicSimilarity.java:120-122`). sim 2 (LMDirichlet,
+    * `LMDirichletSimilarity.java:59-64`): max(0, (float)(ln(1 +
+    * freq/(μ·cp)) + ln(μ/(docLen+μ)))) — w = μ·cp (collection
+    * probability precomputed), cache = the decoded-length table.
+    */
+  def score: Float =
+    if (sim == 1) (math.sqrt(it.tf.toFloat.toDouble).toFloat * w) * cache(it.norm & 0xff)
+    else if (sim == 2) lmScore(it.tf.toFloat, cache(it.norm & 0xff))
+    else BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
+
+  /** LMDirichlet score body: inner ratios in FLOAT (Java evaluates
+    * `freq / (mu * cp)` and `mu / (docLen + mu)` as float before the
+    * double log), logs summed in double, one float cast, clamped ≥ 0.
+    */
+  private def lmScore(freq: Float, docLen: Float): Float = {
+    val mu = 2000f
+    val s = (math.log((1f + freq / w).toDouble) +
+      math.log((mu / (docLen + mu)).toDouble)).toFloat
+    if (s > 0f) s else 0f
+  }
   def cost: Long = it.cost
   lazy val maxScore: Float = {
     // tightest global bound = max over blocks of the per-block bound
@@ -45,10 +68,15 @@ final class TermScorer(it: PostingsIterator, w: Float,
     }
     m
   }
-  /** Per-block upper bound: maxTf with the block's smallest cache entry. */
+  /** Per-block upper bound: maxTf with the block's best norm byte (the
+    * minCacheByte is simultaneously the smallest BM25 denominator and
+    * the largest Classic decodeNorm — both monotone in the byte).
+    */
   def blockBound(b: Int): Float = {
     val tf = it.blockMaxTf(b).toFloat
-    BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
+    if (sim == 1) (math.sqrt(tf.toDouble).toFloat * w) * cache(it.blockMinNorm(b) & 0xff)
+    else if (sim == 2) lmScore(tf, cache(it.blockMinNorm(b) & 0xff))
+    else BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
   }
   def underlying: PostingsIterator = it
 }
@@ -136,8 +164,8 @@ final class ConjunctionScorer(scorers: Array[DocScorer]) extends DocScorer {
   * (`DisjunctionSumScorer.java:43-46`, `MinShouldMatchSumScorer.java`).
   * Linear min-scan — fine for the handful of clauses real queries carry.
   */
-final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1)
-    extends DocScorer {
+final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1,
+    coords: Array[Float] = null) extends DocScorer {
   require(scorers.nonEmpty)
   var doc: Long = -1L
   private var curScore = 0f
@@ -159,7 +187,13 @@ final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1)
         if (scorers(i).doc == min) { cnt += 1; s += scorers(i).score }
         i += 1
       }
-      if (cnt >= msm) { doc = min; curScore = s.toFloat; return doc }
+      if (cnt >= msm) {
+        doc = min
+        // Classic coord: (float)sum × coords[overlap]
+        // (`DisjunctionSumScorer.java:39-47`); coords == null for BM25
+        curScore = if (coords == null) s.toFloat else s.toFloat * coords(cnt)
+        return doc
+      }
       // advance the clauses stuck at min past it, try next candidate
       i = 0
       while (i < scorers.length) {

@@ -50,7 +50,24 @@ object SegmentSearcher {
   final case class Plan(query: Query, k: Int, after: Option[(Double, Long)],
       weights: Map[String, TermWeightInfo], cache: Array[Float],
       numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
-      useWand: Boolean = true)
+      useWand: Boolean = true, sim: Int = 0)
+
+  /** Similarity selector: BM25 (default) or Lucene-6 Classic TF-IDF
+    * (`similarities/ClassicSimilarity.java`; idf²·queryNorm weighting,
+    * sqrt-tf, byte315 fieldNorm, coord on disjunctions). Classic supports
+    * term / bool trees (no phrase/dismax/synonym surface — those weight
+    * models are BM25-specific here).
+    */
+  val SimBm25 = 0
+  val SimClassic = 1
+  val SimLMDirichlet = 2
+
+  /** ClassicSimilarity NORM_TABLE: raw byte315 decode per norm byte. */
+  lazy val classicNormTable: Array[Float] =
+    Array.tabulate(256)(i => graft.core.SmallFloat.byte315ToFloat(i.toByte))
+
+  /** LMDirichlet μ (`similarities/LMDirichletSimilarity.java:46`). */
+  val LMMu: Float = 2000f
 
   private def termLeaf(q: Query): Option[(String, Float)] = q match {
     case TermQ(t) => Some((t, 1f))
@@ -327,7 +344,7 @@ object SegmentSearcher {
       case (Some(row), Some(wi)) =>
         val it = PostingsCodec.iterator(row.docBlocks, row.skipData)
         val w = if (boost == 1f) wi.weight else wi.weight * boost
-        val ts = new TermScorer(it, w, plan.cache)
+        val ts = new TermScorer(it, w, plan.cache, plan.sim)
         // cold list inside a sharded query must be mod-filtered so union
         // semantics count each doc once across shards
         if (shard >= 0 && row.salt < 0)
@@ -392,6 +409,14 @@ object SegmentSearcher {
     if (mustS.exists(_ eq EmptyScorer)) return EmptyScorer
     val shouldS = should.map(buildScorer(_, shard, blobs, plan, boost))
       .filterNot(_ eq EmptyScorer)
+    // Classic coord factors over the UNfiltered scoring-clause count:
+    // maxCoord counts every scoring clause at weight construction —
+    // absent terms included (`BooleanWeight.java:55-76`)
+    val coords: Array[Float] =
+      if (plan.sim == SimClassic && should.size > 1 && must.isEmpty)
+        Array.tabulate(should.size + 1)(i =>
+          if (i == 0) 0f else i.toFloat / should.size.toFloat)
+      else null
 
     var req: DocScorer =
       if (must.nonEmpty) {
@@ -406,8 +431,10 @@ object SegmentSearcher {
           else new ReqOptScorer(conj, disj)
         } else conj
       } else if (shouldS.nonEmpty) {
-        if (shouldS.size == 1 && msm <= 1) shouldS.head
-        else new DisjunctionScorer(shouldS.toArray, math.max(msm, 1))
+        // under Classic a 2+-clause disjunction keeps its DisjunctionScorer
+        // even with one present clause: coord(1, maxCoord) < 1 must apply
+        if (shouldS.size == 1 && msm <= 1 && coords == null) shouldS.head
+        else new DisjunctionScorer(shouldS.toArray, math.max(msm, 1), coords)
       } else if (filterQs.nonEmpty) {
         // filter-only bool: matches the filter intersection with score 0
         // (BooleanWeight keeps filter-only queries matching; they just
@@ -608,6 +635,68 @@ final class Searcher(private[search] val spark: SparkSession,
         df >= m.saltThreshold)
     }
 
+  /** Classic idf: (float)(ln((docCount+1)/(docFreq+1)) + 1)
+    * (`ClassicSimilarity.java:136-140`).
+    */
+  private def classicIdf(df: Long): Float =
+    (math.log((m.docCount + 1) / (df + 1).toDouble) + 1.0).toFloat
+
+  /** Classic per-term value = queryNorm·idf·idf, replaying the
+    * createNormalizedWeight pipeline (`IndexSearcher.java:732-743`,
+    * `TFIDFSimilarity.java IDFStats.normalize:795-800`): sum of squared
+    * queryWeights folds in CLAUSE ORDER in float
+    * (`BooleanWeight.java:96-110`), queryNorm = (float)(1/sqrt(sum)),
+    * inf/NaN → 1. Boosts are rejected in classic mode (the engine applies
+    * boost after `value`, which differs from Lucene's
+    * queryNorm·boost·idf·idf association in the last ulp).
+    */
+  private def mkClassicWeights(q: Query,
+      st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
+    val leaves = Query.termLeavesInOrder(q)
+    var v = 0f
+    leaves.foreach { case (t, boost) =>
+      require(boost == 1f, "classic similarity: boosts unsupported")
+      val qw = classicIdf(st.get(t).map(_._1).getOrElse(0L))
+      v += qw * qw
+    }
+    var qn = (1.0 / math.sqrt(v.toDouble)).toFloat
+    if (qn.isInfinite || qn.isNaN) qn = 1f
+    st.map { case (t, (df, _)) =>
+      val idf = classicIdf(df)
+      t -> TermWeightInfo(t, df, ((qn * 1f) * idf) * idf, df >= m.saltThreshold)
+    }
+  }
+
+  /** LMDirichlet per-term weight = μ·cp, cp = (ttf+1F)/(sumTTF+1F)
+    * (`LMSimilarity.java:154-156` DefaultCollectionModel; long→float
+    * conversions exactly as Java promotes them). Boosts rejected (the
+    * engine folds boost into w, which for LM sits INSIDE the log).
+    */
+  private def mkLMWeights(q: Query,
+      st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
+    Query.termLeavesInOrder(q).foreach { case (_, boost) =>
+      require(boost == 1f, "LMDirichlet similarity: boosts unsupported")
+    }
+    st.map { case (t, (df, ttf)) =>
+      val cp = (ttf.toFloat + 1f) / (m.sumTotalTermFreq.toFloat + 1f)
+      t -> TermWeightInfo(t, df, SegmentSearcher.LMMu * cp,
+        df >= m.saltThreshold)
+    }
+  }
+
+  /** Query shapes Classic supports: term/bool trees (the phrase, dismax,
+    * synonym and multi-term weight models here are BM25-specific).
+    */
+  private def classicSupported(q: Query): Boolean = q match {
+    case TermQ(_) | MatchAllQ | MatchNoneQ => true
+    case BoolQ(mu, sh, mn, fl, _) =>
+      // coord for the MUST+SHOULD composite (CoordinatingConjunction /
+      // ReqMultiOpt) is not implemented — pure shapes only
+      (mu.isEmpty || sh.isEmpty) &&
+        (mu ++ sh ++ mn ++ fl).forall(classicSupported)
+    case _ => false
+  }
+
   /** ~bytes of posting blobs the query terms would pull to the driver
     * (~3.2 bytes/posting: delta varint + tf varint + norm byte).
     */
@@ -794,11 +883,14 @@ final class Searcher(private[search] val spark: SparkSession,
   }
 
   def search(q0: Query, k: Int, after: Option[(Double, Long)] = None,
-      useWand: Boolean = true): Array[Hit] = {
+      useWand: Boolean = true, sim: Int = SegmentSearcher.SimBm25): Array[Hit] = {
     var q = Query.rewrite(q0)
     q = expandMultiTerm(q)
     q = Query.rewrite(q)
     if (q == MatchNoneQ) return Array.empty
+    if (sim != SegmentSearcher.SimBm25)
+      require(classicSupported(q),
+        s"non-BM25 similarities support term/bool query trees only: $q")
     val terms = Query.literalTerms(q)
     // A query can match with zero present terms when a MatchAllQ backs the
     // tree (ConstScoreQ(MatchAllQ), BoostQ(MatchAllQ), a bool with a
@@ -808,10 +900,24 @@ final class Searcher(private[search] val spark: SparkSession,
     if (terms.isEmpty && !hasAll) return Array.empty
 
     val st = stats(terms)
-    val weights = mkWeights(st)
+    val weights = sim match {
+      case SegmentSearcher.SimClassic => mkClassicWeights(q, st)
+      case SegmentSearcher.SimLMDirichlet => mkLMWeights(q, st)
+      case _ => mkWeights(st)
+    }
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, after, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand)
+    val simCache = sim match {
+      case SegmentSearcher.SimClassic => SegmentSearcher.classicNormTable
+      case SegmentSearcher.SimLMDirichlet => graft.core.Norms.NORM_TABLE
+      case _ => cache
+    }
+    // WAND stays off under Classic only: its wandLeaves fast path would
+    // bypass the DisjunctionScorer, where coord is applied. LMDirichlet
+    // has no coord (SimilarityBase defaults) — its block bounds are valid
+    // and WAND stays on.
+    val plan = Plan(q, k, after, weights, simCache,
+      m.numDocShards, sharded, m.docCount, params,
+      useWand && sim != SegmentSearcher.SimClassic, sim)
 
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.search._
+
+/** ClassicSimilarity (Lucene-6 TF-IDF) scoring laws the DuckDB gate
+  * can't cover: coord with an ABSENT clause (maxCoord counts every
+  * scoring clause at weight construction), scores recomputed by an
+  * independent in-spec pipeline, and the supported-shape guard.
+  */
+class ClassicSimSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private lazy val (searcher, docsToks) = {
+    import spark.implicits._
+    val files = Corpus.generate(120, seed = 77L)
+    val ix = IndexBuilder.buildLogical(
+      spark.createDataset(files).repartition(4).toDF(),
+      "content", None, Seq("repo", "path", "commit"),
+      BuildConfig(numBuckets = 4, numDocShards = 2, saltThreshold = 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-classic").toString
+    IndexBuilder.writeIndex(ix, dir, "snap", 1)
+    val toks = ix.docs.select("docId", "content").collect()
+      .map(r => r.getLong(0) -> Analysis.simpleTokens(r.getString(1)))
+      .toMap
+    ix.unpersistCached(); ix.postings.unpersist()
+    (new Searcher(spark, SegmentSearcher.load(dir)), toks)
+  }
+
+  /** Independent classic pipeline over the raw token lists. */
+  private def expected(terms: Seq[String], kind: String): Seq[(Long, Float)] = {
+    val n = docsToks.size.toLong
+    def df(t: String): Long = docsToks.count(_._2.contains(t)).toLong
+    def idf(t: String): Float =
+      (math.log((n + 1) / (df(t) + 1).toDouble) + 1.0).toFloat
+    var sumSq = 0f
+    terms.foreach { t => val qw = idf(t); sumSq += qw * qw }
+    var qn = (1.0 / math.sqrt(sumSq.toDouble)).toFloat
+    if (qn.isInfinite || qn.isNaN) qn = 1f
+    def value(t: String): Float = (qn * idf(t)) * idf(t)
+    def fieldNorm(len: Int): Float = Norms.decodedNorm(len)
+    def tscore(t: String, toks: Array[String]): Option[Float] = {
+      val tf = toks.count(_ == t)
+      if (tf == 0) None
+      else Some((math.sqrt(tf.toFloat.toDouble).toFloat * value(t)) * fieldNorm(toks.length))
+    }
+    docsToks.toSeq.flatMap { case (id, toks) =>
+      val subs = terms.flatMap(t => tscore(t, toks))
+      kind match {
+        case "or" if subs.nonEmpty =>
+          var s = 0d; subs.foreach(s += _)
+          val coord = subs.size.toFloat / terms.size.toFloat
+          Some(id -> s.toFloat * coord)
+        case "and" if subs.size == terms.size =>
+          var s = 0d; subs.foreach(s += _)
+          Some(id -> s.toFloat)
+        case "term" if subs.nonEmpty => Some(id -> subs.head)
+        case _ => None
+      }
+    }.sortBy { case (id, s) => (-s.toDouble, id) }.take(10)
+  }
+
+  private def got(q: Query): Seq[(Long, Float)] =
+    searcher.search(q, 10, None, true, SegmentSearcher.SimClassic)
+      .map(h => (h.docId, h.score.toFloat)).toSeq
+
+  test("classic term scores match an independent pipeline exactly") {
+    assert(got(TermQ("def")) == expected(Seq("def"), "term"))
+    assert(got(TermQ("index")) == expected(Seq("index"), "term"))
+  }
+
+  test("classic disjunction applies coord, including an ABSENT clause") {
+    assert(got(Query.or(TermQ("def"), TermQ("merge"))) ==
+      expected(Seq("def", "merge"), "or"))
+    // absent term still counts in maxCoord: matching docs score coord(1,2)
+    assert(got(Query.or(TermQ("def"), TermQ("zzzznotaterm"))) ==
+      expected(Seq("def", "zzzznotaterm"), "or"))
+  }
+
+  test("classic conjunction: coord(n,n) = 1, double-sum float cast") {
+    assert(got(Query.and(TermQ("def"), TermQ("merge"))) ==
+      expected(Seq("def", "merge"), "and"))
+  }
+
+  test("unsupported shapes are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      searcher.search(PhraseQ(Seq("def", "merge")), 10, None, true,
+        SegmentSearcher.SimClassic)
+    }
+  }
+}
