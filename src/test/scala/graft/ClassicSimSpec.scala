@@ -86,6 +86,49 @@ class ClassicSimSpec extends AnyFunSuite {
       expected(Seq("def", "merge"), "and"))
   }
 
+  test("forced-distributed == driver-local for Classic and LMDirichlet") {
+    // maxLocalBytes = 0 pushes every query onto the groupByKey shard
+    // path; Plan.sim must survive serialization into executor closures
+    val dist = new Searcher(spark, searcher.index, cacheSegments = false,
+      maxLocalBytes = 0)
+    try {
+      for (sim <- Seq(SegmentSearcher.SimClassic, SegmentSearcher.SimLMDirichlet);
+           q <- Seq[Query](TermQ("def"), Query.or(TermQ("def"), TermQ("merge")),
+             Query.and(TermQ("def"), TermQ("merge")))) {
+        val local = searcher.search(q, 10, None, true, sim)
+          .map(h => (h.docId, h.score)).toSeq
+        val forced = dist.search(q, 10, None, true, sim)
+          .map(h => (h.docId, h.score)).toSeq
+        assert(local == forced, s"sim=$sim q=$q")
+      }
+    } finally dist.close()
+  }
+
+  test("lmdirichlet term scores match an independent pipeline exactly") {
+    val n = docsToks.size.toLong
+    val sumTtf = docsToks.values.map(_.length.toLong).sum
+    def exp(t: String): Seq[(Long, Float)] = {
+      val ttf = docsToks.values.map(_.count(_ == t).toLong).sum
+      val cp = (ttf.toFloat + 1f) / (sumTtf.toFloat + 1f)
+      val muCp = 2000f * cp
+      docsToks.toSeq.flatMap { case (id, toks) =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None
+        else {
+          val dl = Norms.quantizedLength(toks.length)
+          val s = (math.log((1f + tf.toFloat / muCp).toDouble) +
+            math.log((2000f / (dl + 2000f)).toDouble)).toFloat
+          Some(id -> (if (s > 0f) s else 0f))
+        }
+      }.sortBy { case (id, s) => (-s.toDouble, id) }.take(10)
+    }
+    def gotLm(t: String): Seq[(Long, Float)] =
+      searcher.search(TermQ(t), 10, None, true, SegmentSearcher.SimLMDirichlet)
+        .map(h => (h.docId, h.score.toFloat)).toSeq
+    assert(gotLm("def") == exp("def"))
+    assert(gotLm("index") == exp("index"))
+  }
+
   test("unsupported shapes are rejected loudly") {
     intercept[IllegalArgumentException] {
       searcher.search(PhraseQ(Seq("def", "merge")), 10, None, true,
