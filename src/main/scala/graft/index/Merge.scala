@@ -68,6 +68,16 @@ object Merge {
       .withColumn("bucket", bucketUdf(col("term")))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/termstats")
 
+    // the sorted prefix-partitioned dictionary must survive compaction
+    // too, or merged indexes silently degrade multi-term expansion to
+    // the stats-table scan fallback (same layout as writeIndex)
+    spark.read.parquet(s"$outDir/termstats")
+      .select("term", "df", "ttf")
+      .withColumn("pfx", substring(col("term"), 1, 1))
+      .repartitionByRange(math.max(nb, 1), col("term"))
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").partitionBy("pfx").parquet(s"$outDir/termdict")
+
     // Salting must be re-decided against the MERGED stats: a term cold in
     // every snapshot can cross the threshold once dfs sum (and a term
     // salted in one snapshot but not another would otherwise leave the

@@ -68,6 +68,12 @@ class MergeSpec extends AnyFunSuite {
       .select("term", "df", "ttf").collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(mergedStats === fullStats)
+    // the prefix-partitioned dict survives compaction (multi-term
+    // expansion would otherwise silently fall back to stats scans)
+    assert(new java.io.File(s"$tmp/merged/termdict").isDirectory)
+    val dictTerms = spark.read.parquet(s"$tmp/merged/termdict")
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(dictTerms === fullStats.keySet)
   }
 
   test("streaming incremental build + compact == batch build") {
