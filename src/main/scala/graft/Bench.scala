@@ -452,6 +452,28 @@ object Bench {
       else (phases.map(sel).min, false)
     }
 
+    // Absolute window sanity, on top of the N-vs-1 ratio probes: a
+    // UNIFORMLY degraded window slows 1 thread and N threads alike, so
+    // its ratio reads clean (observed: mid-calib w1=167ms vs the run's
+    // normal ~35ms — a 5x write stall — while wN/w1 = 1.1 "passed", and
+    // a 92.8s stalled build entered a "clean" headline). The probe is
+    // fixed deterministic work, so its 1-THREAD time tracks host health
+    // directly: a calibration point is absolutely sane when its
+    // 1-thread values are within 3x of the best seen anywhere this run.
+    def allCalibs: Seq[Calib] =
+      runs.toSeq.flatMap { case (l, h) => Seq(l, h) }
+        .flatMap(p => Seq(p.pre, p.mid, p.post)) ++
+        peakResult.toSeq.flatMap(p => Seq(p.pre, p.mid, p.post))
+    def absOk(c: Calib): Boolean = {
+      val cs = allCalibs
+      cs.isEmpty ||
+        (c.s1 <= cs.map(_.s1).min * 3 && c.w1 <= cs.map(_.w1).min * 3)
+    }
+    def buildCleanAbs(p: PhaseResult): Boolean =
+      p.buildClean && absOk(p.pre) && absOk(p.mid)
+    def queryCleanAbs(p: PhaseResult): Boolean =
+      p.queryClean && absOk(p.mid) && absOk(p.post)
+
     /** Full cumulative artifact from whatever has been measured so far —
       * ALWAYS a parseable JSON line, even after one attempt.
       */
@@ -461,10 +483,10 @@ object Bench {
       val nQ = runs.head._1.nQ
       val los = runs.map(_._1).toSeq
       val his = runs.map(_._2).toSeq
-      val (tBuildLo, cBLo) = minClean(_.build, los, _.buildClean)
-      val (tBuildHi, cBHi) = minClean(_.build, his, _.buildClean)
-      val (tQueryLo, cQLo) = minClean(_.query, los, _.queryClean)
-      val (tQueryHi, cQHi) = minClean(_.query, his, _.queryClean)
+      val (tBuildLo, cBLo) = minClean(_.build, los, buildCleanAbs)
+      val (tBuildHi, cBHi) = minClean(_.build, his, buildCleanAbs)
+      val (tQueryLo, cQLo) = minClean(_.query, los, queryCleanAbs)
+      val (tQueryHi, cQHi) = minClean(_.query, his, queryCleanAbs)
       val effBuild = (tBuildLo / tBuildHi) / (hi.toDouble / lo)
       val effQuery = (tQueryLo / tQueryHi) / (hi.toDouble / lo)
       val qJson = perQuery.map { case (k, v) => s""""$k":$v""" }
@@ -477,8 +499,8 @@ object Bench {
         s""","n_query_sec":${f(l.query)},"4n_query_sec":${f(h.query)}""" +
         s""","n_calib":[${l.pre.json},${l.mid.json},${l.post.json}]""" +
         s""","4n_calib":[${h.pre.json},${h.mid.json},${h.post.json}]""" +
-        s""","clean_build":${l.buildClean && h.buildClean}""" +
-        s""","clean_query":${l.queryClean && h.queryClean}""" +
+        s""","clean_build":${buildCleanAbs(l) && buildCleanAbs(h)}""" +
+        s""","clean_query":${queryCleanAbs(l) && queryCleanAbs(h)}""" +
         s""","build_eff":${f((l.build / h.build) / (hi.toDouble / lo))}""" +
         s""","query_eff":${f((l.query / h.query) / (hi.toDouble / lo))}}"""
       }.mkString("[", ",", "]")
@@ -504,7 +526,7 @@ object Bench {
       // companion to the min-over-clean headline (adjacent lo/hi phases
       // share a weather window; cross-attempt minima need not)
       val pairEffs = runs.toSeq.collect {
-        case (l, h) if l.buildClean && h.buildClean =>
+        case (l, h) if buildCleanAbs(l) && buildCleanAbs(h) =>
           (l.build / h.build) / (hi.toDouble / lo)
       }.sorted
       val pairMedJson =
@@ -572,8 +594,10 @@ object Bench {
         // estimator, a single clean sample is an unconverged minimum —
         // round 4's query headline paired one level's only-clean phase
         // with the other level's fastest, mixing two weather windows
-        val cleanBuild = runs.count(_._1.buildClean) >= 2 && runs.count(_._2.buildClean) >= 2
-        val cleanQuery = runs.count(_._1.queryClean) >= 2 && runs.count(_._2.queryClean) >= 2
+        val cleanBuild = runs.count(r => buildCleanAbs(r._1)) >= 2 &&
+          runs.count(r => buildCleanAbs(r._2)) >= 2
+        val cleanQuery = runs.count(r => queryCleanAbs(r._1)) >= 2 &&
+          runs.count(r => queryCleanAbs(r._2)) >= 2
         System.err.println(f"[bench] attempt $a (${attemptEstS}%.0fs): " +
           f"lo=${l.build}%.1fs (clean=${l.buildClean}) " +
           f"hi=${h.build}%.1fs (clean=${h.buildClean}); " +
