@@ -543,6 +543,47 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** SpanFirst: the term restricted to positions ending ≤ `end` (1-based
+    * subscript pos has span end == pos), freq = count of qualifying
+    * occurrences, BM25 with the term's full-df weight.
+    */
+  def spanFirst(term: String, end: Int, k: Int): String = {
+    val w = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(term)})")} * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), ph AS (
+  SELECT doc_id, ${R("count(*)")} AS freq
+  FROM posx WHERE term = ${lit(term)} AND pos <= $end GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
+  /** SpanOr: union of member occurrences, freq = Σ member tf, one BM25
+    * score with idf folded over distinct sorted members.
+    */
+  def spanOr(terms: Seq[String], k: Int): String = {
+    val idfFold = terms.distinct.sorted.map(t =>
+      idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"))
+      .reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    val inList = terms.distinct.map(lit).mkString(", ")
+    prologue +
+      s""", ph AS (
+  SELECT doc_id, ${R("count(*)")} AS freq
+  FROM tok WHERE term IN ($inList) GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   /** Exact multi-phrase, 2 offsets: term `a` followed by ANY of `bs`
     * (MultiPhraseQuery union semantics). idf = Σ over all member terms,
     * float-folded in offset-then-list order like the engine.

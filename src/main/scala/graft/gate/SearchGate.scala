@@ -211,6 +211,10 @@ object SearchGate {
     // multi-phrase: "order (sort|merge)" — per-offset union of postings
     "q_span_near" -> seg(SpanNearQ(Seq("order", "sort"), 4)),
     "q_span_near3" -> seg(SpanNearQ(Seq("order", "sort", "merge"), 6)),
+    // spans in the first 25 positions (SpanFirstQuery.java:30-40)
+    "q_span_first" -> seg(SpanFirstQ("order", 25)),
+    // union of term spans, one score per doc (SpanOrQuery.java:36)
+    "q_span_or" -> seg(SpanOrQ(Seq("order", "sort"))),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -352,6 +356,8 @@ object SearchGate {
     "q_lm_term" -> Oracles.lmTerm("spark", K),
     "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
+    "q_span_first" -> Oracles.spanFirst("order", 25, K),
+    "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),

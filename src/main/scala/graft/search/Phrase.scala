@@ -507,6 +507,92 @@ final class MultiPhraseScorer(members: Array[Array[PostingsIterator]],
   * sum over DISTINCT terms in sorted order (SpanWeight collects terms
   * into a TreeSet) × (k1+1).
   */
+/** SpanFirst over one term's positions sidecar
+  * (`search/spans/SpanFirstQuery.java:30-40`): a doc matches when the
+  * term occurs at a position p with p+1 ≤ end; freq = the count of such
+  * occurrences (width-0 spans, slop factor 1 each), scored like a term
+  * with the restricted freq.
+  */
+final class SpanFirstScorer(it: PostingsIterator, end: Int, w: Float,
+    cache: Array[Float]) extends DocScorer {
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def qualifying(): Int = {
+    val ps = it.positions()
+    var n = 0
+    var i = 0
+    while (i < ps.length && ps(i) + 1 <= end) { n += 1; i += 1 }
+    n
+  }
+
+  private def settle(t0: Long): Long = {
+    if (t0 > it.doc || it.doc == -1L) it.advance(t0)
+    while (it.doc != DocScorer.NO_MORE) {
+      val n = qualifying()
+      if (n > 0) {
+        freqV = n.toFloat; normB = it.norm; doc = it.doc
+        return doc
+      }
+      it.nextDoc()
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = it.cost
+  def maxScore: Float = w
+}
+
+/** SpanOr over term clauses (`search/spans/SpanOrQuery.java:36`): union
+  * of the members' docs; freq = Σ member tf in the doc (each width-0
+  * span adds slop factor 1), ONE score per doc with the shared weight.
+  * Positions are not consulted — a term span exists per occurrence.
+  */
+final class SpanOrScorer(its: Array[PostingsIterator], w: Float,
+    cache: Array[Float]) extends DocScorer {
+  require(its.nonEmpty)
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def settle(target: Long): Long = {
+    var min = DocScorer.NO_MORE
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc < target && its(i).doc != DocScorer.NO_MORE)
+        its(i).advance(target)
+      if (its(i).doc < min) min = its(i).doc
+      i += 1
+    }
+    if (min == DocScorer.NO_MORE) { doc = min; return doc }
+    var f = 0f
+    i = 0
+    while (i < its.length) {
+      if (its(i).doc == min) {
+        f += its(i).tf.toFloat
+        normB = its(i).norm
+      }
+      i += 1
+    }
+    freqV = f
+    doc = min
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = its.map(_.cost).sum
+  def maxScore: Float = w
+}
+
 final class SpanNearScorer(its: Array[PostingsIterator], slop: Int,
     inOrder: Boolean, w: Float, cache: Array[Float]) extends DocScorer {
   require(its.length >= 2)

@@ -106,6 +106,21 @@ final case class MultiPhraseQ(positions: Seq[Seq[String]],
 final case class SpanNearQ(terms: Seq[String], slop: Int,
     inOrder: Boolean = true) extends Query
 
+/** Spans ending at or before `end` (`search/spans/SpanFirstQuery
+  * .java:30-40`): a term span at position p has end p+1, so this keeps
+  * occurrences in the first `end` token positions. freq = count of
+  * accepted spans (width 0 ⇒ slop factor 1 each), scored like a term
+  * with that restricted freq.
+  */
+final case class SpanFirstQ(term: String, end: Int) extends Query
+
+/** Union of term spans (`search/spans/SpanOrQuery.java:36`): freq =
+  * total member occurrences in the doc (width-0 spans), ONE score per
+  * doc with weight from the distinct sorted member terms (SpanWeight
+  * collects termContexts into a TreeSet).
+  */
+final case class SpanOrQ(terms: Seq[String]) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -172,6 +187,7 @@ object Query {
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case SpanNearQ(ts, _, _) if ts.isEmpty => MatchNoneQ
+    case SpanOrQ(ts) if ts.isEmpty => MatchNoneQ
     // 1-clause span: every position is a width-0 span → freq = tf,
     // idf identical → rank-identical to the plain TermQuery
     case SpanNearQ(ts, _, _) if ts.size == 1 => TermQ(ts.head)
@@ -210,6 +226,8 @@ object Query {
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(ps, _) => ps.flatten.toSet
     case SpanNearQ(ts, _, _) => ts.toSet
+    case SpanFirstQ(t, _) => Set(t)
+    case SpanOrQ(ts) => ts.toSet
     case _ => Set.empty
   }
 

@@ -231,8 +231,64 @@ object SegmentSearcher {
       multiPhraseScorer(ps, slop, shard, blobs, plan, boost)
     case SpanNearQ(terms, slop, inOrder) =>
       spanNearScorer(terms, slop, inOrder, shard, blobs, plan, boost)
+    case SpanFirstQ(t, e) => spanFirstScorer(t, e, shard, blobs, plan, boost)
+    case SpanOrQ(ts) => spanOrScorer(ts, shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
+  }
+
+  /** SpanFirst (`spans/SpanFirstQuery.java:30-40`): the term's postings
+    * restricted to positions ending ≤ `end`, scored with the term's own
+    * BM25 weight and the restricted freq.
+    */
+  private def spanFirstScorer(t: String, end: Int, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer =
+    (blobs.get(t), plan.weights.get(t)) match {
+      case (Some(row), Some(wi)) =>
+        val it = PostingsCodec.iterator(row.docBlocks, row.skipData, row.posBlocks)
+        if (!it.hasPositions)
+          sys.error("span-first requires an index built with positions")
+        val w = BM25.weightValue(BM25.idf(wi.df, plan.maxDoc), plan.params, boost)
+        val ss = new SpanFirstScorer(it, end, w, plan.cache)
+        if (shard >= 0 && row.salt < 0)
+          new ModFilterScorer(ss, shard, plan.numShards)
+        else ss
+      case _ => EmptyScorer
+    }
+
+  /** SpanOr (`spans/SpanOrQuery.java:36`): union of the member terms'
+    * postings, freq = Σ member tf, one score per doc. Weight = float idf
+    * sum over DISTINCT PRESENT terms in SORTED order (SpanWeight's
+    * TreeSet of termContexts) × (k1+1) × boost. In a sharded query, cold
+    * member lists are restricted to this shard's docs up front (like
+    * SynonymQ) so the cross-shard union counts each doc once.
+    */
+  private def spanOrScorer(ts: Seq[String], shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val present = ts.distinct.filter(t =>
+      blobs.contains(t) && plan.weights.contains(t))
+    if (present.isEmpty) return EmptyScorer
+    var idfSum = 0f
+    present.sorted.foreach { t =>
+      idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    }
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val its = present.map(blobs(_)).map { r =>
+      if (shard >= 0 && r.salt < 0) {
+        val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
+        val keep = pl.docs.indices.filter(i =>
+          (pl.docs(i) % plan.numShards).toInt == shard)
+        if (keep.isEmpty) null
+        else {
+          val (body, skip) = PostingsCodec.encode(
+            keep.map(pl.docs).toArray, keep.map(pl.tfs).toArray,
+            keep.map(pl.norms).toArray)
+          PostingsCodec.iterator(body, skip)
+        }
+      } else PostingsCodec.iterator(r.docBlocks, r.skipData)
+    }.filter(_ != null).toArray
+    if (its.isEmpty) EmptyScorer
+    else new SpanOrScorer(its, w, plan.cache)
   }
 
   /** Span-near over the positions sidecar

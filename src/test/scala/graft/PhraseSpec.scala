@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.index.PostingsCodec
 import graft.search.PhraseFreq
-import graft.search.{DataFrameSearcher, Searcher, SegmentSearcher, SpanNearQ}
+import graft.search.{BM25, DataFrameSearcher, Searcher, SegmentSearcher, SpanFirstQ, SpanNearQ, SpanOrQ}
 
 /** Positions codec round-trip + phrase-frequency semantics vs brute force.
   * Sloppy expectations follow the reference's greedy sweep
@@ -529,6 +529,57 @@ class PhraseSpec extends AnyFunSuite {
       assert(a.nonEmpty, s"fixture has no hits for $q")
       assert(a === b, s"dual-path divergence for $q")
     }
+    ix.unpersistCached()
+    ix.postings.unpersist()
+  }
+
+  test("span-first and span-or scores match a token-scan recompute") {
+    import graft.core.{Corpus, Analysis, Norms}
+    import graft.index.IndexBuilder
+    import graft.index.IndexBuilder.BuildConfig
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spanfo").toString
+    val files = Corpus.generate(150, 31L)
+    val docs = spark.createDataset(files).toDF()
+    val ix = IndexBuilder.buildLogical(docs, "content", None,
+      Seq("repo", "path", "commit"), BuildConfig(numBuckets = 4, numDocShards = 2))
+    IndexBuilder.writeIndex(ix, tmp, "sp2", 1)
+    val seg = new Searcher(spark, SegmentSearcher.load(tmp))
+    val toks = ix.docs.select("docId", "content").collect()
+      .map(r => r.getLong(0) -> Analysis.simpleTokens(r.getString(1))).toMap
+    val n = toks.size.toLong
+    def df(t: String) = toks.count(_._2.contains(t)).toLong
+    def w(ts: Seq[String]): Float = {
+      var s = 0f
+      ts.distinct.sorted.foreach(t => s += BM25.idf(df(t), n))
+      BM25.weightValue(s, BM25.Default)
+    }
+    val sumTtf = toks.values.map(_.length.toLong).sum
+    val cache = BM25.normCache(BM25.Default, BM25.avgFieldLength(sumTtf, n))
+    def expect(freqOf: Array[String] => Float, wv: Float): Seq[(Long, Double)] =
+      toks.toSeq.flatMap { case (id, tk) =>
+        val f = freqOf(tk)
+        if (f <= 0f) None
+        else Some((id, BM25.score(wv, f,
+          cache(Norms.normByte(tk.length) & 0xff)).toDouble))
+      }.sortBy { case (id, s) => (-s, id) }.take(10)
+
+    // span-first: occurrences of 'def' in the first 10 positions
+    val gotFirst = seg.search(SpanFirstQ("def", 10), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val expFirst = expect(
+      tk => tk.take(10).count(_ == "def").toFloat, w(Seq("def")))
+    assert(gotFirst.nonEmpty && gotFirst === expFirst)
+
+    // span-or: total occurrences of either member
+    val gotOr = seg.search(SpanOrQ(Seq("def", "merge")), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val expOr = expect(
+      tk => tk.count(t => t == "def" || t == "merge").toFloat,
+      w(Seq("def", "merge")))
+    assert(gotOr.nonEmpty && gotOr === expOr)
+
     ix.unpersistCached()
     ix.postings.unpersist()
   }
