@@ -565,6 +565,33 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** SpanNot: include occurrences with no exclude occurrence within
+    * `pre` positions before / `post` after (the width-0-span reduction
+    * of the reference's overlap-window test); freq = accepted count,
+    * BM25 weight from the include term alone.
+    */
+  def spanNot(inc: String, exc: String, pre: Int, post: Int, k: Int): String = {
+    val w = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(inc)})")} * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), ph AS (
+  SELECT i.doc_id, ${R("count(*)")} AS freq
+  FROM posx i
+  WHERE i.term = ${lit(inc)} AND NOT EXISTS (
+    SELECT 1 FROM posx e WHERE e.doc_id = i.doc_id AND e.term = ${lit(exc)}
+      AND e.pos BETWEEN i.pos - $pre AND i.pos + $post)
+  GROUP BY i.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   /** SpanOr: union of member occurrences, freq = Σ member tf, one BM25
     * score with idf folded over distinct sorted members.
     */

@@ -215,6 +215,8 @@ object SearchGate {
     "q_span_first" -> seg(SpanFirstQ("order", 25)),
     // union of term spans, one score per doc (SpanOrQuery.java:36)
     "q_span_or" -> seg(SpanOrQ(Seq("order", "sort"))),
+    // 'order' with no 'sort' within 3 positions (SpanNotQuery.java:34)
+    "q_span_not" -> seg(SpanNotQ("order", "sort", 3, 3)),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -358,6 +360,7 @@ object SearchGate {
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),
+    "q_span_not" -> Oracles.spanNot("order", "sort", 3, 3, K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),

@@ -593,6 +593,64 @@ final class SpanOrScorer(its: Array[PostingsIterator], w: Float,
   def maxScore: Float = w
 }
 
+/** SpanNot over term include/exclude clauses
+  * (`search/spans/SpanNotQuery.java:34-37,169-181`): keeps include
+  * occurrences with no exclude occurrence within `pre` tokens before or
+  * `post` tokens after. For width-0 term spans the reference's window
+  * test (exclude.end > include.start - pre AND exclude.start <
+  * include.end + post) reduces to: reject p iff ∃ exclude q with
+  * p - pre ≤ q ≤ p + post. freq = accepted count; weight comes from the
+  * include term only (SpanNotWeight.extractTerms delegates to
+  * includeWeight, SpanNotQuery.java:186-189). `exc == null` ⇒ the
+  * exclude term is absent from the segment — plain term scoring
+  * (ScoringWrapperSpans branch, SpanNotQuery.java:128-130).
+  */
+final class SpanNotScorer(inc: PostingsIterator, exc: PostingsIterator,
+    pre: Int, post: Int, w: Float, cache: Array[Float]) extends DocScorer {
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def accepted(): Int = {
+    if (exc == null) return inc.tf
+    if (exc.doc < inc.doc) exc.advance(inc.doc)
+    if (exc.doc != inc.doc) return inc.tf
+    val ip = inc.positions()
+    val ep = exc.positions()
+    var n = 0
+    var i = 0
+    var j = 0
+    while (i < ip.length) {
+      val p = ip(i)
+      while (j < ep.length && ep(j) < p - pre) j += 1
+      if (j >= ep.length || ep(j) > p + post) n += 1
+      i += 1
+    }
+    n
+  }
+
+  private def settle(t0: Long): Long = {
+    if (t0 > inc.doc || inc.doc == -1L) inc.advance(t0)
+    while (inc.doc != DocScorer.NO_MORE) {
+      val n = accepted()
+      if (n > 0) {
+        freqV = n.toFloat; normB = inc.norm; doc = inc.doc
+        return doc
+      }
+      inc.nextDoc()
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = inc.cost
+  def maxScore: Float = w
+}
+
 final class SpanNearScorer(its: Array[PostingsIterator], slop: Int,
     inOrder: Boolean, w: Float, cache: Array[Float]) extends DocScorer {
   require(its.length >= 2)

@@ -121,6 +121,16 @@ final case class SpanFirstQ(term: String, end: Int) extends Query
   */
 final case class SpanOrQ(terms: Seq[String]) extends Query
 
+/** Include-span occurrences with no exclude occurrence within `pre`
+  * tokens before or `post` tokens after
+  * (`search/spans/SpanNotQuery.java:34-37`; negatives clamp to 0 like
+  * the reference's constructor, lines 63-64). freq = accepted include
+  * count; scoring weight from the include term only
+  * (SpanNotWeight.extractTerms, lines 186-189).
+  */
+final case class SpanNotQ(include: String, exclude: String,
+    pre: Int = 0, post: Int = 0) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -188,6 +198,9 @@ object Query {
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case SpanNearQ(ts, _, _) if ts.isEmpty => MatchNoneQ
     case SpanOrQ(ts) if ts.isEmpty => MatchNoneQ
+    // include == exclude: every occurrence self-excludes (q = p is
+    // always inside the [p-pre, p+post] window since pre, post ≥ 0)
+    case SpanNotQ(i, e, _, _) if i == e => MatchNoneQ
     // 1-clause span: every position is a width-0 span → freq = tf,
     // idf identical → rank-identical to the plain TermQuery
     case SpanNearQ(ts, _, _) if ts.size == 1 => TermQ(ts.head)
@@ -228,6 +241,9 @@ object Query {
     case SpanNearQ(ts, _, _) => ts.toSet
     case SpanFirstQ(t, _) => Set(t)
     case SpanOrQ(ts) => ts.toSet
+    // both terms' postings are read (the exclude list drives the window
+    // veto), even though only the include term contributes weight
+    case SpanNotQ(i, e, _, _) => Set(i, e)
     case _ => Set.empty
   }
 

@@ -233,6 +233,9 @@ object SegmentSearcher {
       spanNearScorer(terms, slop, inOrder, shard, blobs, plan, boost)
     case SpanFirstQ(t, e) => spanFirstScorer(t, e, shard, blobs, plan, boost)
     case SpanOrQ(ts) => spanOrScorer(ts, shard, blobs, plan, boost)
+    case SpanNotQ(i, e, pre, post) =>
+      spanNotScorer(i, e, math.max(pre, 0), math.max(post, 0),
+        shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
   }
@@ -250,6 +253,35 @@ object SegmentSearcher {
           sys.error("span-first requires an index built with positions")
         val w = BM25.weightValue(BM25.idf(wi.df, plan.maxDoc), plan.params, boost)
         val ss = new SpanFirstScorer(it, end, w, plan.cache)
+        if (shard >= 0 && row.salt < 0)
+          new ModFilterScorer(ss, shard, plan.numShards)
+        else ss
+      case _ => EmptyScorer
+    }
+
+  /** SpanNot (`spans/SpanNotQuery.java:34-37`): include occurrences with
+    * no exclude occurrence in [p-pre, p+post], weight from the include
+    * term alone. An absent exclude term degrades to plain term scoring
+    * (the reference's ScoringWrapperSpans branch). Shard filtering works
+    * because a salted exclude row already holds exactly this shard's
+    * docs — the same docs the include side scores here.
+    */
+  private def spanNotScorer(inc: String, exc: String, pre: Int, post: Int,
+      shard: Int, blobs: Map[String, SegRow], plan: Plan,
+      boost: Float): DocScorer =
+    (blobs.get(inc), plan.weights.get(inc)) match {
+      case (Some(row), Some(wi)) =>
+        val it = PostingsCodec.iterator(row.docBlocks, row.skipData, row.posBlocks)
+        if (!it.hasPositions)
+          sys.error("span-not requires an index built with positions")
+        val eIt = blobs.get(exc).map { r =>
+          val x = PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)
+          if (!x.hasPositions)
+            sys.error("span-not requires an index built with positions")
+          x
+        }.orNull
+        val w = BM25.weightValue(BM25.idf(wi.df, plan.maxDoc), plan.params, boost)
+        val ss = new SpanNotScorer(it, eIt, pre, post, w, plan.cache)
         if (shard >= 0 && row.salt < 0)
           new ModFilterScorer(ss, shard, plan.numShards)
         else ss

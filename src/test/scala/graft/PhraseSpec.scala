@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.index.PostingsCodec
 import graft.search.PhraseFreq
-import graft.search.{BM25, DataFrameSearcher, Searcher, SegmentSearcher, SpanFirstQ, SpanNearQ, SpanOrQ}
+import graft.search.{BM25, DataFrameSearcher, Searcher, SegmentSearcher, SpanFirstQ, SpanNearQ, SpanNotQ, SpanOrQ}
 
 /** Positions codec round-trip + phrase-frequency semantics vs brute force.
   * Sloppy expectations follow the reference's greedy sweep
@@ -579,6 +579,31 @@ class PhraseSpec extends AnyFunSuite {
       tk => tk.count(t => t == "def" || t == "merge").toFloat,
       w(Seq("def", "merge")))
     assert(gotOr.nonEmpty && gotOr === expOr)
+
+    // span-not: 'def' with no 'merge' within 2 positions either side;
+    // weight from the include term only (SpanNotQuery.java:186-189)
+    val gotNot = seg.search(SpanNotQ("def", "merge", 2, 2), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val expNot = expect(
+      tk => tk.indices.count { i =>
+        tk(i) == "def" && !((math.max(0, i - 2) to
+          math.min(tk.length - 1, i + 2)).exists(j => tk(j) == "merge"))
+      }.toFloat,
+      w(Seq("def")))
+    assert(gotNot.nonEmpty && gotNot === expNot)
+    // the exclusion must actually bite somewhere in this corpus
+    val gotPlain = seg.search(graft.search.TermQ("def"), 150).toSeq
+    val gotNotAll = seg.search(SpanNotQ("def", "merge", 2, 2), 150).toSeq
+    assert(gotNotAll.size < gotPlain.size ||
+      gotNotAll.map(_.score).sum < gotPlain.map(_.score).sum)
+
+    // absent exclude term degrades to plain term scoring
+    // (ScoringWrapperSpans branch, SpanNotQuery.java:128-130)
+    val gotNoExc = seg.search(SpanNotQ("def", "zzznotaterm"), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val gotTerm = seg.search(graft.search.TermQ("def"), 10).toSeq
+      .map(h => (h.docId, h.score))
+    assert(gotNoExc === gotTerm)
 
     ix.unpersistCached()
     ix.postings.unpersist()
