@@ -543,6 +543,61 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Span-near (ordered) with SpanOr union clauses: same
+    * chain-of-minimums closed form as spanNearOrdered, but each clause
+    * CTE draws positions from `term IN (members)` (the union of the
+    * subclause's width-0 spans — distinct terms never share a
+    * position). idf folds float-stepwise over sorted DISTINCT terms
+    * across all clauses, each guarded by df > 0 (an absent member folds
+    * as +0, bit-identical to the engine skipping it).
+    */
+  def spanNearOrderedOr(clauses: Seq[Seq[String]], slop: Int,
+      k: Int): String = {
+    require(clauses.size >= 2)
+    val n = clauses.size
+    val idfFold = clauses.flatten.distinct.sorted.map { t =>
+      val df = s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"
+      s"CASE WHEN $df > 0 THEN ${idfExpr(df)} ELSE ${R("0")} END"
+    }.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+    val pCtes = clauses.zipWithIndex.map { case (ts, i) =>
+      val in = ts.distinct.map(lit).mkString(", ")
+      s"""p$i AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term IN ($in)
+)"""
+    }.mkString(", ")
+    val chain = (2 until n).map { i =>
+      val prevQs = (0 until i).map(j => s"q$j").mkString(", ")
+      s""", m$i AS (
+  SELECT m${i - 1}.doc_id, $prevQs, MIN(p$i.pos) AS q$i
+  FROM m${i - 1} JOIN p$i ON p$i.doc_id = m${i - 1}.doc_id AND p$i.pos >= q${i - 1} + 1
+  GROUP BY ALL
+)"""
+    }.mkString
+    val widthExpr = (1 until n).map(i => s"(q$i - q${i - 1} - 1)").mkString(" + ")
+    prologue +
+      s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), $pCtes, m1 AS (
+  SELECT p0.doc_id, p0.pos AS q0, MIN(p1.pos) AS q1
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos >= p0.pos + 1
+  GROUP BY ALL
+)$chain, sp AS (
+  SELECT doc_id, $widthExpr AS width FROM m${n - 1}
+), ph AS (
+  SELECT doc_id, CAST(SUM(1.0 / CAST(1 + width AS DOUBLE)) AS REAL) AS freq
+  FROM sp WHERE width <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
   /** SpanFirst: the term restricted to positions ending ≤ `end` (1-based
     * subscript pos has span end == pos), freq = count of qualifying
     * occurrences, BM25 with the term's full-df weight.

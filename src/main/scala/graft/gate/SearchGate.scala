@@ -217,6 +217,10 @@ object SearchGate {
     "q_span_or" -> seg(SpanOrQ(Seq("order", "sort"))),
     // 'order' with no 'sort' within 3 positions (SpanNotQuery.java:34)
     "q_span_not" -> seg(SpanNotQ("order", "sort", 3, 3)),
+    // nested spans: near(or(order,merge), or(sort,<absent>)) — the
+    // absent member must fold as +0 in the weight on both sides
+    "q_span_near_or" -> seg(SpanNearOrQ(
+      Seq(Seq("order", "merge"), Seq("sort", "zzznosuchterm")), 5)),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -361,6 +365,8 @@ object SearchGate {
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),
     "q_span_not" -> Oracles.spanNot("order", "sort", 3, 3, K),
+    "q_span_near_or" -> Oracles.spanNearOrderedOr(
+      Seq(Seq("order", "merge"), Seq("sort", "zzznosuchterm")), 5, K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),

@@ -123,6 +123,9 @@ object DataFrameSearcher {
     case SpanNearQ(terms, slop, inOrder) =>
       spanNearScoreDf(ix, terms, slop, inOrder, boost, stats, params)
 
+    case SpanNearOrQ(cs, slop, inOrder) =>
+      spanNearOrScoreDf(ix, cs, slop, inOrder, boost, stats, params)
+
     case MultiPhraseQ(ps, slop) =>
       multiPhraseScoreDf(ix, ps, slop, boost, stats, params)
 
@@ -314,6 +317,48 @@ object DataFrameSearcher {
     base.select(col("docId"),
         scoreUdf(array(terms.indices.map(i => col(s"_p$i")): _*),
           col("normByte")).as("score"))
+      .filter(col("score").isNotNull)
+      .select(col("docId"), col("score").cast("float").as("score"))
+  }
+
+  /** Span-near with SpanOr union clauses: the multi-phrase union base
+    * (per-clause `term IN (...)` grouped by doc, merged sorted
+    * positions) with the SpanNearScorer freq kernels. Weight = float
+    * idf fold over sorted DISTINCT PRESENT terms across all clauses.
+    */
+  private def spanNearOrScoreDf(ix: LogicalIndex, cs: Seq[Seq[String]],
+      slop: Int, inOrder: Boolean, boost: Float, stats: QueryStats,
+      params: BM25Params): DataFrame = {
+    require(ix.cfg.positions, "span-near requires BuildConfig.positions")
+    if (cs.exists(_.forall(t => stats.dfByTerm.getOrElse(t, 0L) == 0L)))
+      return emptyScores(ix)
+    val base = cs.zipWithIndex.map { case (ts, i) =>
+      val grouped = ix.postings.filter(col("term").isin(ts.distinct: _*))
+        .groupBy("docId")
+        .agg(first("normByte").as(s"_nb$i"),
+          array_sort(array_distinct(flatten(collect_list(col("pos")))))
+            .as(s"_p$i"))
+      if (i == 0) grouped else grouped.drop(s"_nb$i")
+    }.reduce((a, b) => a.join(b, "docId"))
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    var idfSum = 0f
+    cs.flatten.distinct.sorted.foreach { t =>
+      val df = stats.dfByTerm.getOrElse(t, 0L)
+      if (df > 0L) idfSum += BM25.idf(df, stats.docCount)
+    }
+    val w = BM25.weightValue(idfSum, params, boost)
+    val ord = inOrder
+    val scoreUdf = udf { (ps: Seq[Seq[Int]], nb: Byte) =>
+      val arr = ps.map(_.toArray).toArray
+      val freq =
+        if (ord) PhraseFreq.spanNearOrdered(arr, slop)
+        else PhraseFreq.spanNearUnordered(arr, slop)
+      if (freq > 0f) Some(BM25.score(w, freq, cache(nb & 0xff))) else None
+    }
+    base.select(col("docId"),
+        scoreUdf(array(cs.indices.map(i => col(s"_p$i")): _*),
+          col("_nb0")).as("score"))
       .filter(col("score").isNotNull)
       .select(col("docId"), col("score").cast("float").as("score"))
   }

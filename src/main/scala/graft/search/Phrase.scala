@@ -651,6 +651,106 @@ final class SpanNotScorer(inc: PostingsIterator, exc: PostingsIterator,
   def maxScore: Float = w
 }
 
+/** Span-near over UNION clauses (`spans/SpanNearQuery.java:41` with
+  * `SpanOrQuery.java:36` subclauses): clause k's spans in a doc are the
+  * union of its members' width-0 occurrences; docs stream from the
+  * conjunction-over-clauses of member unions (MultiPhraseScorer's
+  * UnionPostingsEnum shape), freq = the SpanNearScorer enumeration over
+  * the merged per-clause position arrays. Distinct terms occupy
+  * distinct positions, so the per-clause merge needs no dedup — but it
+  * dedups anyway to stay safe under analyzer chains that stack terms.
+  */
+final class SpanNearOrScorer(clauses: Array[Array[PostingsIterator]],
+    slop: Int, inOrder: Boolean, w: Float, cache: Array[Float])
+    extends DocScorer {
+  require(clauses.length >= 2 && clauses.forall(_.nonEmpty))
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  /** Min doc ≥ target across the clause's members (union semantics). */
+  private def unionAdvance(k: Int, target: Long): Long = {
+    var min = DocScorer.NO_MORE
+    val its = clauses(k)
+    var i = 0
+    while (i < its.length) {
+      if (its(i).doc < target) its(i).advance(target)
+      if (its(i).doc < min) min = its(i).doc
+      i += 1
+    }
+    min
+  }
+
+  private def alignFrom(t0: Long): Long = {
+    var target = t0
+    var agreed = false
+    while (!agreed && target != DocScorer.NO_MORE) {
+      agreed = true
+      var k = 0
+      while (k < clauses.length && agreed) {
+        val d = unionAdvance(k, target)
+        if (d > target) { target = d; agreed = false }
+        k += 1
+      }
+    }
+    target
+  }
+
+  /** Sorted distinct union of the clause's member positions at `target`. */
+  private def mergedPositions(k: Int, target: Long): Array[Int] = {
+    val live = clauses(k).filter(_.doc == target)
+    if (live.length == 1) return live(0).positions()
+    val arrs = live.map(_.positions())
+    val idx = new Array[Int](arrs.length)
+    val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    var last = Int.MinValue
+    var remaining = arrs.map(_.length).sum
+    while (remaining > 0) {
+      var best = -1
+      var bestV = Int.MaxValue
+      var i = 0
+      while (i < arrs.length) {
+        if (idx(i) < arrs(i).length && arrs(i)(idx(i)) < bestV) {
+          bestV = arrs(i)(idx(i)); best = i
+        }
+        i += 1
+      }
+      idx(best) += 1
+      remaining -= 1
+      if (bestV != last) { out += bestV; last = bestV }
+    }
+    out.result()
+  }
+
+  private def settle(t0: Long): Long = {
+    var target = alignFrom(t0)
+    while (target != DocScorer.NO_MORE) {
+      val pos = new Array[Array[Int]](clauses.length)
+      var k = 0
+      while (k < clauses.length) { pos(k) = mergedPositions(k, target); k += 1 }
+      val f =
+        if (inOrder) PhraseFreq.spanNearOrdered(pos, slop)
+        else PhraseFreq.spanNearUnordered(pos, slop)
+      if (f > 0f) {
+        freqV = f
+        normB = clauses(0).find(_.doc == target).get.norm
+        doc = target
+        return doc
+      }
+      target = alignFrom(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = clauses.map(_.map(_.cost).sum).min
+  def maxScore: Float = w
+}
+
 final class SpanNearScorer(its: Array[PostingsIterator], slop: Int,
     inOrder: Boolean, w: Float, cache: Array[Float]) extends DocScorer {
   require(its.length >= 2)

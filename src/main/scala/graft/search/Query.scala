@@ -131,6 +131,20 @@ final case class SpanOrQ(terms: Seq[String]) extends Query
 final case class SpanNotQ(include: String, exclude: String,
     pre: Int = 0, post: Int = 0) extends Query
 
+/** Span-near whose clauses may be SpanOr unions of terms — the
+  * reference's composed form `SpanNearQuery(new SpanQuery[]{or(a,b),
+  * term(c)}, slop, inOrder)` (`search/spans/SpanNearQuery.java:41`
+  * nesting `SpanOrQuery.java:36`). Clause i's spans in a doc are the
+  * UNION of its member terms' width-0 occurrences; doc match =
+  * conjunction over clauses; freq = the same ordered/unordered near
+  * enumeration as SpanNearQ over the merged per-clause position
+  * arrays. Weight = float idf fold over sorted DISTINCT PRESENT terms
+  * across all clauses (SpanWeight collects extracted terms into a
+  * TreeSet; a df=0 term carries no stats and folds as +0).
+  */
+final case class SpanNearOrQ(clauses: Seq[Seq[String]], slop: Int,
+    inOrder: Boolean = true) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -204,6 +218,17 @@ object Query {
     // 1-clause span: every position is a width-0 span → freq = tf,
     // idf identical → rank-identical to the plain TermQuery
     case SpanNearQ(ts, _, _) if ts.size == 1 => TermQ(ts.head)
+    // nested span-near: empty clause list or an empty union clause can
+    // never match; duplicate members within a clause are one span stream
+    case SpanNearOrQ(cs, _, _) if cs.isEmpty || cs.exists(_.isEmpty) =>
+      MatchNoneQ
+    case SpanNearOrQ(cs, s, io) if cs.exists(c => c.distinct != c) =>
+      SpanNearOrQ(cs.map(_.distinct), s, io)
+    // all-singleton clauses: plain term-clause span-near
+    case SpanNearOrQ(cs, s, io) if cs.forall(_.size == 1) =>
+      SpanNearQ(cs.map(_.head), s, io)
+    // one clause: the near of a single union is the union itself
+    case SpanNearOrQ(cs, _, _) if cs.size == 1 => SpanOrQ(cs.head)
     case MultiPhraseQ(ps, _) if ps.isEmpty || ps.exists(_.isEmpty) => MatchNoneQ
     case MultiPhraseQ(ps, s) if ps.forall(_.size == 1) =>
       PhraseQ(ps.map(_.head), s)
@@ -239,6 +264,7 @@ object Query {
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(ps, _) => ps.flatten.toSet
     case SpanNearQ(ts, _, _) => ts.toSet
+    case SpanNearOrQ(cs, _, _) => cs.flatten.toSet
     case SpanFirstQ(t, _) => Set(t)
     case SpanOrQ(ts) => ts.toSet
     // both terms' postings are read (the exclude list drives the window

@@ -231,6 +231,8 @@ object SegmentSearcher {
       multiPhraseScorer(ps, slop, shard, blobs, plan, boost)
     case SpanNearQ(terms, slop, inOrder) =>
       spanNearScorer(terms, slop, inOrder, shard, blobs, plan, boost)
+    case SpanNearOrQ(cs, slop, inOrder) =>
+      spanNearOrScorer(cs, slop, inOrder, shard, blobs, plan, boost)
     case SpanFirstQ(t, e) => spanFirstScorer(t, e, shard, blobs, plan, boost)
     case SpanOrQ(ts) => spanOrScorer(ts, shard, blobs, plan, boost)
     case SpanNotQ(i, e, pre, post) =>
@@ -389,6 +391,40 @@ object SegmentSearcher {
     if (shard >= 0 && !restricted)
       new ModFilterScorer(ms, shard, plan.numShards)
     else ms
+  }
+
+  /** Span-near with SpanOr union clauses (`spans/SpanNearQuery.java:41`
+    * nesting `SpanOrQuery.java:36`): per-clause union of member
+    * postings, conjunction across clauses, near enumeration over merged
+    * positions. Weight = float idf fold over sorted DISTINCT PRESENT
+    * terms across ALL clauses (SpanWeight's TreeSet of extracted terms;
+    * a df=0 member folds as +0 — bit-identical to skipping it).
+    */
+  private def spanNearOrScorer(cs: Seq[Seq[String]], slop: Int,
+      inOrder: Boolean, shard: Int, blobs: Map[String, SegRow],
+      plan: Plan, boost: Float): DocScorer = {
+    val clauseRows: Seq[Seq[SegRow]] = cs.map(_.distinct.flatMap(blobs.get))
+    // a clause whose every member is absent can never match
+    if (clauseRows.exists(_.isEmpty)) return EmptyScorer
+    var idfSum = 0f
+    cs.flatten.distinct.sorted.foreach { t =>
+      if (plan.weights.contains(t))
+        idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    }
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val members = clauseRows.map(_.map(r =>
+      PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)).toArray).toArray
+    if (members.exists(_.exists(!_.hasPositions)))
+      sys.error("span-near requires an index built with positions " +
+        "(BuildConfig.positions = true)")
+    val ss = new SpanNearOrScorer(members, slop, inOrder, w, plan.cache)
+    // restricted to this shard only if SOME clause's members are ALL
+    // salted (that union then holds only this shard's docs); otherwise
+    // cold members could match the same doc in several shards
+    val restricted = clauseRows.exists(_.forall(_.salt >= 0))
+    if (shard >= 0 && !restricted)
+      new ModFilterScorer(ss, shard, plan.numShards)
+    else ss
   }
 
   /** Exact/sloppy phrase over the positions sidecar: conjunction +

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.index.PostingsCodec
 import graft.search.PhraseFreq
-import graft.search.{BM25, DataFrameSearcher, Searcher, SegmentSearcher, SpanFirstQ, SpanNearQ, SpanNotQ, SpanOrQ}
+import graft.search.{BM25, DataFrameSearcher, Searcher, SegmentSearcher, SpanFirstQ, SpanNearOrQ, SpanNearQ, SpanNotQ, SpanOrQ}
 
 /** Positions codec round-trip + phrase-frequency semantics vs brute force.
   * Sloppy expectations follow the reference's greedy sweep
@@ -522,7 +522,13 @@ class PhraseSpec extends AnyFunSuite {
         SpanNearQ(Seq("def", "val"), 3, inOrder = false),
         SpanNearQ(Seq("index", "merge", "segment"), 20),
         SpanNearQ(Seq("index", "merge", "segment"), 20, inOrder = false),
-        SpanNearQ(Seq("def", "def"), 2))) {
+        SpanNearQ(Seq("def", "def"), 2),
+        // nested: SpanOr union subclauses inside the near
+        SpanNearOrQ(Seq(Seq("def", "merge"), Seq("val")), 4),
+        SpanNearOrQ(Seq(Seq("def", "merge"), Seq("val", "index")), 6,
+          inOrder = false),
+        SpanNearOrQ(Seq(Seq("index", "segment"), Seq("merge"),
+          Seq("def", "val")), 20))) {
       val a = seg.search(q, 10).toSeq.map(h => (h.docId, h.score))
       val b = DataFrameSearcher.search(ix, q, 10).collect().toSeq
         .map(r => (r.getLong(0), r.getDouble(1)))
@@ -604,6 +610,44 @@ class PhraseSpec extends AnyFunSuite {
     val gotTerm = seg.search(graft.search.TermQ("def"), 10).toSeq
       .map(h => (h.docId, h.score))
     assert(gotNoExc === gotTerm)
+
+    // nested span-near (or-union clauses): independent chain-of-minimums
+    // recompute per start position — NOT the engine's pointer loop
+    def nearOrFreq(tk: Array[String], cls: Seq[Seq[String]],
+        slop: Int): Float = {
+      val pos = cls.map(c => tk.indices.filter(i => c.contains(tk(i))).toArray)
+      if (pos.exists(_.isEmpty)) 0f
+      else {
+        var freq = 0.0
+        for (p0 <- pos.head) {
+          var prev = p0; var ok = true; var width = 0
+          for (k <- 1 until cls.size if ok) {
+            pos(k).find(_ >= prev + 1) match {
+              case Some(p) => width += p - prev - 1; prev = p
+              case None => ok = false
+            }
+          }
+          if (ok && width <= slop) freq += 1.0 / (1 + width)
+        }
+        freq.toFloat
+      }
+    }
+    val nestedCls = Seq(Seq("def", "merge"), Seq("val"))
+    val gotNested = seg.search(SpanNearOrQ(nestedCls, 3), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val expNested = expect(tk => nearOrFreq(tk, nestedCls, 3),
+      w(Seq("def", "merge", "val")))
+    assert(gotNested.nonEmpty && gotNested === expNested)
+
+    // an ABSENT union member folds as +0 in the weight: identical output
+    // to the query without it (and to the all-singleton SpanNearQ form)
+    val gotAbsent = seg.search(
+      SpanNearOrQ(Seq(Seq("def", "zzznotaterm"), Seq("val")), 3), 10).toSeq
+      .map(h => (h.docId, h.score))
+    val gotPlainNear = seg.search(
+      SpanNearQ(Seq("def", "val"), 3), 10).toSeq
+      .map(h => (h.docId, h.score))
+    assert(gotAbsent === gotPlainNear)
 
     ix.unpersistCached()
     ix.postings.unpersist()
