@@ -935,6 +935,58 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  /** Classic MUST+SHOULD composite (`BooleanTopLevelScorers.java:91-181`
+    * ReqSingleOpt/ReqMultiOpt/CoordinatingConjunction): reqScore =
+    * (float)Σdouble of must clauses, opt = (float)Σdouble of MATCHED
+    * optionals, score = (req +float opt) × coords[m + matched]; coord
+    * factors are inlined as exact float literals (i/(float)maxCoord —
+    * maxCoord counts absent clauses too). msm > 0 requires ≥ msm matched
+    * optionals per doc (`BooleanWeight.java:415-424`).
+    */
+  def classicMustShould(must: Seq[String], should: Seq[String], msm: Int,
+      k: Int): String = {
+    val terms = must ++ should
+    val (dfCtes, values) = classicValues(terms)
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).zip(values).map { case ((n, t), v) =>
+      classicTermCtes(n, t, v)
+    }.mkString
+    val mNames = names.take(must.size)
+    val sNames = names.drop(must.size)
+    val maxCoord = terms.size
+    // exact float literal for i/(float)maxCoord — sidesteps any REAL/REAL
+    // division-promotion ambiguity in the SQL engine
+    def cf(i: Int): String =
+      R((i.toFloat / maxCoord.toFloat).toDouble.toString)
+    val joins = mNames.tail.map(n => s"JOIN sc_$n USING (doc_id)").mkString(" ")
+    val reqSum =
+      if (must.size == 1) s"sc_${mNames.head}.s"
+      else R(mNames.map(n => s"CAST(sc_$n.s AS DOUBLE)").mkString(" + "))
+    val union = sNames.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    val coordCase = "CASE o.cnt " +
+      (1 to should.size).map(c => s"WHEN $c THEN ${cf(must.size + c)}")
+        .mkString(" ") + " END"
+    val scored =
+      if (msm > 0)
+        s"""SELECT r.doc_id, ${R(s"${R("r.rs + o.os")} * ($coordCase)")} AS s
+  FROM req r JOIN opt o ON r.doc_id = o.doc_id WHERE o.cnt >= $msm"""
+      else
+        s"""SELECT r.doc_id,
+    CASE WHEN o.doc_id IS NULL THEN ${R(s"r.rs * ${cf(must.size)}")}
+         ELSE ${R(s"${R("r.rs + o.os")} * ($coordCase)")} END AS s
+  FROM req r LEFT JOIN opt o ON r.doc_id = o.doc_id"""
+    classicPrologue + dfCtes + ctes +
+      s""", req AS (
+  SELECT doc_id, $reqSum AS rs FROM sc_${mNames.head} $joins
+), opt AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS os, count(*) AS cnt
+  FROM ($union) GROUP BY doc_id
+), res AS (
+  $scored
+)""" + finish("res", k)
+  }
+
   def classicAnd(terms: Seq[String], k: Int): String = {
     val (dfCtes, values) = classicValues(terms)
     val names = terms.indices.map(i => s"t$i")

@@ -200,6 +200,14 @@ object SearchGate {
     "q_classic_term" -> segClassic(TermQ("spark")),
     "q_classic_or2" -> segClassic(Query.or(TermQ("dup"), TermQ("vector"))),
     "q_classic_and2" -> segClassic(Query.and(TermQ("dup"), TermQ("batch"))),
+    // MUST+SHOULD composite coord (ReqMultiOptScorer): per-doc matched-
+    // optional count drives coords[m + matched] over maxCoord = 3
+    "q_classic_must_should" -> segClassic(BoolQ(must = Seq(TermQ("spark")),
+      should = Seq(TermQ("dup"), TermQ("vector")))),
+    // minShouldMatch makes the optionals required too
+    // (CoordinatingConjunctionScorer)
+    "q_classic_msm" -> segClassic(BoolQ(must = Seq(TermQ("batch")),
+      should = Seq(TermQ("dup"), TermQ("vector")), minShouldMatch = 1)),
     // LMDirichlet (language-model) similarity, mu=2000 — WAND stays on
     "q_lm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMDirichlet),
     "q_lm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
@@ -359,6 +367,10 @@ object SearchGate {
     "q_classic_term" -> Oracles.classicTerm("spark", K),
     "q_classic_or2" -> Oracles.classicOr(Seq("dup", "vector"), K),
     "q_classic_and2" -> Oracles.classicAnd(Seq("dup", "batch"), K),
+    "q_classic_must_should" ->
+      Oracles.classicMustShould(Seq("spark"), Seq("dup", "vector"), 0, K),
+    "q_classic_msm" ->
+      Oracles.classicMustShould(Seq("batch"), Seq("dup", "vector"), 1, K),
     "q_lm_term" -> Oracles.lmTerm("spark", K),
     "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),

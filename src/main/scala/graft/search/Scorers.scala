@@ -112,9 +112,12 @@ object EmptyScorer extends DocScorer {
 }
 
 /** Leapfrog intersection, cheapest-first lead (`ConjunctionDISI.java:
-  * 38,193-240`); score = float cast of double sum (ConjunctionScorer).
+  * 38,193-240`); score = coord × float cast of double sum
+  * (`ConjunctionScorer.java:61-67`). coord = 1 (the multiplicative
+  * identity, bit-exact no-op) except under a coord'ing similarity.
   */
-final class ConjunctionScorer(scorers: Array[DocScorer]) extends DocScorer {
+final class ConjunctionScorer(scorers: Array[DocScorer],
+    coord: Float = 1f) extends DocScorer {
   require(scorers.nonEmpty)
   private val sorted = scorers.sortBy(_.cost)
   var doc: Long = -1L
@@ -149,13 +152,13 @@ final class ConjunctionScorer(scorers: Array[DocScorer]) extends DocScorer {
     var s = 0d
     var i = 0
     while (i < sorted.length) { s += sorted(i).score; i += 1 }
-    s.toFloat
+    coord * s.toFloat
   }
   def cost: Long = sorted(0).cost
   lazy val maxScore: Float = {
     var s = 0d
     scorers.foreach(s += _.maxScore)
-    s.toFloat
+    coord * s.toFloat
   }
 }
 
@@ -169,6 +172,13 @@ final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1,
   require(scorers.nonEmpty)
   var doc: Long = -1L
   private var curScore = 0f
+  private var curCnt = 0
+
+  /** Matching sub-scorers on the current doc — DisjunctionScorer.freq()
+    * (`DisjunctionSumScorer.java:41-44`), read by the composite coord
+    * scorers.
+    */
+  def matchCount: Int = curCnt
 
   private def settle(): Long = {
     while (true) {
@@ -179,7 +189,7 @@ final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1,
         if (d > doc && d < min) min = d
         i += 1
       }
-      if (min == DocScorer.NO_MORE) { doc = min; curScore = 0f; return doc }
+      if (min == DocScorer.NO_MORE) { doc = min; curScore = 0f; curCnt = 0; return doc }
       var cnt = 0
       var s = 0d
       i = 0
@@ -192,6 +202,7 @@ final class DisjunctionScorer(scorers: Array[DocScorer], msm: Int = 1,
         // Classic coord: (float)sum × coords[overlap]
         // (`DisjunctionSumScorer.java:39-47`); coords == null for BM25
         curScore = if (coords == null) s.toFloat else s.toFloat * coords(cnt)
+        curCnt = cnt
         return doc
       }
       // advance the clauses stuck at min past it, try next candidate
@@ -263,6 +274,73 @@ final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
   def score: Float = req.score
   def cost: Long = req.cost
   def maxScore: Float = req.maxScore
+}
+
+/** MUST clauses + ONE present SHOULD under a coord'ing similarity
+  * (`BooleanTopLevelScorers.java:115-146` ReqSingleOptScorer): matches
+  * like the required side; score = (req + opt) × coordBoth when the
+  * optional matches, req × coordReq when it doesn't. Float adds and
+  * multiplies, exactly as the reference.
+  */
+final class ReqSingleOptScorer(req: DocScorer, opt: DocScorer,
+    coordReq: Float, coordBoth: Float) extends DocScorer {
+  def doc: Long = req.doc
+  def nextDoc(): Long = req.nextDoc()
+  def advance(target: Long): Long = req.advance(target)
+  def score: Float = {
+    val r = req.score
+    if (opt.doc < req.doc) opt.advance(req.doc)
+    if (opt.doc == req.doc) (r + opt.score) * coordBoth
+    else r * coordReq
+  }
+  def cost: Long = req.cost
+  def maxScore: Float = math.max(
+    ((req.maxScore.toDouble + opt.maxScore) * coordBoth).toFloat,
+    req.maxScore * coordReq)
+}
+
+/** MUST clauses + 2+ present SHOULDs under a coord'ing similarity
+  * (`BooleanTopLevelScorers.java:152-181` ReqMultiOptScorer): score =
+  * (req +float opt) × coords[reqCount + matched-optional-count] when the
+  * optional side matches, req × coords[reqCount] otherwise. The optional
+  * disjunction carries IDENTITY coords (coords == null here) — the
+  * composite owns the coord (`BooleanWeight.java:444-447`).
+  */
+final class ReqMultiOptScorer(req: DocScorer, opt: DisjunctionScorer,
+    reqCount: Int, coords: Array[Float]) extends DocScorer {
+  def doc: Long = req.doc
+  def nextDoc(): Long = req.nextDoc()
+  def advance(target: Long): Long = req.advance(target)
+  def score: Float = {
+    var s = req.score
+    if (opt.doc < req.doc) opt.advance(req.doc)
+    if (opt.doc == req.doc) {
+      s += opt.score
+      s * coords(reqCount + opt.matchCount)
+    } else s * coords(reqCount)
+  }
+  def cost: Long = req.cost
+  def maxScore: Float =
+    ((req.maxScore.toDouble + opt.maxScore) * coords(coords.length - 1)).toFloat
+}
+
+/** MUST clauses + SHOULDs that are required too (minShouldMatch > 0)
+  * under a coord'ing similarity (`BooleanTopLevelScorers.java:91-109`
+  * CoordinatingConjunctionScorer): conjunction of the required side and
+  * the msm-disjunction; score = (req +float opt) ×
+  * coords[reqCount + matched-optional-count].
+  */
+final class CoordinatingConjunctionScorer(req: DocScorer,
+    opt: DisjunctionScorer, reqCount: Int, coords: Array[Float])
+    extends DocScorer {
+  private val conj = new ConjunctionScorer(Array(req, new ConstScorer(opt, 0f)))
+  def doc: Long = conj.doc
+  def nextDoc(): Long = conj.nextDoc()
+  def advance(target: Long): Long = conj.advance(target)
+  def score: Float = (req.score + opt.score) * coords(reqCount + opt.matchCount)
+  def cost: Long = conj.cost
+  def maxScore: Float =
+    ((req.maxScore.toDouble + opt.maxScore) * coords(coords.length - 1)).toFloat
 }
 
 /** Matches like `inner`, scores a constant

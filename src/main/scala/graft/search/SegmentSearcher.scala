@@ -542,8 +542,43 @@ object SegmentSearcher {
           if (i == 0) 0f else i.toFloat / should.size.toFloat)
       else null
 
+    // not enough present optional matchers for minShouldMatch: the query
+    // cannot match any doc (`BooleanWeight.java:415-424` returns null)
+    if (msm > 0 && shouldS.size < msm) return EmptyScorer
+
     var req: DocScorer =
-      if (must.nonEmpty) {
+      if (must.nonEmpty && plan.sim == SimClassic && should.nonEmpty) {
+        // conjunction-disjunction mix under a coord'ing similarity
+        // (`BooleanWeight.java:434-474`): required and optional pieces
+        // built coord-DISABLED, the composite owns the coord; maxCoord
+        // counts every scoring clause of the QUERY — absent terms too
+        val maxCoord = must.size + should.size
+        def cf(i: Int): Float =
+          if (i == 0) 0f else i.toFloat / maxCoord.toFloat
+        val conj = if (mustS.size == 1) mustS.head
+          else new ConjunctionScorer(mustS.toArray)
+        if (shouldS.isEmpty) {
+          // every optional absent at scorer time: the pure-conjunction
+          // branch — coord still divides by the full maxCoord
+          // (`BooleanWeight.java:434,505-513`)
+          if (mustS.size == 1) new BoostScorer(mustS.head, cf(1))
+          else new ConjunctionScorer(mustS.toArray, cf(must.size))
+        } else if (msm > 0) {
+          if (shouldS.size == 1)
+            new ConjunctionScorer(Array(conj, shouldS.head),
+              cf(must.size + 1))
+          else new CoordinatingConjunctionScorer(conj,
+            new DisjunctionScorer(shouldS.toArray, msm), must.size,
+            Array.tabulate(maxCoord + 1)(cf))
+        } else {
+          if (shouldS.size == 1)
+            new ReqSingleOptScorer(conj, shouldS.head,
+              cf(must.size), cf(must.size + 1))
+          else new ReqMultiOptScorer(conj,
+            new DisjunctionScorer(shouldS.toArray, 1), must.size,
+            Array.tabulate(maxCoord + 1)(cf))
+        }
+      } else if (must.nonEmpty) {
         val conj = if (mustS.size == 1) mustS.head
           else new ConjunctionScorer(mustS.toArray)
         if (shouldS.nonEmpty) {
@@ -814,10 +849,9 @@ final class Searcher(private[search] val spark: SparkSession,
   private def classicSupported(q: Query): Boolean = q match {
     case TermQ(_) | MatchAllQ | MatchNoneQ => true
     case BoolQ(mu, sh, mn, fl, _) =>
-      // coord for the MUST+SHOULD composite (CoordinatingConjunction /
-      // ReqMultiOpt) is not implemented — pure shapes only
-      (mu.isEmpty || sh.isEmpty) &&
-        (mu ++ sh ++ mn ++ fl).forall(classicSupported)
+      // incl. the MUST+SHOULD composite: ReqSingleOpt / ReqMultiOpt /
+      // CoordinatingConjunction coord scorers (BooleanWeight.java:434-474)
+      (mu ++ sh ++ mn ++ fl).forall(classicSupported)
     case _ => false
   }
 

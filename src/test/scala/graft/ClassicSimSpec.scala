@@ -68,6 +68,54 @@ class ClassicSimSpec extends AnyFunSuite {
     searcher.search(q, 10, None, true, SegmentSearcher.SimClassic)
       .map(h => (h.docId, h.score.toFloat)).toSeq
 
+  /** Independent pipeline for the MUST+SHOULD composite
+    * (`BooleanTopLevelScorers.java:91-181`): reqScore = (float)Σdouble of
+    * must clauses, opt = (float)Σdouble of MATCHED optionals, score =
+    * (req +float opt) × coords[mustCount + matchedOptionals]; coords
+    * over maxCoord = every scoring clause, absent terms included. With
+    * minShouldMatch: docs matching < msm present optionals don't match.
+    */
+  private def expectedBool(must: Seq[String], should: Seq[String],
+      msm: Int): Seq[(Long, Float)] = {
+    val n = docsToks.size.toLong
+    def df(t: String): Long = docsToks.count(_._2.contains(t)).toLong
+    def idf(t: String): Float =
+      (math.log((n + 1) / (df(t) + 1).toDouble) + 1.0).toFloat
+    var sumSq = 0f
+    (must ++ should).foreach { t => val qw = idf(t); sumSq += qw * qw }
+    var qn = (1.0 / math.sqrt(sumSq.toDouble)).toFloat
+    if (qn.isInfinite || qn.isNaN) qn = 1f
+    def value(t: String): Float = (qn * idf(t)) * idf(t)
+    def tscore(t: String, toks: Array[String]): Option[Float] = {
+      val tf = toks.count(_ == t)
+      if (tf == 0) None
+      else Some((math.sqrt(tf.toFloat.toDouble).toFloat * value(t)) *
+        Norms.decodedNorm(toks.length))
+    }
+    val presentShould = should.filter(df(_) > 0)
+    val maxCoord = must.size + should.size
+    def cf(i: Int): Float = if (i == 0) 0f else i.toFloat / maxCoord.toFloat
+    if (msm > 0 && presentShould.size < msm) return Nil
+    docsToks.toSeq.flatMap { case (id, toks) =>
+      val mustSubs = must.map(t => tscore(t, toks))
+      if (mustSubs.exists(_.isEmpty)) None
+      else {
+        val req: Float =
+          if (must.size == 1) mustSubs.head.get
+          else { var s = 0d; mustSubs.foreach(s += _.get); s.toFloat }
+        val shouldSubs = presentShould.flatMap(t => tscore(t, toks))
+        if (shouldSubs.size < msm) None
+        else if (shouldSubs.isEmpty) Some(id -> req * cf(must.size))
+        else {
+          val opt: Float =
+            if (shouldSubs.size == 1) shouldSubs.head
+            else { var s = 0d; shouldSubs.foreach(s += _); s.toFloat }
+          Some(id -> (req + opt) * cf(must.size + shouldSubs.size))
+        }
+      }
+    }.sortBy { case (id, s) => (-s.toDouble, id) }.take(10)
+  }
+
   test("classic term scores match an independent pipeline exactly") {
     assert(got(TermQ("def")) == expected(Seq("def"), "term"))
     assert(got(TermQ("index")) == expected(Seq("index"), "term"))
@@ -86,6 +134,38 @@ class ClassicSimSpec extends AnyFunSuite {
       expected(Seq("def", "merge"), "and"))
   }
 
+  test("classic MUST+SHOULD composite matches the independent pipeline") {
+    def bq(m: Seq[String], s: Seq[String], msm: Int = 0): Query =
+      BoolQ(must = m.map(TermQ), should = s.map(TermQ), minShouldMatch = msm)
+    // ReqSingleOptScorer: one optional
+    assert(got(bq(Seq("def"), Seq("merge"))) ==
+      expectedBool(Seq("def"), Seq("merge"), 0))
+    // ReqMultiOptScorer: 2+ optionals, per-doc matchCount drives coord
+    assert(got(bq(Seq("def"), Seq("merge", "index"))) ==
+      expectedBool(Seq("def"), Seq("merge", "index"), 0))
+    // multi-must conjunction under the composite
+    assert(got(bq(Seq("def", "index"), Seq("merge", "sort"))) ==
+      expectedBool(Seq("def", "index"), Seq("merge", "sort"), 0))
+    // ABSENT optional still counts in maxCoord (weight-time clause count)
+    assert(got(bq(Seq("def"), Seq("zzzznotaterm", "merge"))) ==
+      expectedBool(Seq("def"), Seq("zzzznotaterm", "merge"), 0))
+  }
+
+  test("classic MUST+SHOULD with minShouldMatch coordinates correctly") {
+    def bq(m: Seq[String], s: Seq[String], msm: Int): Query =
+      BoolQ(must = m.map(TermQ), should = s.map(TermQ), minShouldMatch = msm)
+    // CoordinatingConjunctionScorer: msm makes the optionals required
+    assert(got(bq(Seq("def"), Seq("merge", "index"), 1)) ==
+      expectedBool(Seq("def"), Seq("merge", "index"), 1))
+    assert(got(bq(Seq("def"), Seq("merge", "index"), 2)) ==
+      expectedBool(Seq("def"), Seq("merge", "index"), 2))
+    // single PRESENT optional + msm=1: plain conjunction with coord
+    assert(got(bq(Seq("def"), Seq("merge", "zzzznotaterm"), 1)) ==
+      expectedBool(Seq("def"), Seq("merge", "zzzznotaterm"), 1))
+    // msm exceeds the present optionals: the query matches nothing
+    assert(got(bq(Seq("def"), Seq("merge", "zzzznotaterm"), 2)).isEmpty)
+  }
+
   test("forced-distributed == driver-local for Classic and LMDirichlet") {
     // maxLocalBytes = 0 pushes every query onto the groupByKey shard
     // path; Plan.sim must survive serialization into executor closures
@@ -94,7 +174,11 @@ class ClassicSimSpec extends AnyFunSuite {
     try {
       for (sim <- Seq(SegmentSearcher.SimClassic, SegmentSearcher.SimLMDirichlet);
            q <- Seq[Query](TermQ("def"), Query.or(TermQ("def"), TermQ("merge")),
-             Query.and(TermQ("def"), TermQ("merge")))) {
+             Query.and(TermQ("def"), TermQ("merge")))
+             ++ (if (sim == SegmentSearcher.SimClassic)
+               Seq[Query](BoolQ(must = Seq(TermQ("def")),
+                 should = Seq(TermQ("merge"), TermQ("index"))))
+             else Nil)) {
         val local = searcher.search(q, 10, None, true, sim)
           .map(h => (h.docId, h.score)).toSeq
         val forced = dist.search(q, 10, None, true, sim)
