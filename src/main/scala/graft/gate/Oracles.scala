@@ -598,6 +598,140 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  // ---------- composed span trees (Spans interval algebra) ----------
+  //
+  // Shared scaffolding: 0-based positions + the chain-of-minimums span
+  // enumeration for an ordered near over term clauses (valid as an
+  // independent closed form because term-leaf emission keeps ends
+  // monotone, so the engine's forward pointers equal the independent
+  // per-first-position minimum — same law as spanNearOrdered).
+
+  private val spanPosx: String =
+    s""", posx AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+)"""
+
+  /** Per-clause position CTEs p0..pn-1 + the m1..mn-1 minimum chain;
+    * yields (ctes, widthExpr, lastQ) with column names q0..qn-1.
+    */
+  private def spanChain(terms: Seq[String]): (String, String, String) = {
+    val n = terms.size
+    val pCtes = terms.zipWithIndex.map { case (t, i) =>
+      s""", p$i AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(t)}
+)"""
+    }.mkString
+    val chain = (2 until n).map { i =>
+      val prevQs = (0 until i).map(j => s"q$j").mkString(", ")
+      s""", m$i AS (
+  SELECT m${i - 1}.doc_id, $prevQs, MIN(p$i.pos) AS q$i
+  FROM m${i - 1} JOIN p$i ON p$i.doc_id = m${i - 1}.doc_id AND p$i.pos >= q${i - 1} + 1
+  GROUP BY ALL
+)"""
+    }.mkString
+    val all = pCtes + s""", m1 AS (
+  SELECT p0.doc_id, p0.pos AS q0, MIN(p1.pos) AS q1
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos >= p0.pos + 1
+  GROUP BY ALL
+)""" + chain
+    val widthExpr = (1 until n).map(i => s"(q$i - q${i - 1} - 1)").mkString(" + ")
+    (all, widthExpr, s"q${n - 1}")
+  }
+
+  /** Guarded idf fold over sorted distinct terms (absent folds as +0,
+    * the engine's PRESENT-terms weight law) × (k1+1).
+    */
+  private def spanTreeWeight(terms: Seq[String]): String = {
+    val fold = terms.distinct.sorted.map { t =>
+      val df = s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"
+      s"CASE WHEN $df > 0 THEN ${idfExpr(df)} ELSE ${R("0")} END"
+    }.reduce((x, y) => R(s"$x + $y"))
+    R(s"$fold * ($K1 + ${R("1")})")
+  }
+
+  private def spanTreeScore(w: String): String =
+    R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
+
+  /** SpanFirst over an ordered SpanNear: near spans (chain-of-minimums)
+    * with end q_{n-1}+1 ≤ `endLimit` and width ≤ slop; freq =
+    * Σ 1/(1+width).
+    */
+  def spanTreeFirst(terms: Seq[String], slop: Int, endLimit: Int,
+      k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(terms)
+    val score = spanTreeScore(spanTreeWeight(terms))
+    prologue + spanPosx + chain +
+      s""", sp AS (
+  SELECT doc_id, $lastQ + 1 AS e, $widthExpr AS width FROM m${terms.size - 1}
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + width AS DOUBLE))")} AS freq
+  FROM sp WHERE width <= $slop AND e <= $endLimit GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** SpanNot with an ordered SpanNear include and a term exclude: a
+    * near span [q0, e) is vetoed when an exclude occurrence x satisfies
+    * x+1 > q0 − pre AND x < e + post (the reference's overlap window);
+    * weight from the include terms only.
+    */
+  def spanTreeNot(incTerms: Seq[String], slop: Int, exc: String, pre: Int,
+      post: Int, k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(incTerms)
+    val score = spanTreeScore(spanTreeWeight(incTerms))
+    prologue + spanPosx + chain +
+      s""", pexc AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(exc)}
+), sp AS (
+  SELECT doc_id, q0, $lastQ + 1 AS e, $widthExpr AS width
+  FROM m${incTerms.size - 1}
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + width AS DOUBLE))")} AS freq
+  FROM sp WHERE width <= $slop AND NOT EXISTS (
+    SELECT 1 FROM pexc x WHERE x.doc_id = sp.doc_id
+      AND x.pos + 1 > sp.q0 - $pre AND x.pos < sp.e + $post)
+  GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** Ordered SpanNear whose FIRST clause is itself an ordered SpanNear:
+    * inner spans (q0, e, width ≤ innerSlop) chain to the earliest
+    * `outer` occurrence ≥ e; the composite's width counts only the new
+    * gap (`NearSpansOrdered` sums gaps between consecutive subspans —
+    * the inner width is already spent meeting the inner slop).
+    */
+  def spanTreeNested(inner: Seq[String], innerSlop: Int, outer: String,
+      outerSlop: Int, k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(inner)
+    val score = spanTreeScore(spanTreeWeight(inner :+ outer))
+    prologue + spanPosx + chain +
+      s""", po AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(outer)}
+), sp_in AS (
+  SELECT doc_id, q0, $lastQ + 1 AS e FROM m${inner.size - 1}
+  WHERE $widthExpr <= $innerSlop
+), mo AS (
+  SELECT sp_in.doc_id, sp_in.q0, sp_in.e, MIN(po.pos) AS p
+  FROM sp_in JOIN po ON po.doc_id = sp_in.doc_id AND po.pos >= sp_in.e
+  GROUP BY ALL
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + (p - e) AS DOUBLE))")} AS freq
+  FROM mo WHERE (p - e) <= $outerSlop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
   /** SpanFirst: the term restricted to positions ending ≤ `end` (1-based
     * subscript pos has span end == pos), freq = count of qualifying
     * occurrences, BM25 with the term's full-df weight.

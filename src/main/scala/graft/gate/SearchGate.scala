@@ -229,6 +229,18 @@ object SearchGate {
     // absent member must fold as +0 in the weight on both sides
     "q_span_near_or" -> seg(SpanNearOrQ(
       Seq(Seq("order", "merge"), Seq("sort", "zzznosuchterm")), 5)),
+    // composed span trees (Spans interval algebra — arbitrary nesting):
+    // SpanFirst over a SpanNear subclause
+    "q_span_tree_first" -> seg(SpanQ(Span.First(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 4), 50))),
+    // SpanNot with a SpanNear include
+    "q_span_tree_not" -> seg(SpanQ(Span.Not(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 4),
+      Span.Term("merge"), 1, 2))),
+    // SpanNear nesting another SpanNear as its first clause
+    "q_span_tree_nested" -> seg(SpanQ(Span.Near(Seq(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 2),
+      Span.Term("merge")), 8))),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -380,6 +392,12 @@ object SearchGate {
     "q_span_near_or" -> Oracles.spanNearOrderedOr(
       Seq(Seq("order", "merge"), Seq("sort", "zzznosuchterm")), 5, K),
     "q_span_near3" -> Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 6, K),
+    "q_span_tree_first" ->
+      Oracles.spanTreeFirst(Seq("order", "sort"), 4, 50, K),
+    "q_span_tree_not" ->
+      Oracles.spanTreeNot(Seq("order", "sort"), 4, "merge", 1, 2, K),
+    "q_span_tree_nested" ->
+      Oracles.spanTreeNested(Seq("order", "sort"), 2, "merge", 8, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),

@@ -145,6 +145,96 @@ final case class SpanNotQ(include: String, exclude: String,
 final case class SpanNearOrQ(clauses: Seq[Seq[String]], slop: Int,
     inOrder: Boolean = true) extends Query
 
+/** Recursive span tree — the reference's fully composable spans package
+  * (`search/spans/`): every combinator takes SPAN subclauses, not just
+  * terms, so SpanNear can nest SpanNear/SpanOr/SpanNot/SpanFirst
+  * arbitrarily (`SpanNearQuery.java:41` takes `SpanQuery[]`). Each node
+  * yields per-doc (start, end, width) intervals; the root's intervals
+  * score as freq = Σ 1/(1+width) (the spans SimScorer slop factor over
+  * `Spans.width()`). The flat single-level forms (SpanNearQ/SpanOrQ/...)
+  * remain as dedicated scorers; SpansTreeSpec pins this evaluator to
+  * them bit-exactly on the shapes both can express.
+  */
+sealed trait Span extends Serializable
+object Span {
+  /** One term occurrence = the width-0 interval (p, p+1) (TermSpans). */
+  final case class Term(term: String) extends Span
+  /** All clauses within `slop` total gap, ordered (NearSpansOrdered
+    * monotone stretch) or unordered (min-advancing walk); emits
+    * (firstStart, lastEnd, Σgaps) resp. (minStart, maxEnd,
+    * maxEnd−minStart−Σlen).
+    */
+  final case class Near(clauses: Seq[Span], slop: Int,
+      inOrder: Boolean = true) extends Span
+  /** Union of subclause intervals in (start, end) order, duplicates
+    * kept (`SpanOrQuery.java:36`).
+    */
+  final case class Or(clauses: Seq[Span]) extends Span
+  /** Include intervals with no exclude interval overlapping
+    * [start−pre, end+post) (`SpanNotQuery.java:34-37`).
+    */
+  final case class Not(include: Span, exclude: Span, pre: Int = 0,
+      post: Int = 0) extends Span
+  /** Intervals ending at or before `end` (`SpanFirstQuery.java:30-40`). */
+  final case class First(inner: Span, end: Int) extends Span
+
+  /** Every term the tree reads postings for (exclude sides included). */
+  def allTerms(s: Span): Seq[String] = s match {
+    case Term(t) => Seq(t)
+    case Near(cs, _, _) => cs.flatMap(allTerms)
+    case Or(cs) => cs.flatMap(allTerms)
+    case Not(i, e, _, _) => allTerms(i) ++ allTerms(e)
+    case First(i, _) => allTerms(i)
+  }
+
+  /** Terms contributing to the weight — exclude sides do NOT
+    * (`SpanNotQuery` extracts terms from the include side only).
+    */
+  def scoringTerms(s: Span): Seq[String] = s match {
+    case Term(t) => Seq(t)
+    case Near(cs, _, _) => cs.flatMap(scoringTerms)
+    case Or(cs) => cs.flatMap(scoringTerms)
+    case Not(i, _, _, _) => scoringTerms(i)
+    case First(i, _) => scoringTerms(i)
+  }
+
+  /** Structural simplification: prune can-never-match nodes (None),
+    * collapse single-clause combinators — mirrors the flat rewrites
+    * (an empty Near clause list or a Near clause that can't match kills
+    * the conjunction; an Or drops dead members; an exclude that can't
+    * match is a no-op).
+    */
+  def simplify(s: Span): Option[Span] = s match {
+    case t: Term => Some(t)
+    case Near(cs, slop, io) =>
+      val ss = cs.map(simplify)
+      if (cs.isEmpty || ss.exists(_.isEmpty)) None
+      else if (ss.size == 1) ss.head
+      else Some(Near(ss.map(_.get), slop, io))
+    case Or(cs) =>
+      val ss = cs.flatMap(simplify)
+      if (ss.isEmpty) None
+      else if (ss.size == 1) Some(ss.head)
+      else Some(Or(ss))
+    case Not(i, e, pre, post) =>
+      simplify(i) match {
+        case None => None
+        case Some(si) => simplify(e) match {
+          // structurally identical exclude: every include interval
+          // overlaps itself (pre, post ≥ 0) — can never match
+          case Some(se) if se == si => None
+          case Some(se) => Some(Not(si, se, math.max(pre, 0), math.max(post, 0)))
+          case None => Some(si)
+        }
+      }
+    case First(i, end) =>
+      if (end <= 0) None else simplify(i).map(First(_, end))
+  }
+}
+
+/** Query node wrapping a composed [[Span]] tree. */
+final case class SpanQ(root: Span) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -232,6 +322,11 @@ object Query {
     case MultiPhraseQ(ps, _) if ps.isEmpty || ps.exists(_.isEmpty) => MatchNoneQ
     case MultiPhraseQ(ps, s) if ps.forall(_.size == 1) =>
       PhraseQ(ps.map(_.head), s)
+    // composed span tree: structural pruning; a dead root can't match
+    case SpanQ(root) => Span.simplify(root) match {
+      case None => MatchNoneQ
+      case Some(r) => SpanQ(r)
+    }
     case other => other
   }
 
@@ -270,6 +365,7 @@ object Query {
     // both terms' postings are read (the exclude list drives the window
     // veto), even though only the include term contributes weight
     case SpanNotQ(i, e, _, _) => Set(i, e)
+    case SpanQ(root) => Span.allTerms(root).toSet
     case _ => Set.empty
   }
 

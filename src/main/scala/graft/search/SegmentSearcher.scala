@@ -238,6 +238,7 @@ object SegmentSearcher {
     case SpanNotQ(i, e, pre, post) =>
       spanNotScorer(i, e, math.max(pre, 0), math.max(post, 0),
         shard, blobs, plan, boost)
+    case SpanQ(root) => spanTreeScorer(root, shard, blobs, plan, boost)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
   }
@@ -392,6 +393,30 @@ object SegmentSearcher {
       new ModFilterScorer(ms, shard, plan.numShards)
     else ms
   }
+
+  /** Composed span tree ([[Spans]] interval algebra — arbitrary nesting
+    * of Near/Or/Not/First over term leaves). Weight = float idf fold
+    * over sorted DISTINCT PRESENT scoring terms (SpanWeight's TreeSet;
+    * exclude sides read postings but contribute no weight) × (k1+1) ×
+    * boost — identical to every flat span scorer's law on the shapes
+    * both can express.
+    */
+  private def spanTreeScorer(root: Span, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer =
+    Spans.compile(root, blobs) match {
+      case None => EmptyScorer
+      case Some((c, incIts)) =>
+        var idfSum = 0f
+        Span.scoringTerms(root).distinct.sorted.foreach { t =>
+          if (blobs.contains(t) && plan.weights.contains(t))
+            idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+        }
+        val w = BM25.weightValue(idfSum, plan.params, boost)
+        val ss = new SpanTreeScorer(c, incIts, w, plan.cache)
+        if (shard >= 0 && !Spans.shardRestricted(root, blobs))
+          new ModFilterScorer(ss, shard, plan.numShards)
+        else ss
+    }
 
   /** Span-near with SpanOr union clauses (`spans/SpanNearQuery.java:41`
     * nesting `SpanOrQuery.java:36`): per-clause union of member

@@ -1,0 +1,345 @@
+package graft.search
+
+import graft.index.PostingsCodec
+import graft.index.PostingsCodec.PostingsIterator
+import graft.search.SegmentSearcher.SegRow
+
+/** Per-doc interval algebra for composed [[Span]] trees — the
+  * reference's spans package (`search/spans/Spans.java`,
+  * `NearSpansOrdered.java`, `NearSpansUnordered.java`,
+  * `SpanOrQuery.java`, `SpanNotQuery.java`, `SpanFirstQuery.java`)
+  * re-expressed over the positions sidecar. Every compiled node yields,
+  * for a candidate doc, its matching intervals as (start, end, width)
+  * triples in emission order; combinators consume subclause intervals
+  * forward-only exactly like the reference's streaming spans (matches a
+  * backward pointer would reach are skipped there too). The root's
+  * intervals score as freq = Σ 1/(1+width) with width clamped ≥ 0 at
+  * emission — the laws the flat single-level scorers already implement
+  * and the gate proves; SpansTreeSpec pins this evaluator to them.
+  */
+object Spans {
+
+  /** One matching interval: token span [start, end) with the slop width
+    * its emitting combinator measured (0 for term spans).
+    */
+  final case class Sp(start: Int, end: Int, width: Int)
+
+  private val NoSp = Array.empty[Sp]
+
+  /** Compiled node: doc-skeleton alignment + per-doc interval eval.
+    * `advanceDoc` returns the smallest doc ≥ target where the node's
+    * REQUIRED postings align (a necessary condition — positions may
+    * still fail); `eval` lazily advances subtree leaves to `doc` and
+    * returns the intervals there.
+    */
+  sealed trait CNode {
+    def advanceDoc(target: Long): Long
+    def eval(doc: Long): Array[Sp]
+    def cost: Long
+  }
+
+  private final class CTerm(it: PostingsIterator) extends CNode {
+    def advanceDoc(target: Long): Long = {
+      if (it.doc < target) it.advance(target)
+      it.doc
+    }
+    def eval(doc: Long): Array[Sp] = {
+      if (it.doc < doc) it.advance(doc)
+      if (it.doc != doc) NoSp
+      else {
+        val ps = it.positions()
+        val out = new Array[Sp](ps.length)
+        var i = 0
+        while (i < ps.length) { out(i) = Sp(ps(i), ps(i) + 1, 0); i += 1 }
+        out
+      }
+    }
+    def cost: Long = it.cost
+  }
+
+  /** Ordered near (`NearSpansOrdered.java`): per first-clause interval
+    * in order, stretch later clauses forward (pointers persist within
+    * the doc) until start_k ≥ end_{k−1}; width = Σ gaps; emit
+    * (firstStart, lastEnd, width) when width ≤ slop. A later clause
+    * exhausting ends the doc's enumeration (forward-only, as the
+    * reference).
+    */
+  private final class CNearOrdered(cls: Array[CNode], slop: Int)
+      extends CNode {
+    def advanceDoc(target0: Long): Long = conjunctionAlign(cls, target0)
+    def eval(doc: Long): Array[Sp] = {
+      val sub = evalAll(cls, doc)
+      if (sub == null) return NoSp
+      val idx = new Array[Int](cls.length)
+      val out = Array.newBuilder[Sp]
+      var exhausted = false
+      var i0 = 0
+      while (i0 < sub(0).length && !exhausted) {
+        var prevEnd = sub(0)(i0).end
+        var width = 0
+        var k = 1
+        var ok = true
+        while (k < cls.length && ok) {
+          val sk = sub(k)
+          while (idx(k) < sk.length && sk(idx(k)).start < prevEnd) idx(k) += 1
+          if (idx(k) >= sk.length) { ok = false; exhausted = true }
+          else {
+            width += sk(idx(k)).start - prevEnd
+            prevEnd = sk(idx(k)).end
+          }
+          k += 1
+        }
+        if (ok && width <= slop) out += Sp(sub(0)(i0).start, prevEnd, width)
+        i0 += 1
+      }
+      out.result()
+    }
+    def cost: Long = cls.map(_.cost).min
+  }
+
+  /** Unordered near (`NearSpansUnordered.java`): walk all clause
+    * interval lists by advancing the cell with the least (start, end,
+    * clause index); each state with width = maxEnd − minStart − Σlen ≤
+    * slop emits (minStart, maxEnd, max(width, 0)) — the same
+    * min-advancing law as the flat scorer, generalized from width-1
+    * term spans to intervals.
+    */
+  private final class CNearUnordered(cls: Array[CNode], slop: Int)
+      extends CNode {
+    def advanceDoc(target0: Long): Long = conjunctionAlign(cls, target0)
+    def eval(doc: Long): Array[Sp] = {
+      val sub = evalAll(cls, doc)
+      if (sub == null) return NoSp
+      val idx = new Array[Int](cls.length)
+      val out = Array.newBuilder[Sp]
+      var done = false
+      while (!done) {
+        var minK = 0
+        var minStart = Int.MaxValue
+        var minEnd = Int.MaxValue
+        var maxEnd = Int.MinValue
+        var totalLen = 0
+        var k = 0
+        while (k < cls.length) {
+          val sp = sub(k)(idx(k))
+          if (sp.start < minStart ||
+              (sp.start == minStart && sp.end < minEnd)) {
+            minStart = sp.start; minEnd = sp.end; minK = k
+          }
+          if (sp.end > maxEnd) maxEnd = sp.end
+          totalLen += sp.end - sp.start
+          k += 1
+        }
+        val width = maxEnd - minStart - totalLen
+        if (width <= slop) out += Sp(minStart, maxEnd, math.max(width, 0))
+        idx(minK) += 1
+        if (idx(minK) >= sub(minK).length) done = true
+      }
+      out.result()
+    }
+    def cost: Long = cls.map(_.cost).min
+  }
+
+  /** Union in (start, end) order, duplicates kept (`SpanOrQuery.java:36`
+    * — the by-position queue emits every member interval).
+    */
+  private final class COr(cls: Array[CNode]) extends CNode {
+    def advanceDoc(target: Long): Long = {
+      var min = DocScorer.NO_MORE
+      var k = 0
+      while (k < cls.length) {
+        val d = cls(k).advanceDoc(target)
+        if (d < min) min = d
+        k += 1
+      }
+      min
+    }
+    def eval(doc: Long): Array[Sp] = {
+      val sub = cls.map(_.eval(doc)).filter(_.nonEmpty)
+      if (sub.isEmpty) return NoSp
+      if (sub.length == 1) return sub(0)
+      val idx = new Array[Int](sub.length)
+      var remaining = 0
+      sub.foreach(remaining += _.length)
+      val out = new Array[Sp](remaining)
+      var o = 0
+      while (remaining > 0) {
+        var best = -1
+        var bs = Int.MaxValue
+        var be = Int.MaxValue
+        var i = 0
+        while (i < sub.length) {
+          if (idx(i) < sub(i).length) {
+            val sp = sub(i)(idx(i))
+            if (sp.start < bs || (sp.start == bs && sp.end < be)) {
+              bs = sp.start; be = sp.end; best = i
+            }
+          }
+          i += 1
+        }
+        out(o) = sub(best)(idx(best)); o += 1
+        idx(best) += 1
+        remaining -= 1
+      }
+      out
+    }
+    def cost: Long = cls.map(_.cost).sum
+  }
+
+  /** Include intervals with no exclude interval overlapping the
+    * [start−pre, end+post) window (`SpanNotQuery.java:34-37`); a
+    * None exclude (absent from the segment) vetoes nothing.
+    */
+  private final class CNot(inc: CNode, exc: Option[CNode], pre: Int,
+      post: Int) extends CNode {
+    def advanceDoc(target: Long): Long = inc.advanceDoc(target)
+    def eval(doc: Long): Array[Sp] = {
+      val is = inc.eval(doc)
+      if (is.isEmpty) return NoSp
+      val es = exc.map(_.eval(doc)).getOrElse(NoSp)
+      if (es.isEmpty) return is
+      is.filter(sp => !es.exists(e =>
+        e.end > sp.start - pre && e.start < sp.end + post))
+    }
+    def cost: Long = inc.cost
+  }
+
+  /** Intervals ending at or before `end` (`SpanFirstQuery.java:30-40`). */
+  private final class CFirst(inner: CNode, end: Int) extends CNode {
+    def advanceDoc(target: Long): Long = inner.advanceDoc(target)
+    def eval(doc: Long): Array[Sp] = inner.eval(doc).filter(_.end <= end)
+    def cost: Long = inner.cost
+  }
+
+  /** Conjunction doc alignment shared by both near forms. */
+  private def conjunctionAlign(cls: Array[CNode], target0: Long): Long = {
+    var target = target0
+    var agreed = false
+    while (!agreed && target != DocScorer.NO_MORE) {
+      agreed = true
+      var k = 0
+      while (k < cls.length && agreed) {
+        val d = cls(k).advanceDoc(target)
+        if (d > target) { target = d; agreed = false }
+        k += 1
+      }
+    }
+    target
+  }
+
+  /** All clause evals, or null when any clause has no interval at doc
+    * (the conjunction can't match there).
+    */
+  private def evalAll(cls: Array[CNode], doc: Long): Array[Array[Sp]] = {
+    val sub = new Array[Array[Sp]](cls.length)
+    var k = 0
+    while (k < cls.length) {
+      sub(k) = cls(k).eval(doc)
+      if (sub(k).isEmpty) return null
+      k += 1
+    }
+    sub
+  }
+
+  /** Compile a span tree against the segment's blobs. Returns the root
+    * node plus the include-side leaf iterators (norm lookup), or None
+    * when a required subtree has no present term (the tree can never
+    * match). Iterators are NOT shared across leaves — a term appearing
+    * twice gets two independently-positioned streams.
+    */
+  def compile(root: Span, blobs: Map[String, SegRow])
+      : Option[(CNode, Array[PostingsIterator])] = {
+    val incIts = Array.newBuilder[PostingsIterator]
+    def leaf(t: String, scoring: Boolean): Option[CNode] =
+      blobs.get(t).map { r =>
+        val it = PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)
+        if (!it.hasPositions)
+          sys.error("span queries require an index built with positions " +
+            "(BuildConfig.positions = true)")
+        if (scoring) incIts += it
+        new CTerm(it)
+      }
+    def go(s: Span, scoring: Boolean): Option[CNode] = s match {
+      case Span.Term(t) => leaf(t, scoring)
+      case Span.Near(cs, slop, inOrder) =>
+        val sub = cs.map(go(_, scoring))
+        if (cs.isEmpty || sub.exists(_.isEmpty)) None
+        else if (sub.size == 1) sub.head
+        else Some(
+          if (inOrder) new CNearOrdered(sub.map(_.get).toArray, slop)
+          else new CNearUnordered(sub.map(_.get).toArray, slop))
+      case Span.Or(cs) =>
+        val sub = cs.flatMap(go(_, scoring))
+        if (sub.isEmpty) None
+        else if (sub.size == 1) Some(sub.head)
+        else Some(new COr(sub.toArray))
+      case Span.Not(i, e, pre, post) =>
+        go(i, scoring).map(ci => new CNot(ci, go(e, scoring = false),
+          math.max(pre, 0), math.max(post, 0)))
+      case Span.First(i, end) =>
+        go(i, scoring).map(new CFirst(_, end))
+    }
+    go(root, scoring = true).map(c => (c, incIts.result()))
+  }
+
+  /** Whether the compiled tree's doc stream is already restricted to
+    * the current shard (some salted postings bound it) — generalizes
+    * the flat scorers' salt checks: a conjunction is restricted when
+    * ANY clause is, a union only when ALL members are.
+    */
+  def shardRestricted(root: Span, blobs: Map[String, SegRow]): Boolean = {
+    def go(s: Span): Boolean = s match {
+      case Span.Term(t) => blobs.get(t).exists(_.salt >= 0)
+      case Span.Near(cs, _, _) => cs.exists(go)
+      case Span.Or(cs) => cs.nonEmpty && {
+        // absent members contribute no docs — only present ones bound
+        val present = cs.filter(c =>
+          Span.allTerms(c).exists(blobs.contains))
+        present.nonEmpty && present.forall(go)
+      }
+      case Span.Not(i, _, _, _) => go(i)
+      case Span.First(i, _) => go(i)
+    }
+    go(root)
+  }
+}
+
+/** DocScorer over a compiled span tree: skeleton-align candidate docs,
+  * evaluate root intervals, freq = Σ 1/(1+width) in double rounded to
+  * float at the boundary (`SpanScorer.java setFreqCurrentDoc`), scored
+  * as one pseudo-term with the tree's fold weight.
+  */
+final class SpanTreeScorer(root: Spans.CNode,
+    incIts: Array[PostingsIterator], w: Float, cache: Array[Float])
+    extends DocScorer {
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def settle(t0: Long): Long = {
+    var target = root.advanceDoc(t0)
+    while (target != DocScorer.NO_MORE) {
+      val spans = root.eval(target)
+      if (spans.nonEmpty) {
+        var f = 0d
+        spans.foreach(sp => f += 1.0 / (1 + sp.width))
+        freqV = f.toFloat
+        var i = 0
+        while (incIts(i).doc != target) i += 1
+        normB = incIts(i).norm
+        doc = target
+        return doc
+      }
+      target = root.advanceDoc(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = root.cost
+  def maxScore: Float = w
+}
