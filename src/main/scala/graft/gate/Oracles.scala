@@ -1069,6 +1069,41 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  /** Classic disjunction with PER-CLAUSE boosts: sumSq folds
+    * ((idf²·b)·b) per clause in order (`BoostQuery`
+    * getValueForNormalization scales the subtree's sum), per-term
+    * value = ((qn·b)·idf)·idf (`normalize(queryNorm, topLevelBoost)`),
+    * coord unchanged. Boost factors inline as exact float literals.
+    */
+  def classicOrBoosted(clauses: Seq[(String, Float)], k: Int): String = {
+    val names = clauses.indices.map(i => s"t$i")
+    val dfCtes = names.zip(clauses).map { case (nm, (t, _)) =>
+      s""", df_$nm AS (
+  SELECT count(DISTINCT doc_id) AS df FROM tok WHERE term = ${lit(t)})"""
+    }.mkString
+    val idfs = names.map(nm => classicIdf(s"(SELECT df FROM df_$nm)"))
+    def bLit(b: Float): String = R(b.toDouble.toString)
+    val sumSq = names.zip(clauses).zip(idfs).map { case ((_, (_, b)), i) =>
+      if (b == 1f) R(s"$i * $i")
+      else R(s"${R(s"${R(s"$i * $i")} * ${bLit(b)}")} * ${bLit(b)}")
+    }.reduceLeft((acc, s) => R(s"$acc + $s"))
+    val qn = R(s"1.0 / sqrt(CAST($sumSq AS DOUBLE))")
+    val values = clauses.zip(idfs).map { case ((_, b), i) =>
+      R(s"${R(s"${R(s"$qn * ${bLit(b)}")} * $i")} * $i")
+    }
+    val ctes = names.zip(clauses).zip(values).map { case ((nm, (t, _)), v) =>
+      classicTermCtes(nm, t, v)
+    }.mkString
+    val union = names.map(nm => s"SELECT doc_id, s FROM sc_$nm")
+      .mkString(" UNION ALL ")
+    val coord = R(s"CAST(count(*) AS REAL) / ${R(clauses.size.toString)}")
+    classicPrologue + dfCtes + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R(s"${R("SUM(CAST(s AS DOUBLE))")} * $coord")} AS s
+  FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** Classic MUST+SHOULD composite (`BooleanTopLevelScorers.java:91-181`
     * ReqSingleOpt/ReqMultiOpt/CoordinatingConjunction): reqScore =
     * (float)Σdouble of must clauses, opt = (float)Σdouble of MATCHED

@@ -208,6 +208,9 @@ object SearchGate {
     // (CoordinatingConjunctionScorer)
     "q_classic_msm" -> segClassic(BoolQ(must = Seq(TermQ("batch")),
       should = Seq(TermQ("dup"), TermQ("vector")), minShouldMatch = 1)),
+    // boosted clause: sumSq scales (idf²·b)·b, value = ((qn·b)·idf)·idf
+    "q_classic_boost" -> segClassic(
+      Query.or(BoostQ(TermQ("dup"), 2f), TermQ("vector"))),
     // LMDirichlet (language-model) similarity, mu=2000 — WAND stays on
     "q_lm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMDirichlet),
     "q_lm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
@@ -383,6 +386,8 @@ object SearchGate {
       Oracles.classicMustShould(Seq("spark"), Seq("dup", "vector"), 0, K),
     "q_classic_msm" ->
       Oracles.classicMustShould(Seq("batch"), Seq("dup", "vector"), 1, K),
+    "q_classic_boost" ->
+      Oracles.classicOrBoosted(Seq("dup" -> 2f, "vector" -> 1f), K),
     "q_lm_term" -> Oracles.lmTerm("spark", K),
     "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),

@@ -371,15 +371,19 @@ object Query {
 
   /** Scoring term leaves in CLAUSE ORDER with accumulated boosts — the
     * order `BooleanWeight.getValueForNormalization` (BooleanWeight.java:
-    * 96-110) folds sum-of-squared-weights in. Filter and mustNot clauses
-    * are non-scoring; ConstantScore subtrees normalize independently.
+    * 96-110) folds sum-of-squared-weights in. Boosts accumulate
+    * TOP-DOWN ((outer × next) × …), the order `Weight.normalize`
+    * threads topLevelBoost through nested BoostQuery weights. Filter
+    * and mustNot clauses are non-scoring; ConstantScore subtrees
+    * normalize independently.
     */
-  def termLeavesInOrder(q: Query): Seq[(String, Float)] = q match {
-    case TermQ(t) => Seq((t, 1f))
-    case BoostQ(i, b) =>
-      termLeavesInOrder(i).map { case (t, f) => (t, f * b) }
-    case BoolQ(m, s, _, _, _) => (m ++ s).flatMap(termLeavesInOrder)
-    case DisMaxQ(cs, _) => cs.flatMap(termLeavesInOrder)
-    case _ => Nil
-  }
+  def termLeavesInOrder(q: Query, boost: Float = 1f): Seq[(String, Float)] =
+    q match {
+      case TermQ(t) => Seq((t, boost))
+      case BoostQ(i, b) => termLeavesInOrder(i, boost * b)
+      case BoolQ(m, s, _, _, _) =>
+        (m ++ s).flatMap(termLeavesInOrder(_, boost))
+      case DisMaxQ(cs, _) => cs.flatMap(termLeavesInOrder(_, boost))
+      case _ => Nil
+    }
 }

@@ -492,7 +492,11 @@ object SegmentSearcher {
     (blobs.get(t), plan.weights.get(t)) match {
       case (Some(row), Some(wi)) =>
         val it = PostingsCodec.iterator(row.docBlocks, row.skipData)
-        val w = if (boost == 1f) wi.weight else wi.weight * boost
+        // classic folds the accumulated boost INSIDE the weight value
+        // (queryNorm·boost·idf·idf association, mkClassicWeights) — the
+        // runtime multiplier must not re-apply it
+        val w = if (boost == 1f || plan.sim == SimClassic) wi.weight
+          else wi.weight * boost
         val ts = new TermScorer(it, w, plan.cache, plan.sim)
         // cold list inside a sharded query must be mod-filtered so union
         // semantics count each doc once across shards
@@ -825,29 +829,43 @@ final class Searcher(private[search] val spark: SparkSession,
   private def classicIdf(df: Long): Float =
     (math.log((m.docCount + 1) / (df + 1).toDouble) + 1.0).toFloat
 
-  /** Classic per-term value = queryNorm·idf·idf, replaying the
-    * createNormalizedWeight pipeline (`IndexSearcher.java:732-743`,
-    * `TFIDFSimilarity.java IDFStats.normalize:795-800`): sum of squared
-    * queryWeights folds in CLAUSE ORDER in float
-    * (`BooleanWeight.java:96-110`), queryNorm = (float)(1/sqrt(sum)),
-    * inf/NaN → 1. Boosts are rejected in classic mode (the engine applies
-    * boost after `value`, which differs from Lucene's
-    * queryNorm·boost·idf·idf association in the last ulp).
+  /** Classic per-term value = ((queryNorm·boost)·idf)·idf, replaying
+    * the createNormalizedWeight pipeline (`IndexSearcher.java:732-743`,
+    * `TFIDFSimilarity.java IDFStats.normalize:795-800`): the
+    * sum-of-squared-weights folds like the WEIGHT TREE — a term leaf
+    * contributes idf², a BoostQuery scales its subtree's sum
+    * (sum·b)·b (`BoostQuery` getValueForNormalization), a bool folds
+    * scoring children in clause order — all in float; queryNorm =
+    * (float)(1/sqrt(sum)), inf/NaN → 1; boost reaches the value through
+    * `normalize(queryNorm, topLevelBoost)` accumulated top-down. A term
+    * used with two DIFFERENT boosts would need two weights (the
+    * reference keys weights by clause; this engine by term) — rejected.
     */
   private def mkClassicWeights(q: Query,
       st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
-    val leaves = Query.termLeavesInOrder(q)
-    var v = 0f
-    leaves.foreach { case (t, boost) =>
-      require(boost == 1f, "classic similarity: boosts unsupported")
-      val qw = classicIdf(st.get(t).map(_._1).getOrElse(0L))
-      v += qw * qw
+    def idfOf(t: String): Float =
+      classicIdf(st.get(t).map(_._1).getOrElse(0L))
+    def vfn(q: Query): Float = q match {
+      case TermQ(t) => val i = idfOf(t); i * i
+      case BoostQ(i, b) => (vfn(i) * b) * b
+      case BoolQ(mu, sh, _, _, _) =>
+        var v = 0f
+        (mu ++ sh).foreach(c => v += vfn(c))
+        v
+      case _ => 0f
     }
-    var qn = (1.0 / math.sqrt(v.toDouble)).toFloat
+    var qn = (1.0 / math.sqrt(vfn(q).toDouble)).toFloat
     if (qn.isInfinite || qn.isNaN) qn = 1f
+    val boostByTerm = Query.termLeavesInOrder(q).groupBy(_._1).map {
+      case (t, bs) =>
+        require(bs.map(_._2).distinct.size == 1,
+          s"classic similarity: term '$t' used with multiple boosts")
+        t -> bs.head._2
+    }
     st.map { case (t, (df, _)) =>
       val idf = classicIdf(df)
-      t -> TermWeightInfo(t, df, ((qn * 1f) * idf) * idf, df >= m.saltThreshold)
+      val b = boostByTerm.getOrElse(t, 1f)
+      t -> TermWeightInfo(t, df, ((qn * b) * idf) * idf, df >= m.saltThreshold)
     }
   }
 
@@ -877,6 +895,9 @@ final class Searcher(private[search] val spark: SparkSession,
       // incl. the MUST+SHOULD composite: ReqSingleOpt / ReqMultiOpt /
       // CoordinatingConjunction coord scorers (BooleanWeight.java:434-474)
       (mu ++ sh ++ mn ++ fl).forall(classicSupported)
+    // boosts fold into the weight values (mkClassicWeights); LM still
+    // rejects them at weight construction
+    case BoostQ(i, _) => classicSupported(i)
     case _ => false
   }
 

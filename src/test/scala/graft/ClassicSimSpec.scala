@@ -166,6 +166,101 @@ class ClassicSimSpec extends AnyFunSuite {
     assert(got(bq(Seq("def"), Seq("merge", "zzzznotaterm"), 2)).isEmpty)
   }
 
+  test("classic boosted clauses: queryNorm·boost·idf·idf association") {
+    val n = docsToks.size.toLong
+    def df(t: String): Long = docsToks.count(_._2.contains(t)).toLong
+    def idf(t: String): Float =
+      (math.log((n + 1) / (df(t) + 1).toDouble) + 1.0).toFloat
+    def qnOf(v: Float): Float = {
+      val q = (1.0 / math.sqrt(v.toDouble)).toFloat
+      if (q.isInfinite || q.isNaN) 1f else q
+    }
+    def tsc(value: Float, t: String, toks: Array[String]): Option[Float] = {
+      val tf = toks.count(_ == t)
+      if (tf == 0) None
+      else Some((math.sqrt(tf.toFloat.toDouble).toFloat * value) *
+        Norms.decodedNorm(toks.length))
+    }
+    def top(rows: Seq[(Long, Float)]): Seq[(Long, Float)] =
+      rows.sortBy { case (id, s) => (-s.toDouble, id) }.take(10)
+
+    // boosted clause inside a disjunction: vfn = ((idf²·b)·b) + idf²,
+    // value_boosted = ((qn·b)·idf)·idf, coord unchanged
+    locally {
+      val iD = idf("def"); val iM = idf("merge")
+      var v = 0f
+      v += ((iD * iD) * 2f) * 2f
+      v += iM * iM
+      val qn = qnOf(v)
+      val valD = ((qn * 2f) * iD) * iD
+      val valM = ((qn * 1f) * iM) * iM
+      val exp = top(docsToks.toSeq.flatMap { case (id, toks) =>
+        val subs = Seq(tsc(valD, "def", toks), tsc(valM, "merge", toks)).flatten
+        if (subs.isEmpty) None
+        else {
+          var s = 0d; subs.foreach(s += _)
+          Some(id -> s.toFloat * (subs.size.toFloat / 2f))
+        }
+      })
+      assert(got(Query.or(BoostQ(TermQ("def"), 2f), TermQ("merge"))) == exp)
+    }
+
+    // top-level boost over a conjunction: the whole subtree's sum
+    // scales (sum·b)·b and every leaf's accumulated boost is b
+    locally {
+      val iD = idf("def"); val iM = idf("merge")
+      var inner = 0f
+      inner += iD * iD
+      inner += iM * iM
+      val qn = qnOf((inner * 0.5f) * 0.5f)
+      val valD = ((qn * 0.5f) * iD) * iD
+      val valM = ((qn * 0.5f) * iM) * iM
+      val exp = top(docsToks.toSeq.flatMap { case (id, toks) =>
+        (tsc(valD, "def", toks), tsc(valM, "merge", toks)) match {
+          case (Some(a), Some(b)) =>
+            var s = 0d; s += a; s += b
+            Some(id -> s.toFloat)
+          case _ => None
+        }
+      })
+      assert(got(BoostQ(Query.and(TermQ("def"), TermQ("merge")), 0.5f)) == exp)
+    }
+
+    // boosted SHOULD inside the MUST+SHOULD composite
+    locally {
+      val iD = idf("def"); val iM = idf("merge"); val iI = idf("index")
+      var v = 0f
+      v += iD * iD
+      v += ((iM * iM) * 3f) * 3f
+      v += iI * iI
+      val qn = qnOf(v)
+      val valD = ((qn * 1f) * iD) * iD
+      val valM = ((qn * 3f) * iM) * iM
+      val valI = ((qn * 1f) * iI) * iI
+      def cf(i: Int): Float = if (i == 0) 0f else i.toFloat / 3f
+      val exp = top(docsToks.toSeq.flatMap { case (id, toks) =>
+        tsc(valD, "def", toks).flatMap { req =>
+          val subs = Seq(tsc(valM, "merge", toks),
+            tsc(valI, "index", toks)).flatten
+          if (subs.isEmpty) Some(id -> req * cf(1))
+          else {
+            val opt = if (subs.size == 1) subs.head
+              else { var s = 0d; subs.foreach(s += _); s.toFloat }
+            Some(id -> (req + opt) * cf(1 + subs.size))
+          }
+        }
+      })
+      assert(got(BoolQ(must = Seq(TermQ("def")),
+        should = Seq(BoostQ(TermQ("merge"), 3f), TermQ("index")))) == exp)
+    }
+
+    // one term under two different boosts needs two weights — rejected
+    intercept[IllegalArgumentException] {
+      searcher.search(Query.or(BoostQ(TermQ("def"), 2f), TermQ("def")),
+        10, None, true, SegmentSearcher.SimClassic)
+    }
+  }
+
   test("forced-distributed == driver-local for Classic and LMDirichlet") {
     // maxLocalBytes = 0 pushes every query onto the groupByKey shard
     // path; Plan.sim must survive serialization into executor closures
