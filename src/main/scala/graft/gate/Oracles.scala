@@ -1170,6 +1170,68 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  // ---------- DFR GB2 similarity oracles ----------
+  //
+  // `DFRSimilarity.java:110-114` with BasicModelG + AfterEffectB +
+  // NormalizationH2 (c = 1), SimilarityBase norm handling:
+  //   avgdl  = (float)sumTokens / numDocs            [float division]
+  //   tfn    = (float)(tf · log2(1f + avgdl/docLen)) [inner ratio float]
+  //   λ      = (F)/(N+F) double, F = ttf+1
+  //   bm     = (float)(log2(λ+1) + tfn·log2((1+λ)/λ))
+  //   ae     = (F+1) / ((n)·(tfn+1)) floats, n = df+1
+  //   score  = (1f·bm)·ae
+  // log2(x) replayed as ln(x)/LOG_2 with Java's double constant.
+
+  private val DfrLn2 = "0.6931471805599453"
+
+  /** avgdl the SimilarityBase way (float-cast counts, float division) —
+    * distinct from av.avgdl (BM25's double-division-then-cast).
+    */
+  private val dfrAvfCte: String =
+    s""", avf AS (
+  SELECT ${R(s"${R("(SELECT count(*) FROM tok)")} / ${R("(SELECT count(*) FROM documents)")}")} AS a
+)"""
+
+  /** Per-term stats + per-doc DFR score CTEs (tf_<a>, sc_<a>). */
+  private def dfrScoreCtes(a: String, term: String): String = {
+    val ttf = s"(SELECT ttf FROM st_$a)"
+    val df = s"(SELECT df FROM st_$a)"
+    val lam = s"(CAST($ttf + 1 AS DOUBLE) / (CAST((SELECT n FROM av) AS DOUBLE) + CAST($ttf + 1 AS DOUBLE)))"
+    val g1 = s"(ln($lam + 1) / $DfrLn2)"
+    val g2 = s"(ln((1 + $lam) / $lam) / $DfrLn2)"
+    val inner = R(s"1 + ${R(s"(SELECT a FROM avf) / dn.qlen")}")
+    val tfn = R(s"CAST(t.tf AS DOUBLE) * (ln(CAST($inner AS DOUBLE)) / $DfrLn2)")
+    val bm = R(s"$g1 + CAST($tfn AS DOUBLE) * $g2")
+    val ae = R(s"${R(s"$ttf + 2")} / ${R(s"${R(s"$df + 1")} * ${R(s"$tfn + 1")}")}")
+    s""", st_$a AS (
+  SELECT count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM tok WHERE term = ${lit(term)}
+), tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(term)} GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id, ${R(s"$bm * $ae")} AS s
+  FROM tf_$a t JOIN dn ON t.doc_id = dn.doc_id
+)"""
+  }
+
+  def dfrTerm(term: String, k: Int): String =
+    prologue + dfrAvfCte + dfrScoreCtes("t0", term) +
+      finish("sc_t0", k)
+
+  /** DFR disjunction: plain (float)Σdouble of member scores — no coord,
+    * no queryNorm (SimilarityBase defaults).
+    */
+  def dfrOr(terms: Seq[String], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (a, t) => dfrScoreCtes(a, t) }.mkString
+    val union = names.map(a => s"SELECT doc_id, s FROM sc_$a")
+      .mkString(" UNION ALL ")
+    prologue + dfrAvfCte + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   // ---------- LMDirichlet similarity oracles ----------
   //
   // `LMDirichletSimilarity.java:59-64` with the default collection model

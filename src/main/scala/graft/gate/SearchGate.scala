@@ -211,6 +211,11 @@ object SearchGate {
     // boosted clause: sumSq scales (idf²·b)·b, value = ((qn·b)·idf)·idf
     "q_classic_boost" -> segClassic(
       Query.or(BoostQ(TermQ("dup"), 2f), TermQ("vector"))),
+    // DFR GB2 (geometric model, Bernoulli after-effect, H2 norm) — the
+    // non-monotone tf curve keeps WAND off
+    "q_dfr_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFR),
+    "q_dfr_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFR),
     // LMDirichlet (language-model) similarity, mu=2000 — WAND stays on
     "q_lm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMDirichlet),
     "q_lm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
@@ -388,6 +393,8 @@ object SearchGate {
       Oracles.classicMustShould(Seq("batch"), Seq("dup", "vector"), 1, K),
     "q_classic_boost" ->
       Oracles.classicOrBoosted(Seq("dup" -> 2f, "vector" -> 1f), K),
+    "q_dfr_term" -> Oracles.dfrTerm("spark", K),
+    "q_dfr_or2" -> Oracles.dfrOr(Seq("dup", "vector"), K),
     "q_lm_term" -> Oracles.lmTerm("spark", K),
     "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),

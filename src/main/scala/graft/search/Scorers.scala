@@ -111,6 +111,52 @@ object EmptyScorer extends DocScorer {
   def maxScore: Float = 0f
 }
 
+/** DFR GB2 term scorer (`DFRSimilarity.java:110-114` with BasicModelG,
+  * AfterEffectB, NormalizationH2, c = 1):
+  *
+  *   tfn    = (float)(tf · log2(1 + avgdl/docLen))   [H2, c·avg = avg]
+  *   λ      = F/(N+F), F = ttf+1 (double)            [G]
+  *   bm     = (float)(log2(λ+1) + tfn · log2((1+λ)/λ))
+  *   ae     = (F+1) / (n·(tfn+1)), n = df+1 (floats) [B]
+  *   score  = (boost · bm) · ae, boost = 1
+  *
+  * docLen = the SimilarityBase NORM_TABLE decode (quantized length).
+  * The λ log constants fold once per scorer; exact Java promotion
+  * order preserved (float inner ratio in tfn, double logs, float casts).
+  */
+final class DFRTermScorer(it: PostingsIterator, df: Long, ttf: Long,
+    numDocs: Long, avgdl: Float, cache: Array[Float]) extends DocScorer {
+  private val lambda: Double = {
+    val fD = (ttf + 1).toDouble
+    fD / (numDocs.toDouble + fD)
+  }
+  private val g1: Double = math.log(lambda + 1) / DFRTermScorer.Log2
+  private val g2: Double = math.log((1 + lambda) / lambda) / DFRTermScorer.Log2
+  private val fp1: Float = (ttf + 2L).toFloat // (F+1) promoted at the division
+  private val nf: Float = (df + 1L).toFloat
+
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def score: Float = {
+    val docLen = cache(it.norm & 0xff)
+    val tfn = (it.tf.toFloat.toDouble *
+      (math.log((1f + avgdl / docLen).toDouble) / DFRTermScorer.Log2)).toFloat
+    val bm = (g1 + tfn.toDouble * g2).toFloat
+    val ae = fp1 / (nf * (tfn + 1f))
+    (1f * bm) * ae
+  }
+  def cost: Long = it.cost
+  /** (g1+g2·t)·c/(t+1) with c = (F+1)/n is monotone in t (derivative
+    * sign = g2−g1), so sup = c·max(g1, g2); inflated 1% for float
+    * rounding — an upper bound only (WAND is off for DFR anyway).
+    */
+  lazy val maxScore: Float =
+    ((fp1 / nf).toDouble * math.max(g1, g2) * 1.01).toFloat
+}
+
+object DFRTermScorer { val Log2: Double = math.log(2) }
+
 /** Leapfrog intersection, cheapest-first lead (`ConjunctionDISI.java:
   * 38,193-240`); score = coord × float cast of double sum
   * (`ConjunctionScorer.java:61-67`). coord = 1 (the multiplicative

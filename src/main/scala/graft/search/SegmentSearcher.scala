@@ -43,14 +43,17 @@ object SegmentSearcher {
   final case class SegRow(term: String, salt: Int,
       docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte])
 
-  /** Per-term scoring constants, computed driver-side like TermWeight. */
+  /** Per-term scoring constants, computed driver-side like TermWeight.
+    * `ttf` (total term freq) rides along for similarities whose formula
+    * needs it beyond the single folded weight (DFR).
+    */
   final case class TermWeightInfo(term: String, df: Long, weight: Float,
-      salted: Boolean)
+      salted: Boolean, ttf: Long = 0L)
 
   final case class Plan(query: Query, k: Int, after: Option[(Double, Long)],
       weights: Map[String, TermWeightInfo], cache: Array[Float],
       numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
-      useWand: Boolean = true, sim: Int = 0)
+      useWand: Boolean = true, sim: Int = 0, avgdl: Float = 1f)
 
   /** Similarity selector: BM25 (default) or Lucene-6 Classic TF-IDF
     * (`similarities/ClassicSimilarity.java`; idf²·queryNorm weighting,
@@ -61,6 +64,12 @@ object SegmentSearcher {
   val SimBm25 = 0
   val SimClassic = 1
   val SimLMDirichlet = 2
+  /** DFR GB2 — divergence from randomness with the geometric basic
+    * model, Bernoulli after-effect, and H2 length normalization
+    * (`similarities/DFRSimilarity.java:110-114`, `BasicModelG.java:34-41`,
+    * `AfterEffectB.java:32-36`, `NormalizationH2.java:52-54`; c = 1).
+    */
+  val SimDFR = 3
 
   /** ClassicSimilarity NORM_TABLE: raw byte315 decode per norm byte. */
   lazy val classicNormTable: Array[Float] =
@@ -497,7 +506,11 @@ object SegmentSearcher {
         // runtime multiplier must not re-apply it
         val w = if (boost == 1f || plan.sim == SimClassic) wi.weight
           else wi.weight * boost
-        val ts = new TermScorer(it, w, plan.cache, plan.sim)
+        val ts: DocScorer =
+          if (plan.sim == SimDFR)
+            new DFRTermScorer(it, wi.df, wi.ttf, plan.maxDoc, plan.avgdl,
+              plan.cache)
+          else new TermScorer(it, w, plan.cache, plan.sim)
         // cold list inside a sharded query must be mod-filtered so union
         // semantics count each doc once across shards
         if (shard >= 0 && row.salt < 0)
@@ -886,6 +899,21 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** DFR per-term weights: df and ttf stored raw (the scorer computes
+    * the model terms itself — lambda/log2 constants fold there); boosts
+    * rejected (`SimilarityBase` threads boost through normalize(), a
+    * surface this engine doesn't model for DFR).
+    */
+  private def mkDFRWeights(q: Query,
+      st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
+    Query.termLeavesInOrder(q).foreach { case (_, boost) =>
+      require(boost == 1f, "DFR similarity: boosts unsupported")
+    }
+    st.map { case (t, (df, ttf)) =>
+      t -> TermWeightInfo(t, df, 0f, df >= m.saltThreshold, ttf)
+    }
+  }
+
   /** Query shapes Classic supports: term/bool trees (the phrase, dismax,
     * synonym and multi-term weight models here are BM25-specific).
     */
@@ -1107,21 +1135,29 @@ final class Searcher(private[search] val spark: SparkSession,
     val weights = sim match {
       case SegmentSearcher.SimClassic => mkClassicWeights(q, st)
       case SegmentSearcher.SimLMDirichlet => mkLMWeights(q, st)
+      case SegmentSearcher.SimDFR => mkDFRWeights(q, st)
       case _ => mkWeights(st)
     }
     val sharded = weights.values.exists(_.salted)
     val simCache = sim match {
       case SegmentSearcher.SimClassic => SegmentSearcher.classicNormTable
-      case SegmentSearcher.SimLMDirichlet => graft.core.Norms.NORM_TABLE
+      case SegmentSearcher.SimLMDirichlet | SegmentSearcher.SimDFR =>
+        graft.core.Norms.NORM_TABLE
       case _ => cache
     }
-    // WAND stays off under Classic only: its wandLeaves fast path would
-    // bypass the DisjunctionScorer, where coord is applied. LMDirichlet
-    // has no coord (SimilarityBase defaults) — its block bounds are valid
-    // and WAND stays on.
+    // WAND stays off under Classic (its wandLeaves fast path would bypass
+    // the DisjunctionScorer, where coord is applied) and DFR (the tf →
+    // score curve is non-monotone, so the block-max tf bounds don't bound
+    // the score). LMDirichlet has no coord and is tf-monotone — WAND on.
     val plan = Plan(q, k, after, weights, simCache,
       m.numDocShards, sharded, m.docCount, params,
-      useWand && sim != SegmentSearcher.SimClassic, sim)
+      useWand && sim != SegmentSearcher.SimClassic &&
+        sim != SegmentSearcher.SimDFR, sim,
+      // SimilarityBase avgFieldLength: FLOAT cast of the token count,
+      // then float division (`SimilarityBase.java:116-130`) — unlike
+      // BM25's double-division-then-cast
+      avgdl = if (m.sumTotalTermFreq <= 0) 1f
+        else m.sumTotalTermFreq.toFloat / m.docCount.toFloat)
 
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty

@@ -267,7 +267,8 @@ class ClassicSimSpec extends AnyFunSuite {
     val dist = new Searcher(spark, searcher.index, cacheSegments = false,
       maxLocalBytes = 0)
     try {
-      for (sim <- Seq(SegmentSearcher.SimClassic, SegmentSearcher.SimLMDirichlet);
+      for (sim <- Seq(SegmentSearcher.SimClassic, SegmentSearcher.SimLMDirichlet,
+             SegmentSearcher.SimDFR);
            q <- Seq[Query](TermQ("def"), Query.or(TermQ("def"), TermQ("merge")),
              Query.and(TermQ("def"), TermQ("merge")))
              ++ (if (sim == SegmentSearcher.SimClassic)
@@ -306,6 +307,59 @@ class ClassicSimSpec extends AnyFunSuite {
         .map(h => (h.docId, h.score.toFloat)).toSeq
     assert(gotLm("def") == exp("def"))
     assert(gotLm("index") == exp("index"))
+  }
+
+  test("dfr gb2 scores match an independent pipeline exactly") {
+    val n = docsToks.size.toLong
+    val sumTtf = docsToks.values.map(_.length.toLong).sum
+    // SimilarityBase avgFieldLength: float cast THEN float division
+    val avgdl = sumTtf.toFloat / n.toFloat
+    val ln2 = math.log(2)
+    def sub(t: String, toks: Array[String]): Option[Float] = {
+      val df = docsToks.count(_._2.contains(t)).toLong
+      val ttf = docsToks.values.map(_.count(_ == t).toLong).sum
+      val fD = (ttf + 1).toDouble
+      val lambda = fD / (n.toDouble + fD)
+      val g1 = math.log(lambda + 1) / ln2
+      val g2 = math.log((1 + lambda) / lambda) / ln2
+      val tf = toks.count(_ == t)
+      if (tf == 0) None
+      else {
+        val docLen = Norms.quantizedLength(toks.length)
+        val tfn = (tf.toFloat.toDouble *
+          (math.log((1f + avgdl / docLen).toDouble) / ln2)).toFloat
+        val bm = (g1 + tfn.toDouble * g2).toFloat
+        val ae = (ttf + 2L).toFloat / ((df + 1L).toFloat * (tfn + 1f))
+        Some((1f * bm) * ae)
+      }
+    }
+    def top(rows: Seq[(Long, Float)]): Seq[(Long, Float)] =
+      rows.sortBy { case (id, s) => (-s.toDouble, id) }.take(10)
+    def gotD(q: Query): Seq[(Long, Float)] =
+      searcher.search(q, 10, None, true, SegmentSearcher.SimDFR)
+        .map(h => (h.docId, h.score.toFloat)).toSeq
+    for (t <- Seq("def", "index")) {
+      val exp = top(docsToks.toSeq.flatMap { case (id, toks) =>
+        sub(t, toks).map(id -> _)
+      })
+      assert(gotD(TermQ(t)) == exp, s"term $t")
+    }
+    // disjunction: plain (float)Σdouble of member scores, no coord
+    val expOr = top(docsToks.toSeq.flatMap { case (id, toks) =>
+      val subs = Seq(sub("def", toks), sub("merge", toks)).flatten
+      if (subs.isEmpty) None
+      else { var s = 0d; subs.foreach(s += _); Some(id -> s.toFloat) }
+    })
+    assert(gotD(Query.or(TermQ("def"), TermQ("merge"))) == expOr)
+    // conjunction
+    val expAnd = top(docsToks.toSeq.flatMap { case (id, toks) =>
+      (sub("def", toks), sub("merge", toks)) match {
+        case (Some(a), Some(b)) =>
+          var s = 0d; s += a; s += b; Some(id -> s.toFloat)
+        case _ => None
+      }
+    })
+    assert(gotD(Query.and(TermQ("def"), TermQ("merge"))) == expAnd)
   }
 
   test("unsupported shapes are rejected loudly") {
