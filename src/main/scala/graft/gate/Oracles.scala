@@ -1272,6 +1272,119 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  // ---------- SimilarityBase family oracles (DFR combos, IB, LMJM) ----------
+  //
+  // Each kind replays SimilarityBase plumbing exactly like the GB2 oracle
+  // above: avgdl = float-cast counts with float division (avf), docLen =
+  // dn.qlen (byte315-quantized), per-op REAL casts for Java's float
+  // arithmetic, doubles only where Java promotes. Formula sources in the
+  // SimBaseTermScorer scaladoc (Scorers.scala).
+
+  /** BasicModelP.LOG2_E = 1/ln 2 (same double as DfrLn2's reciprocal). */
+  private val DfrLog2E = "1.4426950408889634"
+
+  /** Per-term stats + per-doc score CTEs (st_<a>, tf_<a>, sc_<a>) for a
+    * SimilarityBase kind (SegmentSearcher.SimDFRInL2..SimLMJM).
+    */
+  private def simBaseScoreCtes(kind: Int, a: String, term: String): String = {
+    import graft.search.SegmentSearcher._
+    val ttf = s"(SELECT ttf FROM st_$a)"
+    val df = s"(SELECT df FROM st_$a)"
+    val n = "(SELECT n FROM av)"
+    val avg = "(SELECT a FROM avf)"
+    val one = R("1.0")
+    // NormalizationH1 (c=1): ((tf·avg))/len, float ops
+    val tfnH1 = R(s"${R(s"CAST(t.tf AS REAL) * $avg")} / dn.qlen")
+    // NormalizationH2 (c=1): (float)(tf · log2(1f + avg/len))
+    val tfnH2 = {
+      val inner = R(s"$one + ${R(s"$avg / dn.qlen")}")
+      R(s"CAST(t.tf AS DOUBLE) * (ln(CAST($inner AS DOUBLE)) / $DfrLn2)")
+    }
+    val tfn = kind match {
+      case SimDFRIneB1 | SimIBLlL1 => tfnH1
+      case _ => tfnH2
+    }
+    // after-effects over tfn (float)
+    def aeL = R(s"$one / ${R(s"$tfn + $one")}")
+    def aeB = R(s"${R(s"$ttf + 2")} / ${R(s"${R(s"$df + 1")} * ${R(s"$tfn + 1")}")}")
+    val s = kind match {
+      case SimDFRInL2 => // I(n): tfn · (float)log2((N+1)/(n+0.5)), then ·L
+        val bm = R(s"$tfn * ${R(s"ln(CAST($n + 1 AS DOUBLE) / (CAST($df AS DOUBLE) + 0.5)) / $DfrLn2")}")
+        R(s"$bm * $aeL")
+      case SimDFRIneB1 => // I(ne): ne = N·(1−((N−1)/N)^F) in doubles, ·B
+        val ne = s"(CAST($n AS DOUBLE) * (1 - pow(CAST($n - 1 AS DOUBLE) / CAST($n AS DOUBLE), CAST($ttf AS DOUBLE))))"
+        val bm = R(s"$tfn * ${R(s"ln(CAST($n + 1 AS DOUBLE) / ($ne + 0.5)) / $DfrLn2")}")
+        R(s"$bm * $aeB")
+      case SimDFRPL2 => // P: λ=(float)(F+1)/(N+1); three double terms, ·L
+        val lam = R(s"CAST($ttf + 1 AS REAL) / CAST($n + 1 AS REAL)")
+        val t1 = s"CAST($tfn AS DOUBLE) * (ln(CAST(${R(s"$tfn / $lam")} AS DOUBLE)) / $DfrLn2)"
+        val t2 = s"CAST(${R(s"${R(s"$lam + ${R(s"$one / ${R(s"${R("12.0")} * $tfn")}")}")} - $tfn")} AS DOUBLE) * $DfrLog2E"
+        val t3 = s"0.5 * (ln(2 * pi() * CAST($tfn AS DOUBLE)) / $DfrLn2)"
+        val bm = R(s"$t1 + $t2 + $t3")
+        R(s"$bm * $aeL")
+      case SimIBSplD2 => // IB SPL-D2: λ_DF, SPL distribution
+        val lam0 = R(s"${R(s"CAST($df AS REAL) + $one")} / ${R(s"CAST($n AS REAL) + $one")}")
+        val lam = s"(CASE WHEN $lam0 = $one THEN ${R("0.99")} ELSE $lam0 END)"
+        val e = R(s"$tfn / ${R(s"$tfn + $one")}")
+        val num = s"(pow(CAST($lam AS DOUBLE), CAST($e AS DOUBLE)) - CAST($lam AS DOUBLE))"
+        val den = s"CAST(${R(s"$one - $lam")} AS DOUBLE)"
+        R(s"-ln($num / $den)")
+      case SimIBLlL1 => // IB LL-L1: λ_TTF, LL distribution
+        val lam = R(s"${R(s"CAST($ttf AS REAL) + $one")} / ${R(s"CAST($n AS REAL) + $one")}")
+        R(s"-ln(CAST(${R(s"$lam / ${R(s"$tfn + $lam")}")} AS DOUBLE))")
+      case SimDFIChi | SimDFISat | SimDFIStd =>
+        // DFI (`DFISimilarity.java:61-72`): e = (F+1)·len/(sumTTF+1)
+        // floats; observed ≤ e scores 0; else (float)log2(measure+1)
+        val total = "(SELECT count(*) FROM tok)"
+        val e = R(s"${R(s"CAST($ttf + 1 AS REAL) * dn.qlen")} / CAST($total + 1 AS REAL)")
+        val fr = "CAST(t.tf AS REAL)"
+        val meas = kind match {
+          case SimDFIChi => R(s"${R(s"${R(s"$fr - $e")} * ${R(s"$fr - $e")}")} / $e")
+          case SimDFISat => R(s"${R(s"$fr - $e")} / $e")
+          case _ => R(s"${R(s"$fr - $e")} / ${R(s"sqrt(CAST($e AS DOUBLE))")}")
+        }
+        s"(CASE WHEN $fr <= $e THEN ${R("0.0")} ELSE ${R(s"ln(CAST(${R(s"$meas + $one")} AS DOUBLE)) / $DfrLn2")} END)"
+      case SimLMJM => // (float)ln(1 + ((1−λ)·tf/len)/(λ·cp)), λ=0.1f
+        val lamF = R("0.1")
+        val fttf = R(s"CAST($ttf AS REAL) + $one")
+        val ftot = R(s"CAST((SELECT count(*) FROM tok) AS REAL) + $one")
+        val cp = R(s"$fttf / $ftot")
+        val den = R(s"$lamF * $cp")
+        val numer = R(s"${R(s"${R(s"$one - $lamF")} * CAST(t.tf AS REAL)")} / dn.qlen")
+        R(s"ln(CAST(${R(s"$one + ${R(s"$numer / $den")}")} AS DOUBLE))")
+      case k => sys.error(s"simBaseScoreCtes: unknown kind $k")
+    }
+    s""", st_$a AS (
+  SELECT count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM tok WHERE term = ${lit(term)}
+), tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(term)} GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id, $s AS s
+  FROM tf_$a t JOIN dn ON t.doc_id = dn.doc_id
+)"""
+  }
+
+  def simBaseTerm(kind: Int, term: String, k: Int): String =
+    prologue + dfrAvfCte + simBaseScoreCtes(kind, "t0", term) +
+      finish("sc_t0", k)
+
+  /** Disjunction: (float)Σdouble of member scores — SimilarityBase has
+    * no coord/queryNorm (`DisjunctionSumScorer.java:43-46`).
+    */
+  def simBaseOr(kind: Int, terms: Seq[String], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (a, t) =>
+      simBaseScoreCtes(kind, a, t)
+    }.mkString
+    val union = names.map(a => s"SELECT doc_id, s FROM sc_$a")
+      .mkString(" UNION ALL ")
+    prologue + dfrAvfCte + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** Fuzzy: const-score over docs with any term within `maxEdits`
     * Levenshtein edits of `t` (FuzzyQuery.java:53 semantics; DuckDB's
     * levenshtein == the engine's editDistance == plain Levenshtein).

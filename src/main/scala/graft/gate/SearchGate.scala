@@ -220,6 +220,34 @@ object SearchGate {
     "q_lm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMDirichlet),
     "q_lm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
       SegmentSearcher.SimLMDirichlet),
+    // Remaining DFR component combos on the SimilarityBase seam:
+    // I(n)L2 (inverse-document-frequency model, Laplace, H2),
+    // I(ne)B1 (expected-df model, Bernoulli, H1), PL2 (Poisson, Laplace,
+    // H2 — the classic DFR recommendation)
+    "q_dfr_inl2_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRInL2),
+    "q_dfr_inl2_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFRInL2),
+    "q_dfr_ineb1_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRIneB1),
+    "q_dfr_pl2_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRPL2),
+    "q_dfr_pl2_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFRPL2),
+    // Information-based similarities: SPL distribution with λ_DF + H2,
+    // log-logistic with λ_TTF + H1
+    "q_ib_spl_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBSplD2),
+    "q_ib_spl_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimIBSplD2),
+    "q_ib_ll_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBLlL1),
+    // LM Jelinek-Mercer (λ=0.1) — tf-monotone, WAND on
+    "q_lmjm_term" -> segSim(TermQ("spark"), SegmentSearcher.SimLMJM),
+    "q_lmjm_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimLMJM),
+    // Divergence from independence, three measures (χ², saturated,
+    // standardized); observed tf ≤ expected scores zero
+    "q_dfi_chi_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFIChi),
+    "q_dfi_chi_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFIChi),
+    "q_dfi_sat_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFISat),
+    "q_dfi_std_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFIStd),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -397,6 +425,34 @@ object SearchGate {
     "q_dfr_or2" -> Oracles.dfrOr(Seq("dup", "vector"), K),
     "q_lm_term" -> Oracles.lmTerm("spark", K),
     "q_lm_or2" -> Oracles.lmOr(Seq("dup", "vector"), K),
+    "q_dfr_inl2_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRInL2, "spark", K),
+    "q_dfr_inl2_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFRInL2, Seq("dup", "vector"), K),
+    "q_dfr_ineb1_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRIneB1, "spark", K),
+    "q_dfr_pl2_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRPL2, "spark", K),
+    "q_dfr_pl2_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFRPL2, Seq("dup", "vector"), K),
+    "q_ib_spl_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimIBSplD2, "spark", K),
+    "q_ib_spl_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimIBSplD2, Seq("dup", "vector"), K),
+    "q_ib_ll_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimIBLlL1, "spark", K),
+    "q_lmjm_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimLMJM, "spark", K),
+    "q_lmjm_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimLMJM, Seq("dup", "vector"), K),
+    "q_dfi_chi_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFIChi, "spark", K),
+    "q_dfi_chi_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFIChi, Seq("dup", "vector"), K),
+    "q_dfi_sat_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFISat, "spark", K),
+    "q_dfi_std_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFIStd, "spark", K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),

@@ -40,11 +40,14 @@ final class TermScorer(it: PostingsIterator, w: Float,
     * `LMDirichletSimilarity.java:59-64`): max(0, (float)(ln(1 +
     * freq/(μ·cp)) + ln(μ/(docLen+μ)))) — w = μ·cp (collection
     * probability precomputed), cache = the decoded-length table.
+    * sim 9 (LMJelinekMercer, the only other sim routed here — the
+    * DFR/IB kinds construct their own scorer classes): w = λ·cp.
     */
   def score: Float =
-    if (sim == 1) (math.sqrt(it.tf.toFloat.toDouble).toFloat * w) * cache(it.norm & 0xff)
+    if (sim == 0) BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
+    else if (sim == 1) (math.sqrt(it.tf.toFloat.toDouble).toFloat * w) * cache(it.norm & 0xff)
     else if (sim == 2) lmScore(it.tf.toFloat, cache(it.norm & 0xff))
-    else BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
+    else jmScore(it.tf.toFloat, cache(it.norm & 0xff))
 
   /** LMDirichlet score body: inner ratios in FLOAT (Java evaluates
     * `freq / (mu * cp)` and `mu / (docLen + mu)` as float before the
@@ -56,6 +59,15 @@ final class TermScorer(it: PostingsIterator, w: Float,
       math.log((mu / (docLen + mu)).toDouble)).toFloat
     if (s > 0f) s else 0f
   }
+
+  /** LM Jelinek-Mercer body (`LMJelinekMercerSimilarity.java:54-60`):
+    * (float)ln(1 + ((1−λ)·freq/docLen)/(λ·cp)) with w = λ·cp folded
+    * driver-side (mkJMWeights); numerator chain all float, one double
+    * log, one float cast. λ = 0.1f.
+    */
+  private def jmScore(freq: Float, docLen: Float): Float =
+    math.log((1f + ((1f - SegmentSearcher.JMLambda) * freq / docLen) / w)
+      .toDouble).toFloat
   def cost: Long = it.cost
   lazy val maxScore: Float = {
     // tightest global bound = max over blocks of the per-block bound
@@ -74,9 +86,10 @@ final class TermScorer(it: PostingsIterator, w: Float,
     */
   def blockBound(b: Int): Float = {
     val tf = it.blockMaxTf(b).toFloat
-    if (sim == 1) (math.sqrt(tf.toDouble).toFloat * w) * cache(it.blockMinNorm(b) & 0xff)
+    if (sim == 0) BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
+    else if (sim == 1) (math.sqrt(tf.toDouble).toFloat * w) * cache(it.blockMinNorm(b) & 0xff)
     else if (sim == 2) lmScore(tf, cache(it.blockMinNorm(b) & 0xff))
-    else BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
+    else jmScore(tf, cache(it.blockMinNorm(b) & 0xff))
   }
   def underlying: PostingsIterator = it
 }
@@ -156,6 +169,135 @@ final class DFRTermScorer(it: PostingsIterator, df: Long, ttf: Long,
 }
 
 object DFRTermScorer { val Log2: Double = math.log(2) }
+
+/** Parameterized SimilarityBase term scorer covering the remaining DFR
+  * component combinations, the IB family, and LM Jelinek-Mercer
+  * (`similarities/SimilarityBase.java:73-80` score plumbing;
+  * `DFRSimilarity.java:110-114`, `IBSimilarity.java:92-99`,
+  * `LMJelinekMercerSimilarity.java:54-60`). One `kind` per published
+  * combination (SegmentSearcher.SimDFRInL2..SimLMJM); every float/double
+  * promotion replays the Java evaluation order:
+  *
+  *   H1 tfn  = (tf·c·avg)/len, all float     [NormalizationH1.java:51-53]
+  *   H2 tfn  = (float)(tf·log2(1f + c·avg/len)) [NormalizationH2.java:52-54]
+  *   I(n)    = tfn·(float)log2((N+1)/(n+0.5))   [BasicModelIn.java:34-38]
+  *   I(ne)   = tfn·(float)log2((N+1)/(ne+0.5)),
+  *             ne = N·(1−((N−1)/N)^F), doubles  [BasicModelIne.java:35-40]
+  *   P       = (float)(tfn·log2(tfn/λ) + (λ + 1/(12·tfn) − tfn)·log2(e)
+  *             + 0.5·log2(2π·tfn)), λ=(float)(F+1)/(N+1)
+  *                                              [BasicModelP.java:40-45]
+  *   B ae    = (F+1)/(n·(tfn+1)), F=ttf+1, n=df+1 [AfterEffectB.java:32-36]
+  *   L ae    = 1/(tfn+1)                        [AfterEffectL.java:31-33]
+  *   LL      = (float)−ln(λ/(tfn+λ))            [DistributionLL.java:33-35]
+  *   SPL     = (float)−ln((λ^(tfn/(tfn+1)) − λ)/(1 − λ)), λ→0.99f if 1f
+  *                                              [DistributionSPL.java:34-40]
+  *   λ_DF    = (df+1F)/(N+1F)                   [LambdaDF.java:32-34]
+  *   λ_TTF   = (ttf+1F)/(N+1F)                  [LambdaTTF.java:33-35]
+  *   JM      = (float)ln(1 + ((1−λ)·tf/len)/(λ·cp)), λ=0.1f
+  *   DFI     = 0 if tf ≤ e, else (float)log2(measure+1);
+  *             e = (F+1)·len/(sumTTF+1), measure = χ²/saturated/
+  *             standardized                 [DFISimilarity.java:61-72]
+  *
+  * docLen = SimilarityBase NORM_TABLE decode (quantized length). WAND is
+  * off for every kind here (P's tf curve is non-monotone; the rest are
+  * monotone but unproven under the quantization — maxScore is a loose
+  * upper bound only, never consulted by the non-WAND exec path).
+  */
+final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
+    numDocs: Long, avgdl: Float, cache: Array[Float], kind: Int,
+    sumTtf: Long = 0L) extends DocScorer {
+  import DFRTermScorer.Log2
+  import SegmentSearcher._
+
+  // per-term constants, folded once per scorer like the Weight would
+  private val inConst: Float = // I(n) log factor
+    (math.log((numDocs + 1L).toDouble / (df.toDouble + 0.5)) / Log2).toFloat
+  private val ineConst: Float = { // I(ne) log factor
+    val nD = numDocs.toDouble
+    val ne = nD * (1 - math.pow((numDocs - 1L).toDouble / nD, ttf.toDouble))
+    (math.log((numDocs + 1L).toDouble / (ne + 0.5)) / Log2).toFloat
+  }
+  private val pLambda: Float = (ttf + 1L).toFloat / (numDocs + 1L) // P λ
+  private val fp1: Float = (ttf + 2L).toFloat // AfterEffectB (F+1)
+  private val nf: Float = (df + 1L).toFloat // AfterEffectB n
+  private val lamDF: Float = (df + 1f) / (numDocs + 1f) // LambdaDF
+  private val lamTTF: Float = (ttf + 1f) / (numDocs + 1f) // LambdaTTF
+
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def cost: Long = it.cost
+
+  private def tfnOf(tf: Float, docLen: Float): Float = kind match {
+    case SimDFRIneB1 | SimIBLlL1 => (tf * avgdl) / docLen // H1, c=1f
+    case _ => // H2, c=1f
+      (tf.toDouble * (math.log((1f + avgdl / docLen).toDouble) / Log2)).toFloat
+  }
+
+  private def scoreOf(tf: Float, docLen: Float): Float = kind match {
+    case SimDFRInL2 => // I(n) · L
+      val tfn = tfnOf(tf, docLen)
+      val bm = tfn * inConst
+      (1f * bm) * (1f / (tfn + 1f))
+    case SimDFRIneB1 => // I(ne) · B
+      val tfn = tfnOf(tf, docLen)
+      val bm = tfn * ineConst
+      (1f * bm) * (fp1 / (nf * (tfn + 1f)))
+    case SimDFRPL2 => // P · L
+      val tfn = tfnOf(tf, docLen)
+      val bm = (tfn.toDouble * (math.log((tfn / pLambda).toDouble) / Log2) +
+        ((pLambda + 1f / (12f * tfn)) - tfn).toDouble * SimBaseTermScorer.Log2E +
+        0.5 * (math.log(2 * math.Pi * tfn.toDouble) / Log2)).toFloat
+      (1f * bm) * (1f / (tfn + 1f))
+    case SimIBSplD2 => // SPL distribution, λ_DF
+      val tfn = tfnOf(tf, docLen)
+      val lam = if (lamDF == 1f) 0.99f else lamDF
+      val d = (-math.log((math.pow(lam.toDouble,
+        (tfn / (tfn + 1f)).toDouble) - lam.toDouble) / (1f - lam).toDouble))
+        .toFloat
+      1f * d
+    case SimIBLlL1 => // LL distribution, λ_TTF
+      val tfn = tfnOf(tf, docLen)
+      val d = (-math.log((lamTTF / (tfn + lamTTF)).toDouble)).toFloat
+      1f * d
+    case SimDFIChi | SimDFISat | SimDFIStd => // DFI: raw freq, no tfn
+      val expected = ((ttf + 1L).toFloat * docLen) / (sumTtf + 1L)
+      if (tf <= expected) 0f
+      else {
+        val measure = kind match {
+          case SimDFIChi => ((tf - expected) * (tf - expected)) / expected
+          case SimDFISat => (tf - expected) / expected
+          case _ => (tf - expected) / math.sqrt(expected.toDouble).toFloat
+        }
+        1f * (math.log((measure + 1f).toDouble) / Log2).toFloat
+      }
+    case k => sys.error(s"SimBaseTermScorer: unknown kind $k")
+  }
+
+  def score: Float = scoreOf(it.tf.toFloat, cache(it.norm & 0xff))
+
+  /** Loose global bound: max over blocks of the per-block score with the
+    * block-max tf at the best (smallest-length) norm byte, inflated 5%
+    * for float rounding. P is non-monotone in tf between integers, but
+    * the per-block sup over INTEGER tf values is attained at an endpoint
+    * we also inflate; WAND never runs for these kinds regardless.
+    */
+  lazy val maxScore: Float = {
+    var m = 0f
+    var b = 0
+    while (b < it.numBlocks) {
+      val s = scoreOf(it.blockMaxTf(b).toFloat, cache(it.blockMinNorm(b) & 0xff))
+      if (s > m) m = s
+      b += 1
+    }
+    (m.toDouble * 1.05).toFloat
+  }
+}
+
+object SimBaseTermScorer {
+  /** BasicModelP.LOG2_E (`BasicModelP.java:31`). */
+  val Log2E: Double = 1.0 / math.log(2)
+}
 
 /** Leapfrog intersection, cheapest-first lead (`ConjunctionDISI.java:
   * 38,193-240`); score = coord × float cast of double sum

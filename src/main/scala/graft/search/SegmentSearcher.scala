@@ -53,7 +53,8 @@ object SegmentSearcher {
   final case class Plan(query: Query, k: Int, after: Option[(Double, Long)],
       weights: Map[String, TermWeightInfo], cache: Array[Float],
       numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
-      useWand: Boolean = true, sim: Int = 0, avgdl: Float = 1f)
+      useWand: Boolean = true, sim: Int = 0, avgdl: Float = 1f,
+      sumTtf: Long = 0L)
 
   /** Similarity selector: BM25 (default) or Lucene-6 Classic TF-IDF
     * (`similarities/ClassicSimilarity.java`; idf²·queryNorm weighting,
@@ -70,6 +71,35 @@ object SegmentSearcher {
     * `AfterEffectB.java:32-36`, `NormalizationH2.java:52-54`; c = 1).
     */
   val SimDFR = 3
+  /** Remaining DFR component combinations and the IB family, all on the
+    * SimilarityBase stats seam (raw df/ttf in TermWeightInfo, Plan.avgdl,
+    * NORM_TABLE lengths) — scored by SimBaseTermScorer. Names follow the
+    * reference's toString conventions (`DFRSimilarity.java:146-149`,
+    * `IBSimilarity.java:116-120`).
+    */
+  val SimDFRInL2 = 4 // I(n) basic model, Laplace after-effect, H2
+  val SimDFRIneB1 = 5 // I(ne) basic model, Bernoulli after-effect, H1
+  val SimDFRPL2 = 6 // Poisson basic model, Laplace after-effect, H2
+  val SimIBSplD2 = 7 // IB: SPL distribution, λ_DF, H2
+  val SimIBLlL1 = 8 // IB: LL distribution, λ_TTF, H1
+  /** LM Jelinek-Mercer, λ = 0.1 (`LMJelinekMercerSimilarity.java:54-60`;
+    * the paper's short-query recommendation, same collection model as
+    * LMDirichlet). tf-monotone, coord-free — WAND stays on.
+    */
+  val SimLMJM = 9
+  /** Divergence-from-independence (`DFISimilarity.java:61-72`): expected
+    * tf under independence = (F+1)·docLen/(sumTTF+1); observed ≤ expected
+    * scores 0; else (float)log2(measure+1) per independence measure.
+    */
+  val SimDFIChi = 10 // (f−e)²/e   (IndependenceChiSquared.java:27-29)
+  val SimDFISat = 11 // (f−e)/e    (IndependenceSaturated.java:26-28)
+  val SimDFIStd = 12 // (f−e)/√e   (IndependenceStandardized.java:27-29)
+
+  @inline def isSimBase(sim: Int): Boolean =
+    (sim >= SimDFRInL2 && sim <= SimIBLlL1) || sim >= SimDFIChi
+
+  /** LMJelinekMercer λ. */
+  val JMLambda: Float = 0.1f
 
   /** ClassicSimilarity NORM_TABLE: raw byte315 decode per norm byte. */
   lazy val classicNormTable: Array[Float] =
@@ -510,6 +540,9 @@ object SegmentSearcher {
           if (plan.sim == SimDFR)
             new DFRTermScorer(it, wi.df, wi.ttf, plan.maxDoc, plan.avgdl,
               plan.cache)
+          else if (SegmentSearcher.isSimBase(plan.sim))
+            new SimBaseTermScorer(it, wi.df, wi.ttf, plan.maxDoc, plan.avgdl,
+              plan.cache, plan.sim, plan.sumTtf)
           else new TermScorer(it, w, plan.cache, plan.sim)
         // cold list inside a sharded query must be mod-filtered so union
         // semantics count each doc once across shards
@@ -899,6 +932,24 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** LM Jelinek-Mercer per-term weight = λ·cp — the freq-independent
+    * denominator of `LMJelinekMercerSimilarity.java:54-60` (float mult;
+    * cp = (ttf+1F)/(sumTTF+1F), the same DefaultCollectionModel as
+    * LMDirichlet). Boosts rejected (boost multiplies OUTSIDE the log in
+    * the reference, a surface the folded weight can't carry).
+    */
+  private def mkJMWeights(q: Query,
+      st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
+    Query.termLeavesInOrder(q).foreach { case (_, boost) =>
+      require(boost == 1f, "LMJelinekMercer similarity: boosts unsupported")
+    }
+    st.map { case (t, (df, ttf)) =>
+      val cp = (ttf.toFloat + 1f) / (m.sumTotalTermFreq.toFloat + 1f)
+      t -> TermWeightInfo(t, df, SegmentSearcher.JMLambda * cp,
+        df >= m.saltThreshold)
+    }
+  }
+
   /** DFR per-term weights: df and ttf stored raw (the scorer computes
     * the model terms itself — lambda/log2 constants fold there); boosts
     * rejected (`SimilarityBase` threads boost through normalize(), a
@@ -1135,29 +1186,33 @@ final class Searcher(private[search] val spark: SparkSession,
     val weights = sim match {
       case SegmentSearcher.SimClassic => mkClassicWeights(q, st)
       case SegmentSearcher.SimLMDirichlet => mkLMWeights(q, st)
+      case SegmentSearcher.SimLMJM => mkJMWeights(q, st)
       case SegmentSearcher.SimDFR => mkDFRWeights(q, st)
+      case s if SegmentSearcher.isSimBase(s) => mkDFRWeights(q, st)
       case _ => mkWeights(st)
     }
     val sharded = weights.values.exists(_.salted)
     val simCache = sim match {
+      case SegmentSearcher.SimBm25 => cache
       case SegmentSearcher.SimClassic => SegmentSearcher.classicNormTable
-      case SegmentSearcher.SimLMDirichlet | SegmentSearcher.SimDFR =>
-        graft.core.Norms.NORM_TABLE
-      case _ => cache
+      case _ => graft.core.Norms.NORM_TABLE
     }
     // WAND stays off under Classic (its wandLeaves fast path would bypass
-    // the DisjunctionScorer, where coord is applied) and DFR (the tf →
-    // score curve is non-monotone, so the block-max tf bounds don't bound
-    // the score). LMDirichlet has no coord and is tf-monotone — WAND on.
+    // the DisjunctionScorer, where coord is applied), DFR and IB (tf →
+    // score curves non-monotone or unproven under quantization, so the
+    // block-max tf bounds don't bound the score). LMDirichlet and LMJM
+    // have no coord and are tf-monotone — WAND on.
     val plan = Plan(q, k, after, weights, simCache,
       m.numDocShards, sharded, m.docCount, params,
-      useWand && sim != SegmentSearcher.SimClassic &&
-        sim != SegmentSearcher.SimDFR, sim,
+      useWand && (sim == SegmentSearcher.SimBm25 ||
+        sim == SegmentSearcher.SimLMDirichlet ||
+        sim == SegmentSearcher.SimLMJM), sim,
       // SimilarityBase avgFieldLength: FLOAT cast of the token count,
       // then float division (`SimilarityBase.java:116-130`) — unlike
       // BM25's double-division-then-cast
       avgdl = if (m.sumTotalTermFreq <= 0) 1f
-        else m.sumTotalTermFreq.toFloat / m.docCount.toFloat)
+        else m.sumTotalTermFreq.toFloat / m.docCount.toFloat,
+      sumTtf = m.sumTotalTermFreq)
 
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
