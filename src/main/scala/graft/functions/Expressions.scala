@@ -106,6 +106,36 @@ case class Bm25Idf(df: Expression, docCount: Expression)
       r: Expression): Bm25Idf = copy(df = l, docCount = r)
 }
 
+/** Levenshtein-automaton acceptance: true iff the term is within
+  * `maxEdits` plain-Levenshtein edits of `pattern` — the distributed
+  * form of FuzzyQuery's automaton × dictionary intersection
+  * (`search/FuzzyQuery.java:53`, `AutomatonQuery.java:48`). The DFA is
+  * built once driver-side and shipped in the serialized expression; each
+  * term is an O(len) packed-table walk instead of the O(len·|pattern|)
+  * dynamic program `levenshtein()` runs, and the whole predicate stays
+  * inside whole-stage codegen.
+  */
+case class LevAccept(child: Expression, pattern: String, maxEdits: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val dfa = graft.search.LevDfa.build(pattern, maxEdits)
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "lev_accept"
+
+  override protected def nullSafeEval(term: Any): Any =
+    dfa.accepts(term.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dfaRef = ctx.addReferenceObj("levDfa", dfa, classOf[graft.search.LevDfa].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $dfaRef.accepts($c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LevAccept =
+    copy(child = newChild)
+}
+
 /** Column builders + SQL registration. */
 object GraftFunctions {
 
@@ -122,6 +152,10 @@ object GraftFunctions {
   def bm25Idf(df: Column, docCount: Column): Column =
     GraftColumnBridge.column(Bm25Idf(GraftColumnBridge.expression(df),
       GraftColumnBridge.expression(docCount)))
+
+  def levAccept(term: Column, pattern: String, maxEdits: Int): Column =
+    GraftColumnBridge.column(LevAccept(GraftColumnBridge.expression(term),
+      pattern, maxEdits))
 
   /** Register the SQL-surface functions on a session (ValueSourceParser
     * registry analog, `solr/core/.../search/ValueSourceParser.java`).

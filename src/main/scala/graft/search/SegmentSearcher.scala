@@ -1144,13 +1144,21 @@ final class Searcher(private[search] val spark: SparkSession,
           scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
       case FuzzyQ(t, e) =>
         // cached dict: prefix-reuse DP with subtree skip; beyond it the
-        // length guard narrows the scan cheaply and the Levenshtein runs
-        // executor-side over the dict files (not driver-collected)
+        // length guard narrows the scan cheaply and the acceptance test
+        // runs executor-side over the dict files (not driver-collected).
+        // e ≤ 2 (the reference's whole FuzzyQuery surface) ships a
+        // Levenshtein-automaton DFA — O(len) packed-table walk per term
+        // (`FuzzyQuery.java:53` intersection, distributed form); larger
+        // e falls back to the levenshtein() dynamic program.
         val expanded = termDict match {
           case Some(d) => SegmentSearcher.fuzzyDictTerms(d, t, e, maxExpansions)
-          case None => viaDf(
-            length(col("term")).between(t.length - e, t.length + e) &&
-              levenshtein(col("term"), lit(t)) <= e)
+          case None =>
+            val accept =
+              if (e <= LevDfa.MaxSupportedEdits)
+                graft.functions.GraftFunctions.levAccept(col("term"), t, e)
+              else levenshtein(col("term"), lit(t)) <= e
+            viaDf(
+              length(col("term")).between(t.length - e, t.length + e) && accept)
         }
         ConstScoreQ(BoolQ(should = Query.terms(expanded: _*)))
       case TermRangeQ(lo, hi, il, iu) =>
