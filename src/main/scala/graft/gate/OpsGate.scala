@@ -103,6 +103,14 @@ object OpsGate {
         .withColumn("cos", round(col("cos"), 4))
         .orderBy("ia", "ib")),
 
+    // duplicate-cluster canonicalization: LSH pairs → connected
+    // components (large-star/small-star), component = min reachable id
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs(s, d), "text", "doc_id", n = 3,
+          numHashes = 64, bands = 16, threshold = 0.7),
+        "ia", "ib").orderBy("id")),
+
     "q_ann_brute" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") === 0).select("embedding")
@@ -381,6 +389,23 @@ WHERE m.c > 1 AND a.doc_id <> m.canon ORDER BY 1""",
     // and verifies candidates with true Jaccard → equals the exact pairs
     "q_dedup_minhash" -> (shingleCte +
       "\nSELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"),
+
+    // transitive closure of the pair graph: component = min reachable id
+    // (the engine runs large-star/small-star; the oracle walks the
+    // closure with a recursive CTE — same fixpoint)
+    "q_dedup_components" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+, edges AS (
+  SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS id FROM edges
+), reach AS (
+    SELECT id, id AS comp FROM nodes
+  UNION
+    SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id, CAST(MIN(comp) AS BIGINT) AS component
+FROM reach GROUP BY id ORDER BY id"""),
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS ia, b.vec_id AS ib,

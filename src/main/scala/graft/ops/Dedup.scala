@@ -274,4 +274,113 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame =
     Similarity.lshBandedCosinePairs(df, vecCol, idCol, threshold)
+
+  /** Connected components over a near-duplicate PAIR set — the cluster
+    * step every dedup pipeline needs after pair generation (pick one
+    * canonical document per duplicate cluster; chains a~b, b~c must
+    * collapse to one cluster even when a~c was never emitted as a pair).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): converges to
+    * per-component stars rooted at the minimum id in O(log²) rounds.
+    * Every round is groupBy(node).min + a co-partitioned join — NO
+    * collect_set/collect_list (a 10⁶-member duplicate cluster would
+    * otherwise build a 10⁶-element array in one task), no driver-side
+    * graph state, each frame persisted one round and released
+    * (the Graph.scala BFS discipline).
+    *
+    * Returns (id, component) for every node that appears in `pairs`,
+    * component = the minimum id reachable; unpaired docs are implicitly
+    * their own canonical. Roots are included as (r, r) so a join against
+    * the corpus needs no special case.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // localCheckpoint (not persist): each round's frame references the
+    // previous one several times (union + self-derived join), so bare
+    // lineage grows ~4^rounds and OOMs the optimizer — the checkpoint
+    // truncates the plan to the materialized partitions every round
+    var edges = pairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return spark.emptyDataset[(Long, Long)].toDF("id", "component")
+    }
+
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+
+    /** large-star: every neighbor v > u re-attaches to min(Γ⁺(u)). */
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = undirected(e)
+      val mins = und.groupBy("a").agg(min(col("b")).as("mb"))
+      und.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mb")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    /** small-star: every smaller neighbor (and u itself) re-attaches to
+      * min(Γ≤(u) ∪ {u}); edges first directed large → small.
+      */
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = dir.groupBy("a").agg(min(col("b")).as("mb"))
+      val reattach = dir.join(mins, "a")
+        .select(col("b").as("a"), col("mb").as("b"))
+      val self = mins.select(col("a"), col("mb").as("b"))
+      reattach.union(self)
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    // fixpoint detection on the canonical-direction edge multiset: a
+    // (count, xxhash64-sum) fingerprint — one aggregate, no except().
+    // The sum runs in decimal(38,0): exact and overflow-free under ANSI
+    // mode at any edge count this side of 10³⁸
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .agg(count(lit(1)),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")))
+        .collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toPlainString)
+    }
+
+    var fp = fingerprint(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      edges.unpersist()
+      edges = next
+      converged = nfp == fp
+      fp = nfp
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // at the fixpoint the edge set is a star per component, rooted at the
+    // component's minimum id
+    val dir = edges.select(greatest(col("a"), col("b")).as("id"),
+      least(col("a"), col("b")).as("component"))
+    val roots = dir.select(col("component").as("id"), col("component"))
+    // materialize before releasing edges — the checkpointed input has no
+    // lineage left to recompute from
+    val out = dir.union(roots).distinct().localCheckpoint(true)
+    edges.unpersist()
+    out
+  }
+
+  /** Canonical assignment: (id, canonicalId) for every DUPLICATE doc
+    * (component root excluded — it is the canonical survivor). The
+    * keep-list is then `docs LEFT ANTI JOIN duplicates`.
+    */
+  def canonicalize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .withColumnRenamed("component", "canonicalId")
 }

@@ -365,4 +365,54 @@ class OpsSpec extends AnyFunSuite {
       "text/fake")).collect().head
     assert(stubbed.width == Multimodal.decodeStub(Array[Byte](10, 20, 30)).width)
   }
+
+  /** Brute-force union-find over a pair list (the oracle for CC). */
+  private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // path-compress everything, then re-minimize (union by min above keeps
+    // the min root, but compress to be safe)
+    parent.keys.toSeq.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents == union-find on random pair graphs") {
+    val rnd = new scala.util.Random(7L)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val pairs = Seq.fill(n) {
+        val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+        (a, b)
+      }.filter(p => p._1 != p._2)
+      val got = Dedup.connectedComponents(
+        pairs.toDF("ia", "ib"), "ia", "ib")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = ufComponents(pairs)
+      assert(got == exp, s"trial $trial: $got\nvs\n$exp")
+    }
+  }
+
+  test("connectedComponents collapses chains (transitivity across pairs)") {
+    // a~b, b~c, c~d: one cluster rooted at the min although a~d never paired
+    val got = Dedup.connectedComponents(
+      Seq((10L, 7L), (10L, 12L), (12L, 30L)).toDF("ia", "ib"), "ia", "ib")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 7L, 10L -> 7L, 12L -> 7L, 30L -> 7L))
+    // empty input
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("ia", "ib"), "ia", "ib").isEmpty)
+  }
+
+  test("canonicalize drops the cluster roots (survivors)") {
+    val got = Dedup.canonicalize(
+      Seq((5L, 2L), (5L, 9L), (1L, 4L)).toDF("ia", "ib"), "ia", "ib")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 2L, 9L -> 2L, 4L -> 1L))
+  }
 }
