@@ -39,7 +39,17 @@ object IndexBuilder {
         * DOCS_AND_FREQS_AND_POSITIONS analog) — required for segment-path
         * phrase queries; false = DOCS_AND_FREQS (smaller index).
         */
-      positions: Boolean = true)
+      positions: Boolean = true,
+      /** Index-time sort (`IndexWriterConfig.setIndexSort` /
+        * SortingMergePolicy analog): declares that docIds were assigned
+        * in ASCENDING order of this field, so sort-by-field queries on it
+        * can early-terminate after k matches per shard
+        * (EarlyTerminatingSortingCollector,
+        * `lucene/core/.../search/EarlyTerminatingSortingCollector.java:30`).
+        * Enforced at build: requires docIdCol = None and sortCols to lead
+        * with this field.
+        */
+      indexSort: Option[String] = None)
 
   /** Stable term → bucket hash (murmur3; must be identical on driver for
     * partition pruning and in executors at build time).
@@ -134,6 +144,12 @@ object IndexBuilder {
       (toks.length, out)
     }
 
+    // an index-sort declaration is only honest when docIds come from the
+    // sortCols assignment and the sort leads with the declared field
+    cfg.indexSort.foreach { f =>
+      require(docIdCol.isEmpty && sortCols.headOption.contains(f),
+        s"indexSort='$f' requires docIdCol=None and sortCols to lead with '$f'")
+    }
     // docId assignment; docCount falls out of the counting pass for free
     val (withId, docCountKnown) = docIdCol match {
       case Some(c) =>
@@ -380,7 +396,12 @@ object IndexBuilder {
       b: Float,
       completedGroups: Seq[Int],
       numGroups: Int,
-      positions: Boolean = false)
+      positions: Boolean = false,
+      /** Field whose ascending order == docId order (index-time sort);
+        * None on merged indexes — disjoint docId ranges interleave the
+        * field values, so the merged whole is no longer sorted.
+        */
+      indexSort: Option[String] = None)
 
   object Manifest {
     def toJson(m: Manifest): String = {
@@ -389,6 +410,7 @@ object IndexBuilder {
         s""""numDocShards":${m.numDocShards},"saltThreshold":${m.saltThreshold},""" +
         s""""tokenizer":"${m.tokenizer}","k1":${m.k1},"b":${m.b},""" +
         s""""positions":${m.positions},""" +
+        m.indexSort.map(f => s""""indexSort":"$f",""").getOrElse("") +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
     }
     def fromJson(s: String): Manifest = {
@@ -398,12 +420,14 @@ object IndexBuilder {
         .findFirstMatchIn(s).get.group(1)
       val positions = """"positions":(true|false)""".r
         .findFirstMatchIn(s).exists(_.group(1) == "true")
+      val indexSort = """"indexSort":"([^"]*)"""".r
+        .findFirstMatchIn(s).map(_.group(1))
       Manifest(str("snapshotId"), num("docCount").toLong,
         num("sumTotalTermFreq").toLong, num("numBuckets").toInt,
         num("numDocShards").toInt, num("saltThreshold").toLong,
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
-        num("numGroups").toInt, positions)
+        num("numGroups").toInt, positions, indexSort)
     }
   }
 
@@ -556,7 +580,7 @@ object IndexBuilder {
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
       ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
-      ix.cfg.positions)
+      ix.cfg.positions, ix.cfg.indexSort)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

@@ -1635,9 +1635,20 @@ final class Searcher(private[search] val spark: SparkSession,
     else searchByFieldDistributed(plan, present, field, asc, k)
   }
 
+  /** Docs visited by the last searchByFieldLocal call (spec hook: proves
+    * early termination actually terminated early).
+    */
+  private[graft] var lastFieldScanDocs: Long = 0L
+
   private def searchByFieldLocal(plan: Plan, present: Set[String],
       field: String, asc: Boolean, k: Int): Array[(Long, Long)] = {
     val get = docValues(field)
+    // index-time sort match (EarlyTerminatingSortingCollector,
+    // `search/EarlyTerminatingSortingCollector.java:30-75`): docId order
+    // IS ascending field order, so the first k matches per shard dominate
+    // every later match — stop the postings walk there
+    val earlyK = if (asc && m.indexSort.contains(field)) k else Int.MaxValue
+    var visited = 0L
     // reuse the score queue with a signed key: asc ⇒ key = -value (so the
     // queue's score-desc order yields value asc); ties docId asc either way
     val sign = if (asc) -1d else 1d
@@ -1645,8 +1656,11 @@ final class Searcher(private[search] val spark: SparkSession,
       val queue = new BoundedHitQueue(k)
       val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
       var d = scorer.nextDoc()
-      while (d != DocScorer.NO_MORE) {
+      var n = 0
+      while (d != DocScorer.NO_MORE && n < earlyK) {
         queue.insert(d, sign * get(d))
+        n += 1
+        visited += 1
         d = scorer.nextDoc()
       }
       queue.sortedHits
@@ -1663,6 +1677,7 @@ final class Searcher(private[search] val spark: SparkSession,
           if (blobs.isEmpty) None else Some(collectShard(s, blobs))
         }
       }
+    lastFieldScanDocs = visited
     TopK.merge(partials, k).map(h => (h.docId, (sign * h.score).toLong))
   }
 
@@ -1674,6 +1689,10 @@ final class Searcher(private[search] val spark: SparkSession,
       if (present.isEmpty) dv.select("docId")
       else {
         val bPlan = spark.sparkContext.broadcast(plan)
+        // index-sorted + asc: per-shard docId order IS field order, so
+        // each shard task emits only its first k matches — the join +
+        // global top-k below sees numShards·k rows instead of every match
+        val earlyK = if (asc && m.indexSort.contains(field)) k else Int.MaxValue
         shardRows(present, plan, forceAllShards = false)
           .groupByKey(_._1)
           .flatMapGroups { (shard, it) =>
@@ -1682,6 +1701,7 @@ final class Searcher(private[search] val spark: SparkSession,
               if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
             Iterator.continually(scorer.nextDoc())
               .takeWhile(_ != DocScorer.NO_MORE)
+              .take(earlyK)
           }
           .toDF("docId")
       }
