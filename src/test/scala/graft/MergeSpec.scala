@@ -168,6 +168,56 @@ class MergeSpec extends AnyFunSuite {
     }
   }
 
+  test("JDBC source (embedded Derby) builds a rank-identical index, partitioned read") {
+    // JDBCStream analog (`solr/solrj/.../io/stream/JDBCStream.java`): the
+    // engine is a spark.read.jdbc pass-through — proven here against an
+    // embedded Derby database (ships with Spark), with the scale-correct
+    // partitioned-read options (partitionColumn/bounds/numPartitions)
+    sys.props("derby.system.home") = tmp // keep derby.log out of the repo
+    val rows = numbered.take(120)
+    val dbDir = s"$tmp/derby-docs"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        """CREATE TABLE docs (docid BIGINT, repo VARCHAR(64),
+          |path VARCHAR(128), commitid VARCHAR(16), lang VARCHAR(8),
+          |content VARCHAR(4000))""".stripMargin.replace("\n", " "))
+      val ps = conn.prepareStatement("INSERT INTO docs VALUES (?,?,?,?,?,?)")
+      rows.foreach { case (id, f) =>
+        ps.setLong(1, id); ps.setString(2, f.repo); ps.setString(3, f.path)
+        ps.setString(4, f.commit); ps.setString(5, f.lang)
+        ps.setString(6, f.content)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      ps.close()
+    } finally conn.close()
+
+    val fromJdbc = spark.read.format("jdbc")
+      .option("url", s"jdbc:derby:$dbDir")
+      .option("dbtable", "docs")
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("partitionColumn", "docid")
+      .option("lowerBound", "0")
+      .option("upperBound", rows.size.toString)
+      .option("numPartitions", "4")
+      .load()
+      .select(col("docid").as("docId"), col("repo"), col("path"),
+        col("commitid").as("commit"), col("lang"), col("content"))
+    assert(fromJdbc.rdd.getNumPartitions === 4, "JDBC read not partitioned")
+
+    if (!new java.io.File(s"$tmp/loaders-ref/manifest.json").exists())
+      build(rows, s"$tmp/loaders-ref")
+    val dir = s"$tmp/loaders-jdbc-ix"
+    val ix = IndexBuilder.buildLogical(fromJdbc, "content", Some("docId"), Nil, cfg)
+    IndexBuilder.writeIndex(ix, dir, "snap-jdbc", numGroups = 1)
+    ix.unpersistCached()
+    ix.postings.unpersist()
+    for (q <- queries)
+      assert(hits(dir, q) === hits(s"$tmp/loaders-ref", q), s"jdbc q=$q")
+  }
+
   test("tiered compaction: 12 snapshots -> <=2 rounds, rank-identical") {
     val idx = s"$tmp/tiered"
     // 12 snapshots over disjoint docId ranges, deliberately uneven sizes
