@@ -1300,8 +1300,18 @@ ORDER BY t.rnk"""
       val inner = R(s"$one + ${R(s"$avg / dn.qlen")}")
       R(s"CAST(t.tf AS DOUBLE) * (ln(CAST($inner AS DOUBLE)) / $DfrLn2)")
     }
+    // NormalizationH3 (μ=800): (tf + μ·((F+1)/(sumTTF+1)))/(len+μ)·μ, float
+    val tfnH3 = {
+      val mu = R("800.0")
+      val cp = R(s"${R(s"CAST($ttf AS REAL) + $one")} / ${R(s"CAST((SELECT count(*) FROM tok) AS REAL) + $one")}")
+      R(s"${R(s"${R(s"CAST(t.tf AS REAL) + ${R(s"$mu * $cp")}")} / ${R(s"dn.qlen + $mu")}")} * $mu")
+    }
+    // NormalizationZ (z=0.30f): (float)(tf · (avg/len)^z), pow in double
+    val tfnZ = R(s"CAST(t.tf AS DOUBLE) * pow(CAST(${R(s"$avg / dn.qlen")} AS DOUBLE), CAST(CAST(0.30 AS REAL) AS DOUBLE))")
     val tfn = kind match {
       case SimDFRIneB1 | SimIBLlL1 => tfnH1
+      case SimDFRIFB3 => tfnH3
+      case SimIBSplDZ => tfnZ
       case _ => tfnH2
     }
     // after-effects over tfn (float)
@@ -1322,7 +1332,10 @@ ORDER BY t.rnk"""
         val t3 = s"0.5 * (ln(2 * pi() * CAST($tfn AS DOUBLE)) / $DfrLn2)"
         val bm = R(s"$t1 + $t2 + $t3")
         R(s"$bm * $aeL")
-      case SimIBSplD2 => // IB SPL-D2: λ_DF, SPL distribution
+      case SimDFRIFB3 => // I(F): tfn·(float)log2(1+(N+1)/(F+0.5)), ·B, H3
+        val bm = R(s"$tfn * ${R(s"ln(1 + CAST($n + 1 AS DOUBLE) / (CAST($ttf AS DOUBLE) + 0.5)) / $DfrLn2")}")
+        R(s"$bm * $aeB")
+      case SimIBSplD2 | SimIBSplDZ => // IB SPL: λ_DF, SPL distribution
         val lam0 = R(s"${R(s"CAST($df AS REAL) + $one")} / ${R(s"CAST($n AS REAL) + $one")}")
         val lam = s"(CASE WHEN $lam0 = $one THEN ${R("0.99")} ELSE $lam0 END)"
         val e = R(s"$tfn / ${R(s"$tfn + $one")}")

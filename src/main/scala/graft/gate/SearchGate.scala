@@ -248,6 +248,12 @@ object SearchGate {
       SegmentSearcher.SimDFIChi),
     "q_dfi_sat_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFISat),
     "q_dfi_std_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFIStd),
+    // the remaining normalizations: H3 (Dirichlet-prior, μ=800) under
+    // DFR I(F)B, Z (Pareto-Zipf, z=0.30) under IB SPL-D
+    "q_dfr_ifb3_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRIFB3),
+    "q_dfr_ifb3_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFRIFB3),
+    "q_ib_splz_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBSplDZ),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -453,6 +459,12 @@ object SearchGate {
       Oracles.simBaseTerm(SegmentSearcher.SimDFISat, "spark", K),
     "q_dfi_std_term" ->
       Oracles.simBaseTerm(SegmentSearcher.SimDFIStd, "spark", K),
+    "q_dfr_ifb3_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRIFB3, "spark", K),
+    "q_dfr_ifb3_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFRIFB3, Seq("dup", "vector"), K),
+    "q_ib_splz_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimIBSplDZ, "spark", K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),

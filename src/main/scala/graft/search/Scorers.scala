@@ -180,6 +180,10 @@ object DFRTermScorer { val Log2: Double = math.log(2) }
   *
   *   H1 tfn  = (tf·c·avg)/len, all float     [NormalizationH1.java:51-53]
   *   H2 tfn  = (float)(tf·log2(1f + c·avg/len)) [NormalizationH2.java:52-54]
+  *   H3 tfn  = (tf + μ·((F+1)/(sumTTF+1)))/(len+μ)·μ, μ=800, all float
+  *                                              [NormalizationH3.java:56-58]
+  *   Z tfn   = (float)(tf·(avg/len)^z), z=0.30f  [NormalizationZ.java:48-50]
+  *   I(F)    = tfn·(float)log2(1 + (N+1)/(F+0.5)) [BasicModelIF.java:35-39]
   *   I(n)    = tfn·(float)log2((N+1)/(n+0.5))   [BasicModelIn.java:34-38]
   *   I(ne)   = tfn·(float)log2((N+1)/(ne+0.5)),
   *             ne = N·(1−((N−1)/N)^F), doubles  [BasicModelIne.java:35-40]
@@ -218,6 +222,8 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
     (math.log((numDocs + 1L).toDouble / (ne + 0.5)) / Log2).toFloat
   }
   private val pLambda: Float = (ttf + 1L).toFloat / (numDocs + 1L) // P λ
+  private val ifConst: Float = // I(F) log factor (BasicModelIF.java:35-39)
+    (math.log(1 + (numDocs + 1L).toDouble / (ttf.toDouble + 0.5)) / Log2).toFloat
   private val fp1: Float = (ttf + 2L).toFloat // AfterEffectB (F+1)
   private val nf: Float = (df + 1L).toFloat // AfterEffectB n
   private val lamDF: Float = (df + 1f) / (numDocs + 1f) // LambdaDF
@@ -230,6 +236,11 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
 
   private def tfnOf(tf: Float, docLen: Float): Float = kind match {
     case SimDFRIneB1 | SimIBLlL1 => (tf * avgdl) / docLen // H1, c=1f
+    case SimDFRIFB3 => // H3, μ=800 (Dirichlet-prior smoothing)
+      val mu = 800f
+      (tf + mu * ((ttf + 1f) / (sumTtf + 1f))) / (docLen + mu) * mu
+    case SimIBSplDZ => // Z, z=0.30 (Pareto-Zipf)
+      (tf.toDouble * math.pow((avgdl / docLen).toDouble, 0.30f.toDouble)).toFloat
     case _ => // H2, c=1f
       (tf.toDouble * (math.log((1f + avgdl / docLen).toDouble) / Log2)).toFloat
   }
@@ -243,13 +254,17 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
       val tfn = tfnOf(tf, docLen)
       val bm = tfn * ineConst
       (1f * bm) * (fp1 / (nf * (tfn + 1f)))
+    case SimDFRIFB3 => // I(F) · B (H3 tfn)
+      val tfn = tfnOf(tf, docLen)
+      val bm = tfn * ifConst
+      (1f * bm) * (fp1 / (nf * (tfn + 1f)))
     case SimDFRPL2 => // P · L
       val tfn = tfnOf(tf, docLen)
       val bm = (tfn.toDouble * (math.log((tfn / pLambda).toDouble) / Log2) +
         ((pLambda + 1f / (12f * tfn)) - tfn).toDouble * SimBaseTermScorer.Log2E +
         0.5 * (math.log(2 * math.Pi * tfn.toDouble) / Log2)).toFloat
       (1f * bm) * (1f / (tfn + 1f))
-    case SimIBSplD2 => // SPL distribution, λ_DF
+    case SimIBSplD2 | SimIBSplDZ => // SPL distribution, λ_DF (H2 / Z tfn)
       val tfn = tfnOf(tf, docLen)
       val lam = if (lamDF == 1f) 0.99f else lamDF
       val d = (-math.log((math.pow(lam.toDouble,

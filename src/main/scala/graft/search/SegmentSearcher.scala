@@ -94,9 +94,17 @@ object SegmentSearcher {
   val SimDFIChi = 10 // (f−e)²/e   (IndependenceChiSquared.java:27-29)
   val SimDFISat = 11 // (f−e)/e    (IndependenceSaturated.java:26-28)
   val SimDFIStd = 12 // (f−e)/√e   (IndependenceStandardized.java:27-29)
+  /** The two remaining normalizations, each under a model not otherwise
+    * covered: DFR I(F)B3(800) (`BasicModelIF.java:35-39`,
+    * `NormalizationH3.java:56-58`, Dirichlet-prior tfn) and IB SPL-DZ(0.30)
+    * (`NormalizationZ.java:48-50`, Pareto-Zipf tfn).
+    */
+  val SimDFRIFB3 = 13
+  val SimIBSplDZ = 14
 
   @inline def isSimBase(sim: Int): Boolean =
-    (sim >= SimDFRInL2 && sim <= SimIBLlL1) || sim >= SimDFIChi
+    (sim >= SimDFRInL2 && sim <= SimIBLlL1) ||
+      (sim >= SimDFIChi && sim <= SimIBSplDZ)
 
   /** LMJelinekMercer λ. */
   val JMLambda: Float = 0.1f

@@ -96,6 +96,21 @@ class SimBaseSpec extends AnyFunSuite {
         val lamJ = 0.1f
         val cp = (F.toFloat + 1f) / (sumTtf.toFloat + 1f)
         math.log((1f + ((1f - lamJ) * freq / len) / (lamJ * cp)).toDouble).toFloat
+      case SimDFRIFB3 => // I(F) · B with H3 (μ=800) tfn
+        val mu = 800f
+        val tfn = (freq + mu * ((F + 1f) / (sumTtf + 1f))) / (len + mu) * mu
+        val bm = tfn *
+          (math.log(1 + (n + 1).toDouble / (F.toDouble + 0.5)) / Ln2).toFloat
+        val ae = (F + 2L).toFloat / ((d + 1L).toFloat * (tfn + 1f))
+        (1f * bm) * ae
+      case SimIBSplDZ => // SPL, λ_DF, Z (z=0.30) tfn
+        val tfn =
+          (freq.toDouble * math.pow((avgdl / len).toDouble, 0.30f.toDouble)).toFloat
+        val lam0 = (d + 1f) / (n + 1f)
+        val lam = if (lam0 == 1f) 0.99f else lam0
+        (-math.log(
+          (math.pow(lam.toDouble, (tfn / (tfn + 1f)).toDouble) - lam.toDouble) /
+            (1f - lam).toDouble)).toFloat
       case SimDFIChi | SimDFISat | SimDFIStd =>
         val e = ((F + 1L).toFloat * len) / (sumTtf + 1L)
         if (freq <= e) 0f
@@ -132,7 +147,9 @@ class SimBaseSpec extends AnyFunSuite {
     "LM Jelinek-Mercer" -> SegmentSearcher.SimLMJM,
     "DFI ChiSquared" -> SegmentSearcher.SimDFIChi,
     "DFI Saturated" -> SegmentSearcher.SimDFISat,
-    "DFI Standardized" -> SegmentSearcher.SimDFIStd)
+    "DFI Standardized" -> SegmentSearcher.SimDFIStd,
+    "DFR I(F)B3(800)" -> SegmentSearcher.SimDFRIFB3,
+    "IB SPL-DZ(0.30)" -> SegmentSearcher.SimIBSplDZ)
 
   test("every SimilarityBase kind matches the independent pipeline: term") {
     for ((name, kind) <- kinds; t <- Seq("def", "index", "merge")) {
