@@ -1398,6 +1398,26 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  /** Spell suggestions (DirectSpellChecker analog): vocabulary terms
+    * within `maxEdits` plain-Levenshtein edits of the query term (query
+    * term itself excluded), score = 1f − dist/min(len) in floats, ranked
+    * score desc, df desc, term asc.
+    */
+  def suggest(term: String, maxEdits: Int, k: Int): String = {
+    val dist = s"levenshtein(term, ${lit(term)})"
+    val minLen = s"least(${term.length}, length(term))"
+    val score = R(s"${R("1.0")} - ${R(s"CAST($dist AS REAL) / CAST($minLen AS REAL)")}")
+    prologue +
+      s""", vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT term AS suggestion, CAST($score AS DOUBLE) AS score, df
+FROM vocab
+WHERE abs(length(term) - ${term.length}) <= $maxEdits
+  AND term <> ${lit(term)} AND $dist <= $maxEdits
+ORDER BY score DESC, df DESC, suggestion LIMIT $k"""
+  }
+
   /** Fuzzy: const-score over docs with any term within `maxEdits`
     * Levenshtein edits of `t` (FuzzyQuery.java:53 semantics; DuckDB's
     * levenshtein == the engine's editDistance == plain Levenshtein).

@@ -254,6 +254,15 @@ object SearchGate {
     "q_dfr_ifb3_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
       SegmentSearcher.SimDFRIFB3),
     "q_ib_splz_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBSplDZ),
+    // spell suggestions for a misspelling (DirectSpellChecker / Solr
+    // /spell analog): 2-edit neighborhood, scaled-Levenshtein score,
+    // (score desc, df desc, term) ranking
+    "q_suggest" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggest("sprk", 5).toSeq
+        .map { case (t, s, df) => (t, s.toDouble, df) }
+        .toDF("suggestion", "score", "df")
+    }),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -465,6 +474,7 @@ object SearchGate {
       Oracles.simBaseOr(SegmentSearcher.SimDFRIFB3, Seq("dup", "vector"), K),
     "q_ib_splz_term" ->
       Oracles.simBaseTerm(SegmentSearcher.SimIBSplDZ, "spark", K),
+    "q_suggest" -> Oracles.suggest("sprk", 2, 5),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),

@@ -1621,6 +1621,44 @@ final class Searcher(private[search] val spark: SparkSession,
     * TakeOrderedAndProject (bounded per-partition heap + driver merge of
     * k) — nothing doc-count-sized ever reaches the driver.
     */
+  /** Spell suggestions for a (possibly misspelled) term — the
+    * DirectSpellChecker surface (`lucene/suggest/.../spell/
+    * DirectSpellChecker.java:390-460`, Solr /spell): candidates within
+    * `maxEdits` PLAIN Levenshtein edits of `term` (the engine's fuzzy
+    * semantics throughout — the reference's FuzzyTermsEnum also counts
+    * transpositions), the exact query term excluded, df ≥ minDf; scored
+    * with the internal scaled-Levenshtein similarity
+    * score = 1f − dist/min(|term|, |candidate|) (floats), ranked
+    * (score desc, df desc, term asc), top k.
+    *
+    * Candidate generation reuses the gated fuzzy machinery: prefix-skip
+    * dictionary DP when the vocab is driver-cached, the
+    * Levenshtein-automaton distributed scan beyond (`candidateCap`
+    * bounds the pool in dictionary order — the reference bounds by
+    * priority queue instead; identical whenever the edit neighborhood
+    * fits the cap).
+    */
+  def suggest(term: String, k: Int = 5, maxEdits: Int = 2,
+      minDf: Long = 1L, candidateCap: Int = 4096): Array[(String, Float, Long)] = {
+    val cands = Query.literalTerms(
+      expandMultiTerm(FuzzyQ(term, maxEdits), candidateCap)) - term
+    if (cands.isEmpty) return Array.empty
+    val st = stats(cands)
+    val scored = st.toArray.flatMap { case (t, (df, _)) =>
+      if (df < minDf) None
+      else {
+        val d = editDistance(t, term)
+        val score = 1.0f - d.toFloat / math.min(term.length, t.length).toFloat
+        Some((t, score, df))
+      }
+    }
+    scored.sortWith { case ((ta, sa, dfa), (tb, sb, dfb)) =>
+      if (sa != sb) sa > sb
+      else if (dfa != dfb) dfa > dfb
+      else ta < tb
+    }.take(k)
+  }
+
   def searchByField(q0: Query, k: Int, field: String,
       asc: Boolean = true): Array[(Long, Long)] = {
     var q = Query.rewrite(q0)

@@ -109,6 +109,39 @@ class PlanSpec extends AnyFunSuite {
       s"top-k not TakeOrderedAndProject:\n$plan")
   }
 
+  test("suggest: scaled-Levenshtein ranking, dict path == distributed path") {
+    import graft.search._
+    val ixh = SegmentSearcher.load(indexDir)
+    val local = new Searcher(spark, ixh)
+    val got = local.suggest("mrge", 5).toSeq
+    assert(got.nonEmpty && got.head._1 == "merge", s"got $got")
+    // every suggestion obeys the law: 2-edit neighborhood, not the query
+    // term, score = 1f - d/min(len) in floats, (score, df, term) ranking
+    got.foreach { case (t, s, df) =>
+      assert(t != "mrge" && df >= 1)
+      val d = {
+        val dp = Array.ofDim[Int](t.length + 1, 5)
+        for (i <- 0 to t.length) dp(i)(0) = i
+        for (j <- 0 to 4) dp(0)(j) = j
+        for (i <- 1 to t.length; j <- 1 to 4) {
+          val c = if (t.charAt(i - 1) == "mrge".charAt(j - 1)) 0 else 1
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + c)
+        }
+        dp(t.length)(4)
+      }
+      assert(d <= 2 && s == 1.0f - d.toFloat / math.min(4, t.length).toFloat)
+    }
+    assert(got == got.sortWith { case ((ta, sa, dfa), (tb, sb, dfb)) =>
+      if (sa != sb) sa > sb else if (dfa != dfb) dfa > dfb else ta < tb })
+    // beyond-driver candidate generation produces identical suggestions
+    sys.props("graft.search.maxDictTerms") = "0"
+    val viaDisk =
+      try new Searcher(spark, ixh).suggest("mrge", 5).toSeq
+      finally sys.props.remove("graft.search.maxDictTerms")
+    assert(viaDisk == got, s"distributed suggest diverged:\n$viaDisk\nvs\n$got")
+  }
+
   test("termdict: over-cap multi-term expansion matches dict path and prunes partitions") {
     import graft.search._
     val ixh = SegmentSearcher.load(indexDir)
