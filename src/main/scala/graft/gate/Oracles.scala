@@ -1398,6 +1398,48 @@ ORDER BY t.rnk"""
 )""" + finish("res", k)
   }
 
+  /** SCORED fuzzy (TopTermsBlendedFreqScoringRewrite,
+    * `FuzzyQuery.java:100`): the top `maxExp` vocabulary terms within
+    * `maxEdits` ranked by the enum boost (exact 1f, else 1f − d/min(len),
+    * floats), scored with the blended MAX df and per-clause
+    * (boost·idf)·(k1+1) weights, SHOULD-sum per doc (double sum, one
+    * float cast).
+    */
+  def fuzzyScored(term: String, maxEdits: Int, maxExp: Int, k: Int): String = {
+    val one = R("1.0")
+    val bExpr = s"(CASE WHEN d = 0 THEN $one ELSE ${R(s"$one - ${R(s"CAST(d AS REAL) / CAST(least(${term.length}, length(term)) AS REAL)")}")} END)"
+    val idf = idfExpr("(SELECT df FROM bdf)")
+    val bIdf = R(s"s.b * $idf")
+    val w = R(s"$bIdf * ($K1 + ${R("1")})")
+    val tfR = R("t.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), cand AS (
+  SELECT term, df, levenshtein(term, ${lit(term)}) AS d FROM vocab
+  WHERE abs(length(term) - ${term.length}) <= $maxEdits
+    AND levenshtein(term, ${lit(term)}) <= $maxEdits
+), boosted AS (
+  SELECT term, df, $bExpr AS b FROM cand
+), sel AS (
+  SELECT term, df, b, row_number() OVER (ORDER BY b DESC, term) AS rn
+  FROM boosted
+), sel2 AS (
+  SELECT * FROM sel WHERE rn <= $maxExp
+), bdf AS (
+  SELECT max(df) AS df FROM sel2
+), tf_ AS (
+  SELECT tok.doc_id, tok.term, count(*) AS tf
+  FROM tok JOIN sel2 ON tok.term = sel2.term GROUP BY 1, 2
+), persc AS (
+  SELECT t.doc_id, $score AS s
+  FROM tf_ t JOIN sel2 s ON t.term = s.term JOIN dn ON t.doc_id = dn.doc_id
+), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM persc GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** Spell suggestions (DirectSpellChecker analog): vocabulary terms
     * within `maxEdits` plain-Levenshtein edits of the query term (query
     * term itself excluded), score = 1f − dist/min(len) in floats, ranked

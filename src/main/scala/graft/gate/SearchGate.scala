@@ -190,6 +190,10 @@ object SearchGate {
     // fuzzy over the dictionary: 1-edit neighborhood of a misspelling
     // (FuzzyQuery.java:53); expansion runs the length-guarded dict scan
     "q_bm25_fuzzy" -> seg(FuzzyQ("sprk", 1)),
+    // SCORED fuzzy — the reference FuzzyQuery's real default rewrite
+    // (TopTermsBlendedFreqScoringRewrite): scaled-Levenshtein clause
+    // boosts, blended max-df, SHOULD-sum
+    "q_bm25_fuzzy_scored" -> seg(FuzzyScoredQ("sprk", 2)),
     // anchored regexp over the dictionary (RegexpQuery.java:48); the ^sp
     // literal prefix prunes the range-partitioned on-disk dict
     "q_bm25_regexp" -> seg(RegexpQ("^sp[aeiou]rk$")),
@@ -425,6 +429,7 @@ object SearchGate {
     "q_bm25_page2" -> Oracles.term("batch", K, offset = K),
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
     "q_bm25_fuzzy" -> Oracles.fuzzy("sprk", 1, K),
+    "q_bm25_fuzzy_scored" -> Oracles.fuzzyScored("sprk", 2, 50, K),
     "q_bm25_regexp" -> Oracles.wildcard("^sp[aeiou]rk$", K),
     "q_bm25_term_range" -> Oracles.termRange("scala", "scq", true, false, K),
     "q_classic_term" -> Oracles.classicTerm("spark", K),

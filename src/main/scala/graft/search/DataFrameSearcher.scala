@@ -87,6 +87,9 @@ object DataFrameSearcher {
 
     case BlendedQ(ts, tie) => blendedScoreDf(ix, ts, tie, boost, stats, params)
 
+    case BlendedBoostedQ(ts) =>
+      blendedBoostedScoreDf(ix, ts, boost, stats, params)
+
     case DisMaxQ(clauses, tie) =>
       // max + (sum-max)*tie with the sum folded in FLOAT in clause order —
       // matches DisMaxScorer (the reference accumulates `float scoreSum`,
@@ -185,6 +188,36 @@ object DataFrameSearcher {
     joined.select(col("docId"),
       (mx + ((sm - mx).cast("float") * lit(tie)).cast("float"))
         .cast("float").as("score"))
+  }
+
+  /** BOOLEAN_REWRITE blended (BlendedTermQuery.java:247-272 + boosted
+    * clauses): every member scores with the blended MAX df, per-clause
+    * weight (boost·idf)·(k1+1), SHOULD-sum combine — double sum of the
+    * float partials, one float cast (DisjunctionSumScorer.java:43-46).
+    */
+  private def blendedBoostedScoreDf(ix: LogicalIndex,
+      ts: Seq[(String, Float)], boost: Float, stats: QueryStats,
+      params: BM25Params): DataFrame = {
+    val present = ts.filter(p => stats.dfByTerm.getOrElse(p._1, 0L) > 0L)
+    if (present.isEmpty) return emptyScores(ix)
+    val dfMax = present.map(p => stats.dfByTerm(p._1)).max
+    val idf = BM25.idf(dfMax, stats.docCount)
+    val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
+    val cache = BM25.normCache(params, avgdl)
+    val parts = present.zipWithIndex.map { case ((t, b), i) =>
+      val w = BM25.weightValue(idf, params, boost * b)
+      ix.postings.filter(col("term") === t)
+        .select(col("docId"),
+          graft.functions.GraftFunctions
+            .bm25Score(col("tf"), col("normByte"), w, cache).as(s"_c$i"))
+    }
+    if (parts.size == 1)
+      return parts.head.select(col("docId"), col("_c0").as("score"))
+    val joined = parts.reduce((a, b) => a.join(b, Seq("docId"), "full_outer"))
+    val sm = present.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0f)).cast("double"))
+      .reduce(_ + _)
+    joined.select(col("docId"), sm.cast("float").as("score"))
   }
 
   /** SynonymQuery (SynonymQuery.java:46): union postings, per-doc summed

@@ -43,6 +43,27 @@ final case class SynonymQ(terms: Seq[String]) extends Query
 final case class BlendedQ(terms: Seq[String],
     tieBreak: Float = 0.01f) extends Query
 
+/** Blended statistics with per-term boosts, SHOULD-sum combine — the
+  * BOOLEAN_REWRITE form of BlendedTermQuery (`BlendedTermQuery.java:
+  * 247-272` df = max across members; each clause a boosted TermQuery;
+  * `MultiTermQuery.TopTermsBlendedFreqScoringRewrite:190-226`). The
+  * rewritten form of FuzzyScoredQ.
+  */
+final case class BlendedBoostedQ(terms: Seq[(String, Float)]) extends Query
+
+/** SCORED fuzzy — the reference FuzzyQuery's actual default rewrite
+  * (`FuzzyQuery.java:100` TopTermsBlendedFreqScoringRewrite): the top
+  * `maxExpansions` dictionary terms within `maxEdits`, each boosted by
+  * the scaled-Levenshtein similarity (`FuzzyTermsEnum.java:346-354`:
+  * exact match 1f, else 1f − ed/min(len); raw-edits mode has
+  * minSimilarity 0 and scale 1), blended df, SHOULD-sum scoring.
+  * Deviation: distances are PLAIN Levenshtein (engine-wide fuzzy
+  * semantics); the reference's enum counts transpositions as 1 edit.
+  * FuzzyQ stays the const-score form (ConstantScoreWrapper analog).
+  */
+final case class FuzzyScoredQ(term: String, maxEdits: Int = 2,
+    maxExpansions: Int = 50) extends Query
+
 /** Multiplies the wrapped query's score (BoostQuery.java:34). */
 final case class BoostQ(query: Query, boost: Float) extends Query
 
@@ -298,6 +319,10 @@ object Query {
     case BlendedQ(ts, _) if ts.isEmpty => MatchNoneQ
     // single member: blended df == its own df — plain TermQuery
     case BlendedQ(ts, _) if ts.size == 1 => TermQ(ts.head)
+    case BlendedBoostedQ(ts) if ts.isEmpty => MatchNoneQ
+    case BlendedBoostedQ(ts) if ts.size == 1 =>
+      if (ts.head._2 == 1f) TermQ(ts.head._1)
+      else BoostQ(TermQ(ts.head._1), ts.head._2)
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
     case PhraseQ(ts, _) if ts.size == 1 => TermQ(ts.head)
     case SpanNearQ(ts, _, _) if ts.isEmpty => MatchNoneQ
@@ -354,6 +379,7 @@ object Query {
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case SynonymQ(ts) => ts.toSet
     case BlendedQ(ts, _) => ts.toSet
+    case BlendedBoostedQ(ts) => ts.map(_._1).toSet
     case BoostQ(i, _) => literalTerms(i)
     case ConstScoreQ(i, _) => literalTerms(i)
     case PhraseQ(ts, _) => ts.toSet

@@ -266,6 +266,8 @@ object SegmentSearcher {
       new ConstScorer(buildScorer(i, shard, blobs, plan, 1f), boost * s)
     case SynonymQ(ts) => synonymScorer(ts, shard, blobs, plan, boost)
     case BlendedQ(ts, tie) => blendedScorer(ts, tie, shard, blobs, plan, boost)
+    case BlendedBoostedQ(ts) =>
+      blendedBoostedScorer(ts, shard, blobs, plan, boost)
     case DisMaxQ(cs, tie) =>
       val subs = cs.map(buildScorer(_, shard, blobs, plan, boost)).toArray
       if (subs.forall(_ eq EmptyScorer)) EmptyScorer
@@ -607,6 +609,32 @@ object SegmentSearcher {
     }
     if (subs.isEmpty) EmptyScorer
     else new DisMaxScorer(subs.toArray, tie)
+  }
+
+  /** BOOLEAN_REWRITE blended scorer (`BlendedTermQuery.java:247-272` +
+    * `TopTermsBlendedFreqScoringRewrite`): every member scores with the
+    * blended MAX df, each clause's weight carries its own boost
+    * ((boost·idf)·(k1+1), the BoostQuery-wrapped TermWeight), combined
+    * by plain SHOULD sum (DisjunctionSumScorer double-sum → float).
+    */
+  private def blendedBoostedScorer(ts: Seq[(String, Float)], shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    val dfs = ts.flatMap(p => plan.weights.get(p._1)).map(_.df)
+    if (dfs.isEmpty) return EmptyScorer
+    val idf = BM25.idf(dfs.max, plan.maxDoc)
+    val subs = ts.flatMap { case (t, b) =>
+      blobs.get(t).map { row =>
+        val w = BM25.weightValue(idf, plan.params, boost * b)
+        val sc: DocScorer = new TermScorer(
+          PostingsCodec.iterator(row.docBlocks, row.skipData), w, plan.cache)
+        if (shard >= 0 && row.salt < 0)
+          new ModFilterScorer(sc, shard, plan.numShards)
+        else sc
+      }
+    }
+    if (subs.isEmpty) EmptyScorer
+    else if (subs.size == 1) subs.head
+    else new DisjunctionScorer(subs.toArray, 1)
   }
 
   private def boolScorer(must: Seq[Query], should: Seq[Query],
@@ -1072,13 +1100,31 @@ final class Searcher(private[search] val spark: SparkSession,
     // present (pfx dir pruning + pushed term predicates skip row groups),
     // else the hash-bucketed stats table (full scan — pre-round-4 layout)
     def viaDf(pred: org.apache.spark.sql.Column,
-        pfxHint: Option[org.apache.spark.sql.Column] = None): Seq[String] = {
+        pfxHint: Option[org.apache.spark.sql.Column] = None,
+        cap: Int = maxExpansions): Seq[String] = {
       val base = termDictDf match {
         case Some(d) => pfxHint.map(d.filter).getOrElse(d)
         case None => termStatsDf
       }
       base.filter(pred).select("term").orderBy("term")
-        .limit(maxExpansions).collect().map(_.getString(0)).toSeq
+        .limit(cap).collect().map(_.getString(0)).toSeq
+    }
+    // fuzzy candidate pool, shared by the const-score and the scored
+    // (TopTermsBlendedFreqScoringRewrite) forms
+    def fuzzyPool(t: String, e: Int, cap: Int): Seq[String] = termDict match {
+      case Some(d) => SegmentSearcher.fuzzyDictTerms(d, t, e, cap)
+      case None =>
+        // e ≤ 2 (the reference's whole fuzzy surface) ships a
+        // Levenshtein-automaton DFA — O(len) packed-table walk per term
+        // (`FuzzyQuery.java:53` intersection, distributed form); larger
+        // e falls back to the levenshtein() dynamic program
+        val accept =
+          if (e <= LevDfa.MaxSupportedEdits)
+            graft.functions.GraftFunctions.levAccept(col("term"), t, e)
+          else levenshtein(col("term"), lit(t)) <= e
+        viaDf(
+          length(col("term")).between(t.length - e, t.length + e) && accept,
+          cap = cap)
     }
     // literal prefix of a wildcard pattern (chars before the first
     // meta/escape char): pushed as StartsWith so the range-partitioned
@@ -1151,24 +1197,28 @@ final class Searcher(private[search] val spark: SparkSession,
         ConstScoreQ(BoolQ(should = Query.terms(
           scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
       case FuzzyQ(t, e) =>
-        // cached dict: prefix-reuse DP with subtree skip; beyond it the
-        // length guard narrows the scan cheaply and the acceptance test
-        // runs executor-side over the dict files (not driver-collected).
-        // e ≤ 2 (the reference's whole FuzzyQuery surface) ships a
-        // Levenshtein-automaton DFA — O(len) packed-table walk per term
-        // (`FuzzyQuery.java:53` intersection, distributed form); larger
-        // e falls back to the levenshtein() dynamic program.
-        val expanded = termDict match {
-          case Some(d) => SegmentSearcher.fuzzyDictTerms(d, t, e, maxExpansions)
-          case None =>
-            val accept =
-              if (e <= LevDfa.MaxSupportedEdits)
-                graft.functions.GraftFunctions.levAccept(col("term"), t, e)
-              else levenshtein(col("term"), lit(t)) <= e
-            viaDf(
-              length(col("term")).between(t.length - e, t.length + e) && accept)
+        // const-score form (ConstantScoreWrapper analog); pool = the
+        // prefix-skip dict DP driver-side, the Levenshtein-automaton
+        // distributed scan beyond (fuzzyPool above)
+        ConstScoreQ(BoolQ(should = Query.terms(fuzzyPool(t, e, maxExpansions): _*)))
+      case FuzzyScoredQ(t, e, maxExp) =>
+        // TopTermsBlendedFreqScoringRewrite (`FuzzyQuery.java:100`): rank
+        // the WHOLE edit neighborhood by the enum boost — exact match 1f,
+        // else 1f − ed/min(len) (`FuzzyTermsEnum.java:346-354`, raw-edits
+        // mode: minSimilarity 0, scale 1) — keep the top maxExpansions
+        // (ties term asc), clause order by term like the rewrite's timSort
+        val pool = fuzzyPool(t, e, math.max(4096, maxExp))
+        val scored = pool.map { c =>
+          val d = editDistance(c, t)
+          val b =
+            if (d == 0) 1.0f
+            else 1.0f - d.toFloat / math.min(c.length, t.length).toFloat
+          (c, b)
         }
-        ConstScoreQ(BoolQ(should = Query.terms(expanded: _*)))
+        val sel = scored.sortWith { case ((ta, ba), (tb, bb)) =>
+          if (ba != bb) ba > bb else ta < tb
+        }.take(maxExp).sortBy(_._1)
+        BlendedBoostedQ(sel)
       case TermRangeQ(lo, hi, il, iu) =>
         ConstScoreQ(BoolQ(should = Query.terms(range(lo, hi, il, iu): _*)))
       case BoolQ(mu, sh, mn, fl, msm) =>
