@@ -1407,7 +1407,8 @@ ORDER BY t.rnk"""
     */
   def fuzzyScored(term: String, maxEdits: Int, maxExp: Int, k: Int): String = {
     val one = R("1.0")
-    val bExpr = s"(CASE WHEN d = 0 THEN $one ELSE ${R(s"$one - ${R(s"CAST(d AS REAL) / CAST(least(${term.length}, length(term)) AS REAL)")}")} END)"
+    val termLen = Character.codePointCount(term, 0, term.length)
+    val bExpr = s"(CASE WHEN d = 0 THEN $one ELSE ${R(s"$one - ${R(s"CAST(d AS REAL) / CAST(least($termLen, length(term)) AS REAL)")}")} END)"
     val idf = idfExpr("(SELECT df FROM bdf)")
     val bIdf = R(s"s.b * $idf")
     val w = R(s"$bIdf * ($K1 + ${R("1")})")
@@ -1421,7 +1422,9 @@ ORDER BY t.rnk"""
   WHERE abs(length(term) - ${term.length}) <= $maxEdits
     AND levenshtein(term, ${lit(term)}) <= $maxEdits
 ), boosted AS (
-  SELECT term, df, $bExpr AS b FROM cand
+  -- similarity must EXCEED minSimilarity (0 in raw-edits mode): boost-0
+  -- candidates are rejected by FuzzyTermsEnum.accept (FuzzyTermsEnum.java:353)
+  SELECT term, df, $bExpr AS b FROM cand WHERE $bExpr > 0
 ), sel AS (
   SELECT term, df, b, row_number() OVER (ORDER BY b DESC, term) AS rn
   FROM boosted
@@ -1447,7 +1450,8 @@ ORDER BY t.rnk"""
     */
   def suggest(term: String, maxEdits: Int, k: Int): String = {
     val dist = s"levenshtein(term, ${lit(term)})"
-    val minLen = s"least(${term.length}, length(term))"
+    val termLen = Character.codePointCount(term, 0, term.length)
+    val minLen = s"least($termLen, length(term))"
     val score = R(s"${R("1.0")} - ${R(s"CAST($dist AS REAL) / CAST($minLen AS REAL)")}")
     prologue +
       s""", vocab AS (
@@ -1455,8 +1459,8 @@ ORDER BY t.rnk"""
 )
 SELECT term AS suggestion, CAST($score AS DOUBLE) AS score, df
 FROM vocab
-WHERE abs(length(term) - ${term.length}) <= $maxEdits
-  AND term <> ${lit(term)} AND $dist <= $maxEdits
+WHERE abs(length(term) - $termLen) <= $maxEdits
+  AND term <> ${lit(term)} AND $dist <= $maxEdits AND $score > 0
 ORDER BY score DESC, df DESC, suggestion LIMIT $k"""
   }
 
@@ -1468,7 +1472,7 @@ ORDER BY score DESC, df DESC, suggestion LIMIT $k"""
     prologue +
       s""", res AS (
   SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
-  FROM tok WHERE abs(length(term) - ${t.length}) <= $maxEdits
+  FROM tok WHERE abs(length(term) - ${Character.codePointCount(t, 0, t.length)}) <= $maxEdits
     AND levenshtein(term, ${lit(t)}) <= $maxEdits
 )""" + finish("res", k)
 

@@ -353,12 +353,20 @@ object Dedup {
     var fp = fingerprint(edges)
     var it = 0
     var converged = false
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       val nfp = fingerprint(next)
+      // hash-collision guard: the fingerprint is the cheap per-round test,
+      // but convergence is only DECLARED after one exact set comparison at
+      // the claimed fixpoint (equal counts from the fingerprint + empty
+      // difference on the canonical direction = set equality) — a colliding
+      // sum can no longer end iteration on a non-star edge set
+      converged = nfp == fp && canon(next).exceptAll(canon(edges)).isEmpty
       edges.unpersist()
       edges = next
-      converged = nfp == fp
       fp = nfp
       it += 1
     }

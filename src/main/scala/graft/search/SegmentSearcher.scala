@@ -597,6 +597,9 @@ object SegmentSearcher {
     */
   private def blendedScorer(ts: Seq[String], tie: Float, shard: Int,
       blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    // BM25-specific math, same loud-failure convention as the boosted form
+    require(plan.sim == SegmentSearcher.SimBm25,
+      s"BlendedQ scores with BM25 math only (sim=${plan.sim})")
     val dfs = ts.flatMap(plan.weights.get).map(_.df)
     if (dfs.isEmpty) return EmptyScorer
     val w = BM25.weightValue(BM25.idf(dfs.max, plan.maxDoc), plan.params, boost)
@@ -619,6 +622,12 @@ object SegmentSearcher {
     */
   private def blendedBoostedScorer(ts: Seq[(String, Float)], shard: Int,
       blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    // the blended math below is BM25-specific (BM25.weightValue against
+    // the BM25 length cache); under any other sim plan.cache holds raw
+    // norm lengths and the scores would be silent garbage — fail loudly,
+    // matching the boost-rejection convention of mkJMWeights/mkDFRWeights
+    require(plan.sim == SegmentSearcher.SimBm25,
+      s"BlendedBoostedQ/FuzzyScoredQ score with BM25 math only (sim=${plan.sim})")
     val dfs = ts.flatMap(p => plan.weights.get(p._1)).map(_.df)
     if (dfs.isEmpty) return EmptyScorer
     val idf = BM25.idf(dfs.max, plan.maxDoc)
@@ -1122,8 +1131,13 @@ final class Searcher(private[search] val spark: SparkSession,
           if (e <= LevDfa.MaxSupportedEdits)
             graft.functions.GraftFunctions.levAccept(col("term"), t, e)
           else levenshtein(col("term"), lit(t)) <= e
+        // Spark length() counts code points; band the query length the
+        // same way (`FuzzyTermsEnum.java:350` uses codePointCount). The
+        // driver-side DP itself measures UTF-16 units — exact on the BMP,
+        // documented alongside the plain-Levenshtein deviation.
+        val tLen = Character.codePointCount(t, 0, t.length)
         viaDf(
-          length(col("term")).between(t.length - e, t.length + e) && accept,
+          length(col("term")).between(tLen - e, tLen + e) && accept,
           cap = cap)
     }
     // literal prefix of a wildcard pattern (chars before the first
@@ -1205,20 +1219,57 @@ final class Searcher(private[search] val spark: SparkSession,
         // TopTermsBlendedFreqScoringRewrite (`FuzzyQuery.java:100`): rank
         // the WHOLE edit neighborhood by the enum boost — exact match 1f,
         // else 1f − ed/min(len) (`FuzzyTermsEnum.java:346-354`, raw-edits
-        // mode: minSimilarity 0, scale 1) — keep the top maxExpansions
-        // (ties term asc), clause order by term like the rewrite's timSort
-        val pool = fuzzyPool(t, e, math.max(4096, maxExp))
-        val scored = pool.map { c =>
+        // mode) — keep the top maxExpansions (ties term asc), clause order
+        // by term like the rewrite's timSort. Terms with boost ≤ 0 are
+        // EXCLUDED like the enum's `similarity > minSimilarity` accept
+        // test (`FuzzyTermsEnum.java:353` with minSimilarity 0). Lengths
+        // count code points (`UnicodeUtil.codePointCount`,
+        // `FuzzyTermsEnum.java:350`).
+        val tLen = Character.codePointCount(t, 0, t.length)
+        def boostOf(c: String): Float = {
           val d = editDistance(c, t)
-          val b =
-            if (d == 0) 1.0f
-            else 1.0f - d.toFloat / math.min(c.length, t.length).toFloat
-          (c, b)
+          if (d == 0) 1.0f
+          else {
+            val cLen = Character.codePointCount(c, 0, c.length)
+            1.0f - d.toFloat / math.min(cLen, tLen).toFloat
+          }
         }
-        val sel = scored.sortWith { case ((ta, ba), (tb, bb)) =>
-          if (ba != bb) ba > bb else ta < tb
-        }.take(maxExp).sortBy(_._1)
-        BlendedBoostedQ(sel)
+        val selected: Seq[String] = termDict match {
+          case Some(d) =>
+            // whole neighborhood: the prefix-reuse DP + subtree skip makes
+            // the full enumeration cheap, so NO dictionary-order cap — the
+            // true top-N by boost survives any vocabulary size
+            SegmentSearcher.fuzzyDictTerms(d, t, e, Int.MaxValue)
+              .map(c => (c, boostOf(c))).filter(_._2 > 0f)
+              .sortWith { case ((ta, ba), (tb, bb)) =>
+                if (ba != bb) ba > bb else ta < tb
+              }.take(maxExp).map(_._1)
+          case None =>
+            // boost ranking pushed into the distributed dict scan: rank by
+            // the float boost (double-divide-then-float-cast equals float
+            // division for these small-int quotients; the final subtract
+            // of two floats is exact in double, so the cast yields the
+            // driver's float bit-for-bit), keep the true top maxExp
+            val accept =
+              if (e <= LevDfa.MaxSupportedEdits)
+                graft.functions.GraftFunctions.levAccept(col("term"), t, e)
+              else levenshtein(col("term"), lit(t)) <= e
+            val dCol = levenshtein(col("term"), lit(t))
+            val minLen = least(length(col("term")), lit(tLen))
+            val quotF = (dCol.cast("double") / minLen.cast("double")).cast("float")
+            val bCol = when(dCol === 0, lit(1.0f))
+              .otherwise((lit(1.0) - quotF).cast("float"))
+            val base = termDictDf.getOrElse(termStatsDf)
+            base.filter(
+                length(col("term")).between(tLen - e, tLen + e) && accept)
+              .select(col("term"), bCol.as("b"))
+              .filter(col("b") > 0f)
+              .orderBy(col("b").desc, col("term"))
+              .limit(maxExp).collect().map(_.getString(0)).toSeq
+        }
+        // boosts recomputed driver-side so the weights entering the scorer
+        // are identical across the dict and distributed selection paths
+        BlendedBoostedQ(selected.map(c => (c, boostOf(c))).sortBy(_._1))
       case TermRangeQ(lo, hi, il, iu) =>
         ConstScoreQ(BoolQ(should = Query.terms(range(lo, hi, il, iu): _*)))
       case BoolQ(mu, sh, mn, fl, msm) =>
@@ -1694,12 +1745,17 @@ final class Searcher(private[search] val spark: SparkSession,
       expandMultiTerm(FuzzyQ(term, maxEdits), candidateCap)) - term
     if (cands.isEmpty) return Array.empty
     val st = stats(cands)
+    // lengths in code points (`FuzzyTermsEnum.java:350`); candidates whose
+    // scaled similarity is ≤ 0 (d ≥ min length) are excluded like the
+    // enum's accept test — a weight-0 suggestion is not a suggestion
+    val termLen = Character.codePointCount(term, 0, term.length)
     val scored = st.toArray.flatMap { case (t, (df, _)) =>
       if (df < minDf) None
       else {
         val d = editDistance(t, term)
-        val score = 1.0f - d.toFloat / math.min(term.length, t.length).toFloat
-        Some((t, score, df))
+        val tLen = Character.codePointCount(t, 0, t.length)
+        val score = 1.0f - d.toFloat / math.min(termLen, tLen).toFloat
+        if (score > 0f) Some((t, score, df)) else None
       }
     }
     scored.sortWith { case ((ta, sa, dfa), (tb, sb, dfb)) =>
