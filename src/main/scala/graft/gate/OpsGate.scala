@@ -71,9 +71,19 @@ object OpsGate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "q_dedup_exact" -> ((s, d) =>
-      Dedup.exactDuplicates(docs(s, d), "text", "doc_id")
-        .orderBy("id")),
+    // The sf corpora contain zero exact-duplicate texts (round-4 verdict:
+    // a 0=0-row gate proves nothing), so the fixture PLANTS duplicates —
+    // deterministic copies of three existing docs (one a triple), the
+    // identical UNION ALL appearing in the oracle SQL
+    "q_dedup_exact" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.filter(col("doc_id").isin(3L, 7L, 11L))
+        .withColumn("doc_id", col("doc_id") + 900000L)
+        .unionByName(base.filter(col("doc_id") === 11L)
+          .withColumn("doc_id", col("doc_id") + 910000L))
+      Dedup.exactDuplicates(base.unionByName(planted), "text", "doc_id")
+        .orderBy("id")
+    }),
 
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, threshold = 0.7)
@@ -376,9 +386,14 @@ FROM m ORDER BY doc_id"""
     "q_dedup_simhash" -> simhashOracle(3),
     "q_dedup_simhash_r5" -> simhashOracle(5),
     "q_dedup_exact" ->
-      """SELECT a.doc_id AS id, m.canon AS canonicalId
-FROM documents a JOIN (
-  SELECT text, MIN(doc_id) AS canon, COUNT(*) AS c FROM documents GROUP BY text
+      """WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 900000, text FROM documents WHERE doc_id IN (3, 7, 11)
+  UNION ALL SELECT doc_id + 910000, text FROM documents WHERE doc_id = 11
+)
+SELECT a.doc_id AS id, m.canon AS canonicalId
+FROM d2 a JOIN (
+  SELECT text, MIN(doc_id) AS canon, COUNT(*) AS c FROM d2 GROUP BY text
 ) m ON a.text = m.text
 WHERE m.c > 1 AND a.doc_id <> m.canon ORDER BY 1""",
 

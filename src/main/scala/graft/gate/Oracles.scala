@@ -986,6 +986,17 @@ ORDER BY t.rnk"""
   FROM tok WHERE regexp_matches(term, ${lit(regex)})
 )""" + finish("res", k)
 
+  /** Regexp with WHOLE-term semantics (`RegexpQuery.java:48`: the
+    * automaton consumes the entire term — no substring mode), const-score
+    * like the reference's default rewrite.
+    */
+  def regexp(pattern: String, k: Int): String =
+    prologue +
+      s""", res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE regexp_full_match(term, ${lit(pattern)})
+)""" + finish("res", k)
+
   // ---------- Classic (Lucene-6 TF-IDF) similarity oracles ----------
   //
   // Pipeline replayed bit-exactly (`ClassicSimilarity.java`,

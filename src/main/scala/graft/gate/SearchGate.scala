@@ -194,9 +194,10 @@ object SearchGate {
     // (TopTermsBlendedFreqScoringRewrite): scaled-Levenshtein clause
     // boosts, blended max-df, SHOULD-sum
     "q_bm25_fuzzy_scored" -> seg(FuzzyScoredQ("sprk", 2)),
-    // anchored regexp over the dictionary (RegexpQuery.java:48); the ^sp
-    // literal prefix prunes the range-partitioned on-disk dict
-    "q_bm25_regexp" -> seg(RegexpQ("^sp[aeiou]rk$")),
+    // UNanchored regexp with whole-term semantics (RegexpQuery.java:48 —
+    // the automaton runs over the entire term); the sp literal prefix
+    // prunes the range-partitioned on-disk dict
+    "q_bm25_regexp" -> seg(RegexpQ("sp[aeiou]rk")),
     // dictionary range scan (TermRangeQuery.java:37), half-open interval
     "q_bm25_term_range" -> seg(TermRangeQ("scala", "scq", true, false)),
     // Classic (TF-IDF) similarity: idf²·queryNorm weighting, sqrt-tf,
@@ -430,7 +431,7 @@ object SearchGate {
     "q_bm25_prefix" -> Oracles.prefix("sc", K),
     "q_bm25_fuzzy" -> Oracles.fuzzy("sprk", 1, K),
     "q_bm25_fuzzy_scored" -> Oracles.fuzzyScored("sprk", 2, 50, K),
-    "q_bm25_regexp" -> Oracles.wildcard("^sp[aeiou]rk$", K),
+    "q_bm25_regexp" -> Oracles.regexp("sp[aeiou]rk", K),
     "q_bm25_term_range" -> Oracles.termRange("scala", "scq", true, false, K),
     "q_classic_term" -> Oracles.classicTerm("spark", K),
     "q_classic_or2" -> Oracles.classicOr(Seq("dup", "vector"), K),

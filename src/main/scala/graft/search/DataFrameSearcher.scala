@@ -111,7 +111,8 @@ object DataFrameSearcher {
     case PrefixQ(p) =>
       multiTermConstScore(ix, col("term").startsWith(p), boost)
     case RegexpQ(pat) =>
-      multiTermConstScore(ix, col("term").rlike(pat), boost)
+      // whole-term semantics like the segment path (RegexpQuery.java:48)
+      multiTermConstScore(ix, col("term").rlike(s"^(?:$pat)$$"), boost)
     case WildcardQ(pat) =>
       multiTermConstScore(ix, col("term").rlike(WildcardQ.toRegex(pat)), boost)
     case FuzzyQ(t, maxEdits) =>

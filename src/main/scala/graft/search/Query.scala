@@ -75,7 +75,10 @@ final case class ConstScoreQ(query: Query, score: Float = 1f) extends Query
   */
 final case class PrefixQ(prefix: String) extends Query
 
-/** Regex over the term dictionary (RegexpQuery.java:48 analog). */
+/** Regex over the term dictionary (RegexpQuery.java:48 analog). The
+  * pattern matches the WHOLE term, like the reference's automaton — there
+  * is no substring mode; embed `.*` explicitly for contains-matching.
+  */
 final case class RegexpQ(pattern: String) extends Query
 
 /** Wildcard over the term dictionary: `*` = any run, `?` = one char,

@@ -1146,10 +1146,23 @@ final class Searcher(private[search] val spark: SparkSession,
     // (`search/AutomatonQuery.java:48` commonPrefix intersection)
     def wildcardPrefix(p: String): String =
       p.takeWhile(c => c != '*' && c != '?' && c != '\\')
-    // a regexp constrains the term prefix only when anchored: ^literals…
-    def regexpPrefix(p: String): String =
-      if (!p.startsWith("^")) ""
-      else p.drop(1).takeWhile(c => Character.isLetterOrDigit(c))
+    // Leading literal chars of a (whole-term) regexp — a prefix the
+    // range-partitioned dict scan can prune on. A redundant leading "^"
+    // is tolerated; a literal stops contributing when the NEXT char is a
+    // quantifier (in "ab*c" the 'b' may match zero times, so only "a" is
+    // a guaranteed prefix).
+    def regexpPrefix(p: String): String = {
+      val body = if (p.startsWith("^")) p.drop(1) else p
+      val sb = new StringBuilder
+      var i = 0
+      var stop = false
+      while (!stop && i < body.length && Character.isLetterOrDigit(body.charAt(i))) {
+        val next = if (i + 1 < body.length) body.charAt(i + 1) else ' '
+        if (next == '*' || next == '?' || next == '+' || next == '{') stop = true
+        else { sb += body.charAt(i); i += 1 }
+      }
+      sb.toString
+    }
     def prefix(p: String): Seq[String] = termDict match {
       case Some(d) =>
         val out = Seq.newBuilder[String]
@@ -1196,13 +1209,19 @@ final class Searcher(private[search] val spark: SparkSession,
       case PrefixQ(p) =>
         ConstScoreQ(BoolQ(should = Query.terms(prefix(p): _*)))
       case RegexpQ(p) =>
+        // WHOLE-term semantics (`RegexpQuery.java:48`: the automaton runs
+        // over the entire term — Lucene regexps have no substring mode):
+        // matches() locally, an implicitly anchored ^(?:…)$ pattern on the
+        // DataFrame predicate (rlike is find-semantics)
         val re = java.util.regex.Pattern.compile(p)
+        val anchored = s"^(?:$p)$$"
         val lp = regexpPrefix(p)
         val dfPred =
-          if (lp.nonEmpty) col("term").startsWith(lp) && col("term").rlike(p)
-          else col("term").rlike(p)
+          if (lp.nonEmpty)
+            col("term").startsWith(lp) && col("term").rlike(anchored)
+          else col("term").rlike(anchored)
         ConstScoreQ(BoolQ(should = Query.terms(
-          scan(t => re.matcher(t).find(), dfPred, pfxEq(lp)): _*)))
+          scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
       case WildcardQ(p) =>
         val re = java.util.regex.Pattern.compile(WildcardQ.toRegex(p))
         val lp = wildcardPrefix(p)

@@ -148,7 +148,7 @@ class PlanSpec extends AnyFunSuite {
     def results(s: Searcher): Map[String, Seq[(Long, Double)]] = Map(
       "prefix" -> s.search(PrefixQ("par"), 10).toSeq.map(h => (h.docId, h.score)),
       "wildcard" -> s.search(WildcardQ("m*e"), 10).toSeq.map(h => (h.docId, h.score)),
-      "regexp" -> s.search(RegexpQ("^ind.x"), 10).toSeq.map(h => (h.docId, h.score)),
+      "regexp" -> s.search(RegexpQ("ind.x"), 10).toSeq.map(h => (h.docId, h.score)),
       "fuzzy" -> s.search(FuzzyQ("merge", 1), 10).toSeq.map(h => (h.docId, h.score)),
       "fuzzy2" -> s.search(FuzzyQ("mrge", 2), 10).toSeq.map(h => (h.docId, h.score)),
       "range" -> s.search(TermRangeQ("index", "merge", true, true), 10)
