@@ -337,6 +337,95 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
       s""", allt AS ($allUnion)""" + pfFinal + finish("res", k)
   }
 
+  /** PerFieldSimilarityWrapper under edismax qf
+    * (`PerFieldSimilarityWrapper.java:35`): field 0 = `text` scored BM25,
+    * field 1 = `source` scored LMDirichlet (μ=2000), boosts 1, per-term
+    * cross-field DisMax with `tie`, Solr mm over terms. Each field's
+    * weight uses ITS OWN collection stats (df/ttf/avgdl/docLen from that
+    * field's tokens), exactly like two separate single-field indexes.
+    */
+  def edismaxPerSim(terms: Seq[String], msm: Int, tie: Float,
+      k: Int): String = {
+    val fieldCols = Seq("text", "source")
+    def idfE(dfExpr: String, av: String): String =
+      R(s"ln(1 + ((SELECT n FROM $av) - $dfExpr + 0.5)/($dfExpr + 0.5))")
+    def cacheE(qlenCol: String, av: String): String =
+      R(s"$K1 * ${R(s"(${R("1")} - $B) + ${R(s"${R(s"$B * $qlenCol")} / (SELECT avgdl FROM $av)")}")}")
+
+    val fieldCtes = fieldCols.zipWithIndex.map { case (colName, i) =>
+      s""", tok_f$i AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower($colName), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term <> '' AND length(term) <= 255
+), dlen_f$i AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN tok_f$i t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), dn_f$i AS (
+  SELECT dlen_f$i.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen_f$i JOIN normq ON dlen_f$i.len BETWEEN normq.lo AND normq.hi
+), av_f$i AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+    ${R(s"(SELECT count(*) FROM tok_f$i) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
+)"""
+    }.mkString
+
+    // LMDirichlet score against field fi's collection model (same float/
+    // double sequencing as the single-field lmScoreExpr)
+    def lmScoreF(tfCol: String, qlenCol: String, term: String,
+        fi: Int): String = {
+      val mu = R("2000.0")
+      val fttf = R(s"CAST((SELECT count(*) FROM tok_f$fi WHERE term = ${lit(term)}) AS REAL) + ${R("1.0")}")
+      val ftot = R(s"CAST((SELECT count(*) FROM tok_f$fi) AS REAL) + ${R("1.0")}")
+      val muCp = R(s"$mu * ${R(s"$fttf / $ftot")}")
+      val log1 = s"ln(CAST(${R(s"${R("1.0")} + ${R(s"${R(s"CAST($tfCol AS REAL)")} / $muCp")}")} AS DOUBLE))"
+      val log2 = s"ln(CAST(${R(s"$mu / ${R(s"$qlenCol + $mu")}")} AS DOUBLE))"
+      s"greatest(${R(s"$log1 + $log2")}, ${R("0.0")})"
+    }
+
+    val scCtes = (for {
+      i <- fieldCols.indices
+      (t, j) <- terms.zipWithIndex
+    } yield {
+      val score =
+        if (i == 0) {
+          val idf = idfE(s"(SELECT count(*) FROM tf_f${i}_t$j)", s"av_f$i")
+          val w = R(s"$idf * ($K1 + ${R("1")})")
+          val tfR = R("t.tf")
+          R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheE("dn.qlen", s"av_f$i")}")}")
+        } else lmScoreF("t.tf", "dn.qlen", t, i)
+      s""", tf_f${i}_t$j AS (
+  SELECT doc_id, count(*) AS tf FROM tok_f$i WHERE term = ${lit(t)} GROUP BY doc_id
+), sc_f${i}_t$j AS (
+  SELECT t.doc_id, $score AS s
+  FROM tf_f${i}_t$j t JOIN dn_f$i dn ON t.doc_id = dn.doc_id
+)"""
+    }).mkString
+
+    val dmCtes = terms.indices.map { j =>
+      val union = fieldCols.indices
+        .map(i => s"SELECT doc_id, s FROM sc_f${i}_t$j")
+        .mkString(" UNION ALL ")
+      s""", un_t$j AS ($union), dm_t$j AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM (SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+        FROM un_t$j GROUP BY doc_id)
+)"""
+    }.mkString
+
+    val allUnion = terms.indices
+      .map(j => s"SELECT doc_id, s FROM dm_t$j").mkString(" UNION ALL ")
+
+    s"""WITH normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+)""" + fieldCtes + scCtes + dmCtes +
+      s""", allt AS ($allUnion), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM allt GROUP BY doc_id HAVING count(*) >= $msm
+)""" + finish("res", k)
+  }
+
   /** BlendedTermQuery: per-term scores sharing ONE weight (idf of max df
     * over members — `BlendedTermQuery.java:62-88`), dismax-combined with
     * the blend tie.

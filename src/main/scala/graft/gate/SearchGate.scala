@@ -321,6 +321,16 @@ object SearchGate {
         "spark src3 batch", mm = "2", tie = 0.1f, k = K)
       hitsDf(spark, hits)
     }),
+    // per-field similarity under edismax qf (PerFieldSimilarityWrapper
+    // surface): text scored BM25, source scored LMDirichlet, one query
+    "q_edismax_persim" -> ((spark, sfDir) => {
+      val hits = MultiField.searchDisMax(
+        Seq(MultiField.FieldRef(searcher(spark, sfDir), 1f),
+          MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 1f,
+            SegmentSearcher.SimLMDirichlet)),
+        "spark src3", mm = "1", tie = 0.1f, k = K)
+      hitsDf(spark, hits)
+    }),
     // edismax pf: the query as an exact phrase per pf field, added to
     // matching docs' scores (ReqOpt over the main dismax disjunction)
     "q_bm25_edismax_pf" -> ((spark, sfDir) => {
@@ -505,6 +515,8 @@ object SearchGate {
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),
     "q_bm25_dismax_mm" -> Oracles.or(Seq("dup", "spark", "key", "vector"), 3, K),
+    "q_edismax_persim" ->
+      Oracles.edismaxPerSim(Seq("spark", "src3"), msm = 1, tie = 0.1f, K),
     "q_bm25_edismax_qf" -> Oracles.edismaxQf(Seq("spark", "src3", "batch"),
       Seq(("text", 1f), ("source", 2f)), msm = 2, tie = 0.1f, k = K),
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),

@@ -25,8 +25,20 @@ import graft.search.SegmentSearcher.SegRow
   */
 object MultiField {
 
-  /** One queryable field: a Searcher over that field's index + qf boost. */
-  final case class FieldRef(searcher: Searcher, boost: Float)
+  /** One queryable field: a Searcher over that field's index + qf boost +
+    * the similarity that field scores under — the
+    * PerFieldSimilarityWrapper surface
+    * (`search/similarities/PerFieldSimilarityWrapper.java:35`: `get(field)`
+    * picks the Similarity per field; under edismax qf each field's
+    * TermWeight is built by ITS OWN sim and the per-term DisMax combines
+    * them). Supported sims: BM25 (default, the only one that accepts a qf
+    * boost), LMDirichlet, LMJM, DFR GB2, and the SimilarityBase family —
+    * everything whose term weight is field-local. Classic is rejected:
+    * its queryNorm is a whole-query global that does not compose
+    * per-field.
+    */
+  final case class FieldRef(searcher: Searcher, boost: Float,
+      sim: Int = SegmentSearcher.SimBm25)
 
   /** Parse a Solr qf spec: "text^2 title" → [(text, 2.0), (title, 1.0)]
     * (`SolrPluginUtils.parseFieldBoosts`).
@@ -41,13 +53,24 @@ object MultiField {
     }
 
   /** Serializable per-query plan for the shard tasks. Weight keys are
-    * (fieldIdx, term); caches indexed by fieldIdx.
+    * (fieldIdx, term); caches indexed by fieldIdx. `sims(f)` selects the
+    * field's similarity; `weights` carries the folded scalar weight (BM25
+    * weightValue / LM μ·cp / JM λ·cp), `rawStats` the (df, ttf) pair the
+    * DFR/SimilarityBase scorers compute from, and `maxDocs`/`avgdls`/
+    * `sumTtfs` the per-field collection stats those formulas need.
     */
   final case class MfPlan(terms: Seq[String], qf: Seq[Int],
       weights: Map[(Int, String), Float], salted: Set[(Int, String)],
       pf: Seq[Int], pfWeights: Map[Int, Float],
       caches: Array[Array[Float]], numShards: Int, sharded: Boolean,
-      tie: Float, msm: Int, k: Int)
+      tie: Float, msm: Int, k: Int,
+      sims: Seq[Int] = Nil,
+      rawStats: Map[(Int, String), (Long, Long)] = Map.empty,
+      maxDocs: Seq[Long] = Nil, avgdls: Seq[Float] = Nil,
+      sumTtfs: Seq[Long] = Nil) {
+    def simOf(f: Int): Int =
+      if (sims.isEmpty) SegmentSearcher.SimBm25 else sims(f)
+  }
 
   /** edismax main query: analyze, per-term cross-field dismax (qf), Solr
     * mm, optional phrase-boost fields (pf — the whole analyzed query as
@@ -77,12 +100,37 @@ object MultiField {
     val termSet = terms.toSet
     val stats: Seq[Map[String, (Long, Long)]] =
       fields.map(_.searcher.stats(termSet))
+    fields.foreach { fr =>
+      require(fr.sim != SegmentSearcher.SimClassic,
+        "per-field Classic is unsupported: queryNorm is a whole-query " +
+          "global that does not compose per-field")
+      require(fr.sim == SegmentSearcher.SimBm25 || fr.boost == 1f,
+        s"qf boost on a non-BM25 field is unsupported (sim=${fr.sim}): " +
+          "the folded weight sits inside the sim's log/model terms")
+    }
     val weights = (for {
       (fr, i) <- fields.zipWithIndex if i < qfFields.size
       m = fr.searcher.index.manifest
-      (t, (df, _)) <- stats(i)
-    } yield (i, t) -> BM25.weightValue(BM25.idf(df, m.docCount),
-        fr.searcher.index.bm25, fr.boost)).toMap
+      (t, (df, ttf)) <- stats(i)
+    } yield (i, t) -> (fr.sim match {
+      case SegmentSearcher.SimBm25 =>
+        BM25.weightValue(BM25.idf(df, m.docCount),
+          fr.searcher.index.bm25, fr.boost)
+      // LM collection probability (`LMSimilarity.java:154-156`): μ·cp /
+      // λ·cp with cp = (ttf+1F)/(sumTTF+1F), floats exactly as single-field
+      case SegmentSearcher.SimLMDirichlet =>
+        SegmentSearcher.LMMu *
+          ((ttf.toFloat + 1f) / (m.sumTotalTermFreq.toFloat + 1f))
+      case SegmentSearcher.SimLMJM =>
+        SegmentSearcher.JMLambda *
+          ((ttf.toFloat + 1f) / (m.sumTotalTermFreq.toFloat + 1f))
+      // DFR/SimilarityBase: scorer computes from raw (df, ttf) below
+      case _ => 0f
+    })).toMap
+    val rawStats = (for {
+      (fr, i) <- fields.zipWithIndex if i < qfFields.size
+      (t, (df, ttf)) <- stats(i)
+    } yield (i, t) -> ((df, ttf))).toMap
     val salted = (for {
       (fr, i) <- fields.zipWithIndex
       m = fr.searcher.index.manifest
@@ -106,6 +154,9 @@ object MultiField {
       if (terms.size < 2) Nil
       else pfFields.flatMap { p =>
         val i = fields.indexWhere(_.searcher eq p.searcher)
+        require(fields(i).sim == SegmentSearcher.SimBm25,
+          "pf (phrase boost) requires a BM25-scored field: the phrase " +
+            "weight model is BM25-specific")
         val m = p.searcher.index.manifest
         if (!m.positions) sys.error("pf requires an index built with positions")
         if (terms.forall(stats(i).contains)) Some((i, p.boost)) else None
@@ -118,7 +169,22 @@ object MultiField {
     }.toMap
     val plan = MfPlan(terms, qfFields.indices, weights, salted,
       pfIdx.map(_._1), pfWeights,
-      fields.map(_.searcher.cache).toArray, S, salted.nonEmpty, tie, msm, k)
+      // per-field norm cache: the BM25 freq-independent denominators for
+      // BM25 fields, the SimilarityBase NORM_TABLE (decoded quantized
+      // lengths) for every other sim — same per-sim choice as single-field
+      fields.map(fr =>
+        if (fr.sim == SegmentSearcher.SimBm25) fr.searcher.cache
+        else graft.core.Norms.NORM_TABLE).toArray,
+      S, salted.nonEmpty, tie, msm, k,
+      sims = fields.map(_.sim),
+      rawStats = rawStats,
+      maxDocs = fields.map(_.searcher.index.manifest.docCount),
+      avgdls = fields.map { fr =>
+        val m = fr.searcher.index.manifest
+        if (m.sumTotalTermFreq <= 0) 1f
+        else m.sumTotalTermFreq.toFloat / m.docCount.toFloat
+      },
+      sumTtfs = fields.map(_.searcher.index.manifest.sumTotalTermFreq))
 
     val estBytes = stats.map(st =>
       st.valuesIterator.map(_._1 * 4L + 64L).sum).sum
@@ -192,9 +258,23 @@ object MultiField {
     val termScorers: Seq[DocScorer] = plan.terms.map { t =>
       val subs: Seq[DocScorer] = plan.qf.flatMap { f =>
         shardRowsOf((f, t)).map { r =>
-          val ts = new TermScorer(
-            PostingsCodec.iterator(r.docBlocks, r.skipData),
-            plan.weights((f, t)), plan.caches(f))
+          val it = PostingsCodec.iterator(r.docBlocks, r.skipData)
+          val sim = plan.simOf(f)
+          val ts: DocScorer =
+            if (sim == SegmentSearcher.SimBm25)
+              new TermScorer(it, plan.weights((f, t)), plan.caches(f))
+            else if (sim == SegmentSearcher.SimLMDirichlet ||
+                sim == SegmentSearcher.SimLMJM)
+              new TermScorer(it, plan.weights((f, t)), plan.caches(f), sim)
+            else if (sim == SegmentSearcher.SimDFR) {
+              val (df, ttf) = plan.rawStats((f, t))
+              new DFRTermScorer(it, df, ttf, plan.maxDocs(f),
+                plan.avgdls(f), plan.caches(f))
+            } else if (SegmentSearcher.isSimBase(sim)) {
+              val (df, ttf) = plan.rawStats((f, t))
+              new SimBaseTermScorer(it, df, ttf, plan.maxDocs(f),
+                plan.avgdls(f), plan.caches(f), sim, plan.sumTtfs(f))
+            } else sys.error(s"per-field sim $sim unsupported")
           if (shard >= 0 && r.salt < 0)
             new ModFilterScorer(ts, shard, plan.numShards)
           else ts

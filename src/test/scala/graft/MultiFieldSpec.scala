@@ -109,6 +109,88 @@ class MultiFieldSpec extends AnyFunSuite {
     }
   }
 
+  test("per-field similarity (PerFieldSimilarityWrapper surface): " +
+      "BM25 field + LMDirichlet field, local/distributed/salted") {
+    val terms = Seq("alpha", "beta", "gamma")
+    val tie = 0.15f
+    // first-principles per-doc recompute: f1 scored BM25 (boost 1), f2
+    // scored LMDirichlet with f2's OWN collection model (μ·cp, quantized
+    // docLen), per-term DisMax, mm=1, float sequencing as the engine's
+    val fields: Seq[Seq[Array[String]]] = Seq(
+      docs.map(d => graft.core.Analysis.simpleTokens(d._2)),
+      docs.map(d => graft.core.Analysis.simpleTokens(d._3)))
+    val n = docs.size.toLong
+    val sumTtf = fields.map(_.map(_.length.toLong).sum)
+    val dfOf: Seq[Map[String, Long]] = fields.map(f =>
+      vocab.map(t => t -> f.count(_.contains(t)).toLong).toMap)
+    val ttfOf2: Map[String, Long] =
+      vocab.map(t => t -> fields(1).map(_.count(_ == t).toLong).sum).toMap
+    def lmScoreOne(tf: Int, docTokens: Int, t: String): Float = {
+      val cp = (ttfOf2(t).toFloat + 1f) / (sumTtf(1).toFloat + 1f)
+      val w = 2000f * cp
+      val docLen = Norms.NORM_TABLE(Norms.normByte(docTokens) & 0xff)
+      val s = (math.log((1f + tf.toFloat / w).toDouble) +
+        math.log((2000f / (docLen + 2000f)).toDouble)).toFloat
+      if (s > 0f) s else 0f
+    }
+    val expected: Seq[(Long, Double)] = docs.indices.flatMap { d =>
+      var matched = 0
+      var total = 0d
+      terms.foreach { t =>
+        var mx = 0f
+        var sm = 0f
+        var any = false
+        val tf1 = fields(0)(d).count(_ == t)
+        if (tf1 > 0) {
+          any = true
+          val s = BM25.scoreOne(tf1, Norms.normByte(fields(0)(d).length),
+            dfOf(0)(t), n, sumTtf(0), boost = 1f)
+          if (s > mx) mx = s
+          sm += s
+        }
+        val tf2 = fields(1)(d).count(_ == t)
+        if (tf2 > 0) {
+          any = true
+          val s = lmScoreOne(tf2, fields(1)(d).length, t)
+          if (s > mx) mx = s
+          sm += s
+        }
+        if (any) { matched += 1; total += (mx + (sm - mx) * tie).toDouble }
+      }
+      if (matched >= 1) Some((d.toLong, total.toFloat.toDouble)) else None
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(expected.nonEmpty)
+
+    for ((tag, threshold) <- Seq(("psim-plain", 1000000L), ("psim-salted", 100L))) {
+      val cfg = BuildConfig(numBuckets = 8, numDocShards = 4,
+        saltThreshold = threshold)
+      val s1 = buildField("f1", cfg, tag)
+      val s2 = buildField("f2", cfg, tag)
+      def refs(a: Searcher, b: Searcher) = Seq(
+        MultiField.FieldRef(a, 1f),
+        MultiField.FieldRef(b, 1f, SegmentSearcher.SimLMDirichlet))
+      val got = MultiField.dismaxTerms(refs(s1, s2), terms, msm = 1,
+        tie = tie, k = 10).map(h => (h.docId, h.score)).toSeq
+      assert(got === expected, s"$tag local")
+      val d1 = new Searcher(spark, s1.index, cacheSegments = false, maxLocalBytes = 0)
+      val d2 = new Searcher(spark, s2.index, cacheSegments = false, maxLocalBytes = 0)
+      val gotDist = MultiField.dismaxTerms(refs(d1, d2), terms, msm = 1,
+        tie = tie, k = 10).map(h => (h.docId, h.score)).toSeq
+      assert(gotDist === expected, s"$tag distributed")
+      // loud failures: qf boost on a non-BM25 field, per-field Classic
+      intercept[IllegalArgumentException] {
+        MultiField.dismaxTerms(Seq(MultiField.FieldRef(s1, 1f),
+          MultiField.FieldRef(s2, 2f, SegmentSearcher.SimLMDirichlet)),
+          terms, 1, tie, 10)
+      }
+      intercept[IllegalArgumentException] {
+        MultiField.dismaxTerms(Seq(MultiField.FieldRef(s1, 1f),
+          MultiField.FieldRef(s2, 1f, SegmentSearcher.SimClassic)),
+          terms, 1, tie, 10)
+      }
+    }
+  }
+
   test("edismax pf (phrase boost) == first-principles oracle") {
     val terms = Seq("alpha", "beta")
     val boosts = Seq(1f, 2.5f)
