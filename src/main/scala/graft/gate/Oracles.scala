@@ -821,6 +821,133 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** SpanContaining (`SpanContainingQuery.java:80-94`, forward-only
+    * streaming law): an ordered-near big span containing a term little.
+    * With bigs processed in start order, the little cursor always rests
+    * on the FIRST little with start ≥ big.start (it advances only while
+    * little.start < big.start), so the closed form is per-big: emit iff
+    * min{litlePos ≥ q0} ≤ e − 1 (little exhaustion = NULL = reject, and
+    * every later big rejects too). Emits the BIG span (freq from its
+    * width); weight folds BOTH sides' terms (`SpanContainWeight`
+    * getTermContexts(big, little)).
+    */
+  def spanContaining(bigTerms: Seq[String], bigSlop: Int, little: String,
+      k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(bigTerms)
+    val score = spanTreeScore(spanTreeWeight(bigTerms :+ little))
+    prologue + spanPosx + chain +
+      s""", pl AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(little)}
+), big AS (
+  SELECT doc_id, q0, $lastQ + 1 AS e, $widthExpr AS width
+  FROM m${bigTerms.size - 1} WHERE $widthExpr <= $bigSlop
+), ph AS (
+  SELECT b.doc_id, ${R("SUM(1.0 / CAST(1 + b.width AS DOUBLE))")} AS freq
+  FROM big b WHERE (
+    SELECT MIN(p.pos) FROM pl p
+    WHERE p.doc_id = b.doc_id AND p.pos >= b.q0) <= b.e - 1
+  GROUP BY b.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** SpanWithin (`SpanWithinQuery.java:77-92`): term littles enclosed by
+    * an ordered-near big. Littles are width-1 term spans (ends strictly
+    * increasing), so the big cursor's forward-only rest point per little
+    * is exactly the first big in (start, end) order with end ≥
+    * little.end — emit the little iff that big's start ≤ little.start.
+    * freq = count of emitted littles (each width 0).
+    */
+  def spanWithin(little: String, bigTerms: Seq[String], bigSlop: Int,
+      k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(bigTerms)
+    val score = spanTreeScore(spanTreeWeight(little +: bigTerms))
+    prologue + spanPosx + chain +
+      s""", pl AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(little)}
+), big AS (
+  SELECT doc_id, q0, $lastQ + 1 AS e
+  FROM m${bigTerms.size - 1} WHERE $widthExpr <= $bigSlop
+), ph AS (
+  SELECT l.doc_id, CAST(COUNT(*) AS REAL) AS freq
+  FROM pl l WHERE (
+    SELECT b.q0 FROM big b
+    WHERE b.doc_id = l.doc_id AND b.e >= l.pos + 1
+    ORDER BY b.q0, b.e LIMIT 1) <= l.pos
+  GROUP BY l.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** SpanPositionRange over an ordered SpanNear
+    * (`SpanPositionRangeQuery.java:41-48`): spans with start ≥ rStart
+    * and end ≤ rEnd (the NO_MORE_IN_CURRENT_DOC early stop is a filter —
+    * starts are sorted, so every span after the stop fails too).
+    */
+  def spanPosRange(terms: Seq[String], slop: Int, rStart: Int, rEnd: Int,
+      k: Int): String = {
+    val (chain, widthExpr, lastQ) = spanChain(terms)
+    val score = spanTreeScore(spanTreeWeight(terms))
+    prologue + spanPosx + chain +
+      s""", sp AS (
+  SELECT doc_id, q0, $lastQ + 1 AS e, $widthExpr AS width
+  FROM m${terms.size - 1}
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + width AS DOUBLE))")} AS freq
+  FROM sp WHERE width <= $slop AND q0 >= $rStart AND e <= $rEnd
+  GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** SpanMultiTermQueryWrapper (`SpanMultiTermQueryWrapper.java:51`): an
+    * ordered near whose FIRST clause is a wildcard expanded to the union
+    * of matching terms' positions (distinct terms never share a
+    * position). Weight = float idf fold over sorted DISTINCT present
+    * terms across both clauses — the matching set is dynamic, so a
+    * recursive CTE does the ordered float fold.
+    */
+  def spanNearWildcard(likePat: String, term2: String, slop: Int,
+      k: Int): String = {
+    val score = spanTreeScore("(SELECT w FROM wv)")
+    "WITH RECURSIVE" + (prologue + spanPosx +
+      s""", wt AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok
+  WHERE term LIKE ${lit(likePat)} OR term = ${lit(term2)}
+  GROUP BY term
+), wsort AS (
+  SELECT term, df, row_number() OVER (ORDER BY term) AS rn FROM wt
+), wfold(rn, acc) AS (
+  SELECT 0, ${R("0.0")}
+  UNION ALL
+  SELECT w.rn, ${R(s"f.acc + ${idfExpr("w.df")}")}
+  FROM wfold f JOIN wsort w ON w.rn = f.rn + 1
+), wv AS (
+  SELECT ${R(s"acc * ($K1 + ${R("1")})")} AS w
+  FROM wfold ORDER BY rn DESC LIMIT 1
+), p0 AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term LIKE ${lit(likePat)}
+), p1 AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(term2)}
+), m1 AS (
+  SELECT p0.doc_id, p0.pos AS q0, MIN(p1.pos) AS q1
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos >= p0.pos + 1
+  GROUP BY ALL
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + (q1 - q0 - 1) AS DOUBLE))")} AS freq
+  FROM m1 WHERE q1 - q0 - 1 <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""").stripPrefix("WITH") + finish("res", k)
+  }
+
   /** SpanFirst: the term restricted to positions ending ≤ `end` (1-based
     * subscript pos has span end == pos), freq = count of qualifying
     * occurrences, BM25 with the term's full-df weight.

@@ -297,6 +297,22 @@ object SearchGate {
     "q_span_tree_nested" -> seg(SpanQ(Span.Near(Seq(
       Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 2),
       Span.Term("merge")), 8))),
+    // SpanContaining: near(order,sort;6) spans that contain a merge
+    // occurrence (forward-only streaming law, ContainSpans.java:24)
+    "q_span_containing" -> seg(SpanQ(Span.Containing(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 6),
+      Span.Term("merge")))),
+    // SpanWithin: sort occurrences enclosed by a near(order,merge;8) span
+    "q_span_within" -> seg(SpanQ(Span.Within(
+      Span.Term("sort"),
+      Span.Near(Seq(Span.Term("order"), Span.Term("merge")), 8)))),
+    // SpanPositionRange: near spans with start ≥ 3 and end ≤ 40
+    "q_span_posrange" -> seg(SpanQ(Span.PosRange(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 4), 3, 40))),
+    // SpanMultiTermQueryWrapper: a wildcard inside a span near, expanded
+    // against the dictionary into a union of term leaves
+    "q_span_wildcard" -> seg(SpanQ(Span.Near(Seq(
+      Span.Multi(WildcardQ("ord*")), Span.Term("sort")), 5))),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -504,6 +520,14 @@ object SearchGate {
       Oracles.spanTreeNot(Seq("order", "sort"), 4, "merge", 1, 2, K),
     "q_span_tree_nested" ->
       Oracles.spanTreeNested(Seq("order", "sort"), 2, "merge", 8, K),
+    "q_span_containing" ->
+      Oracles.spanContaining(Seq("order", "sort"), 6, "merge", K),
+    "q_span_within" ->
+      Oracles.spanWithin("sort", Seq("order", "merge"), 8, K),
+    "q_span_posrange" ->
+      Oracles.spanPosRange(Seq("order", "sort"), 4, 3, 40, K),
+    "q_span_wildcard" ->
+      Oracles.spanNearWildcard("ord%", "sort", 5, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),

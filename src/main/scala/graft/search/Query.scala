@@ -202,6 +202,36 @@ object Span {
   /** Intervals ending at or before `end` (`SpanFirstQuery.java:30-40`). */
   final case class First(inner: Span, end: Int) extends Span
 
+  /** `big` intervals that contain a `little` interval, emitted as the
+    * BIG span, under the reference's forward-only streaming law
+    * (`spans/SpanContainingQuery.java:80-94` via `ContainSpans.java:24`):
+    * per big in (start, end) order, the little cursor advances while
+    * little.start < big.start and only the CURRENT little is tested
+    * (big.end ≥ little.end); little exhaustion ends the doc.
+    */
+  final case class Containing(big: Span, little: Span) extends Span
+
+  /** `little` intervals enclosed by a `big` interval, emitted as the
+    * LITTLE span (`spans/SpanWithinQuery.java:77-92`): per little in
+    * order, the big cursor advances while big.end < little.end, then
+    * big.start ≤ little.start is tested on the current big only.
+    */
+  final case class Within(little: Span, big: Span) extends Span
+
+  /** Intervals with start ≥ `start` and end ≤ `end`
+    * (`spans/SpanPositionRangeQuery.java:41-48`; `First` is the
+    * start = 0 special case).
+    */
+  final case class PosRange(inner: Span, start: Int, end: Int) extends Span
+
+  /** A multi-term query (prefix/wildcard/regexp/fuzzy/range) inside a
+    * span tree (`spans/SpanMultiTermQueryWrapper.java:51`): expanded
+    * against the term dictionary into an [[Or]] of term leaves before
+    * compilation (capped at the searcher's maxExpansions, logged when
+    * the cap bites). Reaching the evaluator unexpanded is an error.
+    */
+  final case class Multi(inner: Query) extends Span
+
   /** Every term the tree reads postings for (exclude sides included). */
   def allTerms(s: Span): Seq[String] = s match {
     case Term(t) => Seq(t)
@@ -209,10 +239,16 @@ object Span {
     case Or(cs) => cs.flatMap(allTerms)
     case Not(i, e, _, _) => allTerms(i) ++ allTerms(e)
     case First(i, _) => allTerms(i)
+    case Containing(b, l) => allTerms(b) ++ allTerms(l)
+    case Within(l, b) => allTerms(l) ++ allTerms(b)
+    case PosRange(i, _, _) => allTerms(i)
+    case Multi(_) => Nil // resolved by expandMultiTerm before term pruning
   }
 
   /** Terms contributing to the weight — exclude sides do NOT
-    * (`SpanNotQuery` extracts terms from the include side only).
+    * (`SpanNotQuery` extracts terms from the include side only);
+    * Containing/Within fold BOTH sides (`SpanContainWeight` builds its
+    * sim weight from big's AND little's term contexts).
     */
   def scoringTerms(s: Span): Seq[String] = s match {
     case Term(t) => Seq(t)
@@ -220,6 +256,10 @@ object Span {
     case Or(cs) => cs.flatMap(scoringTerms)
     case Not(i, _, _, _) => scoringTerms(i)
     case First(i, _) => scoringTerms(i)
+    case Containing(b, l) => scoringTerms(b) ++ scoringTerms(l)
+    case Within(l, b) => scoringTerms(l) ++ scoringTerms(b)
+    case PosRange(i, _, _) => scoringTerms(i)
+    case Multi(_) => Nil
   }
 
   /** Structural simplification: prune can-never-match nodes (None),
@@ -253,6 +293,16 @@ object Span {
       }
     case First(i, end) =>
       if (end <= 0) None else simplify(i).map(First(_, end))
+    case Containing(b, l) =>
+      // conjunction: both sides must be able to match
+      for (sb <- simplify(b); sl <- simplify(l)) yield Containing(sb, sl)
+    case Within(l, b) =>
+      for (sl <- simplify(l); sb <- simplify(b)) yield Within(sl, sb)
+    case PosRange(i, start, end) =>
+      // needs start ≥ rangeStart and end ≤ rangeEnd with end > start
+      if (end <= math.max(start, 0)) None
+      else simplify(i).map(PosRange(_, math.max(start, 0), end))
+    case m: Multi => Some(m)
   }
 }
 

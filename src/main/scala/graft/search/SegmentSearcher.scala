@@ -1296,6 +1296,33 @@ final class Searcher(private[search] val spark: SparkSession,
       case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
       case BoostQ(i, b) => BoostQ(go(i), b)
       case ConstScoreQ(i, s) => ConstScoreQ(go(i), s)
+      // SpanMultiTermQueryWrapper (`spans/SpanMultiTermQueryWrapper
+      // .java:51`): a multi-term query inside a span tree expands against
+      // the dictionary into a Span.Or of term leaves (the reference's
+      // SpanOrQuery-of-SpanTermQuery rewrite), capped at maxExpansions
+      // with a loud log when the cap bites; an empty expansion prunes the
+      // subtree via Span.simplify
+      case SpanQ(root) =>
+        def goSpan(s: Span): Span = s match {
+          case Span.Multi(inner) =>
+            val ts = Query.literalTerms(go(inner)).toSeq.sorted
+            if (ts.size >= maxExpansions)
+              System.err.println(s"[graft] Span.Multi($inner) expansion " +
+                s"hit the $maxExpansions-term cap — matches beyond the " +
+                "cap are dropped (reference throws TooManyClauses)")
+            Span.Or(ts.map(Span.Term))
+          case t: Span.Term => t
+          case Span.Near(cs, sl, io) => Span.Near(cs.map(goSpan), sl, io)
+          case Span.Or(cs) => Span.Or(cs.map(goSpan))
+          case Span.Not(i, e, pre, post) =>
+            Span.Not(goSpan(i), goSpan(e), pre, post)
+          case Span.First(i, end) => Span.First(goSpan(i), end)
+          case Span.Containing(b, l) =>
+            Span.Containing(goSpan(b), goSpan(l))
+          case Span.Within(l, b) => Span.Within(goSpan(l), goSpan(b))
+          case Span.PosRange(i, s0, e0) => Span.PosRange(goSpan(i), s0, e0)
+        }
+        SpanQ(goSpan(root))
       case other => other
     }
     go(q)

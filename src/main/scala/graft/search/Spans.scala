@@ -211,6 +211,79 @@ object Spans {
     def cost: Long = inner.cost
   }
 
+  /** Big intervals containing a little — the reference's FORWARD-ONLY
+    * streaming law, transcribed (`SpanContainingQuery.java:80-94`): per
+    * big in (start, end) order, advance the little cursor while
+    * little.start < big.start; only the CURRENT little is tested
+    * (big.end ≥ little.end). A big whose first candidate little is too
+    * long is skipped even if a later little would fit — matching the
+    * reference exactly, not set-containment. Emits the BIG span
+    * (`ContainSpans.width()` reads sourceSpans = big).
+    */
+  private final class CContaining(big: CNode, little: CNode) extends CNode {
+    private val both = Array(big, little)
+    def advanceDoc(target: Long): Long = conjunctionAlign(both, target)
+    def eval(doc: Long): Array[Sp] = {
+      val bs = big.eval(doc)
+      if (bs.isEmpty) return NoSp
+      val ls = little.eval(doc)
+      if (ls.isEmpty) return NoSp
+      val out = Array.newBuilder[Sp]
+      var li = 0
+      var bi = 0
+      var exhausted = false
+      while (bi < bs.length && !exhausted) {
+        while (li < ls.length && ls(li).start < bs(bi).start) li += 1
+        if (li >= ls.length) exhausted = true
+        else if (bs(bi).end >= ls(li).end) out += bs(bi)
+        bi += 1
+      }
+      out.result()
+    }
+    def cost: Long = math.min(big.cost, little.cost)
+  }
+
+  /** Little intervals enclosed by a big — forward-only streaming law
+    * (`SpanWithinQuery.java:77-92`): per little in order, advance the
+    * big cursor while big.end < little.end; only the current big is
+    * tested (big.start ≤ little.start). Emits the LITTLE span.
+    */
+  private final class CWithin(little: CNode, big: CNode) extends CNode {
+    private val both = Array(little, big)
+    def advanceDoc(target: Long): Long = conjunctionAlign(both, target)
+    def eval(doc: Long): Array[Sp] = {
+      val ls = little.eval(doc)
+      if (ls.isEmpty) return NoSp
+      val bs = big.eval(doc)
+      if (bs.isEmpty) return NoSp
+      val out = Array.newBuilder[Sp]
+      var li = 0
+      var bi = 0
+      var exhausted = false
+      while (li < ls.length && !exhausted) {
+        while (bi < bs.length && bs(bi).end < ls(li).end) bi += 1
+        if (bi >= bs.length) exhausted = true
+        else if (bs(bi).start <= ls(li).start) out += ls(li)
+        li += 1
+      }
+      out.result()
+    }
+    def cost: Long = math.min(little.cost, big.cost)
+  }
+
+  /** Intervals with start ≥ rStart and end ≤ rEnd
+    * (`SpanPositionRangeQuery.java:41-48` acceptPosition; a span with
+    * start ≥ rEnd yields NO_MORE_IN_CURRENT_DOC — with starts sorted,
+    * every later span fails too, so the early stop is a filter).
+    */
+  private final class CPosRange(inner: CNode, rStart: Int, rEnd: Int)
+      extends CNode {
+    def advanceDoc(target: Long): Long = inner.advanceDoc(target)
+    def eval(doc: Long): Array[Sp] =
+      inner.eval(doc).filter(sp => sp.start >= rStart && sp.end <= rEnd)
+    def cost: Long = inner.cost
+  }
+
   /** Conjunction doc alignment shared by both near forms. */
   private def conjunctionAlign(cls: Array[CNode], target0: Long): Long = {
     var target = target0
@@ -278,6 +351,19 @@ object Spans {
           math.max(pre, 0), math.max(post, 0)))
       case Span.First(i, end) =>
         go(i, scoring).map(new CFirst(_, end))
+      case Span.Containing(b, l) =>
+        // conjunction: both sides required AND both contribute to the
+        // weight (SpanContainWeight folds big's and little's contexts)
+        for (cb <- go(b, scoring); cl <- go(l, scoring))
+          yield new CContaining(cb, cl)
+      case Span.Within(l, b) =>
+        for (cl <- go(l, scoring); cb <- go(b, scoring))
+          yield new CWithin(cl, cb)
+      case Span.PosRange(i, s0, e0) =>
+        go(i, scoring).map(new CPosRange(_, s0, e0))
+      case Span.Multi(inner) =>
+        sys.error(s"unexpanded Span.Multi($inner) reached the span " +
+          "evaluator — expandMultiTerm must run before compile")
     }
     go(root, scoring = true).map(c => (c, incIts.result()))
   }
@@ -299,6 +385,11 @@ object Spans {
       }
       case Span.Not(i, _, _, _) => go(i)
       case Span.First(i, _) => go(i)
+      // conjunctions: restricted when EITHER side is
+      case Span.Containing(b, l) => go(b) || go(l)
+      case Span.Within(l, b) => go(l) || go(b)
+      case Span.PosRange(i, _, _) => go(i)
+      case Span.Multi(_) => false
     }
     go(root)
   }

@@ -5,7 +5,7 @@ import graft.core.{Analysis, Corpus, Norms}
 import graft.index.IndexBuilder
 import graft.index.IndexBuilder.BuildConfig
 import graft.search._
-import graft.search.Span.{First, Near, Not, Or, Term}
+import graft.search.Span.{Containing, First, Multi, Near, Not, Or, PosRange, Term, Within}
 
 /** The composed span tree ([[Spans]] interval algebra) against three
   * independent sources of truth: (1) the flat single-level span scorers
@@ -249,6 +249,70 @@ class SpansTreeSpec extends AnyFunSuite {
         assert(local.nonEmpty && local == forced, s"q=$q")
       }
     } finally dist.close()
+  }
+
+  /** Hand-traced Containing/Within/PosRange, including the reference's
+    * FORWARD-ONLY streaming subtlety: ContainSpans tests only the first
+    * little with start ≥ big.start (`SpanContainingQuery.java:80-94`), so
+    * a big whose first candidate little is too long is skipped even when
+    * a LATER little is set-contained.
+    */
+  test("Containing/Within/PosRange hand-traced, incl. forward-only law") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spancw").toString
+    // p0: a@0 c@1 e@2 d@3 x@4 b@5 f@6 — big Near(a,b,4) = (0,6,w4);
+    //     littles Or(Near(c,f,10), Near(e,d,10)) = (1,7,w4), (2,4,w0):
+    //     first little (1,7) has end 7 > 6 → big NOT emitted (the later
+    //     (2,4) IS set-contained — the forward-only law drops it)
+    // p1: a@0 c@1 e@2 d@3 f@4 b@5 — big (0,6,w4); littles (1,5,w2),(2,4):
+    //     first little (1,5) fits → emitted, freq = 1/(1+4)
+    // p2: d@0 a@1 b@2 — big (1,3,w0); no little member present → no match
+    val docs = Seq(
+      ("r", "p0", "c", "s", "a c e d x b f"),
+      ("r", "p1", "c", "s", "a c e d f b"),
+      ("r", "p2", "c", "s", "d a b")).toDF(
+      "repo", "path", "commit", "lang", "content")
+    val ix = IndexBuilder.buildLogical(docs, "content", None,
+      Seq("repo", "path", "commit"), BuildConfig(numBuckets = 2, numDocShards = 1))
+    IndexBuilder.writeIndex(ix, tmp, "cw", 1)
+    val s = new Searcher(spark, SegmentSearcher.load(tmp))
+    val byPath = ix.docs.select("docId", "path").collect()
+      .map(r => r.getString(1) -> r.getLong(0)).toMap
+    ix.unpersistCached(); ix.postings.unpersist()
+    def docsOf(q: Query): Set[Long] = s.search(q, 10).map(_.docId).toSet
+    val (d0, d1, d2) = (byPath("p0"), byPath("p1"), byPath("p2"))
+
+    val big = Near(Seq(Term("a"), Term("b")), 4)
+    val little = Or(Seq(Near(Seq(Term("c"), Term("f")), 10),
+      Near(Seq(Term("e"), Term("d")), 10)))
+    assert(docsOf(SpanQ(Containing(big, little))) == Set(d1),
+      "forward-only law: p0's set-contained (2,4) must NOT rescue the big")
+
+    // Within(d, big): p0 d@3 → (3,4) inside (0,6) ✓; p1 d@3 ✓;
+    // p2 d@0 → (0,1): only big is (1,3), start 1 > 0 → not enclosed
+    assert(docsOf(SpanQ(Within(Term("d"), big))) == Set(d0, d1))
+
+    // PosRange(big, 1, 4): only p2's (1,3) has start ≥ 1 and end ≤ 4
+    assert(docsOf(SpanQ(PosRange(big, 1, 4))) == Set(d2))
+    // range that excludes everything prunes to MatchNone
+    assert(Query.rewrite(SpanQ(PosRange(big, 3, 3))) == MatchNoneQ)
+    s.close()
+  }
+
+  test("Span.Multi expands like the explicit union (SpanMultiTermQueryWrapper)") {
+    val matching = docsToks.values.flatten.toSeq.distinct
+      .filter(_.startsWith("m")).sorted
+    assert(matching.size >= 2, s"fixture needs ≥2 'm*' terms: $matching")
+    val explicit = got(SpanQ(Near(Seq(
+      Or(matching.map(Term(_))), Term("val")), 6)), 20)
+    val prefix = got(SpanQ(Near(Seq(
+      Multi(PrefixQ("m")), Term("val")), 6)), 20)
+    val wildcard = got(SpanQ(Near(Seq(
+      Multi(WildcardQ("m*")), Term("val")), 6)), 20)
+    assert(explicit.nonEmpty && prefix == explicit && wildcard == explicit)
+    // an expansion with no matches prunes the whole tree
+    assert(got(SpanQ(Near(Seq(
+      Multi(PrefixQ("zzznoprefix")), Term("val")), 6)), 20).isEmpty)
   }
 
   test("rewrite prunes dead span trees") {
