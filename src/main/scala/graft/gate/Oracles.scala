@@ -1691,6 +1691,72 @@ WHERE abs(length(term) - $termLen) <= $maxEdits
 ORDER BY score DESC, df DESC, suggestion LIMIT $k"""
   }
 
+  /** Prefix-completion suggest (AnalyzingSuggester surface, weight = df):
+    * top-k completions ranked df desc, term asc.
+    */
+  def suggestPrefix(prefix: String, k: Int): String =
+    prologue +
+      s"""
+SELECT term AS suggestion, count(DISTINCT doc_id) AS df
+FROM tok WHERE term LIKE ${lit(prefix + "%")}
+GROUP BY term ORDER BY df DESC, suggestion LIMIT $k"""
+
+  /** TopTermsScoringBooleanQueryRewrite over a prefix
+    * (`TopTermsRewrite.java:40`): the first maxExp matching terms in
+    * term order (the PQ keeps the lexicographically smallest when all
+    * enum boosts tie at 1f), each scored with its OWN df, SHOULD-summed.
+    */
+  def prefixScored(prefix: String, maxExp: Int, k: Int): String = {
+    val w = R(s"${idfExpr("st.df")} * ($K1 + ${R("1")})")
+    val tfR = R("t.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", sel AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE ${lit(prefix + "%")})
+  ORDER BY term LIMIT $maxExp
+), st AS (
+  SELECT tok.term, count(DISTINCT doc_id) AS df
+  FROM tok JOIN sel ON tok.term = sel.term GROUP BY tok.term
+), tf_ AS (
+  SELECT tok.doc_id, tok.term, count(*) AS tf
+  FROM tok JOIN sel ON tok.term = sel.term GROUP BY 1, 2
+), persc AS (
+  SELECT t.doc_id, $score AS s
+  FROM tf_ t JOIN st ON t.term = st.term JOIN dn ON t.doc_id = dn.doc_id
+), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM persc GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
+  /** TopTermsBlendedFreqScoringRewrite over a prefix: same first-maxExp
+    * selection, every clause scored with the blended MAX df and the
+    * shared (idf)·(k1+1) weight (boosts all 1f), SHOULD-summed.
+    */
+  def prefixBlended(prefix: String, maxExp: Int, k: Int): String = {
+    val idf = idfExpr("(SELECT df FROM bdf)")
+    val w = R(s"$idf * ($K1 + ${R("1")})")
+    val tfR = R("t.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    prologue +
+      s""", sel AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE ${lit(prefix + "%")})
+  ORDER BY term LIMIT $maxExp
+), st AS (
+  SELECT tok.term, count(DISTINCT doc_id) AS df
+  FROM tok JOIN sel ON tok.term = sel.term GROUP BY tok.term
+), bdf AS (
+  SELECT max(df) AS df FROM st
+), tf_ AS (
+  SELECT tok.doc_id, tok.term, count(*) AS tf
+  FROM tok JOIN sel ON tok.term = sel.term GROUP BY 1, 2
+), persc AS (
+  SELECT t.doc_id, $score AS s
+  FROM tf_ t JOIN dn ON t.doc_id = dn.doc_id
+), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM persc GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** Fuzzy: const-score over docs with any term within `maxEdits`
     * Levenshtein edits of `t` (FuzzyQuery.java:53 semantics; DuckDB's
     * levenshtein == the engine's editDistance == plain Levenshtein).

@@ -268,6 +268,17 @@ object SearchGate {
         .map { case (t, s, df) => (t, s.toDouble, df) }
         .toDF("suggestion", "score", "df")
     }),
+    // prefix-completion suggest (AnalyzingSuggester surface, weight = df)
+    "q_suggest_prefix" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestPrefix("s", 4).toSeq
+        .toDF("suggestion", "df")
+    }),
+    // scored prefix rewrites (TopTermsRewrite.java:40): cap 4 < the 6
+    // matching terms, so the PQ's keep-smallest selection is exercised
+    "q_bm25_prefix_scored" -> seg(MultiTermScoredQ(PrefixQ("s"), 4)),
+    "q_bm25_prefix_blended" ->
+      seg(MultiTermScoredQ(PrefixQ("s"), 4, blended = true)),
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
@@ -507,6 +518,9 @@ object SearchGate {
     "q_ib_splz_term" ->
       Oracles.simBaseTerm(SegmentSearcher.SimIBSplDZ, "spark", K),
     "q_suggest" -> Oracles.suggest("sprk", 2, 5),
+    "q_suggest_prefix" -> Oracles.suggestPrefix("s", 4),
+    "q_bm25_prefix_scored" -> Oracles.prefixScored("s", 4, K),
+    "q_bm25_prefix_blended" -> Oracles.prefixBlended("s", 4, K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),

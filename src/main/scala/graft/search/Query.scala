@@ -102,6 +102,20 @@ object WildcardQ {
   }
 }
 
+/** Scored multi-term rewrite (`search/TopTermsRewrite.java:40`): keep
+  * the first `maxExpansions` matching dictionary terms (the rewrite's
+  * size-bounded PQ keeps the lexicographically smallest terms when every
+  * enum boost is the constant 1f, as it is for prefix/wildcard/regexp/
+  * range) and score them as a REAL disjunction instead of const-score:
+  * `blended = false` = TopTermsScoringBooleanQueryRewrite (each clause
+  * scored with its own df), `blended = true` =
+  * TopTermsBlendedFreqScoringRewrite (every clause the blended max df).
+  * `inner` must be Prefix/Wildcard/Regexp/TermRange — Fuzzy has its own
+  * boost-ranked rewrite ([[FuzzyScoredQ]]).
+  */
+final case class MultiTermScoredQ(inner: Query, maxExpansions: Int = 50,
+    blended: Boolean = false) extends Query
+
 /** Terms within Levenshtein distance maxEdits (FuzzyQuery.java:53). */
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
 

@@ -1291,6 +1291,23 @@ final class Searcher(private[search] val spark: SparkSession,
         BlendedBoostedQ(selected.map(c => (c, boostOf(c))).sortBy(_._1))
       case TermRangeQ(lo, hi, il, iu) =>
         ConstScoreQ(BoolQ(should = Query.terms(range(lo, hi, il, iu): _*)))
+      case MultiTermScoredQ(inner, maxExp, blended) =>
+        // TopTermsScoringBooleanQueryRewrite / ...BlendedFreq...
+        // (`TopTermsRewrite.java:40`): enum boosts are the constant 1f
+        // for these query kinds, so the size-bounded PQ keeps the first
+        // maxExp matching terms in term order — exactly what the capped
+        // expansions above enumerate
+        inner match {
+          case PrefixQ(_) | WildcardQ(_) | RegexpQ(_) |
+               TermRangeQ(_, _, _, _) => ()
+          case other => sys.error("MultiTermScoredQ wraps prefix/wildcard/" +
+            s"regexp/range queries (fuzzy has FuzzyScoredQ): $other")
+        }
+        val ts = Query.literalTerms(expandMultiTerm(inner, maxExp))
+          .toSeq.sorted
+        if (ts.isEmpty) MatchNoneQ
+        else if (blended) BlendedBoostedQ(ts.map((_, 1f)))
+        else BoolQ(should = Query.terms(ts: _*))
       case BoolQ(mu, sh, mn, fl, msm) =>
         BoolQ(mu.map(go), sh.map(go), mn.map(go), fl.map(go), msm)
       case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
@@ -1809,6 +1826,43 @@ final class Searcher(private[search] val spark: SparkSession,
       else if (dfa != dfb) dfa > dfb
       else ta < tb
     }.take(k)
+  }
+
+  /** Prefix-completion suggest — the AnalyzingSuggester surface
+    * (`lucene/suggest/.../analyzing/AnalyzingSuggester.java:121`, with
+    * weight = document frequency): the top-k completions of `prefix`,
+    * ranked df desc then term asc. The dict path enumerates the prefix
+    * block of the in-memory sorted vocabulary; beyond the driver the
+    * ranking is pushed into the pruned termdict scan (first-char
+    * partition + StartsWith row-group pruning, orderBy df desc limit k —
+    * nothing but k rows reach the driver).
+    */
+  def suggestPrefix(prefix: String, k: Int): Array[(String, Long)] = {
+    require(prefix.nonEmpty, "empty prefix")
+    termDict match {
+      case Some(d) =>
+        val cands = Set.newBuilder[String]
+        var i = SegmentSearcher.lowerBound(d, prefix)
+        while (i < d.length && d(i).startsWith(prefix)) {
+          cands += d(i); i += 1
+        }
+        val st = stats(cands.result())
+        st.toArray.map { case (t, (df, _)) => (t, df) }
+          .sortWith { case ((ta, da), (tb, db)) =>
+            if (da != db) da > db else ta < tb
+          }.take(k)
+      case None =>
+        val base = termDictDf.getOrElse(termStatsDf)
+        val pruned =
+          if (termDictDf.isDefined)
+            base.filter(col("pfx") === prefix.take(1))
+          else base
+        pruned.filter(col("term").startsWith(prefix))
+          .select("term", "df")
+          .orderBy(col("df").desc, col("term"))
+          .limit(k).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+    }
   }
 
   def searchByField(q0: Query, k: Int, field: String,

@@ -152,7 +152,13 @@ class PlanSpec extends AnyFunSuite {
       "fuzzy" -> s.search(FuzzyQ("merge", 1), 10).toSeq.map(h => (h.docId, h.score)),
       "fuzzy2" -> s.search(FuzzyQ("mrge", 2), 10).toSeq.map(h => (h.docId, h.score)),
       "range" -> s.search(TermRangeQ("index", "merge", true, true), 10)
-        .toSeq.map(h => (h.docId, h.score)))
+        .toSeq.map(h => (h.docId, h.score)),
+      // scored rewrites: first-N selection + real disjunction scoring
+      "prefix_scored" -> s.search(MultiTermScoredQ(PrefixQ("m"), 3), 10)
+        .toSeq.map(h => (h.docId, h.score)),
+      "prefix_blended" ->
+        s.search(MultiTermScoredQ(PrefixQ("m"), 3, blended = true), 10)
+          .toSeq.map(h => (h.docId, h.score)))
     val viaDict = results(new Searcher(spark, ixh))
     // force the beyond-driver path: dictionary never fits
     sys.props("graft.search.maxDictTerms") = "0"
@@ -160,8 +166,29 @@ class PlanSpec extends AnyFunSuite {
       try results(new Searcher(spark, ixh))
       finally sys.props.remove("graft.search.maxDictTerms")
     assert(viaDict("prefix").nonEmpty && viaDict("wildcard").nonEmpty &&
-      viaDict("fuzzy").nonEmpty, s"fixture produced no hits: $viaDict")
+      viaDict("fuzzy").nonEmpty && viaDict("prefix_scored").nonEmpty,
+      s"fixture produced no hits: $viaDict")
     assert(viaDisk == viaDict, s"over-cap expansion diverged:\n$viaDisk\nvs\n$viaDict")
+
+    // prefix-completion suggest: dict path == the pruned distributed
+    // df-desc ranking, and the scored rewrite actually SCORES (different
+    // result than the const-score form on a multi-term prefix)
+    locally {
+      val sDict = new Searcher(spark, ixh)
+      val dictSugg = sDict.suggestPrefix("m", 4).toSeq
+      sys.props("graft.search.maxDictTerms") = "0"
+      val diskSugg =
+        try new Searcher(spark, ixh).suggestPrefix("m", 4).toSeq
+        finally sys.props.remove("graft.search.maxDictTerms")
+      assert(dictSugg.nonEmpty && dictSugg == diskSugg,
+        s"suggestPrefix diverged:\n$diskSugg\nvs\n$dictSugg")
+      assert(dictSugg == dictSugg.sortWith { case ((ta, da), (tb, db)) =>
+        if (da != db) da > db else ta < tb })
+      val scored = sDict.search(MultiTermScoredQ(PrefixQ("m"), 3), 10)
+      val const = sDict.search(PrefixQ("m"), 10)
+      assert(scored.map(_.score).toSet != const.map(_.score).toSet,
+        "scored rewrite should produce real (non-constant) scores")
+    }
 
     // the distributed dict scan must be partition-pruned by first char
     val dict = spark.read.parquet(s"$indexDir/termdict")
