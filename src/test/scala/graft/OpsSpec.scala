@@ -366,6 +366,82 @@ class OpsSpec extends AnyFunSuite {
     assert(stubbed.width == Multimodal.decodeStub(Array[Byte](10, 20, 30)).width)
   }
 
+  test("multimodal: REAL wav/mp4 container-header parse over generated bytes") {
+    // WAV: RIFF/WAVE + fmt (PCM, 2ch, 44100 Hz, 16-bit) + data chunk
+    def wavBytes(ch: Int, rate: Int, bits: Int, dataLen: Int): Array[Byte] = {
+      val byteRate = rate * ch * bits / 8
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate).putInt(byteRate)
+        .putShort((ch * bits / 8).toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      (0 until dataLen).foreach(i => bb.put((i * 13).toByte))
+      bb.array()
+    }
+    val wav = Multimodal.parseWav(wavBytes(2, 44100, 16, 88200)).get
+    assert(wav.format == 1 && wav.channels == 2 && wav.sampleRate == 44100
+      && wav.bitsPerSample == 16 && wav.dataBytes == 88200L)
+    assert(math.abs(wav.durationSec - 0.5) < 1e-9) // 88200 / 176400
+    // an extra chunk BEFORE fmt must be skipped (odd size → pad byte)
+    val withJunk = {
+      val j = java.nio.ByteBuffer.allocate(12 + 8 + 5 + 1 + 32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      j.put("RIFF".getBytes("US-ASCII")).putInt(0)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("LIST".getBytes("US-ASCII")).putInt(5)
+        .put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte)
+      j.array() ++ wavBytes(1, 8000, 8, 4000).drop(12)
+    }
+    val wav2 = Multimodal.parseWav(withJunk).get
+    assert(wav2.channels == 1 && wav2.sampleRate == 8000 &&
+      math.abs(wav2.durationSec - 0.5) < 1e-9)
+    assert(Multimodal.parseWav("nope".getBytes).isEmpty)
+    assert(Multimodal.parseWav(wavBytes(2, 44100, 16, 8).take(20)).isEmpty)
+
+    // MP4: ftyp(isom) + moov{ mvhd v0 (timescale 600, duration 1500),
+    // trak, trak } — duration 2.5 s, 2 tracks
+    def mp4Bytes(timescale: Int, duration: Int, tracks: Int): Array[Byte] = {
+      val mvhd = java.nio.ByteBuffer.allocate(108)
+      mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration)
+      val trak = java.nio.ByteBuffer.allocate(8)
+        .putInt(8).put("trak".getBytes("US-ASCII")).array()
+      val moovBody = mvhd.array() ++ Array.fill(tracks)(trak).flatten
+      val moov = java.nio.ByteBuffer.allocate(8 + moovBody.length)
+        .putInt(8 + moovBody.length).put("moov".getBytes("US-ASCII"))
+        .put(moovBody).array()
+      val ftyp = java.nio.ByteBuffer.allocate(16)
+        .putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(512).array()
+      ftyp ++ moov
+    }
+    val mp4 = Multimodal.parseMp4(mp4Bytes(600, 1500, 2)).get
+    assert(mp4.brand == "isom" && mp4.timescale == 600L &&
+      mp4.durationUnits == 1500L && mp4.tracks == 2)
+    assert(math.abs(mp4.durationSec - 2.5) < 1e-9)
+    assert(Multimodal.parseMp4(Array.fill(32)(7.toByte)).isEmpty)
+
+    // dataset path: real parses flagged, junk rows fall back disclosed
+    val arows = Multimodal.decodeAudio(Multimodal.asBinaryMedia(
+      Seq((0L, wavBytes(2, 44100, 16, 100)), (1L, Array[Byte](9, 9, 9)))
+        .toDF("id", "blob"), "id", "blob", "audio/wav"))
+      .collect().map(r => r.id -> r).toMap
+    assert(arows(0L).parsed && arows(0L).sampleRate == 44100)
+    assert(!arows(1L).parsed)
+    val vrows = Multimodal.decodeVideo(Multimodal.asBinaryMedia(
+      Seq((0L, mp4Bytes(1000, 30000, 1)), (1L, Array[Byte](9)))
+        .toDF("id", "blob"), "id", "blob", "video/mp4"))
+      .collect().map(r => r.id -> r).toMap
+    assert(vrows(0L).parsed && vrows(0L).tracks == 1 &&
+      math.abs(vrows(0L).durationSec - 30.0) < 1e-9)
+    assert(!vrows(1L).parsed)
+  }
+
   /** Brute-force union-find over a pair list (the oracle for CC). */
   private def ufComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
