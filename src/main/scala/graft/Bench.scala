@@ -486,7 +486,75 @@ object Bench {
     }
   }
 
+  /** Codec microbench: decode throughput of the FOR-packed block format
+    * vs the legacy var-byte format over synthetic posting lists at
+    * realistic shapes (rare → very hot terms over a 10M-doc space; tf
+    * mostly 1 with a geometric tail). Times a full-stream nextDoc sweep
+    * and an advance-heavy sweep (conjunction economics), min-of-5 after
+    * JIT warmup. `sbt "runMain graft.Bench codec"`.
+    */
+  private def codecBench(): Unit = {
+    import graft.index.PostingsCodec
+    val N = 10000000L
+    val rnd = new java.util.Random(42)
+    def genList(df: Int): (Array[Long], Array[Int], Array[Byte]) = {
+      val meanGap = math.max(1.0, N.toDouble / df)
+      val docs = new Array[Long](df)
+      var d = 0L
+      var i = 0
+      while (i < df) {
+        d += 1 + math.floor(-meanGap * math.log(rnd.nextDouble())).toLong
+        docs(i) = d
+        i += 1
+      }
+      val tfs = Array.fill(df)(
+        if (rnd.nextDouble() < 0.8) 1 else 1 + rnd.nextInt(15))
+      val norms = Array.fill(df)(rnd.nextInt(256).toByte)
+      (docs, tfs, norms)
+    }
+    def timeMin(reps: Int)(f: => Long): (Double, Long) = {
+      var sink = 0L
+      (1 to 3).foreach(_ => sink += f) // JIT warm
+      var best = Double.MaxValue
+      (1 to reps).foreach { _ =>
+        val t0 = System.nanoTime()
+        sink += f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, sink)
+    }
+    println("[")
+    val lines = for {
+      df <- Seq(1000, 100000, 1000000, 5000000)
+      (docs, tfs, norms) = genList(df)
+      fmt <- Seq(PostingsCodec.FmtVByte, PostingsCodec.FmtFor)
+    } yield {
+      val (body, skip) = PostingsCodec.encode(docs, tfs, norms, fmt)
+      // full-stream sweep: every doc + tf + norm observed
+      val (tNext, _) = timeMin(5) {
+        val it = PostingsCodec.iterator(body, skip)
+        var acc = 0L
+        while (it.nextDoc()) acc += it.doc + it.tf + it.norm
+        acc
+      }
+      // advance-heavy sweep: ~1/16 of the docs visited via skip jumps
+      val stride = math.max(1L, (docs.last / math.max(df / 16, 1)))
+      val (tAdv, _) = timeMin(5) {
+        val it = PostingsCodec.iterator(body, skip)
+        var t = 0L
+        var acc = 0L
+        while (it.advance(t)) { acc += it.doc; t = it.doc + stride }
+        acc
+      }
+      val fmtName = if (fmt == PostingsCodec.FmtVByte) "vbyte" else "for"
+      f"""{"df":$df,"fmt":"$fmtName","bytes":${body.length + skip.length},"next_ns_per_doc":${tNext * 1e9 / df}%.2f,"advance_sweep_ms":${tAdv * 1000}%.3f}"""
+    }
+    println(lines.mkString(",\n"))
+    println("]")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length >= 1 && args(0) == "codec") { codecBench(); return }
     if (args.length >= 1 && args(0) == "phase") {
       runPhase(args(1).toInt, args(2).toInt, args(3))
       return

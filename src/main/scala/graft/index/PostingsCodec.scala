@@ -20,20 +20,145 @@ package graft.index
   *   reference's heap-threshold pruning
   *   (`search/TopScoreDocCollector.java:71-75`).
   *
-  * Var-byte rather than FOR bit-packing is deliberate — SURVEY.md §2.3:
-  * the compression scheme doesn't affect rank identity.
+  * Two block formats, self-describing per blob (rank-identical —
+  * SURVEY.md §2.3: the compression scheme doesn't affect scores):
   *
-  * Layout:
-  *   docBlocks: per block — docCount doc-delta varints, docCount tf-1
-  *              varints, docCount raw norm bytes.
-  *   skipData:  varint numBlocks, then per block —
-  *              varint(lastDocId delta vs prev block's lastDocId),
-  *              varint(maxTf), raw minCacheNormByte,
+  *   FmtVByte (legacy) docBlocks: per block — docCount doc-delta varints,
+  *              docCount tf-1 varints, docCount raw norm bytes.
+  *   FmtFor docBlocks: per block — a FOR run of doc gaps, a FOR run of
+  *              tf-1 values, docCount raw norm bytes. A FOR run =
+  *              width byte (0 = all values equal → one varint — the
+  *              all-equal fast path of `ForUtil.java:157-164,237-243`)
+  *              else the values bit-packed at the block's own width.
+  *   skipData:  [varint 0 + format byte, FmtFor only] varint numBlocks,
+  *              then per block — varint(lastDocId delta vs prev block's
+  *              lastDocId), varint(maxTf), raw minCacheNormByte,
   *              varint(blockByteLen), varint(blockDocCount).
   */
 object PostingsCodec {
 
   val BlockSize = 128
+
+  // ---- codec formats ----
+  //
+  // FmtVByte: the original delta-gap + var-byte blocks (round 1-4 blobs).
+  // FmtFor:   FOR bit-packing (`codecs/lucene50/ForUtil.java:157-164,
+  //           237-243`): per block, gaps and tf-1 values are packed at the
+  //           block's own bit width (bitsRequired of the max), with the
+  //           reference's all-values-equal fast path (width byte 0 + one
+  //           varint). Norm bytes stay raw.
+  //
+  // The format is SELF-DESCRIBING per blob: FmtVByte skipData begins with
+  // varint numBlocks (≥ 1 always — encode rejects empty lists), FmtFor
+  // begins with varint 0 + a format byte + varint numBlocks, so readers
+  // need no external flag and old indexes stay loadable. Writers pick
+  // `defaultFormat` (graft.codec.format / SPARK_GRAFT_CODEC_FORMAT =
+  // "vbyte" | "for"); merge re-encodes with the same default.
+  val FmtVByte = 0
+  val FmtFor = 1
+
+  /** Write-side format. Default: FOR — measured vs var-byte on synthetic
+    * lists over a 10M-doc space (`Bench codec`, min-of-5 after JIT warm):
+    * full-stream decode 1.05-1.5x faster, advance-heavy sweeps 1.1-5x
+    * faster, blobs 15-32% smaller (numbers in BENCH/BASELINE.md). The
+    * flag was flipped only after those measurements, per round-4 verdict
+    * item 2.
+    */
+  def defaultFormat: Int =
+    sys.props.get("graft.codec.format")
+      .orElse(sys.env.get("SPARK_GRAFT_CODEC_FORMAT"))
+      .map {
+        case "vbyte" => FmtVByte
+        case "for" => FmtFor
+        case other => sys.error(s"unknown codec format: $other")
+      }.getOrElse(FmtFor)
+
+  /** Bits needed for `v` (≥ 1 so a packed width is never the 0 marker). */
+  private def bitsRequired(v: Long): Int =
+    math.max(64 - java.lang.Long.numberOfLeadingZeros(v), 1)
+
+  /** Pack `cnt` `width`-bit values little-endian-first into `buf`. */
+  private def packBits(buf: ByteBuf, vals: Array[Long], cnt: Int,
+      width: Int): Unit = {
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    if (width <= 56) {
+      // nbits ≤ 7 before each value, so value << nbits fits in 63 bits
+      while (i < cnt) {
+        acc |= vals(i) << nbits
+        nbits += width
+        while (nbits >= 8) {
+          buf.writeByte((acc & 0xff).toByte); acc >>>= 8; nbits -= 8
+        }
+        i += 1
+      }
+    } else {
+      while (i < cnt) {
+        var v = vals(i)
+        var rem = width
+        while (rem > 0) {
+          val take = math.min(rem, 56)
+          acc |= (v & ((1L << take) - 1)) << nbits
+          nbits += take
+          while (nbits >= 8) {
+            buf.writeByte((acc & 0xff).toByte); acc >>>= 8; nbits -= 8
+          }
+          v = if (take == 64) 0L else v >>> take
+          rem -= take
+        }
+        i += 1
+      }
+    }
+    if (nbits > 0) buf.writeByte((acc & 0xff).toByte)
+  }
+
+  /** Unpack `cnt` `width`-bit values; returns the next read position. */
+  private def unpackBits(arr: Array[Byte], pos0: Int, out: Array[Long],
+      cnt: Int, width: Int): Int = {
+    var pos = pos0
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    if (width <= 56) {
+      // the run's exact byte length is known up front; the refill loop may
+      // peek past it (never past the array) — unused bits are discarded
+      val byteEnd = pos0 + ((cnt.toLong * width + 7) >> 3).toInt
+      val m = (1L << width) - 1
+      while (i < cnt) {
+        // bulk refill to ≥ 57 bits, then emit every complete value from
+        // the accumulator — amortizes the load branching across values
+        while (nbits < 57 && pos < arr.length) {
+          acc |= (arr(pos) & 0xffL) << nbits; pos += 1; nbits += 8
+        }
+        var stop = i + math.max(nbits / width, 1)
+        if (stop > cnt) stop = cnt
+        while (i < stop) {
+          out(i) = acc & m
+          acc >>>= width
+          nbits -= width
+          i += 1
+        }
+      }
+      return byteEnd
+    } else {
+      while (i < cnt) {
+        var v = 0L
+        var got = 0
+        while (got < width) {
+          if (nbits == 0) { acc = arr(pos) & 0xffL; pos += 1; nbits = 8 }
+          val take = math.min(width - got, nbits)
+          v |= (acc & ((1L << take) - 1)) << got
+          acc >>>= take
+          nbits -= take
+          got += take
+        }
+        out(i) = v
+        i += 1
+      }
+    }
+    pos
+  }
 
   // ---- var-byte primitives (7-bit, little-endian continuation) ----
 
@@ -89,13 +214,14 @@ object PostingsCodec {
 
   // ---- skip structure ----
 
-  /** Decoded skip data, indexed by block. */
+  /** Decoded skip data, indexed by block; `fmt` = the blob's codec. */
   final class Skips(
       val lastDocs: Array[Long],
       val maxTfs: Array[Int],
       val minNorms: Array[Byte],
       val offsets: Array[Int],
-      val docCounts: Array[Int]) {
+      val docCounts: Array[Int],
+      val fmt: Int = FmtVByte) {
     def numBlocks: Int = lastDocs.length
     lazy val totalDocs: Int = {
       var s = 0; var i = 0
@@ -106,7 +232,10 @@ object PostingsCodec {
 
   def readSkips(skipData: Array[Byte]): Skips = {
     val r = new ByteReader(skipData)
-    val n = r.readVInt()
+    val first = r.readVInt()
+    // varint 0 = format marker (a legacy blob's leading numBlocks is ≥ 1)
+    val fmt = if (first == 0) r.readByte().toInt else FmtVByte
+    val n = if (first == 0) r.readVInt() else first
     val lastDocs = new Array[Long](n)
     val maxTfs = new Array[Int](n)
     val minNorms = new Array[Byte](n)
@@ -125,7 +254,7 @@ object PostingsCodec {
       docCounts(i) = r.readVInt()
       i += 1
     }
-    new Skips(lastDocs, maxTfs, minNorms, offsets, docCounts)
+    new Skips(lastDocs, maxTfs, minNorms, offsets, docCounts, fmt)
   }
 
   // ---- positions sidecar ----
@@ -255,22 +384,55 @@ object PostingsCodec {
 
   // ---- encode ----
 
+  /** Write one array of non-negative values as a FOR-packed run: width
+    * byte (0 = all equal → one varint, the reference's 1-byte-ish fast
+    * path `ForUtil.java:157-164`), else packed at bitsRequired(max).
+    */
+  private def writeForRun(body: ByteBuf, vals: Array[Long], cnt: Int): Unit = {
+    var allEq = true
+    var max = vals(0)
+    var i = 1
+    while (i < cnt) {
+      if (vals(i) != vals(0)) allEq = false
+      if (vals(i) > max) max = vals(i)
+      i += 1
+    }
+    if (allEq) { body.writeByte(0); body.writeVLong(vals(0)) }
+    else {
+      val w = bitsRequired(max)
+      body.writeByte(w.toByte)
+      packBits(body, vals, cnt, w)
+    }
+  }
+
   /** Encode one posting list (docs strictly ascending, tfs ≥ 1, one norm
-    * byte per doc). @return (docBlocks, skipData)
+    * byte per doc) in `fmt` (default: [[defaultFormat]]).
+    * @return (docBlocks, skipData)
     */
   def encode(docs: Array[Long], tfs: Array[Int],
-      norms: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      norms: Array[Byte]): (Array[Byte], Array[Byte]) =
+    encode(docs, tfs, norms, defaultFormat)
+
+  def encode(docs: Array[Long], tfs: Array[Int], norms: Array[Byte],
+      fmt: Int): (Array[Byte], Array[Byte]) = {
     require(docs.length == tfs.length && docs.length == norms.length
       && docs.length > 0, "postings must be non-empty and aligned")
     val nBlocks = (docs.length + BlockSize - 1) / BlockSize
     val body = new ByteBuf(docs.length * 3)
     val skip = new ByteBuf(nBlocks * 8 + 5)
+    if (fmt != FmtVByte) {
+      skip.writeVInt(0) // format marker: legacy numBlocks is never 0
+      skip.writeByte(fmt.toByte)
+    }
     skip.writeVInt(nBlocks)
+    val gapBuf = new Array[Long](BlockSize)
+    val tfBuf = new Array[Long](BlockSize)
     var prevBlockLast = 0L
     var b = 0
     while (b < nBlocks) {
       val start = b * BlockSize
       val end = math.min(start + BlockSize, docs.length)
+      val cnt = end - start
       val blockStartLen = body.len
       var prevDoc = prevBlockLast
       var maxTf = 0
@@ -279,17 +441,21 @@ object PostingsCodec {
       while (i < end) {
         require(docs(i) > prevDoc || (b == 0 && i == 0 && docs(i) >= 0),
           s"docs not strictly ascending at $i")
-        body.writeVLong(docs(i) - prevDoc)
+        if (fmt == FmtVByte) body.writeVLong(docs(i) - prevDoc)
+        else gapBuf(i - start) = docs(i) - prevDoc
         prevDoc = docs(i)
         i += 1
       }
+      if (fmt != FmtVByte) writeForRun(body, gapBuf, cnt)
       i = start
       while (i < end) {
         val tf = tfs(i)
         if (tf > maxTf) maxTf = tf
-        body.writeVInt(tf - 1)
+        if (fmt == FmtVByte) body.writeVInt(tf - 1)
+        else tfBuf(i - start) = (tf - 1).toLong
         i += 1
       }
+      if (fmt != FmtVByte) writeForRun(body, tfBuf, cnt)
       i = start
       while (i < end) {
         body.writeByte(norms(i))
@@ -301,11 +467,21 @@ object PostingsCodec {
       skip.writeVInt(maxTf)
       skip.writeByte(minNorm)
       skip.writeVInt(body.len - blockStartLen)
-      skip.writeVInt(end - start)
+      skip.writeVInt(cnt)
       prevBlockLast = last
       b += 1
     }
     (body.toArray, skip.toArray)
+  }
+
+  /** Decode one FOR run into `out` (docs: raw gaps; caller prefix-sums). */
+  private def readForRun(r: ByteReader, out: Array[Long], cnt: Int): Unit = {
+    val w = r.readByte() & 0xff
+    if (w == 0) {
+      val v = r.readVLong()
+      var i = 0
+      while (i < cnt) { out(i) = v; i += 1 }
+    } else r.pos = unpackBits(r.arr, r.pos, out, cnt, w)
   }
 
   // ---- decode ----
@@ -338,6 +514,7 @@ object PostingsCodec {
     val tfs = new Array[Int](total)
     val norms = new Array[Byte](total)
     val r = new ByteReader(docBlocks)
+    val runBuf = new Array[Long](BlockSize)
     var out = 0
     var b = 0
     var prevBlockLast = 0L
@@ -345,13 +522,21 @@ object PostingsCodec {
       val cnt = skips.docCounts(b)
       var prev = prevBlockLast
       var i = 0
-      while (i < cnt) {
-        prev += r.readVLong()
-        docs(out + i) = prev
-        i += 1
+      if (skips.fmt == FmtVByte) {
+        while (i < cnt) {
+          prev += r.readVLong()
+          docs(out + i) = prev
+          i += 1
+        }
+        i = 0
+        while (i < cnt) { tfs(out + i) = r.readVInt() + 1; i += 1 }
+      } else {
+        readForRun(r, runBuf, cnt)
+        while (i < cnt) { prev += runBuf(i); docs(out + i) = prev; i += 1 }
+        readForRun(r, runBuf, cnt)
+        i = 0
+        while (i < cnt) { tfs(out + i) = runBuf(i).toInt + 1; i += 1 }
       }
-      i = 0
-      while (i < cnt) { tfs(out + i) = r.readVInt() + 1; i += 1 }
       i = 0
       while (i < cnt) { norms(out + i) = r.readByte(); i += 1 }
       out += cnt
@@ -405,18 +590,28 @@ object PostingsCodec {
       lo
     }
 
+    private val runBuf = new Array[Long](BlockSize)
+
     private def loadBlock(b: Int): Unit = {
       r.pos = skips.offsets(b)
       val cnt = skips.docCounts(b)
       var prev = if (b == 0) 0L else skips.lastDocs(b - 1)
       var i = 0
-      while (i < cnt) {
-        prev += r.readVLong()
-        blockDocs(i) = prev
-        i += 1
+      if (skips.fmt == FmtVByte) {
+        while (i < cnt) {
+          prev += r.readVLong()
+          blockDocs(i) = prev
+          i += 1
+        }
+        i = 0
+        while (i < cnt) { blockTfs(i) = r.readVInt() + 1; i += 1 }
+      } else {
+        readForRun(r, runBuf, cnt)
+        while (i < cnt) { prev += runBuf(i); blockDocs(i) = prev; i += 1 }
+        readForRun(r, runBuf, cnt)
+        i = 0
+        while (i < cnt) { blockTfs(i) = runBuf(i).toInt + 1; i += 1 }
       }
-      i = 0
-      while (i < cnt) { blockTfs(i) = r.readVInt() + 1; i += 1 }
       i = 0
       while (i < cnt) { blockNorms(i) = r.readByte(); i += 1 }
       block = b

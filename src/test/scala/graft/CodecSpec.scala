@@ -36,6 +36,61 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("FOR format: explicit both-format round-trip at 127/128/129 " +
+      "boundaries + legacy blobs + all-equal fast path") {
+    for (n <- Seq(1, 2, 127, 128, 129, 255, 256, 257, 1000);
+         seed <- 1L to 3L) {
+      val (docs, tfs, norms) = mkList(n, seed * 57 + n)
+      val (bV, sV) = PostingsCodec.encode(docs, tfs, norms,
+        PostingsCodec.FmtVByte)
+      val (bF, sF) = PostingsCodec.encode(docs, tfs, norms,
+        PostingsCodec.FmtFor)
+      // both formats decode to the identical list (a legacy vbyte blob
+      // stays readable next to FOR blobs — format is self-describing)
+      for ((b, s) <- Seq((bV, sV), (bF, sF))) {
+        val pl = PostingsCodec.decode(b, s)
+        assert(pl.docs.toSeq == docs.toSeq && pl.tfs.toSeq == tfs.toSeq &&
+          pl.norms.toSeq == norms.toSeq, s"n=$n seed=$seed")
+      }
+      // skip metadata identical between formats (offsets differ)
+      val (skV, skF) =
+        (PostingsCodec.readSkips(sV), PostingsCodec.readSkips(sF))
+      assert(skV.fmt == PostingsCodec.FmtVByte &&
+        skF.fmt == PostingsCodec.FmtFor)
+      assert(skV.lastDocs.toSeq == skF.lastDocs.toSeq &&
+        skV.maxTfs.toSeq == skF.maxTfs.toSeq &&
+        skV.minNorms.toSeq == skF.minNorms.toSeq &&
+        skV.docCounts.toSeq == skF.docCounts.toSeq)
+      // iterator parity: nextDoc sweep and advance pattern agree
+      val itV = PostingsCodec.iterator(bV, sV)
+      val itF = PostingsCodec.iterator(bF, sF)
+      while (itV.nextDoc()) {
+        assert(itF.nextDoc() && itF.doc == itV.doc && itF.tf == itV.tf &&
+          itF.norm == itV.norm)
+      }
+      assert(!itF.nextDoc())
+    }
+    // wide-gap values (> 56-bit packing path) round-trip too
+    val wideDocs = Array(0L, 1L << 58, (1L << 58) + (1L << 59))
+    val (wb, ws) = PostingsCodec.encode(wideDocs, Array(1, 2, 3),
+      Array[Byte](1, 2, 3), PostingsCodec.FmtFor)
+    val wide = PostingsCodec.decode(wb, ws)
+    assert(wide.docs.toSeq == wideDocs.toSeq)
+    // all-equal fast path: unit gaps + constant tf compress to width-0
+    // runs — far below even 1 byte/posting
+    val n = 1000
+    val eqDocs = Array.tabulate(n)(i => 5L + i)
+    val (eb, es) = PostingsCodec.encode(eqDocs, Array.fill(n)(3),
+      Array.fill(n)(7.toByte), PostingsCodec.FmtFor)
+    // block 0's gaps are [5,1,1,…] (first gap differs) so it bit-packs at
+    // width 3; blocks 1..7 and every tf run hit the width-0 fast path —
+    // the whole body is norm bytes + ~80 bytes of runs
+    assert(eb.length < n + 96,
+      s"all-equal blocks should be ~norm-bytes only: ${eb.length}")
+    val epl = PostingsCodec.decode(eb, es)
+    assert(epl.docs.toSeq == eqDocs.toSeq && epl.tfs.forall(_ == 3))
+  }
+
   test("round-trip property (random sizes, 50 seeded trials)") {
     val meta = new scala.util.Random(424242L)
     for (_ <- 1 to 50) {
