@@ -60,6 +60,41 @@ object Analysis {
     out.toArray
   }
 
+  /** (start, len) pairs — one flat Int array — of every token
+    * [[simpleTokens]] emits, in emission order: the offsets analog of the
+    * reference's `IndexOptions..._AND_OFFSETS`
+    * (`codecs/lucene50/Lucene50PostingsFormat.java:42-63`), kept doc-major
+    * on the row store so exact-offset highlighting needs no re-tokenize.
+    * Bounds index the ORIGINAL string; the emitted token text is
+    * lowercase(text.substring(start, start + len)). Over-long runs
+    * (> MaxTokenLength) are dropped exactly like [[simpleTokens]] drops
+    * their token.
+    */
+  def simpleTokenBounds(text: String): Array[Int] = {
+    if (text == null || text.isEmpty) return Array.emptyIntArray
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt()
+    val n = text.length
+    var i = 0
+    var runStart = -1
+    while (i < n) {
+      val c = text.charAt(i)
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        (c >= 'A' && c <= 'Z')
+      if (isTok) { if (runStart < 0) runStart = i }
+      else if (runStart >= 0) {
+        val len = i - runStart
+        if (len <= MaxTokenLength) { out += runStart; out += len }
+        runStart = -1
+      }
+      i += 1
+    }
+    if (runStart >= 0) {
+      val len = n - runStart
+      if (len <= MaxTokenLength) { out += runStart; out += len }
+    }
+    out.result()
+  }
+
   /** Code tokenizer: splits identifiers the way the reference's
     * WordDelimiterFilter does for source code
     * (`lucene/analysis/common/.../miscellaneous/WordDelimiterFilter.java:84`):

@@ -20,9 +20,11 @@ object SearchGate {
   // sf0.01 documents: common terms have df ≈ 390/500 ⇒ threshold 200 makes
   // them salted (exercises the sharded path in the gate itself); 'dup'
   // (df 25) stays cold ⇒ mixed hot/cold queries run the mod-filter path.
+  // offsets on: q_highlight / q_highlight_batch exercise the exact-offset
+  // (token-bounds) path against the UNCHANGED re-tokenize-law oracles
   def gateConfig: BuildConfig = BuildConfig(
     numBuckets = 8, numDocShards = 4, saltThreshold = 200L,
-    tokenizer = "simple")
+    tokenizer = "simple", offsets = true)
 
   // ---- cached per-sfDir indexes (the gate runs ~20 queries per dir) ----
 

@@ -49,7 +49,42 @@ object IndexBuilder {
         * Enforced at build: requires docIdCol = None and sortCols to lead
         * with this field.
         */
-      indexSort: Option[String] = None)
+      indexSort: Option[String] = None,
+      /** Store per-doc token character bounds on the row store (the
+        * `..._AND_OFFSETS` analog, doc-major: a delta-varint
+        * `tokenBounds` binary column) so highlighting decodes offsets
+        * instead of re-tokenizing stored content. 'simple' tokenizer
+        * only.
+        */
+      offsets: Boolean = false)
+
+  /** Encode flat (start, len) token bounds as delta varints (start gaps
+    * are non-negative — bounds ascend).
+    */
+  def encodeTokenBounds(bounds: Array[Int]): Array[Byte] = {
+    val b = new PostingsCodec.ByteBuf(bounds.length + 4)
+    var prevStart = 0
+    var i = 0
+    while (i < bounds.length) {
+      b.writeVInt(bounds(i) - prevStart)
+      prevStart = bounds(i)
+      b.writeVInt(bounds(i + 1))
+      i += 2
+    }
+    b.toArray
+  }
+
+  def decodeTokenBounds(blob: Array[Byte]): Array[Int] = {
+    val r = new PostingsCodec.ByteReader(blob)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt()
+    var prevStart = 0
+    while (r.pos < blob.length) {
+      prevStart += r.readVInt()
+      out += prevStart
+      out += r.readVInt()
+    }
+    out.result()
+  }
 
   /** Stable term → bucket hash (murmur3; must be identical on driver for
     * partition pruning and in executors at build time).
@@ -160,7 +195,16 @@ object IndexBuilder {
     }
     // ONE shared (optionally cached) intermediate backs BOTH the docs
     // table and the postings — tokenize + sha run exactly once per row
-    val perDoc0 = withId
+    val withBounds =
+      if (!cfg.offsets) withId
+      else {
+        require(cfg.tokenizer == "simple",
+          "offsets are supported for the 'simple' tokenizer only")
+        val boundsUdf = udf((s: String) =>
+          encodeTokenBounds(graft.core.Analysis.simpleTokenBounds(s)))
+        withId.withColumn("tokenBounds", boundsUdf(col(contentCol)))
+      }
+    val perDoc0 = withBounds
       .withColumn("_p", docPosUdf(col(contentCol)))
       .withColumn("length", col("_p._1"))
       .withColumn("normByte", normUdf(col("length")))
@@ -401,7 +445,11 @@ object IndexBuilder {
         * None on merged indexes — disjoint docId ranges interleave the
         * field values, so the merged whole is no longer sorted.
         */
-      indexSort: Option[String] = None)
+      indexSort: Option[String] = None,
+      /** Row store carries a `tokenBounds` offsets column (see
+        * BuildConfig.offsets).
+        */
+      offsets: Boolean = false)
 
   object Manifest {
     def toJson(m: Manifest): String = {
@@ -409,7 +457,7 @@ object IndexBuilder {
         s""""sumTotalTermFreq":${m.sumTotalTermFreq},"numBuckets":${m.numBuckets},""" +
         s""""numDocShards":${m.numDocShards},"saltThreshold":${m.saltThreshold},""" +
         s""""tokenizer":"${m.tokenizer}","k1":${m.k1},"b":${m.b},""" +
-        s""""positions":${m.positions},""" +
+        s""""positions":${m.positions},"offsets":${m.offsets},""" +
         m.indexSort.map(f => s""""indexSort":"$f",""").getOrElse("") +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
     }
@@ -420,6 +468,8 @@ object IndexBuilder {
         .findFirstMatchIn(s).get.group(1)
       val positions = """"positions":(true|false)""".r
         .findFirstMatchIn(s).exists(_.group(1) == "true")
+      val offsets = """"offsets":(true|false)""".r
+        .findFirstMatchIn(s).exists(_.group(1) == "true")
       val indexSort = """"indexSort":"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1))
       Manifest(str("snapshotId"), num("docCount").toLong,
@@ -427,7 +477,7 @@ object IndexBuilder {
         num("numDocShards").toInt, num("saltThreshold").toLong,
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
-        num("numGroups").toInt, positions, indexSort)
+        num("numGroups").toInt, positions, indexSort, offsets)
     }
   }
 
@@ -580,7 +630,7 @@ object IndexBuilder {
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
       ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
-      ix.cfg.positions, ix.cfg.indexSort)
+      ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

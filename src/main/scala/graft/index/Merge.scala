@@ -42,8 +42,8 @@ object Merge {
       m.numDocShards == head.numDocShards && m.tokenizer == head.tokenizer &&
       m.k1 == head.k1 && m.b == head.b &&
       m.saltThreshold == head.saltThreshold &&
-      m.positions == head.positions),
-      "merge requires identical build configs (incl. saltThreshold, positions)")
+      m.positions == head.positions && m.offsets == head.offsets),
+      "merge requires identical build configs (incl. saltThreshold, positions, offsets)")
 
     new java.io.File(outDir).mkdirs()
 
@@ -158,7 +158,10 @@ object Merge {
       manifests.map(_.docCount).sum,
       manifests.map(_.sumTotalTermFreq).sum,
       head.numBuckets, head.numDocShards, head.saltThreshold,
-      head.tokenizer, head.k1, head.b, Seq(0), 1, head.positions)
+      head.tokenizer, head.k1, head.b, Seq(0), 1, head.positions,
+      // merged indexes keep offsets (docs union carries the column) but
+      // drop indexSort like mkManifest's merge convention
+      indexSort = None, offsets = head.offsets)
     IndexBuilder.commitManifest(outDir, manifest)
     manifest
   }

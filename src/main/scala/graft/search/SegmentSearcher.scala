@@ -764,6 +764,36 @@ object SegmentSearcher {
     lo
   }
 
+  /** Token-window snippet computed from stored token bounds — the
+    * exact-offset highlight law (`..._AND_OFFSETS` analog): tokens are
+    * lowercase substrings at the recorded (start, len) bounds, so the
+    * output is byte-identical to re-tokenizing the content (tokens are
+    * ASCII-alnum runs; ROOT lowercasing equals the tokenizer's +32 map).
+    */
+  private[search] def snippetFromBounds(content: String, blob: Array[Byte],
+      terms: Set[String], before: Int, window: Int): String = {
+    val bounds = graft.index.IndexBuilder.decodeTokenBounds(blob)
+    val nTok = bounds.length / 2
+    def tokAt(i: Int): String =
+      content.substring(bounds(2 * i), bounds(2 * i) + bounds(2 * i + 1))
+        .toLowerCase(java.util.Locale.ROOT)
+    var p = -1
+    var i = 0
+    while (i < nTok && p < 0) {
+      if (terms.contains(tokAt(i))) p = i
+      i += 1
+    }
+    if (p < 0) ""
+    else {
+      val start = math.max(0, p - before)
+      val end = math.min(nTok, start + window)
+      (start until end).map { j =>
+        val t = tokAt(j)
+        if (terms.contains(t)) s"<em>$t</em>" else t
+      }.mkString(" ")
+    }
+  }
+
   /** Fuzzy expansion over the SORTED dict with prefix-reuse DP and
     * subtree skipping — the algorithmic class of the reference's
     * Levenshtein-automaton × BlockTree intersection
@@ -1588,24 +1618,37 @@ final class Searcher(private[search] val spark: SparkSession,
       contentCol: String = "content", before: Int = 2,
       window: Int = 8): Map[Long, String] = {
     if (hits.isEmpty) return Map.empty
-    val tok = IndexBuilder.tokenizerFn(m.tokenizer)
     val ids = hits.map(_.docId).toSeq
-    docsDf.filter(col("docId").isin(ids: _*))
-      .select(col("docId"), col(contentCol)).collect()
-      .map { r =>
-        val toks = tok(r.getString(1))
-        val p = toks.indexWhere(terms.contains)
-        val snippet =
-          if (p < 0) ""
-          else {
-            val start = math.max(0, p - before)
-            toks.slice(start, start + window)
-              .map(t => if (terms.contains(t)) s"<em>$t</em>" else t)
-              .mkString(" ")
-          }
-        r.getLong(0) -> snippet
-      }.toMap
+    if (useOffsets) {
+      // exact-offset path: decode the stored token bounds, no re-tokenize
+      docsDf.filter(col("docId").isin(ids: _*))
+        .select(col("docId"), col(contentCol), col("tokenBounds")).collect()
+        .map(r => r.getLong(0) -> SegmentSearcher.snippetFromBounds(
+          r.getString(1), r.getAs[Array[Byte]](2), terms, before, window))
+        .toMap
+    } else {
+      val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+      docsDf.filter(col("docId").isin(ids: _*))
+        .select(col("docId"), col(contentCol)).collect()
+        .map { r =>
+          val toks = tok(r.getString(1))
+          val p = toks.indexWhere(terms.contains)
+          val snippet =
+            if (p < 0) ""
+            else {
+              val start = math.max(0, p - before)
+              toks.slice(start, start + window)
+                .map(t => if (terms.contains(t)) s"<em>$t</em>" else t)
+                .mkString(" ")
+            }
+          r.getLong(0) -> snippet
+        }.toMap
+    }
   }
+
+  /** Whether the offsets (token-bounds) highlight path is available. */
+  private def useOffsets: Boolean =
+    m.offsets && docsDf.columns.contains("tokenBounds")
 
   /** DataFrame-in/DataFrame-out highlight: join the hit set against the
     * row store and compute snippets executor-side — the batch form for
@@ -1618,23 +1661,36 @@ final class Searcher(private[search] val spark: SparkSession,
       contentCol: String = "content", before: Int = 2,
       window: Int = 8): DataFrame = {
     // locals only in the closure — a Searcher must never be serialized
-    val tok = IndexBuilder.tokenizerFn(m.tokenizer)
     val t = terms
     val (b, w) = (before, window)
-    val snip = udf((content: String) => {
-      val toks = tok(content)
-      val p = toks.indexWhere(t.contains)
-      if (p < 0) ""
-      else {
-        val start = math.max(0, p - b)
-        toks.slice(start, start + w)
-          .map(x => if (t.contains(x)) s"<em>$x</em>" else x)
-          .mkString(" ")
-      }
-    })
-    hits.join(docsDf.select(col("docId"), col(contentCol)), "docId")
-      .withColumn("snippet", snip(col(contentCol)))
-      .drop(contentCol)
+    if (useOffsets) {
+      // exact-offset path (`..._AND_OFFSETS` analog): snippets come from
+      // the stored token bounds + substring — identical output law to the
+      // re-tokenize path (the same DuckDB oracle gates both), no regex
+      // pass over the stored content
+      val snipB = udf((content: String, bounds: Array[Byte]) =>
+        SegmentSearcher.snippetFromBounds(content, bounds, t, b, w))
+      hits.join(docsDf.select(col("docId"), col(contentCol),
+          col("tokenBounds")), "docId")
+        .withColumn("snippet", snipB(col(contentCol), col("tokenBounds")))
+        .drop(contentCol, "tokenBounds")
+    } else {
+      val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+      val snip = udf((content: String) => {
+        val toks = tok(content)
+        val p = toks.indexWhere(t.contains)
+        if (p < 0) ""
+        else {
+          val start = math.max(0, p - b)
+          toks.slice(start, start + w)
+            .map(x => if (t.contains(x)) s"<em>$x</em>" else x)
+            .mkString(" ")
+        }
+      })
+      hits.join(docsDf.select(col("docId"), col(contentCol)), "docId")
+        .withColumn("snippet", snip(col(contentCol)))
+        .drop(contentCol)
+    }
   }
 
   /** Batch MoreLikeThis term selection: for EVERY doc in `docIds`

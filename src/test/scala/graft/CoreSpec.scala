@@ -72,6 +72,37 @@ class CoreSpec extends AnyFunSuite {
     assert(Analysis.simpleTokens("x" * 255).head.length === 255)
   }
 
+  test("simpleTokenBounds: lowercase substrings at bounds == simpleTokens") {
+    def check(s: String): Unit = {
+      val bounds = Analysis.simpleTokenBounds(s)
+      assert(bounds.length % 2 == 0)
+      val viaBounds = (0 until bounds.length / 2).map { i =>
+        s.substring(bounds(2 * i), bounds(2 * i) + bounds(2 * i + 1))
+          .toLowerCase(java.util.Locale.ROOT)
+      }
+      assert(viaBounds == Analysis.simpleTokens(s).toSeq, s"input: $s")
+      // encode/decode round-trip
+      val blob = graft.index.IndexBuilder.encodeTokenBounds(bounds)
+      assert(graft.index.IndexBuilder.decodeTokenBounds(blob).toSeq ==
+        bounds.toSeq)
+    }
+    check("The fast Fox; jumps-over_2 dogs!")
+    check("")
+    check("   ")
+    check("a")
+    check("héllo wörld")
+    check("x" * 256) // over-long run dropped in both
+    check("x" * 255)
+    check("A" * 300 + " ok " + "b" * 255)
+    // randomized parity over mixed alphabets
+    val rnd = new scala.util.Random(7L)
+    val alphabet = "aA1 .é-_\tz9Z"
+    (1 to 200).foreach { _ =>
+      check(Array.fill(rnd.nextInt(80))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+  }
+
   test("codeTokens: WordDelimiterFilter-style splits") {
     assert(Analysis.codeTokens("getHttpResponse2").toSeq ===
       Seq("get", "http", "response", "2"))

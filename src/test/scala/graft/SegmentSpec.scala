@@ -275,6 +275,54 @@ class SegmentSpec extends AnyFunSuite {
     assert(lin.agg(sum("postingCount")).collect()(0).getLong(0) > 0)
   }
 
+  test("offsets highlighting: token-bounds path == re-tokenize path, " +
+      "manifest flag round-trips, merge preserves the column") {
+    import spark.implicits._
+    val docs = Seq(
+      ("r", "p0", "c", "s", "The Quick BROWN fox; Jumps-OVER the lazy dog"),
+      ("r", "p1", "c", "s", "nothing matches in here at all"),
+      ("r", "p2", "c", "s", "fox FOX Fox fOx — four foxes and a dog"),
+      ("r", "p3", "c", "s", "trailing Fox")).toDF(
+      "repo", "path", "commit", "lang", "content")
+    def build(offsets: Boolean, tag: String): Searcher = {
+      val ix = IndexBuilder.buildLogical(docs, "content", None,
+        Seq("repo", "path", "commit"),
+        BuildConfig(numBuckets = 2, numDocShards = 1, offsets = offsets))
+      val dir = s"$tmpRoot/hl-$tag"
+      IndexBuilder.writeIndex(ix, dir, s"hl-$tag", 1)
+      ix.unpersistCached(); ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir))
+    }
+    val withOff = build(offsets = true, "off")
+    val without = build(offsets = false, "plain")
+    assert(withOff.index.manifest.offsets && !without.index.manifest.offsets)
+    assert(withOff.docsDf.columns.contains("tokenBounds"))
+    assert(!without.docsDf.columns.contains("tokenBounds"))
+
+    val terms = Set("fox", "dog")
+    val hits = withOff.search(Query.or(TermQ("fox"), TermQ("dog")), 10)
+    assert(hits.nonEmpty)
+    // per-request path parity (mixed case exercises the lowercase law)
+    val a = withOff.highlightAll(hits, terms)
+    val b = without.highlightAll(hits, terms)
+    assert(a == b && a.values.exists(_.contains("<em>fox</em>")))
+    // batch path parity
+    val hitsDf = hits.map(_.docId).toSeq.toDF("docId")
+    val fa = withOff.highlightFrame(hitsDf, terms).orderBy("docId")
+      .select("docId", "snippet").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val fb = without.highlightFrame(hitsDf, terms).orderBy("docId")
+      .select("docId", "snippet").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(fa == fb)
+    // merge (single-dir compaction) keeps the offsets column + flag
+    val mdir = s"$tmpRoot/hl-merged"
+    graft.index.Merge.mergeIndexes(spark, Seq(s"$tmpRoot/hl-off"), mdir,
+      "hl-merged")
+    val mm = IndexBuilder.readManifest(mdir).get
+    assert(mm.offsets)
+    assert(spark.read.parquet(s"$mdir/docs").columns.contains("tokenBounds"))
+    withOff.close(); without.close()
+  }
+
   test("top-k heap obeys the tie-break law under stress") {
     val rnd = new scala.util.Random(5L)
     for (_ <- 1 to 20) {
