@@ -250,4 +250,44 @@ object Analysis {
     }
     out.toArray
   }
+
+  /** Payload-producing token filters (the reference's payload filter
+    * family, `lucene/analysis/common/.../payloads/`): each policy maps an
+    * occurrence (token, position) to the possibly-rewritten term plus a
+    * FLOAT payload ([[graft.index.PostingsCodec.NoPayload]] NaN = none —
+    * the reference's null payload, skipped by payload collectors). The
+    * reference stores opaque bytes decoded by a pluggable
+    * `Similarity.scorePayload`; this engine fixes the decode convention
+    * at STORE time instead (floats in the sidecar), which is the
+    * float-encoder setup every published payload-scoring deployment uses
+    * (`payloads/DelimitedPayloadTokenFilter.java:36` with its default
+    * FloatEncoder).
+    *
+    *   "pos"            payload = the token position
+    *                    (TokenOffsetPayloadTokenFilter.java:31 analog,
+    *                    token-index flavored)
+    *   "len"            payload = the token's length in chars
+    *   "delimited:<c>"  token "term<c>1.5" → term "term", payload 1.5f;
+    *                    no delimiter → no payload
+    *                    (DelimitedPayloadTokenFilter.java:36-77)
+    */
+  object Payloads {
+    /** (token, position) => (term, payloadOrNaN). */
+    type Fn = (String, Int) => (String, Float)
+
+    def policy(name: String): Fn = name match {
+      case "pos" => (t, p) => (t, p.toFloat)
+      case "len" => (t, _) => (t, t.length.toFloat)
+      case d if d.startsWith("delimited:") =>
+        val delim = d.stripPrefix("delimited:")
+        require(delim.length == 1, s"delimited payload policy needs one delimiter char: $d")
+        val c = delim.charAt(0)
+        (t, _) => {
+          val i = t.lastIndexOf(c)
+          if (i < 0) (t, Float.NaN)
+          else (t.substring(0, i), t.substring(i + 1).toFloat)
+        }
+      case other => sys.error(s"unknown payload policy: $other")
+    }
+  }
 }

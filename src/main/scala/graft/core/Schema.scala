@@ -62,7 +62,8 @@ final case class SegmentPosting(
     maxTf: Int,
     docBlocks: Array[Byte],
     skipData: Array[Byte],
-    posBlocks: Array[Byte])  // positions sidecar; empty when positions off
+    posBlocks: Array[Byte],  // positions sidecar; empty when positions off
+    payBlocks: Array[Byte])  // payloads sidecar; empty when payloads off
 
 /** Per-partition lineage row (north rule): replaces `segments_N` +
   * CRC footers (`codecs/CodecUtil.java:367-413`). `inputSha256` is the

@@ -1874,4 +1874,77 @@ WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(a)}
     ${R(s"fp.s + COALESCE(${R(s"${R(weight.toString)} * sc_b.s")}, ${R("0")})")} AS s
   FROM fp LEFT JOIN sc_b ON fp.doc_id = sc_b.doc_id
 )""" + finish("res", k)
+
+  // ---------- payload queries (gate policy: "pos" — payload = the
+  // occurrence's 0-based token position, recomputed here from the text)
+
+  /** PayloadScoreQ(Term(t), fn): spans = every occurrence (width 0, so
+    * spanScore = the plain term score with freq = tf); docScore folds
+    * the positions through Min/Max/AveragePayloadFunction (avg divides
+    * the FLOAT sum — exact for integer positions — by the float count);
+    * score = spanScore × docScore, or docScore alone when
+    * includeSpanScore = false (`PayloadSpanScorer.scoreCurrentDoc`).
+    */
+  def payloadTerm(term: String, fn: String, includeSpanScore: Boolean,
+      k: Int): String = {
+    val payExpr = fn match {
+      case "min" => R("CAST(MIN(pos) AS REAL)")
+      case "max" => R("CAST(MAX(pos) AS REAL)")
+      case "avg" => R("CAST(SUM(pos) AS REAL) / CAST(count(*) AS REAL)")
+      case other => sys.error(s"unknown payload fn: $other")
+    }
+    val spanScore = scoreExpr("p.tf", "dn.qlen",
+      s"(SELECT count(*) FROM ph)")
+    val sExpr =
+      if (includeSpanScore) R(s"$spanScore * p.pay")
+      else "p.pay"
+    prologue + spanPosx +
+      s""", occ AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(term)}
+), ph AS (
+  SELECT doc_id, count(*) AS tf, $payExpr AS pay FROM occ GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $sExpr AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
+  /** PayloadScoreQ over an ordered 2-term SpanNear, avg function: per
+    * accepted span the collected leaf payloads are (q0, q1) in clause
+    * order; docScore = float(Σ positions)/float(2·spans); score =
+    * spanScore × docScore.
+    */
+  def payloadAvgNear(a: String, b: String, slop: Int, k: Int): String = {
+    val (chain, widthExpr, _) = spanChain(Seq(a, b))
+    val score = spanTreeScore(spanTreeWeight(Seq(a, b)))
+    prologue + spanPosx + chain +
+      s""", sp AS (
+  SELECT doc_id, q0, q1, $widthExpr AS width FROM m1
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + width AS DOUBLE))")} AS freq,
+    ${R("CAST(SUM(q0 + q1) AS REAL) / CAST(2 * count(*) AS REAL)")} AS pay
+  FROM sp WHERE width <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, ${R(s"$score * p.pay")} AS s
+  FROM ph p JOIN dn ON p.doc_id = dn.doc_id WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** SpanPayloadCheckQ(Term(t), [expectedPos]): keeps only spans whose
+    * single leaf payload equals the expected value — under the "pos"
+    * policy, the occurrence AT that position; accepted spans score like
+    * a plain span tree (freq = accepted count, here 0 or 1).
+    */
+  def payloadCheckTerm(term: String, expectedPos: Int, k: Int): String = {
+    val score = spanTreeScore(spanTreeWeight(Seq(term)))
+    prologue + spanPosx +
+      s""", occ AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(term)}
+), ph AS (
+  SELECT doc_id, ${R("CAST(count(*) AS DOUBLE)")} AS freq
+  FROM occ WHERE pos = $expectedPos GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
 }

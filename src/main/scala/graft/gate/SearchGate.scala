@@ -21,10 +21,13 @@ object SearchGate {
   // them salted (exercises the sharded path in the gate itself); 'dup'
   // (df 25) stays cold ⇒ mixed hot/cold queries run the mod-filter path.
   // offsets on: q_highlight / q_highlight_batch exercise the exact-offset
-  // (token-bounds) path against the UNCHANGED re-tokenize-law oracles
+  // (token-bounds) path against the UNCHANGED re-tokenize-law oracles.
+  // payloads "pos" on: every occurrence carries its token position as a
+  // float payload — q_payload_* queries read it back through the
+  // payloads sidecar while the oracle recomputes it from the text
   def gateConfig: BuildConfig = BuildConfig(
     numBuckets = 8, numDocShards = 4, saltThreshold = 200L,
-    tokenizer = "simple", offsets = true)
+    tokenizer = "simple", offsets = true, payloads = Some("pos"))
 
   // ---- cached per-sfDir indexes (the gate runs ~20 queries per dir) ----
 
@@ -326,6 +329,20 @@ object SearchGate {
     // against the dictionary into a union of term leaves
     "q_span_wildcard" -> seg(SpanQ(Span.Near(Seq(
       Span.Multi(WildcardQ("ord*")), Span.Term("sort")), 5))),
+    // PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java) under
+    // the gate's "pos" policy: spanScore × Max/MinPayloadFunction fold
+    "q_payload_max" -> seg(PayloadScoreQ(Span.Term("order"), "max")),
+    // payload factor alone (includeSpanScore = false) — ranks by the
+    // term's FIRST position, descending
+    "q_payload_min" -> seg(
+      PayloadScoreQ(Span.Term("order"), "min", includeSpanScore = false)),
+    // avg over a composed span: leaf payloads collected per accepted
+    // near-span in clause order (AveragePayloadFunction)
+    "q_payload_avg_near" -> seg(PayloadScoreQ(
+      Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 4), "avg")),
+    // SpanPayloadCheckQuery: only spans whose payload sequence matches —
+    // here, 'merge' occurrences AT position 0 (doc-leading token)
+    "q_payload_check" -> seg(SpanPayloadCheckQ(Span.Term("merge"), Seq(0f))),
     "q_bm25_multiphrase" -> seg(MultiPhraseQ(Seq(Seq("order"), Seq("sort", "merge")))),
     // sloppy multi-phrase with a REPEATED term across offset sets — the
     // hasMultiTermRpts collision machinery (union streams share a term)
@@ -544,6 +561,10 @@ object SearchGate {
       Oracles.spanPosRange(Seq("order", "sort"), 4, 3, 40, K),
     "q_span_wildcard" ->
       Oracles.spanNearWildcard("ord%", "sort", 5, K),
+    "q_payload_max" -> Oracles.payloadTerm("order", "max", true, K),
+    "q_payload_min" -> Oracles.payloadTerm("order", "min", false, K),
+    "q_payload_avg_near" -> Oracles.payloadAvgNear("order", "sort", 4, K),
+    "q_payload_check" -> Oracles.payloadCheckTerm("merge", 0, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),

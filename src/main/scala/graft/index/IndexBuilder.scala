@@ -56,7 +56,14 @@ object IndexBuilder {
         * instead of re-tokenizing stored content. 'simple' tokenizer
         * only.
         */
-      offsets: Boolean = false)
+      offsets: Boolean = false,
+      /** Per-occurrence payloads (the `..._AND_PAYLOADS` IndexOptions
+        * analog): Some(policyName) stores one float per position in a
+        * `payBlocks` sidecar aligned with the positions sidecar — see
+        * [[graft.core.Analysis.Payloads]] for the policies ("pos",
+        * "len", "delimited:<c>"). Requires positions = true.
+        */
+      payloads: Option[String] = None)
 
   /** Encode flat (start, len) token bounds as delta varints (start gaps
     * are non-negative — bounds ascend).
@@ -178,6 +185,42 @@ object IndexBuilder {
       }
       (toks.length, out)
     }
+    // payload-producing variant (only compiled into the plan when
+    // cfg.payloads is set — the hot payload-free path keeps the slim UDF
+    // above): the policy may rewrite the term (delimited filter), so
+    // grouping keys on the REWRITTEN term; payloads stay aligned with the
+    // term's position list. Field length = token count, as above.
+    val payPolicy = cfg.payloads.map(Analysis.Payloads.policy)
+    val docPosPayUdf = udf { (s: String) =>
+      val pf = payPolicy.get
+      val toks = tok(s)
+      final case class Acc(
+          pos: scala.collection.mutable.ArrayBuilder.ofInt,
+          pay: scala.collection.mutable.ArrayBuilder.ofFloat)
+      val m = new java.util.LinkedHashMap[String, Acc]()
+      var i = 0
+      while (i < toks.length) {
+        val (term, payload) = pf(toks(i), i)
+        var a = m.get(term)
+        if (a == null) {
+          a = Acc(new scala.collection.mutable.ArrayBuilder.ofInt(),
+            new scala.collection.mutable.ArrayBuilder.ofFloat())
+          m.put(term, a)
+        }
+        a.pos += i
+        a.pay += payload
+        i += 1
+      }
+      val out = new Array[(String, Array[Int], Array[Float])](m.size)
+      val it = m.entrySet().iterator()
+      var j = 0
+      while (it.hasNext) {
+        val e = it.next()
+        out(j) = (e.getKey, e.getValue.pos.result(), e.getValue.pay.result())
+        j += 1
+      }
+      (toks.length, out)
+    }
 
     // an index-sort declaration is only honest when docIds come from the
     // sortCols assignment and the sort leads with the declared field
@@ -204,8 +247,14 @@ object IndexBuilder {
           encodeTokenBounds(graft.core.Analysis.simpleTokenBounds(s)))
         withId.withColumn("tokenBounds", boundsUdf(col(contentCol)))
       }
+    cfg.payloads.foreach { _ =>
+      require(cfg.positions,
+        "payloads require positions (BuildConfig.positions = true)")
+    }
     val perDoc0 = withBounds
-      .withColumn("_p", docPosUdf(col(contentCol)))
+      .withColumn("_p",
+        if (payPolicy.isEmpty) docPosUdf(col(contentCol))
+        else docPosPayUdf(col(contentCol)))
       .withColumn("length", col("_p._1"))
       .withColumn("normByte", normUdf(col("length")))
       .withColumn("contentSha256", sha2(col(contentCol), 256))
@@ -215,10 +264,12 @@ object IndexBuilder {
     val posCol =
       if (cfg.positions) col("_kv._2")
       else array().cast("array<int>")
+    val payCols =
+      if (payPolicy.isEmpty) Nil else Seq(col("_kv._3").as("pay"))
     val postings = perDoc
       .select(col("docId"), col("normByte"), explode(col("_p._2")).as("_kv"))
-      .select(col("docId"), col("normByte"), col("_kv._1").as("term"),
-        size(col("_kv._2")).as("tf"), posCol.as("pos"))
+      .select(Seq(col("docId"), col("normByte"), col("_kv._1").as("term"),
+        size(col("_kv._2")).as("tf"), posCol.as("pos")) ++ payCols: _*)
 
     val termStats0 = postings.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
@@ -252,6 +303,14 @@ object IndexBuilder {
     */
   final case class PRow(bucket: Int, term: String, salt: Int,
       docId: Long, normByte: Byte, posB: Array[Byte])
+
+  /** Payload-build shuffle row: `payB` = the doc's pre-encoded payload
+    * chunk (tf × 4-byte floats, [[PostingsCodec.encodeDocPayloads]]).
+    * A SEPARATE row type so the payload-free hot path's shuffle rows
+    * carry no extra 8-byte UnsafeRow field.
+    */
+  final case class PRowP(bucket: Int, term: String, salt: Int,
+      docId: Long, normByte: Byte, posB: Array[Byte], payB: Array[Byte])
 
   /** Per-bucket lineage aggregate, folded INTO the encode pass via an
     * accumulator — no read-back of the written segments (the round-1 shape
@@ -360,20 +419,36 @@ object IndexBuilder {
         udf((tf: Int) => {
           val b = new PostingsCodec.ByteBuf(2); b.writeVInt(tf); b.toArray
         }).apply(col("tf"))
-    val salted = salted1
-      .withColumn("salt", saltUdf(col("term"), col("docId")))
-      .select(col("bucket"), col("term"), col("salt"), col("docId"),
-        col("normByte"), posBCol.as("posB"))
-      .as[PRow]
-
     // shuffle key (bucket, salt): a task owns whole buckets (one output
     // file per bucket instead of buckets×tasks small files) while hot
     // terms still spread across numDocShards reducers via their salt
     val withPos = cfg.positions
-    salted
-      .repartition(parts, col("bucket"), col("salt"))
-      .sortWithinPartitions(col("term"), col("salt"), col("docId"))
-      .mapPartitions { it => encodePartition(it, withPos, lineage) }
+    if (cfg.payloads.isEmpty) {
+      val salted = salted1
+        .withColumn("salt", saltUdf(col("term"), col("docId")))
+        .select(col("bucket"), col("term"), col("salt"), col("docId"),
+          col("normByte"), posBCol.as("posB"))
+        .as[PRow]
+      salted
+        .repartition(parts, col("bucket"), col("salt"))
+        .sortWithinPartitions(col("term"), col("salt"), col("docId"))
+        .mapPartitions { it => encodePartition(it, withPos, lineage) }
+    } else {
+      // payload build: the shuffle additionally carries the doc's
+      // pre-encoded payload chunk, and the reduce side assembles the
+      // payloads sidecar with the same block-concat as positions
+      val payBCol = udf((ps: Array[Float]) =>
+        PostingsCodec.encodeDocPayloads(ps)).apply(col("pay"))
+      val salted = salted1
+        .withColumn("salt", saltUdf(col("term"), col("docId")))
+        .select(col("bucket"), col("term"), col("salt"), col("docId"),
+          col("normByte"), posBCol.as("posB"), payBCol.as("payB"))
+        .as[PRowP]
+      salted
+        .repartition(parts, col("bucket"), col("salt"))
+        .sortWithinPartitions(col("term"), col("salt"), col("docId"))
+        .mapPartitions { it => encodePartitionP(it, lineage) }
+    }
   }
 
   /** Stream consecutive (term, salt) groups into encoded blobs. */
@@ -413,7 +488,45 @@ object IndexBuilder {
         lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
           body.length.toLong + skip.length + posBlob.length,
           rowDigest(head.term, head.salt, body)))))
-        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body, skip, posBlob)
+        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body,
+          skip, posBlob, noPos)
+      }
+    }
+
+  /** [[encodePartition]] for payload builds (positions always on):
+    * assembles the payloads sidecar alongside the positions sidecar from
+    * the per-doc pre-encoded chunks.
+    */
+  private def encodePartitionP(it: Iterator[PRowP],
+      lineage: Option[LineageAcc]): Iterator[SegmentPosting] =
+    new Iterator[SegmentPosting] {
+      private val buf = it.buffered
+      def hasNext: Boolean = buf.hasNext
+      def next(): SegmentPosting = {
+        val head = buf.head
+        val docs = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
+        val norms = scala.collection.mutable.ArrayBuilder.make[Byte]
+        val poss = scala.collection.mutable.ArrayBuilder.make[Array[Byte]]
+        val pays = scala.collection.mutable.ArrayBuilder.make[Array[Byte]]
+        var maxTf = 0
+        var n = 0
+        while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
+          val r = buf.next()
+          val tf = PostingsCodec.countVarints(r.posB)
+          docs += r.docId; tfs += tf; norms += r.normByte
+          poss += r.posB; pays += r.payB
+          if (tf > maxTf) maxTf = tf
+          n += 1
+        }
+        val (body, skip) = PostingsCodec.encode(docs.result(), tfs.result(), norms.result())
+        val posBlob = PostingsCodec.concatPositionBlocks(poss.result())
+        val payBlob = PostingsCodec.concatPositionBlocks(pays.result())
+        lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
+          body.length.toLong + skip.length + posBlob.length + payBlob.length,
+          rowDigest(head.term, head.salt, body)))))
+        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body,
+          skip, posBlob, payBlob)
       }
     }
 
@@ -449,7 +562,11 @@ object IndexBuilder {
       /** Row store carries a `tokenBounds` offsets column (see
         * BuildConfig.offsets).
         */
-      offsets: Boolean = false)
+      offsets: Boolean = false,
+      /** Payload policy name when segments carry a payloads sidecar
+        * (BuildConfig.payloads); None = no payloads.
+        */
+      payloads: Option[String] = None)
 
   object Manifest {
     def toJson(m: Manifest): String = {
@@ -459,6 +576,7 @@ object IndexBuilder {
         s""""tokenizer":"${m.tokenizer}","k1":${m.k1},"b":${m.b},""" +
         s""""positions":${m.positions},"offsets":${m.offsets},""" +
         m.indexSort.map(f => s""""indexSort":"$f",""").getOrElse("") +
+        m.payloads.map(p => s""""payloads":"$p",""").getOrElse("") +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
     }
     def fromJson(s: String): Manifest = {
@@ -472,12 +590,14 @@ object IndexBuilder {
         .findFirstMatchIn(s).exists(_.group(1) == "true")
       val indexSort = """"indexSort":"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1))
+      val payloads = """"payloads":"([^"]*)"""".r
+        .findFirstMatchIn(s).map(_.group(1))
       Manifest(str("snapshotId"), num("docCount").toLong,
         num("sumTotalTermFreq").toLong, num("numBuckets").toInt,
         num("numDocShards").toInt, num("saltThreshold").toLong,
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
-        num("numGroups").toInt, positions, indexSort, offsets)
+        num("numGroups").toInt, positions, indexSort, offsets, payloads)
     }
   }
 
@@ -630,7 +750,7 @@ object IndexBuilder {
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
       ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
-      ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets)
+      ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets, ix.cfg.payloads)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

@@ -21,7 +21,8 @@ import graft.index.IndexBuilder.Manifest
 object Merge {
 
   final case class MergeRow(bucket: Int, term: String, salt: Int,
-      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte])
+      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte],
+      payBlocks: Array[Byte])
 
   /** Merge the segment data of `dirs` (all built with identical
     * BuildConfig; docId spaces must be disjoint) into `outDir`.
@@ -42,8 +43,9 @@ object Merge {
       m.numDocShards == head.numDocShards && m.tokenizer == head.tokenizer &&
       m.k1 == head.k1 && m.b == head.b &&
       m.saltThreshold == head.saltThreshold &&
-      m.positions == head.positions && m.offsets == head.offsets),
-      "merge requires identical build configs (incl. saltThreshold, positions, offsets)")
+      m.positions == head.positions && m.offsets == head.offsets &&
+      m.payloads == head.payloads),
+      "merge requires identical build configs (incl. saltThreshold, positions, offsets, payloads)")
 
     new java.io.File(outDir).mkdirs()
 
@@ -97,17 +99,22 @@ object Merge {
     }
     val parts = spark.sessionState.conf.numShufflePartitions
     val withPos = head.positions
+    val withPay = head.payloads.isDefined
     val merged = allRows
       .map { p =>
         val raw = spark.read.option("basePath", p).parquet(p)
-        // pre-positions segment parquet lacks posBlocks — empty blob
-        if (raw.columns.contains("posBlocks")) raw
-        else raw.withColumn("posBlocks", lit(Array.empty[Byte]))
+        // pre-positions/pre-payloads segment parquet lacks the sidecar
+        // columns — substitute empty blobs
+        val r1 =
+          if (raw.columns.contains("posBlocks")) raw
+          else raw.withColumn("posBlocks", lit(Array.empty[Byte]))
+        if (r1.columns.contains("payBlocks")) r1
+        else r1.withColumn("payBlocks", lit(Array.empty[Byte]))
       }
       .reduce(_ unionByName _)
       .withColumn("bucket", bucketUdf(col("term")))
       .select(col("bucket"), col("term"), col("salt"),
-        col("docBlocks"), col("skipData"), col("posBlocks"))
+        col("docBlocks"), col("skipData"), col("posBlocks"), col("payBlocks"))
       .as[MergeRow]
       .flatMap { r =>
         val hot = bHot.value.contains(r.term)
@@ -120,6 +127,7 @@ object Merge {
           // split a cold piece into its per-salt sub-lists
           val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
           val pos = if (withPos) PostingsCodec.decodePositions(r.posBlocks, pl.tfs) else null
+          val pay = if (withPay) PostingsCodec.decodePayloads(r.payBlocks, pl.tfs) else null
           (0 until S).flatMap { s =>
             val keep = pl.docs.indices.filter(i => (pl.docs(i) % S).toInt == s)
             if (keep.isEmpty) None
@@ -130,14 +138,18 @@ object Merge {
               val pb =
                 if (pos == null) Array.empty[Byte]
                 else PostingsCodec.encodePositions(keep.map(pos).toArray)
-              Some(MergeRow(r.bucket, r.term, s, body, skip, pb))
+              val yb =
+                if (pay == null) Array.empty[Byte]
+                else PostingsCodec.concatPositionBlocks(
+                  keep.map(i => PostingsCodec.encodeDocPayloads(pay(i))).toArray)
+              Some(MergeRow(r.bucket, r.term, s, body, skip, pb, yb))
             }
           }
         }
       }
       .repartition(parts, col("bucket"), col("salt"))
       .sortWithinPartitions(col("term"), col("salt"))
-      .mapPartitions(it => mergeGroups(it, withPos))
+      .mapPartitions(it => mergeGroups(it, withPos, withPay))
 
     merged.toDF()
       .write.mode("overwrite").partitionBy("bucket")
@@ -161,7 +173,7 @@ object Merge {
       head.tokenizer, head.k1, head.b, Seq(0), 1, head.positions,
       // merged indexes keep offsets (docs union carries the column) but
       // drop indexSort like mkManifest's merge convention
-      indexSort = None, offsets = head.offsets)
+      indexSort = None, offsets = head.offsets, payloads = head.payloads)
     IndexBuilder.commitManifest(outDir, manifest)
     manifest
   }
@@ -171,13 +183,14 @@ object Merge {
     * docIds make the remap a no-op, SURVEY.md §2.4).
     */
   private def mergeGroups(it: Iterator[MergeRow],
-      withPos: Boolean): Iterator[SegmentPosting] =
+      withPos: Boolean, withPay: Boolean): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
       def hasNext: Boolean = buf.hasNext
       def next(): SegmentPosting = {
         val head = buf.head
         val pieces = scala.collection.mutable.ArrayBuffer.empty[PostingsCodec.PostingList]
+        val piecePays = scala.collection.mutable.ArrayBuffer.empty[Array[Array[Float]]]
         while (buf.hasNext && buf.head.term == head.term && buf.head.salt == head.salt) {
           val r = buf.next()
           val pl = PostingsCodec.decode(r.docBlocks, r.skipData)
@@ -185,12 +198,14 @@ object Merge {
             (if (withPos)
               pl.copy(positions = PostingsCodec.decodePositions(r.posBlocks, pl.tfs))
             else pl)
+          if (withPay) piecePays += PostingsCodec.decodePayloads(r.payBlocks, pl.tfs)
         }
         val total = pieces.map(_.docs.length).sum
         val docs = new Array[Long](total)
         val tfs = new Array[Int](total)
         val norms = new Array[Byte](total)
         val poss = if (withPos) new Array[Array[Int]](total) else null
+        val pays = if (withPay) new Array[Array[Float]](total) else null
         // k-way merge by docId (pieces are internally sorted; docId spaces
         // of snapshots are usually disjoint ranges → near-concatenation)
         val idx = Array.fill(pieces.length)(0)
@@ -210,6 +225,7 @@ object Merge {
           tfs(out) = pieces(best).tfs(idx(best))
           norms(out) = pieces(best).norms(idx(best))
           if (poss != null) poss(out) = pieces(best).positions(idx(best))
+          if (pays != null) pays(out) = piecePays(best)(idx(best))
           if (tfs(out) > maxTf) maxTf = tfs(out)
           idx(best) += 1
           out += 1
@@ -217,7 +233,11 @@ object Merge {
         val (body, skip) = PostingsCodec.encode(docs, tfs, norms)
         val pb = if (poss == null) Array.empty[Byte]
           else PostingsCodec.encodePositions(poss)
-        SegmentPosting(head.bucket, head.term, head.salt, total, maxTf, body, skip, pb)
+        val yb = if (pays == null) Array.empty[Byte]
+          else PostingsCodec.concatPositionBlocks(
+            pays.map(PostingsCodec.encodeDocPayloads))
+        SegmentPosting(head.bucket, head.term, head.salt, total, maxTf,
+          body, skip, pb, yb)
       }
     }
 }

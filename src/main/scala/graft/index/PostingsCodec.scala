@@ -367,6 +367,62 @@ object PostingsCodec {
     out
   }
 
+  // ---- payloads sidecar ----
+
+  /** Sentinel for "no payload at this position" — the reference's null
+    * payload (`index/PostingsEnum.java getPayload` may return null;
+    * PayloadScoreQuery's collector SKIPS such positions). Encoded as the
+    * canonical NaN bit pattern; [[hasPayload]] tests it.
+    */
+  val NoPayload: Float = Float.NaN
+
+  @inline def hasPayload(p: Float): Boolean = !java.lang.Float.isNaN(p)
+
+  /** One doc's per-occurrence payload floats, aligned with its positions
+    * (the `..._AND_PAYLOADS` IndexOptions analog,
+    * `codecs/lucene50/Lucene50PostingsFormat.java:42-63` — the reference
+    * interleaves payload bytes with the position stream; here they ride a
+    * third sidecar blob with the SAME block header as positions, so
+    * [[concatPositionBlocks]] assembles it from per-doc chunks unchanged
+    * and per-block lazy decode mirrors `positions()`). 4-byte
+    * little-endian IEEE-754 per position; canonical-NaN bits = absent.
+    */
+  def encodeDocPayloads(pays: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](pays.length * 4)
+    var i = 0
+    while (i < pays.length) {
+      val bits = java.lang.Float.floatToIntBits(pays(i))
+      val o = i * 4
+      out(o) = bits.toByte
+      out(o + 1) = (bits >>> 8).toByte
+      out(o + 2) = (bits >>> 16).toByte
+      out(o + 3) = (bits >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def readPayloadAt(arr: Array[Byte], o: Int): Float =
+    java.lang.Float.intBitsToFloat(
+      (arr(o) & 0xff) | ((arr(o + 1) & 0xff) << 8) |
+        ((arr(o + 2) & 0xff) << 16) | ((arr(o + 3) & 0xff) << 24))
+
+  /** Full payloads decode, aligned with a full `decode` (merge, tests). */
+  def decodePayloads(payBlocks: Array[Byte], tfs: Array[Int]): Array[Array[Float]] = {
+    val offs = readPosOffsets(payBlocks)
+    var pos = offs(0)
+    val out = new Array[Array[Float]](tfs.length)
+    var i = 0
+    while (i < tfs.length) {
+      val ps = new Array[Float](tfs(i))
+      var j = 0
+      while (j < ps.length) { ps(j) = readPayloadAt(payBlocks, pos); pos += 4; j += 1 }
+      out(i) = ps
+      i += 1
+    }
+    out
+  }
+
   /** Byte offsets of each block's positions payload within posBlocks. */
   def readPosOffsets(posBlocks: Array[Byte]): Array[Int] = {
     val r = new ByteReader(posBlocks)
@@ -550,7 +606,7 @@ object PostingsCodec {
     * analog (`search/DocIdSetIterator.java`) plus block-max metadata.
     */
   final class PostingsIterator(docBlocks: Array[Byte], val skips: Skips,
-      posBlocks: Array[Byte] = null) {
+      posBlocks: Array[Byte] = null, payBlocks: Array[Byte] = null) {
     private val r = new ByteReader(docBlocks)
     private var block = -1
     private var inBlock = 0
@@ -558,6 +614,9 @@ object PostingsCodec {
     private var posOffsets: Array[Int] = null
     private var posBlockIdx = -1
     private var blockPositions: Array[Array[Int]] = null
+    private var payOffsets: Array[Int] = null
+    private var payBlockIdx = -1
+    private var blockPayloads: Array[Array[Float]] = null
     private val blockDocs = new Array[Long](BlockSize)
     private val blockTfs = new Array[Int](BlockSize)
     private val blockNorms = new Array[Byte](BlockSize)
@@ -652,6 +711,33 @@ object PostingsCodec {
       blockPositions(inBlock - 1)
     }
 
+    def hasPayloads: Boolean = payBlocks != null && payBlocks.length > 0
+
+    /** Per-occurrence payloads of the CURRENT doc, aligned with
+      * [[positions]] (NaN = no payload at that occurrence). Lazily
+      * decodes the current block's payloads and memoizes — same
+      * economics as `positions()`.
+      */
+    def payloads(): Array[Float] = {
+      require(hasPayloads, "posting list has no payloads sidecar")
+      if (payBlockIdx != block) {
+        if (payOffsets == null) payOffsets = readPosOffsets(payBlocks)
+        var o = payOffsets(block)
+        val bp = new Array[Array[Float]](blockLen)
+        var i = 0
+        while (i < blockLen) {
+          val ps = new Array[Float](blockTfs(i))
+          var j = 0
+          while (j < ps.length) { ps(j) = readPayloadAt(payBlocks, o); o += 4; j += 1 }
+          bp(i) = ps
+          i += 1
+        }
+        blockPayloads = bp
+        payBlockIdx = block
+      }
+      blockPayloads(inBlock - 1)
+    }
+
     /** Advance to next doc; false at exhaustion (doc = Long.MaxValue). */
     def nextDoc(): Boolean = {
       if (block >= 0 && inBlock < blockLen) { setCurrent(); true }
@@ -679,6 +765,7 @@ object PostingsCodec {
   }
 
   def iterator(docBlocks: Array[Byte], skipData: Array[Byte],
-      posBlocks: Array[Byte] = null): PostingsIterator =
-    new PostingsIterator(docBlocks, readSkips(skipData), posBlocks)
+      posBlocks: Array[Byte] = null,
+      payBlocks: Array[Byte] = null): PostingsIterator =
+    new PostingsIterator(docBlocks, readSkips(skipData), posBlocks, payBlocks)
 }

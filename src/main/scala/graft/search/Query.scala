@@ -323,6 +323,29 @@ object Span {
 /** Query node wrapping a composed [[Span]] tree. */
 final case class SpanQ(root: Span) extends Query
 
+/** Payload-scored span query (`lucene/queries/src/java/org/apache/lucene/
+  * queries/payloads/PayloadScoreQuery.java`): wraps a span tree; every
+  * matched span's collected leaf payloads fold through `func`
+  * ("min" | "max" | "avg" — Min/Max/AveragePayloadFunction) in the
+  * SpanCollector visit order; doc score = spanScore × docScore when
+  * `includeSpanScore`, else docScore alone (boost then has no effect,
+  * as in the reference). Requires an index built with
+  * BuildConfig.payloads; the payload factor is the stored float (the
+  * engine's fixed decode convention — see
+  * [[graft.core.Analysis.Payloads]]).
+  */
+final case class PayloadScoreQ(root: Span, func: String = "max",
+    includeSpanScore: Boolean = true) extends Query
+
+/** Payload-filtered span query (`queries/payloads/SpanPayloadCheckQuery
+  * .java:42`): keeps only spans whose collected leaf payload sequence
+  * equals `payloads` entry-wise (NaN entry = the reference's null
+  * payload, matching exactly an absent payload); survivors score like a
+  * plain span tree.
+  */
+final case class SpanPayloadCheckQ(root: Span,
+    payloads: Seq[Float]) extends Query
+
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
@@ -419,6 +442,14 @@ object Query {
       case None => MatchNoneQ
       case Some(r) => SpanQ(r)
     }
+    case PayloadScoreQ(root, fn, inc) => Span.simplify(root) match {
+      case None => MatchNoneQ
+      case Some(r) => PayloadScoreQ(r, fn, inc)
+    }
+    case SpanPayloadCheckQ(root, pays) => Span.simplify(root) match {
+      case None => MatchNoneQ
+      case Some(r) => SpanPayloadCheckQ(r, pays)
+    }
     case other => other
   }
 
@@ -459,6 +490,8 @@ object Query {
     // veto), even though only the include term contributes weight
     case SpanNotQ(i, e, _, _) => Set(i, e)
     case SpanQ(root) => Span.allTerms(root).toSet
+    case PayloadScoreQ(root, _, _) => Span.allTerms(root).toSet
+    case SpanPayloadCheckQ(root, _) => Span.allTerms(root).toSet
     case _ => Set.empty
   }
 

@@ -41,7 +41,8 @@ object SegmentSearcher {
 
   /** One shuffled unit of query work: a (term, salt) posting list. */
   final case class SegRow(term: String, salt: Int,
-      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte])
+      docBlocks: Array[Byte], skipData: Array[Byte], posBlocks: Array[Byte],
+      payBlocks: Array[Byte])
 
   /** Per-term scoring constants, computed driver-side like TermWeight.
     * `ttf` (total term freq) rides along for similarities whose formula
@@ -288,6 +289,12 @@ object SegmentSearcher {
       spanNotScorer(i, e, math.max(pre, 0), math.max(post, 0),
         shard, blobs, plan, boost)
     case SpanQ(root) => spanTreeScorer(root, shard, blobs, plan, boost)
+    case PayloadScoreQ(root, fn, inc) =>
+      payloadSpanScorer(root, shard, blobs, plan, boost,
+        check = null, fn = PayloadFns.of(fn), includeSpanScore = inc)
+    case SpanPayloadCheckQ(root, pays) =>
+      payloadSpanScorer(root, shard, blobs, plan, boost,
+        check = pays.toArray, fn = -1, includeSpanScore = true)
     case other =>
       sys.error(s"segment path does not support: $other (use DataFrameSearcher)")
   }
@@ -462,6 +469,37 @@ object SegmentSearcher {
         }
         val w = BM25.weightValue(idfSum, plan.params, boost)
         val ss = new SpanTreeScorer(c, incIts, w, plan.cache)
+        if (shard >= 0 && !Spans.shardRestricted(root, blobs))
+          new ModFilterScorer(ss, shard, plan.numShards)
+        else ss
+    }
+
+  /** Payload span queries over the payloads sidecar: PayloadScoreQ
+    * (`check == null`; fn folds collected leaf payloads, score =
+    * spanScore × docScore or docScore alone) and SpanPayloadCheckQ
+    * (`check != null`; spans filtered by the expected payload sequence,
+    * scored like a plain span tree). Weight identical to
+    * [[spanTreeScorer]] (both reference weights delegate to the wrapped
+    * span weight's term contexts).
+    */
+  private def payloadSpanScorer(root: Span, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float,
+      check: Array[Float], fn: Int, includeSpanScore: Boolean): DocScorer =
+    Spans.compile(root, blobs, collectPays = true) match {
+      case None => EmptyScorer
+      case Some((c, incIts)) =>
+        var idfSum = 0f
+        Span.scoringTerms(root).distinct.sorted.foreach { t =>
+          if (blobs.contains(t) && plan.weights.contains(t))
+            idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+        }
+        val w = BM25.weightValue(idfSum, plan.params, boost)
+        val ss: DocScorer =
+          if (check != null)
+            new SpanPayloadCheckScorer(c, incIts, w, plan.cache, check)
+          else
+            new PayloadScoreScorer(c, incIts, w, plan.cache, fn,
+              includeSpanScore)
         if (shard >= 0 && !Spans.shardRestricted(root, blobs))
           new ModFilterScorer(ss, shard, plan.numShards)
         else ss
@@ -900,8 +938,12 @@ final class Searcher(private[search] val spark: SparkSession,
     val withPos =
       if (raw.columns.contains("posBlocks")) raw
       else raw.withColumn("posBlocks", lit(Array.empty[Byte]))
-    val df = withPos
-      .select("bucket", "term", "salt", "docBlocks", "skipData", "posBlocks")
+    val withPay =
+      if (withPos.columns.contains("payBlocks")) withPos
+      else withPos.withColumn("payBlocks", lit(Array.empty[Byte]))
+    val df = withPay
+      .select("bucket", "term", "salt", "docBlocks", "skipData", "posBlocks",
+        "payBlocks")
     if (cacheSegments) { val p = df.persist(); p.count(); p } else df
   }
 
@@ -1349,30 +1391,45 @@ final class Searcher(private[search] val spark: SparkSession,
       // SpanOrQuery-of-SpanTermQuery rewrite), capped at maxExpansions
       // with a loud log when the cap bites; an empty expansion prunes the
       // subtree via Span.simplify
-      case SpanQ(root) =>
-        def goSpan(s: Span): Span = s match {
-          case Span.Multi(inner) =>
-            val ts = Query.literalTerms(go(inner)).toSeq.sorted
-            if (ts.size >= maxExpansions)
-              System.err.println(s"[graft] Span.Multi($inner) expansion " +
-                s"hit the $maxExpansions-term cap — matches beyond the " +
-                "cap are dropped (reference throws TooManyClauses)")
-            Span.Or(ts.map(Span.Term))
-          case t: Span.Term => t
-          case Span.Near(cs, sl, io) => Span.Near(cs.map(goSpan), sl, io)
-          case Span.Or(cs) => Span.Or(cs.map(goSpan))
-          case Span.Not(i, e, pre, post) =>
-            Span.Not(goSpan(i), goSpan(e), pre, post)
-          case Span.First(i, end) => Span.First(goSpan(i), end)
-          case Span.Containing(b, l) =>
-            Span.Containing(goSpan(b), goSpan(l))
-          case Span.Within(l, b) => Span.Within(goSpan(l), goSpan(b))
-          case Span.PosRange(i, s0, e0) => Span.PosRange(goSpan(i), s0, e0)
-        }
-        SpanQ(goSpan(root))
+      case SpanQ(root) => SpanQ(goSpanMulti(root, go, maxExpansions))
+      case PayloadScoreQ(root, fn, inc) =>
+        PayloadScoreQ(goSpanMulti(root, go, maxExpansions), fn, inc)
+      case SpanPayloadCheckQ(root, pays) =>
+        SpanPayloadCheckQ(goSpanMulti(root, go, maxExpansions), pays)
       case other => other
     }
     go(q)
+  }
+
+  /** SpanMultiTermQueryWrapper expansion inside a span tree
+    * (`spans/SpanMultiTermQueryWrapper.java:51`): a multi-term query
+    * expands against the dictionary into a Span.Or of term leaves (the
+    * reference's SpanOrQuery-of-SpanTermQuery rewrite), capped at
+    * maxExpansions with a loud log when the cap bites; an empty
+    * expansion prunes the subtree via Span.simplify.
+    */
+  private def goSpanMulti(root: Span, go: Query => Query,
+      maxExpansions: Int = 1024): Span = {
+    def goSpan(s: Span): Span = s match {
+      case Span.Multi(inner) =>
+        val ts = Query.literalTerms(go(inner)).toSeq.sorted
+        if (ts.size >= maxExpansions)
+          System.err.println(s"[graft] Span.Multi($inner) expansion " +
+            s"hit the $maxExpansions-term cap — matches beyond the " +
+            "cap are dropped (reference throws TooManyClauses)")
+        Span.Or(ts.map(Span.Term))
+      case t: Span.Term => t
+      case Span.Near(cs, sl, io) => Span.Near(cs.map(goSpan), sl, io)
+      case Span.Or(cs) => Span.Or(cs.map(goSpan))
+      case Span.Not(i, e, pre, post) =>
+        Span.Not(goSpan(i), goSpan(e), pre, post)
+      case Span.First(i, end) => Span.First(goSpan(i), end)
+      case Span.Containing(b, l) =>
+        Span.Containing(goSpan(b), goSpan(l))
+      case Span.Within(l, b) => Span.Within(goSpan(l), goSpan(b))
+      case Span.PosRange(i, s0, e0) => Span.PosRange(goSpan(i), s0, e0)
+    }
+    goSpan(root)
   }
 
   def search(q0: Query, k: Int, after: Option[(Double, Long)] = None,
@@ -1495,7 +1552,7 @@ final class Searcher(private[search] val spark: SparkSession,
     else {
       val empty = Array.empty[Byte]
       val markers = (0 until (if (sharded) S else 1))
-        .map(s => (s, SegRow("", -2, empty, empty, empty)))
+        .map(s => (s, SegRow("", -2, empty, empty, empty, empty)))
       base.union(markers.toDS())
     }
   }
@@ -1521,7 +1578,8 @@ final class Searcher(private[search] val spark: SparkSession,
     segmentsDf
       .filter(col("bucket").isin(buckets: _*) &&
         col("term").isin(present.toSeq: _*))
-      .select("term", "salt", "docBlocks", "skipData", "posBlocks")
+      .select("term", "salt", "docBlocks", "skipData", "posBlocks",
+        "payBlocks")
       .as[SegRow]
   }
 

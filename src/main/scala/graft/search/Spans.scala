@@ -20,11 +20,33 @@ import graft.search.SegmentSearcher.SegRow
 object Spans {
 
   /** One matching interval: token span [start, end) with the slop width
-    * its emitting combinator measured (0 for term spans).
+    * its emitting combinator measured (0 for term spans). `pays` is null
+    * except under payload collection ([[compile]] collectPays=true): one
+    * float per collected term leaf in the reference's SpanCollector
+    * visit order (`TermSpans.java:120` leaf → `NearSpansOrdered.java:147`
+    * subspans in clause order → `ContainSpans.java:56-58` big then
+    * little; Or/Not/First/PosRange pass the underlying span through,
+    * FilterSpans.collect). NaN = the leaf had no payload (the
+    * reference's null payload).
     */
-  final case class Sp(start: Int, end: Int, width: Int)
+  final case class Sp(start: Int, end: Int, width: Int,
+      pays: Array[Float] = null)
 
   private val NoSp = Array.empty[Sp]
+
+  /** Concatenate leaf payloads of two collected intervals (null-safe —
+    * null only pairs with null outside collect mode, where the result is
+    * unused).
+    */
+  private def catPays(a: Array[Float], b: Array[Float]): Array[Float] =
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val out = new Array[Float](a.length + b.length)
+      System.arraycopy(a, 0, out, 0, a.length)
+      System.arraycopy(b, 0, out, a.length, b.length)
+      out
+    }
 
   /** Compiled node: doc-skeleton alignment + per-doc interval eval.
     * `advanceDoc` returns the smallest doc ≥ target where the node's
@@ -38,7 +60,8 @@ object Spans {
     def cost: Long
   }
 
-  private final class CTerm(it: PostingsIterator) extends CNode {
+  private final class CTerm(it: PostingsIterator,
+      collectPays: Boolean = false) extends CNode {
     def advanceDoc(target: Long): Long = {
       if (it.doc < target) it.advance(target)
       it.doc
@@ -48,9 +71,14 @@ object Spans {
       if (it.doc != doc) NoSp
       else {
         val ps = it.positions()
+        val pay = if (collectPays) it.payloads() else null
         val out = new Array[Sp](ps.length)
         var i = 0
-        while (i < ps.length) { out(i) = Sp(ps(i), ps(i) + 1, 0); i += 1 }
+        while (i < ps.length) {
+          out(i) = Sp(ps(i), ps(i) + 1, 0,
+            if (pay == null) null else Array(pay(i)))
+          i += 1
+        }
         out
       }
     }
@@ -89,7 +117,14 @@ object Spans {
           }
           k += 1
         }
-        if (ok && width <= slop) out += Sp(sub(0)(i0).start, prevEnd, width)
+        if (ok && width <= slop) {
+          var pays = sub(0)(i0).pays
+          if (pays != null) {
+            var j = 1
+            while (j < cls.length) { pays = catPays(pays, sub(j)(idx(j)).pays); j += 1 }
+          }
+          out += Sp(sub(0)(i0).start, prevEnd, width, pays)
+        }
         i0 += 1
       }
       out.result()
@@ -131,7 +166,14 @@ object Spans {
           k += 1
         }
         val width = maxEnd - minStart - totalLen
-        if (width <= slop) out += Sp(minStart, maxEnd, math.max(width, 0))
+        if (width <= slop) {
+          var pays = sub(0)(idx(0)).pays
+          if (pays != null) {
+            var j = 1
+            while (j < cls.length) { pays = catPays(pays, sub(j)(idx(j)).pays); j += 1 }
+          }
+          out += Sp(minStart, maxEnd, math.max(width, 0), pays)
+        }
         idx(minK) += 1
         if (idx(minK) >= sub(minK).length) done = true
       }
@@ -235,7 +277,12 @@ object Spans {
       while (bi < bs.length && !exhausted) {
         while (li < ls.length && ls(li).start < bs(bi).start) li += 1
         if (li >= ls.length) exhausted = true
-        else if (bs(bi).end >= ls(li).end) out += bs(bi)
+        else if (bs(bi).end >= ls(li).end) {
+          val b = bs(bi)
+          // ContainSpans.collect: big's leaves then little's (lines 56-58)
+          out += (if (b.pays == null) b
+            else Sp(b.start, b.end, b.width, catPays(b.pays, ls(li).pays)))
+        }
         bi += 1
       }
       out.result()
@@ -263,7 +310,12 @@ object Spans {
       while (li < ls.length && !exhausted) {
         while (bi < bs.length && bs(bi).end < ls(li).end) bi += 1
         if (bi >= bs.length) exhausted = true
-        else if (bs(bi).start <= ls(li).start) out += ls(li)
+        else if (bs(bi).start <= ls(li).start) {
+          val l = ls(li)
+          // shared ContainSpans.collect law: big's leaves first
+          out += (if (l.pays == null) l
+            else Sp(l.start, l.end, l.width, catPays(bs(bi).pays, l.pays)))
+        }
         li += 1
       }
       out.result()
@@ -320,17 +372,22 @@ object Spans {
     * match). Iterators are NOT shared across leaves — a term appearing
     * twice gets two independently-positioned streams.
     */
-  def compile(root: Span, blobs: Map[String, SegRow])
+  def compile(root: Span, blobs: Map[String, SegRow],
+      collectPays: Boolean = false)
       : Option[(CNode, Array[PostingsIterator])] = {
     val incIts = Array.newBuilder[PostingsIterator]
     def leaf(t: String, scoring: Boolean): Option[CNode] =
       blobs.get(t).map { r =>
-        val it = PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)
+        val it = PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks,
+          r.payBlocks)
         if (!it.hasPositions)
           sys.error("span queries require an index built with positions " +
             "(BuildConfig.positions = true)")
+        if (collectPays && !it.hasPayloads)
+          sys.error("payload queries require an index built with payloads " +
+            "(BuildConfig.payloads = Some(policy))")
         if (scoring) incIts += it
-        new CTerm(it)
+        new CTerm(it, collectPays)
       }
     def go(s: Span, scoring: Boolean): Option[CNode] = s match {
       case Span.Term(t) => leaf(t, scoring)
@@ -414,6 +471,156 @@ final class SpanTreeScorer(root: Spans.CNode,
       if (spans.nonEmpty) {
         var f = 0d
         spans.foreach(sp => f += 1.0 / (1 + sp.width))
+        freqV = f.toFloat
+        var i = 0
+        while (incIts(i).doc != target) i += 1
+        normB = incIts(i).norm
+        doc = target
+        return doc
+      }
+      target = root.advanceDoc(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float = BM25.score(w, freqV, cache(normB & 0xff))
+  def cost: Long = root.cost
+  def maxScore: Float = w
+}
+
+object PayloadFns {
+  /** PayloadFunction selectors (`queries/payloads/MinPayloadFunction.java`,
+    * `MaxPayloadFunction.java`, `AveragePayloadFunction.java`).
+    */
+  val Min = 0
+  val Max = 1
+  val Avg = 2
+
+  def of(name: String): Int = name match {
+    case "min" => Min
+    case "max" => Max
+    case "avg" => Avg
+    case other => sys.error(s"unknown payload function: $other (min|max|avg)")
+  }
+}
+
+/** PayloadScoreQuery scorer (`queries/payloads/PayloadScoreQuery.java`):
+  * per candidate doc, enumerate the wrapped span tree's intervals
+  * (compiled with payload collection on); every collected leaf payload
+  * folds through the payload function in collection order — a NaN
+  * payload (absent) is SKIPPED, the reference's `payload == null` check
+  * in PayloadSpans.collectLeaf (line 203). Doc score =
+  * spanScore × fn.docScore (includeSpanScore, `PayloadSpanScorer
+  * .scoreCurrentDoc`) or fn.docScore alone (where boost has no effect,
+  * like the reference — the sim score is simply not used). Zero
+  * payloads seen → docScore = 1.
+  */
+final class PayloadScoreScorer(root: Spans.CNode,
+    incIts: Array[PostingsIterator], w: Float, cache: Array[Float],
+    fn: Int, includeSpanScore: Boolean) extends DocScorer {
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+  private var payV = 1f
+
+  private def settle(t0: Long): Long = {
+    var target = root.advanceDoc(t0)
+    while (target != DocScorer.NO_MORE) {
+      val spans = root.eval(target)
+      if (spans.nonEmpty) {
+        var f = 0d
+        var paySeen = 0
+        var payScore = 0f
+        spans.foreach { sp =>
+          f += 1.0 / (1 + sp.width)
+          val ps = sp.pays
+          var i = 0
+          while (i < ps.length) {
+            val p = ps(i)
+            if (PostingsCodec.hasPayload(p)) {
+              // currentScore(numSeen, accumulated, NEW) per function
+              payScore = fn match {
+                case PayloadFns.Min =>
+                  if (paySeen == 0) p else math.min(p, payScore)
+                case PayloadFns.Max =>
+                  if (paySeen == 0) p else math.max(p, payScore)
+                case _ => payScore + p
+              }
+              paySeen += 1
+            }
+            i += 1
+          }
+        }
+        freqV = f.toFloat
+        payV =
+          if (paySeen == 0) 1f
+          else if (fn == PayloadFns.Avg) payScore / paySeen
+          else payScore
+        var i = 0
+        while (incIts(i).doc != target) i += 1
+        normB = incIts(i).norm
+        doc = target
+        return doc
+      }
+      target = root.advanceDoc(target + 1)
+    }
+    doc = DocScorer.NO_MORE
+    doc
+  }
+
+  def nextDoc(): Long = settle(if (doc < 0) 0L else doc + 1)
+  def advance(target: Long): Long =
+    if (target <= doc) doc else settle(target)
+  def score: Float =
+    if (includeSpanScore) BM25.score(w, freqV, cache(normB & 0xff)) * payV
+    else payV
+  def cost: Long = root.cost
+  // payloads are unbounded floats — no usable max; callers must not WAND
+  def maxScore: Float = Float.PositiveInfinity
+}
+
+/** SpanPayloadCheckQuery scorer (`queries/payloads/SpanPayloadCheckQuery
+  * .java:127-152` PayloadChecker): keep only spans whose collected leaf
+  * payload sequence EQUALS the expected list — entry-wise in collection
+  * order, same length, where an expected NaN matches exactly an absent
+  * payload (the reference's null-matches-null branch) and values compare
+  * by their canonical float bits (bytesEquals on the 4-byte encoding).
+  * Surviving spans score like a plain span tree (FilterSpans + SpanScorer:
+  * freq = Σ 1/(1+width) over accepted spans).
+  */
+final class SpanPayloadCheckScorer(root: Spans.CNode,
+    incIts: Array[PostingsIterator], w: Float, cache: Array[Float],
+    expected: Array[Float]) extends DocScorer {
+  var doc: Long = -1L
+  private var freqV = 0f
+  private var normB: Byte = 0
+
+  private def accepts(sp: Spans.Sp): Boolean = {
+    val ps = sp.pays
+    if (ps.length != expected.length) return false
+    var i = 0
+    while (i < ps.length) {
+      if (java.lang.Float.floatToIntBits(ps(i)) !=
+          java.lang.Float.floatToIntBits(expected(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  private def settle(t0: Long): Long = {
+    var target = root.advanceDoc(t0)
+    while (target != DocScorer.NO_MORE) {
+      val spans = root.eval(target)
+      var f = 0d
+      var any = false
+      spans.foreach { sp =>
+        if (accepts(sp)) { f += 1.0 / (1 + sp.width); any = true }
+      }
+      if (any) {
         freqV = f.toFloat
         var i = 0
         while (incIts(i).doc != target) i += 1
