@@ -588,13 +588,17 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
     * (the engine's scorer-boundary law). idf folds float-stepwise over
     * DISTINCT terms in sorted order (SpanWeight's TreeSet).
     */
-  def spanNearOrdered(terms: Seq[String], slop: Int, k: Int): String = {
+  def spanNearOrdered(terms: Seq[String], slop: Int, k: Int,
+      boost: Float = 1f): String = {
     require(terms.size >= 2)
     val n = terms.size
     val idfFold = terms.distinct.sorted.map(t =>
       idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"))
       .reduce((x, y) => R(s"$x + $y"))
-    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    // SpanBoostQuery folds into weightValue: ((boost·idfSum)·(k1+1))
+    val bIdf = if (boost == 1f) idfFold
+      else R(s"${R(boost.toString)} * $idfFold")
+    val w = R(s"$bIdf * ($K1 + ${R("1")})")
     val score = R(s"${R(s"$w * p.freq")} / ${R(s"p.freq + ${cacheExpr("dn.qlen")}")}")
     val pCtes = terms.zipWithIndex.map { case (t, i) =>
       s"""p$i AS (
@@ -1874,6 +1878,133 @@ WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(a)}
     ${R(s"fp.s + COALESCE(${R(s"${R(weight.toString)} * sc_b.s")}, ${R("0")})")} AS s
   FROM fp LEFT JOIN sc_b ON fp.doc_id = sc_b.doc_id
 )""" + finish("res", k)
+
+  /** FieldMaskingSpanQuery over an ordered 2-clause near: clause 0 is a
+    * term in the MASKED field (its own tokenization and df), clause 1 a
+    * primary-field term; norms/avgdl/docCount are the primary field's.
+    * idf fold over distinct scoring terms sorted by (field, term) —
+    * Lucene Term.compareTo order.
+    */
+  def spanMaskedNear(maskedField: String, maskedTerm: String,
+      primaryTerm: String, slop: Int, k: Int): String = {
+    // fold order: (maskedField, maskedTerm) vs ("text", primaryTerm)
+    val dfMasked =
+      s"(SELECT count(DISTINCT doc_id) FROM toksrc WHERE term = ${lit(maskedTerm)})"
+    val dfPrimary =
+      s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(primaryTerm)})"
+    val parts = Seq(
+      (maskedField, s"CASE WHEN $dfMasked > 0 THEN ${idfExpr(dfMasked)} ELSE ${R("0")} END"),
+      ("text", s"CASE WHEN $dfPrimary > 0 THEN ${idfExpr(dfPrimary)} ELSE ${R("0")} END"))
+      .sortBy(_._1).map(_._2)
+    val idfFold = parts.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val score = spanTreeScore(w)
+    prologue + spanPosx +
+      s""", posxsrc AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower($maskedField), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+), toksrc AS (
+  SELECT doc_id, term FROM posxsrc
+), p0 AS (
+  SELECT doc_id, pos - 1 AS pos FROM posxsrc WHERE term = ${lit(maskedTerm)}
+), p1 AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(primaryTerm)}
+), m1 AS (
+  SELECT p0.doc_id, p0.pos AS q0, MIN(p1.pos) AS q1
+  FROM p0 JOIN p1 ON p1.doc_id = p0.doc_id AND p1.pos >= p0.pos + 1
+  GROUP BY ALL
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + (q1 - q0 - 1) AS DOUBLE))")} AS freq
+  FROM m1 WHERE (q1 - q0 - 1) <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  // ---------- MultiSimilarity (CombSUM) oracles ----------
+
+  /** The classic-norm decode CTEs (cnormq, cn) without classicPrologue's
+    * conflicting `av` — composable onto the BM25 prologue (whose `av`
+    * carries n AND avgdl, a superset of what classicIdf reads).
+    */
+  private def cnCtes: String =
+    s""", cnormq(lo, hi, nv) AS (
+  SELECT * FROM (VALUES $classicNormRows)
+), cn AS (
+  SELECT dlen.doc_id, ${R("cnormq.nv")} AS nv
+  FROM dlen JOIN cnormq ON dlen.len BETWEEN cnormq.lo AND cnormq.hi
+)"""
+
+  /** One MultiSimilarity component's score CTEs (sc_<a>) for a term.
+    * Classic's value under MultiSimilarity normalizes with queryNorm =
+    * 1f (the base Similarity's constant — MultiSimilarity does not
+    * override TFIDFSimilarity's 1/√v), so value = idf².
+    */
+  private def multiCompCtes(kind: Int, a: String, term: String): String = {
+    import graft.search.SegmentSearcher._
+    kind match {
+      case SimBm25 => termCtes(a, term)
+      case SimClassic =>
+        val df = s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(term)})"
+        val idf = classicIdf(df)
+        classicTermCtes(a, term, R(s"$idf * $idf"))
+      case SimLMDirichlet => lmTermCtes(a, term)
+      case SimDFR => dfrScoreCtes(a, term)
+      case k => simBaseScoreCtes(k, a, term)
+    }
+  }
+
+  /** Stepwise FLOAT fold of the component scores in component order —
+    * `MultiSimScorer.score` accumulates into a float (MultiSimilarity
+    * .java:83-88), NOT the double sum of disjunctions.
+    */
+  private def multiFold(cols: Seq[String]): String =
+    cols.reduceLeft((acc, c) => R(s"$acc + $c"))
+
+  /** MultiSimilarity over one term: components joined on the (shared)
+    * matching doc set, float-summed in order.
+    */
+  def multiSimTerm(kinds: Seq[Int], term: String, k: Int): String = {
+    val names = kinds.indices.map(i => s"c$i")
+    val ctes = names.zip(kinds).map { case (a, kd) =>
+      multiCompCtes(kd, a, term)
+    }.mkString
+    val joins = names.tail.map(a => s"JOIN sc_$a USING (doc_id)").mkString(" ")
+    val fold = multiFold(names.map(a => s"sc_$a.s"))
+    prologue + cnCtes + dfrAvfCte + ctes +
+      s""", res AS (
+  SELECT sc_${names.head}.doc_id, $fold AS s FROM sc_${names.head} $joins
+)""" + finish("res", k)
+  }
+
+  /** MultiSimilarity disjunction: per-term CombSUM float fold, then the
+    * disjunction's (float)Σdouble across matching terms — no coord
+    * (MultiSimilarity inherits the base Similarity's coord = 1f).
+    */
+  def multiSimOr(kinds: Seq[Int], terms: Seq[String], k: Int): String = {
+    val ctes = new StringBuilder
+    val termFolds = terms.indices.map { ti =>
+      val names = kinds.indices.map(i => s"t${ti}c$i")
+      names.zip(kinds).foreach { case (a, kd) =>
+        ctes ++= multiCompCtes(kd, a, terms(ti))
+      }
+      val joins = names.tail.map(a => s"JOIN sc_$a USING (doc_id)").mkString(" ")
+      val fold = multiFold(names.map(a => s"sc_$a.s"))
+      s"""mc_$ti AS (
+  SELECT sc_${names.head}.doc_id, $fold AS s FROM sc_${names.head} $joins
+)"""
+    }
+    val union = terms.indices.map(ti => s"SELECT doc_id, s FROM mc_$ti")
+      .mkString(" UNION ALL ")
+    prologue + cnCtes + dfrAvfCte + ctes.toString +
+      s""", ${termFolds.mkString(", ")}, un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
 
   // ---------- payload queries (gate policy: "pos" — payload = the
   // occurrence's 0-based token position, recomputed here from the text)

@@ -135,6 +135,13 @@ object SearchGate {
     (spark, sfDir) =>
       hitsDf(spark, searcher(spark, sfDir).search(q, k, None, true, sim))
 
+  /** MultiSimilarity (CombSUM) runner: per-term score = float sum of
+    * the component sims' scores.
+    */
+  def segMulti(q: Query, sims: Seq[Int], k: Int = K): (SparkSession, String) => DataFrame =
+    (spark, sfDir) =>
+      hitsDf(spark, searcher(spark, sfDir).search(q, k, multiSims = sims))
+
   /** Page 2: search k, then searchAfter from the k-th hit. */
   def segPage2(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
     (spark, sfDir) => {
@@ -264,6 +271,17 @@ object SearchGate {
     "q_dfr_ifb3_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
       SegmentSearcher.SimDFRIFB3),
     "q_ib_splz_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBSplDZ),
+    // MultiSimilarity — CombSUM evidence combination
+    // (`similarities/MultiSimilarity.java:37`): per-term score = FLOAT
+    // sum of the component sims' scores on the shared (tf, norm)
+    "q_multisim_term" -> segMulti(TermQ("spark"),
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimLMDirichlet)),
+    "q_multisim_or2" -> segMulti(Query.or(TermQ("dup"), TermQ("vector")),
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimLMDirichlet)),
+    // three components incl. Classic (queryNorm = 1 under Multi) and DFR
+    "q_multisim3_term" -> segMulti(TermQ("spark"),
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimClassic,
+        SegmentSearcher.SimDFR)),
     // spell suggestions for a misspelling (DirectSpellChecker / Solr
     // /spell analog): 2-edit neighborhood, scaled-Levenshtein score,
     // (score desc, df desc, term) ranking
@@ -329,6 +347,22 @@ object SearchGate {
     // against the dictionary into a union of term leaves
     "q_span_wildcard" -> seg(SpanQ(Span.Near(Seq(
       Span.Multi(WildcardQ("ord*")), Span.Term("sort")), 5))),
+    // SpanBoostQuery (`spans/SpanBoostQuery.java`): boost folds into the
+    // span weight value, ((boost·idfSum)·(k1+1))
+    "q_span_boost" -> seg(BoostQ(SpanQ(Span.Near(
+      Seq(Span.Term("order"), Span.Term("sort")), 4)), 1.7f)),
+    // FieldMaskingSpanQuery (`spans/FieldMaskingSpanQuery.java:62`): a
+    // source-field term masked into a text-field SpanNear — stats from
+    // each term's own field, norms from the primary (text) field
+    "q_span_masked" -> ((spark, sfDir) => {
+      val text = searcher(spark, sfDir)
+      val src = fieldSearcher(spark, sfDir, "source")
+      val hits = MultiField.searchMaskedSpan("text",
+        Map("text" -> text, "source" -> src),
+        Span.Near(Seq(Span.FieldMasked("source", Span.Term("src3")),
+          Span.Term("order")), 5, inOrder = true), K)
+      hitsDf(spark, hits)
+    }),
     // PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java) under
     // the gate's "pos" policy: spanScore × Max/MinPayloadFunction fold
     "q_payload_max" -> seg(PayloadScoreQ(Span.Term("order"), "max")),
@@ -536,6 +570,14 @@ object SearchGate {
       Oracles.simBaseOr(SegmentSearcher.SimDFRIFB3, Seq("dup", "vector"), K),
     "q_ib_splz_term" ->
       Oracles.simBaseTerm(SegmentSearcher.SimIBSplDZ, "spark", K),
+    "q_multisim_term" -> Oracles.multiSimTerm(
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimLMDirichlet), "spark", K),
+    "q_multisim_or2" -> Oracles.multiSimOr(
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimLMDirichlet),
+      Seq("dup", "vector"), K),
+    "q_multisim3_term" -> Oracles.multiSimTerm(
+      Seq(SegmentSearcher.SimBm25, SegmentSearcher.SimClassic,
+        SegmentSearcher.SimDFR), "spark", K),
     "q_suggest" -> Oracles.suggest("sprk", 2, 5),
     "q_suggest_prefix" -> Oracles.suggestPrefix("s", 4),
     "q_bm25_prefix_scored" -> Oracles.prefixScored("s", 4, K),
@@ -561,6 +603,9 @@ object SearchGate {
       Oracles.spanPosRange(Seq("order", "sort"), 4, 3, 40, K),
     "q_span_wildcard" ->
       Oracles.spanNearWildcard("ord%", "sort", 5, K),
+    "q_span_boost" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K,
+      boost = 1.7f),
+    "q_span_masked" -> Oracles.spanMaskedNear("source", "src3", "order", 5, K),
     "q_payload_max" -> Oracles.payloadTerm("order", "max", true, K),
     "q_payload_min" -> Oracles.payloadTerm("order", "min", false, K),
     "q_payload_avg_near" -> Oracles.payloadAvgNear("order", "sort", 4, K),

@@ -135,6 +135,10 @@ object DataFrameSearcher {
 
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScoreDf(ix, must, should, mustNot, filterQs, msm, boost, stats, params)
+
+    case other =>
+      sys.error(s"DataFrame path does not support: $other (use the " +
+        "segment path — Searcher / MultiField)")
   }
 
   private def emptyScores(ix: LogicalIndex): DataFrame =

@@ -321,4 +321,206 @@ object MultiField {
     }
     queue.sortedHits
   }
+
+  // ---------- FieldMaskingSpanQuery ----------
+
+  /** Internal field/term separator for masked blob keys — cannot occur
+    * in tokens (every tokenizer splits on control chars).
+    */
+  private val NS = '\u0000'
+
+  /** Serializable masked-span plan for the shard tasks. */
+  final case class MaskedPlan(root: Span, w: Float, cache: Array[Float],
+      numShards: Int, sharded: Boolean, k: Int)
+
+  /** Leaves with their field context: (field, term, scoring). A
+    * SpanNot exclude side reads postings but carries no weight, like
+    * the single-field law.
+    */
+  private def maskedLeaves(s: Span, f: String,
+      scoring: Boolean): Seq[(String, String, Boolean)] = s match {
+    case Span.Term(t) => Seq((f, t, scoring))
+    case Span.Near(cs, _, _) => cs.flatMap(maskedLeaves(_, f, scoring))
+    case Span.Or(cs) => cs.flatMap(maskedLeaves(_, f, scoring))
+    case Span.Not(i, e, _, _) =>
+      maskedLeaves(i, f, scoring) ++ maskedLeaves(e, f, scoring = false)
+    case Span.First(i, _) => maskedLeaves(i, f, scoring)
+    case Span.Containing(b, l) =>
+      maskedLeaves(b, f, scoring) ++ maskedLeaves(l, f, scoring)
+    case Span.Within(l, b) =>
+      maskedLeaves(l, f, scoring) ++ maskedLeaves(b, f, scoring)
+    case Span.PosRange(i, _, _) => maskedLeaves(i, f, scoring)
+    case Span.FieldMasked(f2, i) => maskedLeaves(i, f2, scoring)
+    case m: Span.Multi =>
+      sys.error(s"multi-term queries inside masked span trees are " +
+        s"unsupported (which field's dictionary would expand $m?)")
+  }
+
+  /** Rebind term leaves to namespaced keys ("field NUL term") for
+    * non-primary fields; FieldMasked wrappers dissolve.
+    */
+  private def rebind(s: Span, f: String, primary: String): Span = s match {
+    case Span.Term(t) => if (f == primary) Span.Term(t) else Span.Term(s"$f$NS$t")
+    case Span.Near(cs, sl, io) => Span.Near(cs.map(rebind(_, f, primary)), sl, io)
+    case Span.Or(cs) => Span.Or(cs.map(rebind(_, f, primary)))
+    case Span.Not(i, e, pre, post) =>
+      Span.Not(rebind(i, f, primary), rebind(e, f, primary), pre, post)
+    case Span.First(i, end) => Span.First(rebind(i, f, primary), end)
+    case Span.Containing(b, l) =>
+      Span.Containing(rebind(b, f, primary), rebind(l, f, primary))
+    case Span.Within(l, b) =>
+      Span.Within(rebind(l, f, primary), rebind(b, f, primary))
+    case Span.PosRange(i, s0, e0) => Span.PosRange(rebind(i, f, primary), s0, e0)
+    case Span.FieldMasked(f2, i) => rebind(i, f2, primary)
+    case m: Span.Multi => sys.error(s"unexpanded $m in masked span")
+  }
+
+  /** FieldMaskingSpanQuery execution
+    * (`spans/FieldMaskingSpanQuery.java:62`): a span tree whose
+    * [[Span.FieldMasked]] subtrees evaluate against OTHER fields'
+    * positions (separate inverted indexes over the same docId space)
+    * while composing as the primary field's spans. Matching the
+    * reference's weight law: term statistics come from each term's OWN
+    * field (SpanWeight collects the real Terms), the idf fold runs over
+    * distinct scoring terms sorted by (field, term) — Lucene's
+    * Term.compareTo order — and norms/avgdl are the PRIMARY field's
+    * (`SpanWeight.getSimScorer` reads query.getField()'s norms).
+    *
+    * Restriction (documented, loudly enforced): the root must be a
+    * Span.Near with at least one all-primary clause — the conjunction
+    * guarantees a primary-field leaf is aligned on every match, which
+    * is where the per-doc norm byte comes from in this engine's
+    * inlined-norms layout. Position comparability across fields is the
+    * caller's assertion, exactly as the reference documents.
+    */
+  def searchMaskedSpan(primaryField: String, fields: Map[String, Searcher],
+      root: Span, k: Int, boost: Float = 1f): Array[Hit] = {
+    require(fields.contains(primaryField), s"unknown primary $primaryField")
+    val primary = fields(primaryField)
+    val S = primary.index.manifest.numDocShards
+    val N = primary.index.manifest.docCount
+    fields.values.foreach { s =>
+      require(s.index.manifest.numDocShards == S,
+        "all field indexes must share numDocShards (docId-aligned salting)")
+      require(s.index.manifest.docCount == N,
+        "masked fields must index the same doc set (shared docId space)")
+    }
+    root match {
+      case Span.Near(cs, _, _) =>
+        require(cs.exists(c => maskedLeaves(c, primaryField, scoring = true)
+            .forall(_._1 == primaryField)),
+          "masked span root needs an all-primary Near clause (norm source)")
+      case other => sys.error("masked span root must be a Span.Near " +
+        s"(conjunction aligns a primary norm leaf on every match): $other")
+    }
+
+    val leaves = maskedLeaves(root, primaryField, scoring = true)
+    val byField: Map[String, Set[String]] =
+      leaves.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val stats: Map[String, Map[String, (Long, Long)]] =
+      byField.map { case (f, ts) => f -> fields(f).stats(ts) }
+
+    // weight: distinct scoring (field, term) sorted by (field, term) —
+    // absent terms fold as +0; docCount is the shared doc space's
+    var idfSum = 0f
+    leaves.filter(_._3).map(l => (l._1, l._2)).distinct.sorted.foreach {
+      case (f, t) =>
+        stats(f).get(t).foreach { case (df, _) => idfSum += BM25.idf(df, N) }
+    }
+    val w = BM25.weightValue(idfSum, primary.index.bm25, boost)
+
+    // every leaf must resolve or the conjunction can't match (absent
+    // EXCLUDE terms are fine — compile drops them)
+    val rewritten = rebind(root, primaryField, primaryField)
+
+    val sharded = leaves.exists { case (f, t, _) =>
+      stats(f).get(t).exists(_._1 >= fields(f).index.manifest.saltThreshold)
+    }
+    val plan = MaskedPlan(rewritten, w, primary.cache, S, sharded, k)
+
+    val estBytes = stats.map { case (f, st) =>
+      st.valuesIterator.map(_._1 * 4L + 64L).sum
+    }.sum
+    val budget = fields.values.map(_.maxLocalBytes).min
+    val partials: Seq[Array[Hit]] =
+      if (estBytes <= budget) execLocalMasked(fields, byField, stats, primaryField, plan)
+      else execDistributedMasked(fields, byField, stats, primaryField, plan)
+    TopK.merge(partials, k)
+  }
+
+  private def nsKey(f: String, t: String, primary: String): String =
+    if (f == primary) t else s"$f$NS$t"
+
+  private def execLocalMasked(fields: Map[String, Searcher],
+      byField: Map[String, Set[String]],
+      stats: Map[String, Map[String, (Long, Long)]], primary: String,
+      plan: MaskedPlan): Seq[Array[Hit]] = {
+    val rows: Array[SegRow] = byField.toSeq.flatMap { case (f, ts) =>
+      val present = ts.filter(stats(f).contains)
+      fields(f).fetchRows(present).map(r =>
+        r.copy(term = nsKey(f, r.term, primary)))
+    }.toArray
+    if (rows.isEmpty) return Nil
+    if (!plan.sharded)
+      Seq(execShardMasked(-1, rows.map(r => r.term -> r).toMap, plan))
+    else (0 until plan.numShards).flatMap { s =>
+      val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+        .map(r => r.term -> r).toMap
+      if (blobs.isEmpty) None else Some(execShardMasked(s, blobs, plan))
+    }
+  }
+
+  private def execDistributedMasked(fields: Map[String, Searcher],
+      byField: Map[String, Set[String]],
+      stats: Map[String, Map[String, (Long, Long)]], primary: String,
+      plan: MaskedPlan): Seq[Array[Hit]] = {
+    val spark = fields(primary).spark
+    import spark.implicits._
+    val tagged: Seq[Dataset[SegRow]] = byField.toSeq.flatMap { case (f, ts) =>
+      val present = ts.filter(stats(f).contains)
+      if (present.isEmpty) None
+      else Some(fields(f).prunedRows(present)
+        .map(r => r.copy(term = nsKey(f, r.term, primary))))
+    }
+    if (tagged.isEmpty) return Nil
+    val all = tagged.reduce(_ union _)
+    val S = plan.numShards
+    val sharded = plan.sharded
+    val bPlan = spark.sparkContext.broadcast(plan)
+    all.flatMap { r =>
+        if (!sharded) Seq((0, r))
+        else if (r.salt >= 0) Seq((r.salt, r))
+        else (0 until S).map(s => (s, r))
+      }
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        val p = bPlan.value
+        execShardMasked(if (p.sharded) shard else -1,
+          it.map(x => x._2.term -> x._2).toMap, p)
+      }
+      .collect().toSeq
+  }
+
+  private[search] def execShardMasked(shard: Int,
+      blobs: Map[String, SegRow], plan: MaskedPlan): Array[Hit] = {
+    val queue = new BoundedHitQueue(plan.k)
+    Spans.compile(plan.root, blobs, normLeaf = (t: String) =>
+        t.indexOf(NS.toInt) < 0) match {
+      case None => queue.sortedHits
+      case Some((c, incIts)) =>
+        require(incIts.nonEmpty,
+          "masked span compiled without a primary norm leaf")
+        val ss = new SpanTreeScorer(c, incIts, plan.w, plan.cache)
+        val scorer: DocScorer =
+          if (shard >= 0 && !Spans.shardRestricted(plan.root, blobs))
+            new ModFilterScorer(ss, shard, plan.numShards)
+          else ss
+        var d = scorer.nextDoc()
+        while (d != DocScorer.NO_MORE) {
+          queue.insert(d, scorer.score.toDouble)
+          d = scorer.nextDoc()
+        }
+        queue.sortedHits
+    }
+  }
 }

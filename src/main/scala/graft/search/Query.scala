@@ -246,6 +246,18 @@ object Span {
     */
   final case class Multi(inner: Query) extends Span
 
+  /** FieldMaskingSpanQuery (`spans/FieldMaskingSpanQuery.java:62`): the
+    * inner span evaluates against ANOTHER field's positions but
+    * composes as if it belonged to the enclosing query's field — the
+    * cross-field SpanNear trick for token-parallel fields. The user
+    * asserts position comparability, as the reference documents.
+    * Resolved by [[MultiField.searchMaskedSpan]] (term leaves rebind to
+    * the masked field's index; norms and avgdl stay the PRIMARY
+    * field's, `SpanWeight.getSimScorer` over query.getField()); a plain
+    * single-field search rejects it.
+    */
+  final case class FieldMasked(field: String, inner: Span) extends Span
+
   /** Every term the tree reads postings for (exclude sides included). */
   def allTerms(s: Span): Seq[String] = s match {
     case Term(t) => Seq(t)
@@ -257,6 +269,7 @@ object Span {
     case Within(l, b) => allTerms(l) ++ allTerms(b)
     case PosRange(i, _, _) => allTerms(i)
     case Multi(_) => Nil // resolved by expandMultiTerm before term pruning
+    case FieldMasked(_, i) => allTerms(i)
   }
 
   /** Terms contributing to the weight — exclude sides do NOT
@@ -274,6 +287,7 @@ object Span {
     case Within(l, b) => scoringTerms(l) ++ scoringTerms(b)
     case PosRange(i, _, _) => scoringTerms(i)
     case Multi(_) => Nil
+    case FieldMasked(_, i) => scoringTerms(i)
   }
 
   /** Structural simplification: prune can-never-match nodes (None),
@@ -317,6 +331,7 @@ object Span {
       if (end <= math.max(start, 0)) None
       else simplify(i).map(PosRange(_, math.max(start, 0), end))
     case m: Multi => Some(m)
+    case FieldMasked(f, i) => simplify(i).map(FieldMasked(f, _))
   }
 }
 

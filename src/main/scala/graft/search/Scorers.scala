@@ -139,6 +139,22 @@ object EmptyScorer extends DocScorer {
   */
 final class DFRTermScorer(it: PostingsIterator, df: Long, ttf: Long,
     numDocs: Long, avgdl: Float, cache: Array[Float]) extends DocScorer {
+  private val fn = new DFRScoreFn(df, ttf, numDocs, avgdl)
+
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def score: Float = fn.scoreOf(it.tf.toFloat, cache(it.norm & 0xff))
+  def cost: Long = it.cost
+  def maxScore: Float = fn.maxScore
+}
+
+/** The pure DFR GB2 score function behind [[DFRTermScorer]] — per-term
+  * constants folded once, then (tf, decodedDocLen) → score. Factored
+  * out so MultiSimilarity components can evaluate it against a shared
+  * postings cursor.
+  */
+final class DFRScoreFn(df: Long, ttf: Long, numDocs: Long, avgdl: Float) {
   private val lambda: Double = {
     val fD = (ttf + 1).toDouble
     fD / (numDocs.toDouble + fD)
@@ -148,18 +164,13 @@ final class DFRTermScorer(it: PostingsIterator, df: Long, ttf: Long,
   private val fp1: Float = (ttf + 2L).toFloat // (F+1) promoted at the division
   private val nf: Float = (df + 1L).toFloat
 
-  def doc: Long = it.doc
-  def nextDoc(): Long = { it.nextDoc(); it.doc }
-  def advance(target: Long): Long = { it.advance(target); it.doc }
-  def score: Float = {
-    val docLen = cache(it.norm & 0xff)
-    val tfn = (it.tf.toFloat.toDouble *
+  def scoreOf(tf: Float, docLen: Float): Float = {
+    val tfn = (tf.toDouble *
       (math.log((1f + avgdl / docLen).toDouble) / DFRTermScorer.Log2)).toFloat
     val bm = (g1 + tfn.toDouble * g2).toFloat
     val ae = fp1 / (nf * (tfn + 1f))
     (1f * bm) * ae
   }
-  def cost: Long = it.cost
   /** (g1+g2·t)·c/(t+1) with c = (F+1)/n is monotone in t (derivative
     * sign = g2−g1), so sup = c·max(g1, g2); inflated 1% for float
     * rounding — an upper bound only (WAND is off for DFR anyway).
@@ -169,6 +180,52 @@ final class DFRTermScorer(it: PostingsIterator, df: Long, ttf: Long,
 }
 
 object DFRTermScorer { val Log2: Double = math.log(2) }
+
+/** One component similarity of a MultiSimilarity: (tf, norm byte) →
+  * score. Each component decodes the shared norm byte its own way —
+  * exactly the reference, where every sub-SimScorer reads the norm
+  * that `MultiSimilarity.computeNorm` delegated to sims[0] (all sims
+  * here encode the identical byte315(1/√length)).
+  */
+trait MultiSimComponent { def score(tf: Float, normByte: Byte): Float }
+
+/** MultiSimilarity term scorer — the CombSUM combination
+  * (`similarities/MultiSimilarity.java:37,70-90`): score = the FLOAT
+  * running sum of the component scores at the shared (tf, norm), added
+  * in component order (`MultiSimScorer.score` accumulates into a
+  * float).
+  */
+final class MultiSimTermScorer(it: PostingsIterator,
+    comps: Array[MultiSimComponent]) extends DocScorer {
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def score: Float = {
+    var s = 0f
+    var i = 0
+    while (i < comps.length) { s += comps(i).score(it.tf.toFloat, it.norm); i += 1 }
+    s
+  }
+  def cost: Long = it.cost
+  /** Loose bound: per-block component-sum at (maxTf, best norm byte),
+    * inflated 5% — WAND never runs under MultiSimilarity regardless.
+    */
+  lazy val maxScore: Float = {
+    var m = 0f
+    var b = 0
+    while (b < it.numBlocks) {
+      var s = 0f
+      var i = 0
+      while (i < comps.length) {
+        s += comps(i).score(it.blockMaxTf(b).toFloat, it.blockMinNorm(b))
+        i += 1
+      }
+      if (s > m) m = s
+      b += 1
+    }
+    (m.toDouble * 1.05).toFloat
+  }
+}
 
 /** Parameterized SimilarityBase term scorer covering the remaining DFR
   * component combinations, the IB family, and LM Jelinek-Mercer
@@ -210,6 +267,40 @@ object DFRTermScorer { val Log2: Double = math.log(2) }
 final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
     numDocs: Long, avgdl: Float, cache: Array[Float], kind: Int,
     sumTtf: Long = 0L) extends DocScorer {
+  private val fn = new SimBaseScoreFn(kind, df, ttf, numDocs, avgdl, sumTtf)
+
+  def doc: Long = it.doc
+  def nextDoc(): Long = { it.nextDoc(); it.doc }
+  def advance(target: Long): Long = { it.advance(target); it.doc }
+  def cost: Long = it.cost
+
+  def score: Float = fn.scoreOf(it.tf.toFloat, cache(it.norm & 0xff))
+
+  /** Loose global bound: max over blocks of the per-block score with the
+    * block-max tf at the best (smallest-length) norm byte, inflated 5%
+    * for float rounding. P is non-monotone in tf between integers, but
+    * the per-block sup over INTEGER tf values is attained at an endpoint
+    * we also inflate; WAND never runs for these kinds regardless.
+    */
+  lazy val maxScore: Float = {
+    var m = 0f
+    var b = 0
+    while (b < it.numBlocks) {
+      val s = fn.scoreOf(it.blockMaxTf(b).toFloat, cache(it.blockMinNorm(b) & 0xff))
+      if (s > m) m = s
+      b += 1
+    }
+    (m.toDouble * 1.05).toFloat
+  }
+}
+
+/** The pure SimilarityBase score function behind [[SimBaseTermScorer]]
+  * — per-term constants folded once (like the reference's SimWeight),
+  * then (tf, decodedDocLen) → score. Factored out so MultiSimilarity
+  * components can evaluate it against a shared postings cursor.
+  */
+final class SimBaseScoreFn(kind: Int, df: Long, ttf: Long,
+    numDocs: Long, avgdl: Float, sumTtf: Long = 0L) {
   import DFRTermScorer.Log2
   import SegmentSearcher._
 
@@ -229,11 +320,6 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
   private val lamDF: Float = (df + 1f) / (numDocs + 1f) // LambdaDF
   private val lamTTF: Float = (ttf + 1f) / (numDocs + 1f) // LambdaTTF
 
-  def doc: Long = it.doc
-  def nextDoc(): Long = { it.nextDoc(); it.doc }
-  def advance(target: Long): Long = { it.advance(target); it.doc }
-  def cost: Long = it.cost
-
   private def tfnOf(tf: Float, docLen: Float): Float = kind match {
     case SimDFRIneB1 | SimIBLlL1 => (tf * avgdl) / docLen // H1, c=1f
     case SimDFRIFB3 => // H3, μ=800 (Dirichlet-prior smoothing)
@@ -245,7 +331,7 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
       (tf.toDouble * (math.log((1f + avgdl / docLen).toDouble) / Log2)).toFloat
   }
 
-  private def scoreOf(tf: Float, docLen: Float): Float = kind match {
+  def scoreOf(tf: Float, docLen: Float): Float = kind match {
     case SimDFRInL2 => // I(n) · L
       val tfn = tfnOf(tf, docLen)
       val bm = tfn * inConst
@@ -287,25 +373,6 @@ final class SimBaseTermScorer(it: PostingsIterator, df: Long, ttf: Long,
         1f * (math.log((measure + 1f).toDouble) / Log2).toFloat
       }
     case k => sys.error(s"SimBaseTermScorer: unknown kind $k")
-  }
-
-  def score: Float = scoreOf(it.tf.toFloat, cache(it.norm & 0xff))
-
-  /** Loose global bound: max over blocks of the per-block score with the
-    * block-max tf at the best (smallest-length) norm byte, inflated 5%
-    * for float rounding. P is non-monotone in tf between integers, but
-    * the per-block sup over INTEGER tf values is attained at an endpoint
-    * we also inflate; WAND never runs for these kinds regardless.
-    */
-  lazy val maxScore: Float = {
-    var m = 0f
-    var b = 0
-    while (b < it.numBlocks) {
-      val s = scoreOf(it.blockMaxTf(b).toFloat, cache(it.blockMinNorm(b) & 0xff))
-      if (s > m) m = s
-      b += 1
-    }
-    (m.toDouble * 1.05).toFloat
   }
 }
 

@@ -55,7 +55,9 @@ object SegmentSearcher {
       weights: Map[String, TermWeightInfo], cache: Array[Float],
       numShards: Int, sharded: Boolean, maxDoc: Long, params: BM25Params,
       useWand: Boolean = true, sim: Int = 0, avgdl: Float = 1f,
-      sumTtf: Long = 0L)
+      sumTtf: Long = 0L,
+      /** Component sim ids when sim == SimMulti (CombSUM order). */
+      multiSims: Seq[Int] = Nil)
 
   /** Similarity selector: BM25 (default) or Lucene-6 Classic TF-IDF
     * (`similarities/ClassicSimilarity.java`; idf²·queryNorm weighting,
@@ -102,10 +104,70 @@ object SegmentSearcher {
     */
   val SimDFRIFB3 = 13
   val SimIBSplDZ = 14
+  /** MultiSimilarity — the CombSUM evidence combination
+    * (`similarities/MultiSimilarity.java:37`): per-term score = float
+    * sum of the component similarities' scores. Components are the sim
+    * ids above (Classic included — under MultiSimilarity the searcher's
+    * queryNorm is the base Similarity's constant 1f, so the Classic
+    * component's value is plain idf²). Selected by passing `multiSims`
+    * to [[Searcher.search]].
+    */
+  val SimMulti = 15
 
   @inline def isSimBase(sim: Int): Boolean =
     (sim >= SimDFRInL2 && sim <= SimIBLlL1) ||
       (sim >= SimDFIChi && sim <= SimIBSplDZ)
+
+  /** Build one MultiSimilarity component for a term — the sub-SimScorer
+    * construction of `MultiSimilarity.simScorer` with each component's
+    * weight computed from the SAME (df, ttf, collection) stats.
+    */
+  def multiSimComponent(kind: Int, df: Long, ttf: Long,
+      plan: Plan): MultiSimComponent = kind match {
+    case SimBm25 =>
+      val w = BM25.weightValue(BM25.idf(df, plan.maxDoc), plan.params)
+      val cache = BM25.normCache(plan.params,
+        BM25.avgFieldLength(plan.sumTtf, plan.maxDoc))
+      (tf: Float, nb: Byte) => BM25.score(w, tf, cache(nb & 0xff))
+    case SimClassic =>
+      // queryNorm = 1f: MultiSimilarity inherits the base Similarity's
+      // queryNorm (it does not override TFIDFSimilarity's 1/√v), so the
+      // IDFStats value normalizes to ((1·1)·idf)·idf
+      val idf = (math.log((plan.maxDoc + 1) / (df + 1).toDouble) + 1.0).toFloat
+      val v = ((1f * 1f) * idf) * idf
+      val tbl = classicNormTable
+      (tf: Float, nb: Byte) =>
+        (math.sqrt(tf.toDouble).toFloat * v) * tbl(nb & 0xff)
+    case SimLMDirichlet =>
+      val cp = (ttf.toFloat + 1f) / (plan.sumTtf.toFloat + 1f)
+      val w = LMMu * cp
+      val tbl = graft.core.Norms.NORM_TABLE
+      (tf: Float, nb: Byte) => {
+        val docLen = tbl(nb & 0xff)
+        val s = (math.log((1f + tf / w).toDouble) +
+          math.log((LMMu / (docLen + LMMu)).toDouble)).toFloat
+        if (s > 0f) s else 0f
+      }
+    case SimLMJM =>
+      val cp = (ttf.toFloat + 1f) / (plan.sumTtf.toFloat + 1f)
+      val w = JMLambda * cp
+      val tbl = graft.core.Norms.NORM_TABLE
+      (tf: Float, nb: Byte) => {
+        val docLen = tbl(nb & 0xff)
+        math.log((1f + ((1f - JMLambda) * tf / docLen) / w).toDouble).toFloat
+      }
+    case SimDFR =>
+      val fn = new DFRScoreFn(df, ttf, plan.maxDoc, plan.avgdl)
+      val tbl = graft.core.Norms.NORM_TABLE
+      (tf: Float, nb: Byte) => fn.scoreOf(tf, tbl(nb & 0xff))
+    case k if isSimBase(k) =>
+      val fn = new SimBaseScoreFn(k, df, ttf, plan.maxDoc, plan.avgdl,
+        plan.sumTtf)
+      val tbl = graft.core.Norms.NORM_TABLE
+      (tf: Float, nb: Byte) => fn.scoreOf(tf, tbl(nb & 0xff))
+    case k =>
+      sys.error(s"MultiSimilarity: unsupported component sim $k")
+  }
 
   /** LMJelinekMercer λ. */
   val JMLambda: Float = 0.1f
@@ -591,6 +653,9 @@ object SegmentSearcher {
           else if (SegmentSearcher.isSimBase(plan.sim))
             new SimBaseTermScorer(it, wi.df, wi.ttf, plan.maxDoc, plan.avgdl,
               plan.cache, plan.sim, plan.sumTtf)
+          else if (plan.sim == SimMulti)
+            new MultiSimTermScorer(it, plan.multiSims.map(k =>
+              multiSimComponent(k, wi.df, wi.ttf, plan)).toArray)
           else new TermScorer(it, w, plan.cache, plan.sim)
         // cold list inside a sharded query must be mod-filtered so union
         // semantics count each doc once across shards
@@ -1075,7 +1140,8 @@ final class Searcher(private[search] val spark: SparkSession,
   private def mkDFRWeights(q: Query,
       st: Map[String, (Long, Long)]): Map[String, TermWeightInfo] = {
     Query.termLeavesInOrder(q).foreach { case (_, boost) =>
-      require(boost == 1f, "DFR similarity: boosts unsupported")
+      require(boost == 1f,
+        "raw-stats similarities (DFR/IB/DFI/Multi): boosts unsupported")
     }
     st.map { case (t, (df, ttf)) =>
       t -> TermWeightInfo(t, df, 0f, df >= m.saltThreshold, ttf)
@@ -1428,12 +1494,28 @@ final class Searcher(private[search] val spark: SparkSession,
         Span.Containing(goSpan(b), goSpan(l))
       case Span.Within(l, b) => Span.Within(goSpan(l), goSpan(b))
       case Span.PosRange(i, s0, e0) => Span.PosRange(goSpan(i), s0, e0)
+      // left untouched: expanding a Multi inside the mask against THIS
+      // field's dictionary would be wrong (the masked terms live in
+      // another field's index) — searchMaskedSpan rejects unexpanded
+      // Multi inside masks instead
+      case m: Span.FieldMasked => m
     }
     goSpan(root)
   }
 
   def search(q0: Query, k: Int, after: Option[(Double, Long)] = None,
-      useWand: Boolean = true, sim: Int = SegmentSearcher.SimBm25): Array[Hit] = {
+      useWand: Boolean = true, sim0: Int = SegmentSearcher.SimBm25,
+      multiSims: Seq[Int] = Nil): Array[Hit] = {
+    // a non-empty component list selects MultiSimilarity (CombSUM)
+    val sim = if (multiSims.nonEmpty) SegmentSearcher.SimMulti else sim0
+    if (multiSims.nonEmpty) {
+      require(sim0 == SegmentSearcher.SimBm25 || sim0 == SegmentSearcher.SimMulti,
+        "pass components via multiSims OR a single sim, not both")
+      require(multiSims.size >= 2,
+        "MultiSimilarity needs at least two component sims")
+      require(!multiSims.contains(SegmentSearcher.SimMulti),
+        "MultiSimilarity components cannot nest MultiSimilarity")
+    }
     var q = Query.rewrite(q0)
     q = expandMultiTerm(q)
     q = Query.rewrite(q)
@@ -1456,6 +1538,10 @@ final class Searcher(private[search] val spark: SparkSession,
       case SegmentSearcher.SimLMJM => mkJMWeights(q, st)
       case SegmentSearcher.SimDFR => mkDFRWeights(q, st)
       case s if SegmentSearcher.isSimBase(s) => mkDFRWeights(q, st)
+      // multi: raw df/ttf ride TermWeightInfo — each component derives
+      // its own weight executor-side (multiSimComponent); boosts rejected
+      // like the other raw-stat sims
+      case SegmentSearcher.SimMulti => mkDFRWeights(q, st)
       case _ => mkWeights(st)
     }
     val sharded = weights.values.exists(_.salted)
@@ -1479,7 +1565,8 @@ final class Searcher(private[search] val spark: SparkSession,
       // BM25's double-division-then-cast
       avgdl = if (m.sumTotalTermFreq <= 0) 1f
         else m.sumTotalTermFreq.toFloat / m.docCount.toFloat,
-      sumTtf = m.sumTotalTermFreq)
+      sumTtf = m.sumTotalTermFreq,
+      multiSims = multiSims)
 
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty

@@ -373,7 +373,8 @@ object Spans {
     * twice gets two independently-positioned streams.
     */
   def compile(root: Span, blobs: Map[String, SegRow],
-      collectPays: Boolean = false)
+      collectPays: Boolean = false,
+      normLeaf: String => Boolean = _ => true)
       : Option[(CNode, Array[PostingsIterator])] = {
     val incIts = Array.newBuilder[PostingsIterator]
     def leaf(t: String, scoring: Boolean): Option[CNode] =
@@ -386,7 +387,10 @@ object Spans {
         if (collectPays && !it.hasPayloads)
           sys.error("payload queries require an index built with payloads " +
             "(BuildConfig.payloads = Some(policy))")
-        if (scoring) incIts += it
+        // norm-bearing leaves only (masked spans read norms from the
+        // PRIMARY field's leaves — SpanWeight.getSimScorer over
+        // query.getField())
+        if (scoring && normLeaf(t)) incIts += it
         new CTerm(it, collectPays)
       }
     def go(s: Span, scoring: Boolean): Option[CNode] = s match {
@@ -421,6 +425,10 @@ object Spans {
       case Span.Multi(inner) =>
         sys.error(s"unexpanded Span.Multi($inner) reached the span " +
           "evaluator — expandMultiTerm must run before compile")
+      case m: Span.FieldMasked =>
+        sys.error(s"unresolved $m reached the span evaluator — masked " +
+          "spans run through MultiField.searchMaskedSpan, which rebinds " +
+          "masked leaves before compile")
     }
     go(root, scoring = true).map(c => (c, incIts.result()))
   }
@@ -447,6 +455,7 @@ object Spans {
       case Span.Within(l, b) => go(l) || go(b)
       case Span.PosRange(i, _, _) => go(i)
       case Span.Multi(_) => false
+      case Span.FieldMasked(_, i) => go(i)
     }
     go(root)
   }
