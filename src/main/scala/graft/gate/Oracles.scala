@@ -1925,6 +1925,121 @@ WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(a)}
 )""" + finish("res", k)
   }
 
+  // ---------- classification oracles ----------
+
+  /** SimpleNaiveBayesClassifier raw log scores
+    * (`classification/SimpleNaiveBayesClassifier.java:140-270`): per
+    * class, ln(df_c) − ln(docsWithClass) + a left fold over the INPUT
+    * TOKENS in order of ln((hits(w,c)+1)/(avgUniqueTermsPerDoc·df_c +
+    * docsWithClass)) — the generator tokenizes the input here so the
+    * fold order is baked into the expression. Output: (cls, score
+    * DOUBLE, rnk) sorted score desc, class asc.
+    */
+  def classifyNb(text: String): String = {
+    val toks = graft.core.Analysis.simpleTokens(text)
+    val den = s"(((SELECT sumdf FROM fstats) / CAST((SELECT dc FROM fstats) AS DOUBLE)) * c.dfc + (SELECT n FROM dwc))"
+    val prior = s"(ln(CAST(c.dfc AS DOUBLE)) - ln(CAST((SELECT n FROM dwc) AS DOUBLE)))"
+    val sExpr = toks.foldLeft(prior) { (acc, w) =>
+      val h = s"COALESCE((SELECT h FROM hits WHERE hits.cls = c.cls AND hits.term = ${lit(w)}), 0)"
+      s"($acc + ln(($h + 1.0) / $den))"
+    }
+    val words =
+      if (toks.isEmpty) "''" else toks.distinct.map(lit).mkString(", ")
+    s"""WITH toks0 AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255) AS arr
+  FROM documents
+), dterm AS (
+  SELECT doc_id, lang, unnest(list_distinct(arr)) AS term FROM toks0
+), fstats AS (
+  SELECT (SELECT count(*) FROM dterm) AS sumdf,
+         (SELECT count(*) FROM toks0 WHERE len(arr) > 0) AS dc
+), cls AS (
+  SELECT lang AS cls, count(*) AS dfc FROM documents
+  WHERE lang IS NOT NULL AND lang <> '' GROUP BY lang
+), dwc AS (
+  SELECT sum(dfc) AS n FROM cls
+), hits AS (
+  SELECT lang AS cls, term, count(*) AS h FROM dterm
+  WHERE term IN ($words) AND lang IS NOT NULL AND lang <> ''
+  GROUP BY 1, 2
+), res AS (
+  SELECT c.cls AS cls, $sExpr AS s FROM cls c
+)
+SELECT cls, CAST(s AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY s DESC, cls) AS INT) AS rnk
+FROM res ORDER BY s DESC, cls"""
+  }
+
+  /** KNearestNeighborClassifier (`KNearestNeighborClassifier.java:40`)
+    * under BM25, no class-wildcard clause (the engine's documented
+    * deviations): MLT-from-text selection (tf from the embedded input
+    * tokens, classic idf, top maxQueryTerms by (score desc, word asc),
+    * boost = score/lowestSelected — all float), BM25 boosted SHOULD-sum
+    * top-k, then the class vote: per class of the top-k docs, score =
+    * (cnt · (Σ(s/maxScore)/cnt)) / k, scaled k/sumdoc when sumdoc < k.
+    */
+  def classifyKnn(text: String, k: Int, maxQueryTerms: Int,
+      minTf: Int, minDocFreq: Int): String = {
+    val toks = graft.core.Analysis.simpleTokens(text)
+    val tf = toks.groupBy(identity).view.mapValues(_.length).toSeq
+      .map { case (w, f) => s"(${lit(w)}, $f)" }.mkString(", ")
+    val one = R("1.0")
+    val idfC = R(s"ln(((SELECT n FROM av) + 1) / CAST(wdf.df + 1 AS DOUBLE)) + 1.0")
+    prologue +
+      s""", wtf(word, f) AS (
+  SELECT * FROM (VALUES $tf)
+), wdf AS (
+  SELECT w.word, w.f,
+    (SELECT count(DISTINCT doc_id) FROM tok WHERE term = w.word) AS df
+  FROM wtf w
+), sel AS (
+  SELECT word, ${R(s"CAST(f AS REAL) * $idfC")} AS mscore
+  FROM wdf
+  WHERE f >= $minTf AND df >= $minDocFreq AND df > 0
+  ORDER BY mscore DESC, word LIMIT $maxQueryTerms
+), best AS (
+  SELECT min(mscore) AS b FROM sel
+), boosted AS (
+  SELECT word, ${R(s"mscore / (SELECT b FROM best)")} AS boost FROM sel
+), tfq AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT word FROM boosted) GROUP BY doc_id, term
+), persc AS (
+  -- weight exactly as the engine folds it: wi.weight = idf·(k1+1) at
+  -- plan time, then ×boost in the scorer (termScorer's w = weight·boost)
+  SELECT t.doc_id,
+    ${R(s"${R(s"${R(s"${R(s"${idfExpr("(SELECT count(DISTINCT doc_id) FROM tok WHERE term = t.term)")} * ($K1 + $one)")} * b.boost")} * ${R("t.tf")}")} / ${R(s"${R("t.tf")} + ${cacheExpr("dn.qlen")}")}")} AS s
+  FROM tfq t JOIN boosted b ON b.word = t.term
+  JOIN dn ON t.doc_id = dn.doc_id
+), dscore AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM persc GROUP BY doc_id
+), topk AS (
+  SELECT doc_id, s, row_number() OVER (ORDER BY s DESC, doc_id) AS rnk
+  FROM dscore ORDER BY s DESC, doc_id LIMIT $k
+), mx AS (
+  SELECT s AS m FROM topk WHERE rnk = 1
+), vote AS (
+  SELECT d.lang AS cls, count(*) AS cnt,
+    SUM(CAST(t.s AS DOUBLE) / (SELECT m FROM mx)) AS bsum
+  FROM topk t JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL AND d.lang <> ''
+  GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS sumdoc FROM vote
+), res AS (
+  SELECT cls,
+    CASE WHEN (SELECT sumdoc FROM tot) < $k
+      THEN ((cnt * (bsum / cnt)) / CAST($k AS DOUBLE)) * $k / CAST((SELECT sumdoc FROM tot) AS DOUBLE)
+      ELSE (cnt * (bsum / cnt)) / CAST($k AS DOUBLE) END AS s
+  FROM vote
+)
+SELECT cls, CAST(s AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY s DESC, cls) AS INT) AS rnk
+FROM res ORDER BY s DESC, cls"""
+  }
+
   // ---------- MultiSimilarity (CombSUM) oracles ----------
 
   /** The classic-norm decode CTEs (cnormq, cn) without classicPrologue's

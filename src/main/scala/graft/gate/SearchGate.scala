@@ -422,6 +422,29 @@ object SearchGate {
           MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 1f)))
       hitsDf(spark, hits)
     }),
+    // SimpleNaiveBayesClassifier (lucene/classification): class = lang,
+    // raw log scores gated (softmax normalization is spec-pinned);
+    // training stats are corpus aggregations, scoring folds driver-side
+    "q_classify_nb" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.ops.Classify.naiveBayes(docs, "text", "lang",
+          graft.core.Analysis.simpleTokens, "order sort merge fast key")
+        .zipWithIndex
+        .map { case (c, i) => (c.cls, c.raw, i + 1) }
+        .toDF("cls", "score", "rnk")
+    }),
+    // KNearestNeighborClassifier: MLT-from-text (boosted, classic-idf
+    // selection), BM25 top-k, rank-ordered class vote
+    "q_classify_knn" -> ((spark, sfDir) => {
+      import spark.implicits._
+      graft.ops.Classify.knn(searcher(spark, sfDir), "lang",
+          "order sort merge fast key table scan row", k = K,
+          maxQueryTerms = 6, minTermFreq = 1, minDocFreq = 5)
+        .zipWithIndex
+        .map { case (c, i) => (c.cls, c.raw, i + 1) }
+        .toDF("cls", "score", "rnk")
+    }),
     // sort-by-field through the Searcher (TopFieldCollector analog)
     "q_bm25_sort_field" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -628,6 +651,9 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_classify_nb" -> Oracles.classifyNb("order sort merge fast key"),
+    "q_classify_knn" -> Oracles.classifyKnn(
+      "order sort merge fast key table scan row", K, 6, 1, 5),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),

@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.search.{BM25, BoolQ, BoostQ, Query, Searcher, SegmentSearcher, TermQ}
+
+/** Index-backed text classification — the reference's classification
+  * module (`lucene/classification/src/java/org/apache/lucene/
+  * classification/`), Spark-first: training statistics are DataFrame
+  * aggregations over the corpus (nothing doc-count-sized reaches the
+  * driver — only the |queryWords| × |classes| count matrix and per-class
+  * priors), scoring folds driver-side in the reference's exact double
+  * arithmetic.
+  */
+object Classify {
+
+  /** One class assignment: raw log score (NB) / vote score (KNN) plus
+    * the softmax-normalized score where the reference normalizes.
+    */
+  final case class ClassScore(cls: String, raw: Double, norm: Double)
+
+  /** SimpleNaiveBayesClassifier (`SimpleNaiveBayesClassifier.java:47`):
+    * for each class c (class terms in sorted order, `classesEnum`),
+    *
+    *   score(c) = ln(df_c) − ln(docsWithClass)                [:268-270]
+    *            + Σ_{w ∈ tokens(text), in order}
+    *                ln((hits(w,c) + 1) /
+    *                   (avgUniqueTermsPerDoc·df_c + docsWithClass))
+    *                                                          [:196-215]
+    *
+    * with hits(w,c) = docs of class c containing w, avgUniqueTermsPerDoc
+    * = sumDocFreq/docCount of the text field (`getTextTermFreqForClass`,
+    * :222-231), add-1 smoothing, all double. Results are softmax-
+    * normalized to (0,1) exactly as `normClassificationResults`
+    * (:288-313): smax = best raw score, norm_i = exp(raw_i − (smax +
+    * ln(Σ exp(raw_i − smax)))) with the exp-sum folded over classes in
+    * DESCENDING raw order. Ties sort class-ascending (the reference's
+    * stable sort over its sorted-class build order).
+    *
+    * The class column is matched as a WHOLE value (the reference indexes
+    * the class as a single StringField token); null/empty class rows are
+    * unclassed and excluded from docsWithClass.
+    */
+  def naiveBayes(docs: DataFrame, textCol: String, classCol: String,
+      tokenizer: String => Array[String], text: String): Seq[ClassScore] = {
+    val toks = tokenizer(text)
+    val words = toks.distinct.toSeq
+    val distinctTermsUdf = udf((s: String) => tokenizer(s).distinct)
+    val base = docs
+      .select(col(classCol).as("cls"),
+        distinctTermsUdf(col(textCol)).as("terms"))
+      .persist()
+    try {
+      // text-field collection stats: sumDocFreq = Σ per-doc distinct
+      // terms (number of (term, doc) pairs), docCount = docs with ≥1
+      // token (`Terms.getSumDocFreq` / `getDocCount`)
+      val fieldStats = base.agg(
+        sum(size(col("terms"))).as("sumDocFreq"),
+        count(when(size(col("terms")) > 0, 1)).as("docCount")).collect()(0)
+      val sumDocFreq = fieldStats.getLong(0)
+      val fieldDocCount = fieldStats.getLong(1)
+      val avgUniqueTerms = sumDocFreq / fieldDocCount.toDouble
+
+      val classed = base.filter(col("cls").isNotNull && col("cls") =!= "")
+      // per-class priors (df of each class term) — |classes| rows
+      val dfByClass = classed.groupBy("cls").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docsWithClass = dfByClass.valuesIterator.sum
+
+      // hits(w, c): |words| × |classes| count matrix, one aggregation
+      val hits: Map[(String, String), Long] =
+        if (words.isEmpty) Map.empty
+        else classed
+          .select(col("cls"), explode(col("terms")).as("term"))
+          .filter(col("term").isin(words: _*))
+          .groupBy("cls", "term").count().collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+      val raw = dfByClass.keys.toSeq.sorted.map { c =>
+        val dfC = dfByClass(c)
+        var s = math.log(dfC.toDouble) - math.log(docsWithClass.toDouble)
+        val den = avgUniqueTerms * dfC + docsWithClass
+        toks.foreach { w =>
+          val num = hits.getOrElse((c, w), 0L) + 1d
+          s += math.log(num / den)
+        }
+        (c, s)
+      }
+      normalize(raw)
+    } finally base.unpersist()
+  }
+
+  /** `normClassificationResults` (SimpleNaiveBayesClassifier.java:
+    * 288-313): softmax over raw log scores, exp-sum folded in
+    * DESCENDING raw order (stable: ties keep class-ascending order).
+    */
+  private[graft] def normalize(raw: Seq[(String, Double)]): Seq[ClassScore] = {
+    if (raw.isEmpty) return Nil
+    val sorted = raw.sortBy { case (c, s) => (-s, c) }
+    val smax = sorted.head._2
+    var sumLog = 0d
+    sorted.foreach { case (_, s) => sumLog += math.exp(s - smax) }
+    val loga = smax + math.log(sumLog)
+    sorted.map { case (c, s) => ClassScore(c, s, math.exp(s - loga)) }
+  }
+
+  /** The reference MoreLikeThis term selection from a TEXT input
+    * (`queries/mlt/MoreLikeThis.java:647-694` createQueue +
+    * `:616-641` createQuery with boost=true): per input word, tf from
+    * the text, df from the index; skip tf < minTermFreq, df <
+    * minDocFreq, df = 0; score = (float)(tf · classicIdf(df, numDocs));
+    * keep the top maxQueryTerms by score; clause boosts =
+    * score/bestScore where bestScore is the LOWEST selected score (the
+    * PQ pops ascending). Deviation (documented): score ties break
+    * word-ascending deterministically — the reference's tie order is
+    * HashMap-iteration-dependent.
+    */
+  def mltTextQuery(s: Searcher, text: String, maxQueryTerms: Int = 25,
+      minTermFreq: Int = 2, minDocFreq: Int = 5): Query = {
+    val tokenizer = graft.index.IndexBuilder
+      .tokenizerFn(s.index.manifest.tokenizer)
+    val toks = tokenizer(text)
+    val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
+    val df = s.stats(tf.keySet)
+    val numDocs = s.index.manifest.docCount
+    val scored = tf.toSeq.flatMap { case (w, f) =>
+      if (minTermFreq > 0 && f < minTermFreq) None
+      else df.get(w).map(_._1).filter(d =>
+        d > 0 && (minDocFreq <= 0 || d >= minDocFreq)).map { d =>
+        val idf = (math.log((numDocs + 1) / (d + 1).toDouble) + 1.0).toFloat
+        (w, f * idf)
+      }
+    }
+    // top-maxQueryTerms by score, then clause order = ascending score
+    // (PQ pop order); bestScore = the lowest selected
+    val selected = scored.sortBy { case (w, sc) => (-sc, w) }
+      .take(maxQueryTerms)
+      .reverse
+    if (selected.isEmpty) return graft.search.MatchNoneQ
+    val bestScore = selected.head._2
+    BoolQ(should = selected.map { case (w, sc) =>
+      val b = sc / bestScore
+      if (b == 1f) TermQ(w) else BoostQ(TermQ(w), b)
+    }, minShouldMatch = 1)
+  }
+
+  /** KNearestNeighborClassifier (`KNearestNeighborClassifier.java:40`):
+    * MLT query from the input text (boosted, [[mltTextQuery]]), top-k
+    * under `sim`, then the rank-ordered class vote
+    * (`buildListFromTopDocs`, :131-169): per class, count its docs and
+    * accumulate Σ(score/maxScore) in RANK order; result score =
+    * (count · (boostSum/count)) / k, scaled by k/sumdoc when fewer than
+    * k docs returned. Output sorted (score desc, class asc). Deviations
+    * (documented): no class-field wildcard MUST clause (every doc here
+    * carries a class — matching is unchanged; the reference adds it
+    * only to restrict to classed docs), and the default gate similarity
+    * is BM25 via the constructor's explicit-similarity arm rather than
+    * the null→ClassicSimilarity default.
+    */
+  def knn(s: Searcher, classCol: String, text: String, k: Int = 10,
+      maxQueryTerms: Int = 25, minTermFreq: Int = 2, minDocFreq: Int = 5,
+      sim: Int = SegmentSearcher.SimBm25): Seq[ClassScore] = {
+    val q = mltTextQuery(s, text, maxQueryTerms, minTermFreq, minDocFreq)
+    val hits = s.search(q, k, None, true, sim)
+    if (hits.isEmpty) return Nil
+    val classOf = s.docsDf
+      .filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+      .select(col("docId"), col(classCol)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxScore = hits.head.score // rank 1 (score desc, docId asc)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val boosts = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var sumdoc = 0
+    hits.foreach { h =>
+      classOf.get(h.docId).filter(c => c != null && c.nonEmpty).foreach { c =>
+        counts.update(c, counts.getOrElse(c, 0) + 1)
+        boosts.update(c, boosts.getOrElse(c, 0d) + h.score / maxScore)
+        sumdoc += 1
+      }
+    }
+    val temp = counts.toSeq.map { case (c, cnt) =>
+      val normBoost = boosts(c) / cnt
+      (c, (cnt * normBoost) / k.toDouble)
+    }
+    val scoredOut =
+      if (sumdoc < k) temp.map { case (c, sc) => (c, sc * k / sumdoc.toDouble) }
+      else temp
+    scoredOut.sortBy { case (c, sc) => (-sc, c) }
+      .map { case (c, sc) => ClassScore(c, sc, sc) }
+  }
+}

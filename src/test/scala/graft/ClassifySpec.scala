@@ -1,0 +1,187 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Analysis, Corpus}
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.ops.Classify
+import graft.search.{BoolQ, BoostQ, Searcher, SegmentSearcher, TermQ}
+
+/** Index-backed classification (the reference's classification module)
+  * pinned against independent in-spec recomputations:
+  * SimpleNaiveBayesClassifier's score law
+  * (`classification/SimpleNaiveBayesClassifier.java:196-270`) is
+  * re-derived here with plain Scala loops over the collected fixture
+  * (Classify computes it with DataFrame aggregations);
+  * normClassificationResults' softmax (:288-313) is property-checked;
+  * the KNN vote (`KNearestNeighborClassifier.java:131-169`) is refolded
+  * from the raw hits.
+  */
+class ClassifySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  // ---------- softmax normalization ----------
+
+  test("normalize: softmax law, descending-raw fold, tie order") {
+    val raw = Seq("b" -> -3.0, "a" -> -1.5, "d" -> -1.5, "c" -> -9.0)
+    val out = Classify.normalize(raw)
+    // order: score desc, class asc on ties
+    assert(out.map(_.cls) == Seq("a", "d", "b", "c"))
+    // norms sum to 1 and match a direct softmax
+    assert(math.abs(out.map(_.norm).sum - 1.0) < 1e-12)
+    val z = raw.map { case (_, s) => math.exp(s) }.sum
+    out.foreach { c =>
+      assert(math.abs(c.norm - math.exp(c.raw) / z) < 1e-12, c)
+    }
+    // norms strictly in (0, 1) (the reference asserts this in its tests)
+    out.foreach(c => assert(c.norm > 0 && c.norm < 1))
+  }
+
+  // ---------- naive Bayes vs an independent loop recompute ----------
+
+  private val nbDocs = Seq(
+    ("merge sort fast merge", "algo"),
+    ("sort key table", "algo"),
+    ("row scan table scan", "storage"),
+    ("page row buffer", "storage"),
+    ("merge page buffer key", "storage"),
+    ("orphan text no class", null),
+    ("another unclassed", ""))
+
+  /** Plain-Scala re-derivation of SimpleNaiveBayesClassifier.java:
+    * 196-270 over the collected fixture — no DataFrames, no shared code
+    * with Classify.naiveBayes beyond the tokenizer.
+    */
+  private def nbExpected(docs: Seq[(String, String)], text: String)
+      : Seq[(String, Double)] = {
+    val tok: String => Array[String] = Analysis.simpleTokens
+    val perDoc = docs.map { case (t, c) => (tok(t).distinct, c) }
+    val sumDocFreq = perDoc.map(_._1.length).sum
+    val docCount = perDoc.count(_._1.nonEmpty)
+    val avgUnique = sumDocFreq.toDouble / docCount
+    val classed = perDoc.filter { case (_, c) => c != null && c.nonEmpty }
+    val dfByClass = classed.groupBy(_._2).view.mapValues(_.size).toMap
+    val docsWithClass = classed.size
+    val toks = tok(text)
+    dfByClass.keys.toSeq.sorted.map { c =>
+      val dfC = dfByClass(c)
+      var s = math.log(dfC.toDouble) - math.log(docsWithClass.toDouble)
+      toks.foreach { w =>
+        val hits = classed.count { case (ts, cc) => cc == c && ts.contains(w) }
+        s += math.log((hits + 1d) / (avgUnique * dfC + docsWithClass))
+      }
+      (c, s)
+    }
+  }
+
+  test("naiveBayes matches the loop recompute (incl. unclassed-row law)") {
+    import spark.implicits._
+    val df = spark.createDataset(nbDocs).toDF("text", "cls")
+    val text = "merge table scan merge"
+    val got = Classify.naiveBayes(df, "text", "cls", Analysis.simpleTokens, text)
+    val exp = Classify.normalize(nbExpected(nbDocs, text))
+    assert(got.map(_.cls) == exp.map(_.cls))
+    got.zip(exp).foreach { case (g, e) =>
+      assert(g.raw == e.raw, s"raw ${g.cls}")
+      assert(g.norm == e.norm, s"norm ${g.cls}")
+    }
+    // the fixture actually exercises both classes and the unclassed rows:
+    // docsWithClass = 5 (not 7), field stats count all 7
+    assert(got.size == 2)
+  }
+
+  test("naiveBayes: repeated input tokens each contribute (fold over tokens, not distinct)") {
+    import spark.implicits._
+    val df = spark.createDataset(nbDocs).toDF("text", "cls")
+    val once = Classify.naiveBayes(df, "text", "cls", Analysis.simpleTokens, "merge")
+    val twice = Classify.naiveBayes(df, "text", "cls", Analysis.simpleTokens, "merge merge")
+    // log-likelihood term is added per occurrence → raws differ
+    assert(once.map(_.raw) != twice.map(_.raw))
+    val e1 = Classify.normalize(nbExpected(nbDocs, "merge"))
+    val e2 = Classify.normalize(nbExpected(nbDocs, "merge merge"))
+    assert(once.map(c => (c.cls, c.raw)) == e1.map(c => (c.cls, c.raw)))
+    assert(twice.map(c => (c.cls, c.raw)) == e2.map(c => (c.cls, c.raw)))
+  }
+
+  // ---------- MLT-from-text selection laws ----------
+
+  private lazy val knnSearcher: Searcher = {
+    import spark.implicits._
+    val corpus = spark.createDataset(Corpus.generate(400, seed = 777L)).toDF()
+    val ix = IndexBuilder.buildLogical(corpus.repartition(4), "content",
+      None, Seq("lang", "path"),
+      BuildConfig(numBuckets = 4, numDocShards = 2, saltThreshold = 1000000L))
+    val d = java.nio.file.Files.createTempDirectory("graft-classify").toString
+    IndexBuilder.writeIndex(ix, d, "snap", 1)
+    ix.unpersistCached(); ix.postings.unpersist()
+    new Searcher(spark, SegmentSearcher.load(d))
+  }
+
+  test("mltTextQuery: tf/df gates, top-N by classic idf score, boost = score/lowest") {
+    val s = knnSearcher
+    val text = "merge sort merge index index partition zzznotindict"
+    val q = Classify.mltTextQuery(s, text, maxQueryTerms = 2,
+      minTermFreq = 2, minDocFreq = 1)
+    // independent selection: tf from the text, df from stats, classic idf
+    val tok = Analysis.simpleTokens(text)
+    val tf = tok.groupBy(identity).view.mapValues(_.length).toMap
+    val df = s.stats(tf.keySet)
+    val n = s.index.manifest.docCount
+    val scored = tf.toSeq.flatMap { case (w, f) =>
+      if (f < 2) None
+      else df.get(w).map(_._1).filter(_ > 0).map { d =>
+        (w, f * (math.log((n + 1) / (d + 1).toDouble) + 1.0).toFloat)
+      }
+    }
+    val sel = scored.sortBy { case (w, sc) => (-sc, w) }.take(2).reverse
+    assert(sel.size == 2) // merge(2) and index(2) both pass tf>=2
+    val clauses = q.asInstanceOf[BoolQ].should
+    assert(clauses.size == 2)
+    // clause order = ascending score (PQ pop order); lowest has boost 1
+    val lowest = sel.head._2
+    clauses.zip(sel).foreach {
+      case (TermQ(t), (w, sc)) =>
+        assert(t == w); assert(sc == lowest)
+      case (BoostQ(TermQ(t), b), (w, sc)) =>
+        assert(t == w); assert(b == sc / lowest)
+      case other => fail(other.toString)
+    }
+    // sub-threshold tf (sort: 1) and out-of-dict words never selected
+    val words = clauses.map { case TermQ(t) => t; case BoostQ(TermQ(t), _) => t }
+    assert(!words.contains("sort") && !words.contains("zzznotindict"))
+  }
+
+  // ---------- KNN vote refold ----------
+
+  test("knn vote matches a refold of the raw hits (incl. sumdoc<k rescale)") {
+    val s = knnSearcher
+    val text = "merge sort index partition block skip"
+    val k = 7
+    val q = Classify.mltTextQuery(s, text, 10, minTermFreq = 1, minDocFreq = 1)
+    val hits = s.search(q, k, None, true, SegmentSearcher.SimBm25)
+    assert(hits.nonEmpty)
+    val got = Classify.knn(s, "lang", text, k = k, maxQueryTerms = 10,
+      minTermFreq = 1, minDocFreq = 1)
+    // independent vote fold (KNearestNeighborClassifier.java:131-169)
+    val langOf = s.docsDf.select("docId", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxScore = hits.head.score
+    var sumdoc = 0
+    val cnt = scala.collection.mutable.Map.empty[String, Int]
+    val bs = scala.collection.mutable.Map.empty[String, Double]
+    hits.foreach { h =>
+      val c = langOf(h.docId)
+      cnt.update(c, cnt.getOrElse(c, 0) + 1)
+      bs.update(c, bs.getOrElse(c, 0d) + h.score / maxScore)
+      sumdoc += 1
+    }
+    val exp = cnt.toSeq.map { case (c, n) =>
+      val base = (n * (bs(c) / n)) / k.toDouble
+      (c, if (sumdoc < k) base * k / sumdoc else base)
+    }.sortBy { case (c, sc) => (-sc, c) }
+    assert(got.map(c => (c.cls, c.raw)) == exp)
+    // every Corpus doc has a lang → sumdoc == hits.size
+    assert(sumdoc == hits.length)
+  }
+}
