@@ -2040,6 +2040,90 @@ SELECT cls, CAST(s AS DOUBLE) AS score,
 FROM res ORDER BY s DESC, cls"""
   }
 
+  /** BooleanPerceptronClassifier
+    * (`classification/BooleanPerceptronClassifier.java:80-228`) replayed
+    * as a recursive CTE: the weight table and the FST snapshot are
+    * term-sorted vectors over the relevant universe (training terms ∪
+    * input tokens), each recursion step processes one training doc in
+    * doc_id order — output = Σ fst(t)·tf against the SNAPSHOT vector,
+    * miss ⇒ weights(t) = fst(t) + (correct ? 1 : −1)·tf for the doc's
+    * terms, snapshot refreshed only when the running classed-doc index
+    * satisfies i % batchSize == 0 (:146, batchCount counts every
+    * classed doc). Threshold = corpus sumDocFreq / 2 (:96). Training
+    * docs are lang='en'-classed rows with doc_id % modN == rem (the
+    * reference's `query` constructor arg). Final row: classify the
+    * input per token occurrence against the last snapshot; score =
+    * 1 − exp(−|thr − out| / thr) (:227).
+    */
+  def classifyPerceptron(text: String, batchSize: Int, modN: Int,
+      rem: Int): String = {
+    val toks = graft.core.Analysis.simpleTokens(text)
+    val ivals =
+      if (toks.isEmpty) "('')" else toks.map(t => s"(${lit(t)})").mkString(", ")
+    s"""WITH RECURSIVE toks0 AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255) AS arr
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(arr) AS term FROM toks0
+), itoks(term) AS (
+  VALUES $ivals
+), train AS (
+  SELECT doc_id, arr, (lang = 'en') AS correct FROM toks0
+  WHERE doc_id % $modN = $rem
+), uni AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(arr) AS term FROM train
+    UNION ALL SELECT term FROM itoks)
+), w0 AS (
+  SELECT u.term, COALESCE(c.cnt, 0) AS w
+  FROM uni u LEFT JOIN (
+    SELECT term, count(*) AS cnt FROM tok GROUP BY 1) c USING (term)
+), w0v AS (
+  SELECT list(w ORDER BY term) AS wv, list(term ORDER BY term) AS tv FROM w0
+), tfu AS (
+  SELECT t.doc_id, u.term, len(list_filter(t.arr, x -> x = u.term)) AS f
+  FROM train t CROSS JOIN uni u
+), tseq AS (
+  SELECT row_number() OVER (ORDER BY t.doc_id) - 1 AS i, t.correct,
+    (SELECT list(f ORDER BY term) FROM tfu WHERE tfu.doc_id = t.doc_id) AS fv
+  FROM train t
+), thr AS (
+  SELECT sum(len(list_distinct(arr))) / 2.0 AS v FROM toks0
+), ntrain AS (SELECT count(*) AS n FROM train),
+step AS (
+  SELECT 0 AS i, (SELECT wv FROM w0v) AS wv, (SELECT wv FROM w0v) AS sv
+  UNION ALL
+  SELECT x.i + 1,
+    CASE WHEN x.miss THEN x.neww ELSE x.wv END,
+    CASE WHEN x.miss AND x.i % $batchSize = 0 THEN x.neww ELSE x.sv END
+  FROM (
+    SELECT s.i, s.wv, s.sv,
+      ((list_sum(list_transform(list_zip(s.sv, t.fv), p -> p[1] * p[2]))
+          >= (SELECT v FROM thr)) <> t.correct) AS miss,
+      list_transform(list_zip(s.wv, s.sv, t.fv),
+        p -> CASE WHEN p[3] > 0
+          THEN p[2] + (CASE WHEN t.correct THEN 1 ELSE -1 END) * p[3]
+          ELSE p[1] END) AS neww
+    FROM step s JOIN tseq t ON t.i = s.i
+  ) x
+), fin AS (
+  SELECT sv FROM step WHERE i = (SELECT n FROM ntrain)
+), fstkv AS (
+  SELECT unnest(list_zip((SELECT tv FROM w0v), (SELECT sv FROM fin))) AS p
+), outp AS (
+  SELECT COALESCE(sum(f.p[2]), 0) AS o
+  FROM itoks it LEFT JOIN fstkv f ON f.p[1] = it.term
+)
+SELECT CAST(o >= (SELECT v FROM thr) AS VARCHAR) AS cls,
+  CAST(o AS BIGINT) AS output,
+  CAST((SELECT v FROM thr) AS DOUBLE) AS threshold,
+  CAST(1 - exp(-abs((SELECT v FROM thr) - o) / (SELECT v FROM thr))
+    AS DOUBLE) AS score
+FROM outp"""
+  }
+
   // ---------- MultiSimilarity (CombSUM) oracles ----------
 
   /** The classic-norm decode CTEs (cnormq, cn) without classicPrologue's

@@ -445,6 +445,23 @@ object SearchGate {
         .map { case (c, i) => (c.cls, c.raw, i + 1) }
         .toDF("cls", "score", "rnk")
     }),
+    // BooleanPerceptronClassifier: corpus-stat seeding + the sequential
+    // miss-driven weight fold (batch-snapshot semantics), trained on a
+    // doc_id-sampled subset (the reference's `query` arg) with the
+    // boolean class "is this doc English"
+    "q_classify_perceptron" -> ((spark, sfDir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("boolcls",
+          when(col("lang") === "en", lit("true")).otherwise(lit("false")))
+      val r = graft.ops.Classify.booleanPerceptron(docs, "text", "boolcls",
+        "doc_id", graft.core.Analysis.simpleTokens,
+        "order sort merge fast key", batchSize = 3,
+        trainFilter = col("doc_id") % 16 === 3)
+      Seq((r.cls.toString, r.output, r.threshold, r.score))
+        .toDF("cls", "output", "threshold", "score")
+    }),
     // sort-by-field through the Searcher (TopFieldCollector analog)
     "q_bm25_sort_field" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -654,6 +671,8 @@ object SearchGate {
     "q_classify_nb" -> Oracles.classifyNb("order sort merge fast key"),
     "q_classify_knn" -> Oracles.classifyKnn(
       "order sort merge fast key table scan row", K, 6, 1, 5),
+    "q_classify_perceptron" -> Oracles.classifyPerceptron(
+      "order sort merge fast key", batchSize = 3, modN = 16, rem = 3),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),

@@ -104,6 +104,130 @@ object Classify {
     sorted.map { case (c, s) => ClassScore(c, s, math.exp(s - loga)) }
   }
 
+  /** BooleanPerceptronClassifier's answer: assigned class, confidence,
+    * and the raw perceptron output / threshold it was derived from.
+    */
+  final case class BoolScore(cls: Boolean, score: Double,
+      output: Long, threshold: Double)
+
+  /** BooleanPerceptronClassifier (`classification/
+    * BooleanPerceptronClassifier.java:59`): a per-term weight table
+    * seeded with the corpus-wide totalTermFreq of every text term
+    * (:108-115), threshold defaulting to sumDocFreq/2 (:94-101), then
+    * ONE sequential pass over the classed docs in doc order (:121-151,
+    * a constant-score search → docId order):
+    *
+    *   output(d) = Σ_{token occurrences t of d} fst(t)   (:211-222)
+    *   assigned  = output ≥ threshold
+    *   on a miss, modifier = correct.compareTo(assigned) ∈ {−1, +1}
+    *   and for each DISTINCT term t of d (term-vector iteration):
+    *     weights(t) = fst(t) + modifier · tf(t, d)       (:168-180)
+    *
+    * where `fst` is the last SNAPSHOT of `weights` — refreshed only on
+    * a miss whose running doc index satisfies i % batchSize == 0
+    * (:146-148, `batchCount % batchSize`, counted over ALL classed docs)
+    * — so between refreshes reads see stale values and same-term updates
+    * OVERWRITE (fst(t) + m·tf, not an accumulate). Classification of the
+    * input reads the final (possibly stale) snapshot; score = 1 −
+    * exp(−|threshold − output| / threshold) (:227-228).
+    *
+    * Spark-first split: the corpus statistics (totalTermFreq per
+    * relevant term, sumDocFreq) are distributed aggregations; the weight
+    * fold is inherently sequential (each step's prediction depends on
+    * all prior updates) and runs driver-side over the collected training
+    * vectors, exactly like the reference's single-threaded training
+    * loop. `maxTrainDocs` bounds that collect loudly — at 100 TB you
+    * train on a sampled/filtered subset (`trainFilter`, the reference's
+    * `query` constructor arg), not the corpus.
+    *
+    * Classes parse as `Boolean.valueOf` does: equalsIgnoreCase("true").
+    * Null/empty class rows are unclassed (excluded from training).
+    * Deviation (documented): the reference stores weights in a
+    * PositiveIntOutputs FST whose writer asserts non-negativity — the
+    * arithmetic itself (replicated here, and by the oracle) is
+    * well-defined for negative weights, so we carry them rather than
+    * corrupt-or-crash.
+    */
+  def booleanPerceptron(docs: DataFrame, textCol: String, classCol: String,
+      orderCol: String, tokenizer: String => Array[String], text: String,
+      batchSize: Int = 1, threshold: Double = 0d,
+      trainFilter: org.apache.spark.sql.Column = lit(true),
+      maxTrainDocs: Int = 500000): BoolScore = {
+    require(batchSize > 0, "batchSize must be positive")
+    val toksUdf = udf((s: String) => tokenizer(s))
+    val base = docs
+      .select(col(orderCol).cast("long").as("ord"), col(classCol).as("cls"),
+        toksUdf(col(textCol)).as("terms"), trainFilter.as("keep"))
+      .persist()
+    try {
+      val thr =
+        if (threshold != 0d) threshold
+        else {
+          // sumDocFreq of the text field over the WHOLE corpus (:96)
+          val s = base.agg(sum(size(array_distinct(col("terms")))))
+            .collect()(0).getLong(0)
+          s / 2d
+        }
+
+      // training docs, doc order, driver-side tf vectors (capped loudly)
+      val classed = base.filter(col("cls").isNotNull && col("cls") =!= ""
+        && col("keep"))
+      val nTrain = classed.count()
+      require(nTrain <= maxTrainDocs,
+        s"booleanPerceptron: $nTrain training docs exceeds maxTrainDocs=" +
+          s"$maxTrainDocs — the perceptron fold is sequential by " +
+          "definition; pass a trainFilter to sample the training set")
+      val train: Array[(Map[String, Long], Boolean)] = classed
+        .orderBy(col("ord"))
+        .select(col("terms"), col("cls")).collect()
+        .map { r =>
+          val tf = r.getSeq[String](0).groupBy(identity)
+            .map { case (t, xs) => t -> xs.length.toLong }
+          (tf, r.getString(1).equalsIgnoreCase("true"))
+        }
+
+      // relevant term universe: training terms ∪ input tokens; initial
+      // weight = corpus-wide totalTermFreq (terms absent from the corpus
+      // are absent from the FST → contribute 0)
+      val inputToks = tokenizer(text)
+      val universe = (train.iterator.flatMap(_._1.keysIterator) ++
+        inputToks.iterator).toSet
+      val uDf = docs.sparkSession.createDataFrame(
+        universe.toSeq.map(Tuple1(_))).toDF("term")
+      val ttf = base.select(explode(col("terms")).as("term"))
+        .join(broadcast(uDf), "term")
+        .groupBy("term").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      // the sequential perceptron fold (reference :121-151)
+      val weights = scala.collection.mutable.HashMap.empty[String, Long]
+      ttf.foreach { case (t, c) => weights(t) = c }
+      var fst: Map[String, Long] = weights.toMap
+      var i = 0
+      train.foreach { case (tf, correct) =>
+        var out = 0L
+        tf.foreach { case (t, f) => out += fst.getOrElse(t, 0L) * f }
+        val assigned = out >= thr
+        if (assigned != correct) {
+          val mod = if (correct) 1L else -1L
+          tf.foreach { case (t, f) =>
+            // reference :173-177: previousValue == null writes 0, not
+            // mod·tf (unreachable here — training terms are corpus
+            // terms, always in the snapshot — but matched exactly)
+            weights(t) = fst.get(t).map(_ + mod * f).getOrElse(0L)
+          }
+          if (i % batchSize == 0) fst = weights.toMap
+        }
+        i += 1
+      }
+
+      var out = 0L
+      inputToks.foreach { t => out += fst.getOrElse(t, 0L) }
+      BoolScore(out >= thr, 1d - math.exp(-math.abs(thr - out) / thr),
+        out, thr)
+    } finally base.unpersist()
+  }
+
   /** The reference MoreLikeThis term selection from a TEXT input
     * (`queries/mlt/MoreLikeThis.java:647-694` createQueue +
     * `:616-641` createQuery with boost=true): per input word, tf from

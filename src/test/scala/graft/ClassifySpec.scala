@@ -184,4 +184,110 @@ class ClassifySpec extends AnyFunSuite {
     // every Corpus doc has a lang → sumdoc == hits.size
     assert(sumdoc == hits.length)
   }
+
+  // ---------- BooleanPerceptronClassifier vs a plain-Scala fold ----------
+
+  private val percDocs = Seq(
+    (1L, "a a b", "false"),
+    (2L, "a b c", "true"),
+    (3L, "b c c d", "false"),
+    (4L, "a d d", "true"),
+    (5L, "c d", null),
+    (6L, "a b c d", ""))
+
+  /** Independent transcription of BooleanPerceptronClassifier.java:
+    * 80-228 — sequential loop over classed docs in id order, stale
+    * FST-snapshot reads, miss-only overwrite updates, snapshot refresh
+    * gated on the running classed-doc index mod batchSize.
+    */
+  private def percExpected(docs: Seq[(Long, String, String)], text: String,
+      batchSize: Int, threshold: Double = 0d,
+      filter: Long => Boolean = _ => true)
+      : (Boolean, Double, Long, Double) = {
+    val tok: String => Array[String] = Analysis.simpleTokens
+    val perDoc = docs.map { case (id, t, c) => (id, tok(t), c) }
+    val thr =
+      if (threshold != 0d) threshold
+      else perDoc.map(_._2.distinct.length).sum / 2d
+    var weights = Map.empty[String, Long]
+    perDoc.foreach(_._2.foreach(w =>
+      weights += w -> (weights.getOrElse(w, 0L) + 1)))
+    var fst = weights
+    var i = 0
+    perDoc.sortBy(_._1).foreach { case (id, ts, c) =>
+      if (c != null && c.nonEmpty && filter(id)) {
+        var out = 0L
+        ts.foreach(w => out += fst.getOrElse(w, 0L))
+        val assigned = out >= thr
+        val correct = c.equalsIgnoreCase("true")
+        if (assigned != correct) {
+          val mod = if (correct) 1L else -1L
+          ts.distinct.foreach { w =>
+            val f = ts.count(_ == w)
+            weights += w -> fst.get(w).map(_ + mod * f).getOrElse(0L)
+          }
+          if (i % batchSize == 0) fst = weights
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    tok(text).foreach(w => out += fst.getOrElse(w, 0L))
+    (out >= thr, 1d - math.exp(-math.abs(thr - out) / thr), out, thr)
+  }
+
+  private def percGot(text: String, batchSize: Int, threshold: Double = 0d,
+      filter: org.apache.spark.sql.Column = null)
+      : (Boolean, Double, Long, Double) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val df = spark.createDataset(percDocs).toDF("id", "text", "cls")
+    val r = Classify.booleanPerceptron(df, "text", "cls", "id",
+      Analysis.simpleTokens, text, batchSize = batchSize,
+      threshold = threshold,
+      trainFilter = if (filter == null) lit(true) else filter)
+    (r.cls, r.score, r.output, r.threshold)
+  }
+
+  test("booleanPerceptron matches the reference fold (auto thr, unclassed excluded)") {
+    val text = "a c e" // e is out-of-corpus → contributes 0
+    val exp = percExpected(percDocs, text, batchSize = 1)
+    assert(percGot(text, batchSize = 1) == exp)
+    // auto threshold = corpus sumDocFreq/2 over ALL docs incl. unclassed
+    assert(exp._4 == 8.0)
+    // out-of-corpus input token truly contributes nothing
+    assert(percGot("a c", batchSize = 1)._3 == exp._3)
+  }
+
+  test("booleanPerceptron: batch-snapshot staleness changes the answer") {
+    val text = "a c e"
+    val b1 = percGot(text, batchSize = 1)
+    val b3 = percGot(text, batchSize = 3)
+    assert(b3 == percExpected(percDocs, text, batchSize = 3))
+    // the fixture has teeth: the stale snapshot flips the assigned class
+    // (doc3's miss lands at i=2, 2 % 3 != 0 → no refresh)
+    assert(b1._1 != b3._1, s"$b1 vs $b3")
+    assert(b1._3 != b3._3)
+  }
+
+  test("booleanPerceptron: explicit threshold + trainFilter (stats stay corpus-wide)") {
+    import org.apache.spark.sql.functions.col
+    val text = "b d"
+    val exp = percExpected(percDocs, text, batchSize = 1, threshold = 5d,
+      filter = _ <= 2L)
+    val got = percGot(text, batchSize = 1, threshold = 5d,
+      filter = col("id") <= 2)
+    assert(got == exp)
+    assert(got._4 == 5d)
+  }
+
+  test("booleanPerceptron: maxTrainDocs bounds the sequential collect loudly") {
+    import spark.implicits._
+    val df = spark.createDataset(percDocs).toDF("id", "text", "cls")
+    val e = intercept[IllegalArgumentException] {
+      Classify.booleanPerceptron(df, "text", "cls", "id",
+        Analysis.simpleTokens, "a", maxTrainDocs = 1)
+    }
+    assert(e.getMessage.contains("maxTrainDocs"))
+  }
 }
