@@ -176,6 +176,46 @@ object OpsGate {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
+    // batch NB classification of the whole corpus (CachingNaiveBayes's
+    // Spark-first form): one distributed pass, ordered per-occurrence
+    // log-likelihood fold, argmax class per doc
+    "q_classify_nb_batch" -> ((s, d) =>
+      Classify.naiveBayesBatch(docs(s, d), "doc_id", "text", "lang",
+          graft.core.Analysis.simpleTokens)
+        .orderBy("doc_id")),
+
+    // confusion matrix of batch-NB assignments vs the true lang label
+    "q_classify_confusion" -> ((s, d) => {
+      import s.implicits._
+      val assigned = Classify.naiveBayesBatch(docs(s, d), "doc_id", "text",
+        "lang", graft.core.Analysis.simpleTokens)
+      val pairs = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(assigned.select(col("doc_id"), col("cls").as("assigned")),
+          "doc_id")
+      Classify.confusionMatrix(pairs, "lang", "assigned")
+        .matrix.toDF("correct", "assigned", "cnt")
+        .orderBy("correct", "assigned")
+    }),
+
+    // accuracy / macro precision / macro recall / F1, reference formulas
+    "q_classify_confusion_metrics" -> ((s, d) => {
+      import s.implicits._
+      val assigned = Classify.naiveBayesBatch(docs(s, d), "doc_id", "text",
+        "lang", graft.core.Analysis.simpleTokens)
+      val pairs = docs(s, d).select(col("doc_id"), col("lang"))
+        .join(assigned.select(col("doc_id"), col("cls").as("assigned")),
+          "doc_id")
+      val c = Classify.confusionMatrix(pairs, "lang", "assigned")
+      Seq((c.accuracy, c.precision, c.recall, c.f1, c.evaluated))
+        .toDF("accuracy", "precision", "recall", "f1", "evaluated")
+    }),
+
+    // stratified train/test/cv split (DatasetSplitter's law, closed form)
+    "q_dataset_split" -> ((s, d) =>
+      Split.datasetSplit(docs(s, d), "doc_id", "lang",
+          testRatio = 0.2, cvRatio = 0.1)
+        .orderBy("doc_id")),
+
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "text/fake")
       Multimodal.decode(media).toDF()
@@ -380,7 +420,161 @@ SELECT doc_id,
 FROM m ORDER BY doc_id"""
   }
 
+  /** Batch SimpleNaiveBayes replayed relationally
+    * (`SimpleNaiveBayesClassifier.java:196-270` law, see
+    * Classify.naiveBayesBatch): the per-doc fold is an ORDERED
+    * list_reduce (left fold, prior first, contributions in token-stream
+    * order) because double addition is order-sensitive and the engine
+    * folds via `aggregate` in the same order. Ends with `best` =
+    * (doc_id, cls, score) argmax rows (strict-max, ties to the smaller
+    * class) and `m` = the confusion matrix vs lang.
+    */
+  private def nbBatchCtes: String =
+    """WITH toks0 AS (
+  SELECT doc_id, lang,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                x -> x <> '' AND length(x) <= 255) AS arr
+  FROM documents WHERE text IS NOT NULL
+), fstats AS (
+  SELECT sum(len(list_distinct(arr))) AS sumdf,
+         count(*) FILTER (len(list_distinct(arr)) > 0) AS dc
+  FROM toks0
+), cls AS (
+  SELECT lang AS cls, count(*) AS dfc FROM toks0
+  WHERE lang IS NOT NULL AND lang <> '' GROUP BY 1
+), dwc AS (SELECT sum(dfc) AS n FROM cls),
+model AS (
+  SELECT cls,
+    ln(CAST(dfc AS DOUBLE)) - ln(CAST((SELECT n FROM dwc) AS DOUBLE)) AS prior,
+    (((SELECT sumdf FROM fstats) / CAST((SELECT dc FROM fstats) AS DOUBLE))
+       * dfc + (SELECT n FROM dwc)) AS den
+  FROM cls
+), hits AS (
+  SELECT lang AS cls, term, count(*) AS h FROM (
+    SELECT doc_id, lang, unnest(list_distinct(arr)) AS term FROM toks0
+    WHERE lang IS NOT NULL AND lang <> '')
+  GROUP BY 1, 2
+), occ AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM toks0
+), contrib AS (
+  SELECT o.doc_id, m.cls, o.pos,
+    ln((COALESCE(h.h, 0) + 1.0) / m.den) AS c
+  FROM occ o CROSS JOIN model m
+  LEFT JOIN hits h ON h.cls = m.cls AND h.term = o.term
+), folded AS (
+  SELECT doc_id, cls, list(c ORDER BY pos) AS cl FROM contrib GROUP BY 1, 2
+), scored AS (
+  SELECT d.doc_id, m.cls,
+    list_reduce(list_prepend(m.prior, COALESCE(f.cl, CAST([] AS DOUBLE[]))),
+                (a, b) -> a + b) AS score
+  FROM (SELECT doc_id FROM toks0) d CROSS JOIN model m
+  LEFT JOIN folded f ON f.doc_id = d.doc_id AND f.cls = m.cls
+), best AS (
+  SELECT doc_id, cls, CAST(score AS DOUBLE) AS score FROM (
+    SELECT *,
+      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+    FROM scored) WHERE rn = 1
+), m AS (
+  SELECT t.lang AS correct, b.cls AS assigned, count(*) AS cnt
+  FROM best b JOIN toks0 t USING (doc_id)
+  WHERE t.lang IS NOT NULL AND t.lang <> ''
+  GROUP BY 1, 2
+)"""
+
+  /** ConfusionMatrix metrics (`ConfusionMatrixGenerator.java:200-307`):
+    * accuracy's tp/fn fold the cells and tfp/tn scan, per observed
+    * row-class k, the rows having/missing column k; macro precision and
+    * recall fold per-class values class-ASC from a 0.0 seed (matching
+    * the engine's pinned order — the reference's HashMap order is
+    * unspecified).
+    */
+  private def confusionMetricsSql: String = nbBatchCtes +
+    """, rws AS (SELECT DISTINCT correct AS k FROM m),
+nr AS (SELECT count(*) AS c FROM rws),
+diag AS (SELECT correct AS k, cnt FROM m WHERE correct = assigned),
+tpfn AS (
+  SELECT COALESCE(sum(cnt) FILTER (correct = assigned), 0) AS tp,
+         COALESCE(sum(cnt) FILTER (correct <> assigned), 0) AS fn
+  FROM m
+), tfptn AS (
+  SELECT COALESCE(sum(cnt), 0) AS tfp,
+    ((SELECT c FROM nr) * (SELECT c FROM nr) - count(*)) AS tn
+  FROM m WHERE assigned IN (SELECT k FROM rws)
+), perk AS (
+  SELECT r.k,
+    CASE WHEN COALESCE(d.cnt, 0) > 0
+      THEN CAST(d.cnt AS DOUBLE) /
+           (SELECT sum(cnt) FROM m WHERE assigned = r.k)
+      ELSE 0.0 END AS p,
+    CASE WHEN (SELECT sum(cnt) FROM m WHERE correct = r.k) > 0
+      THEN CAST(COALESCE(d.cnt, 0) AS DOUBLE) /
+           (SELECT sum(cnt) FROM m WHERE correct = r.k)
+      ELSE 0.0 END AS r
+  FROM rws r LEFT JOIN diag d ON d.k = r.k
+), macro AS (
+  SELECT
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY k)),
+                (a, b) -> a + b) / (SELECT c FROM nr) AS mp,
+    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r ORDER BY k)),
+                (a, b) -> a + b) / (SELECT c FROM nr) AS mr
+  FROM perk
+)
+SELECT
+  CAST((SELECT tp FROM tpfn) + (SELECT tn FROM tfptn) AS DOUBLE) /
+  CAST((SELECT tfp FROM tfptn) + (SELECT fn FROM tpfn)
+       + (SELECT tn FROM tfptn) AS DOUBLE) AS accuracy,
+  mp AS precision, mr AS recall,
+  CASE WHEN mp > 0 AND mr > 0 THEN 2 * mp * mr / (mp + mr)
+       ELSE 0.0 END AS f1,
+  CAST((SELECT sum(cnt) FROM m) AS BIGINT) AS evaluated
+FROM macro"""
+
+  /** DatasetSplitter's closed form (see Split.datasetSplit): groups in
+    * first-doc order with a running global offset, per-doc window
+    * arithmetic replaying the reference's sequential tc/cvc counters.
+    */
+  private def datasetSplitSql(testRatio: Double, cvRatio: Double): String =
+    s"""WITH d0 AS (
+  SELECT doc_id, COALESCE(lang, '') AS cls FROM documents
+), g AS (
+  SELECT cls, count(*) AS n, min(doc_id) AS fid FROM d0 GROUP BY 1
+), o AS (
+  SELECT cls, n,
+    COALESCE(sum(n) OVER (ORDER BY fid
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off,
+    CAST(n AS DOUBLE) * CAST($testRatio AS DOUBLE) AS testSize,
+    CAST(ceil(CAST(n AS DOUBLE) * CAST($testRatio AS DOUBLE)) AS BIGINT)
+      AS quotaT,
+    CAST(n AS DOUBLE) * CAST($cvRatio AS DOUBLE) AS cvSize
+  FROM g
+), d AS (
+  SELECT doc_id, cls,
+    row_number() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS i
+  FROM d0
+), x AS (
+  SELECT d.doc_id, d.i, o.testSize, o.quotaT, o.cvSize,
+    ((o.off + d.i) % 2 = 0) AS even,
+    (d.i + 1 - o.off % 2) // 2 AS evenBefore
+  FROM d JOIN o USING (cls)
+), y AS (
+  SELECT doc_id, i, quotaT, cvSize, evenBefore,
+    (even AND CAST(evenBefore AS DOUBLE) < testSize) AS isTest
+  FROM x
+)
+SELECT doc_id,
+  CASE WHEN isTest THEN 'test'
+       WHEN CAST(i - least(evenBefore, quotaT) AS DOUBLE) < cvSize THEN 'cv'
+       ELSE 'train' END AS split
+FROM y ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "q_classify_nb_batch" -> (nbBatchCtes +
+      "\nSELECT doc_id, cls, score FROM best ORDER BY doc_id"),
+    "q_classify_confusion" -> (nbBatchCtes +
+      "\nSELECT correct, assigned, cnt FROM m ORDER BY correct, assigned"),
+    "q_classify_confusion_metrics" -> confusionMetricsSql,
+    "q_dataset_split" -> datasetSplitSql(0.2, 0.1),
     "q_ann_lsh" -> annLshOracle(10),
     "q_ann_ivf" -> annIvfOracle(16, 4, 10),
     "q_dedup_simhash" -> simhashOracle(3),

@@ -90,6 +90,170 @@ object Classify {
     } finally base.unpersist()
   }
 
+  /** Batch SimpleNaiveBayes: classify EVERY doc of a corpus in one
+    * distributed pass — the Spark-first form of the reference's
+    * CachingNaiveBayesClassifier (`classification/
+    * CachingNaiveBayesClassifier.java:40`), whose cache of per-term
+    * class-hit counts is here the `hits` DataFrame kept distributed and
+    * joined (never collected — at 100 TB the vocab × classes matrix
+    * stays on executors).
+    *
+    * Per doc, the score law is exactly [[naiveBayes]]'s
+    * (SimpleNaiveBayesClassifier.java:196-270): score(c) = ln(df_c) −
+    * ln(docsWithClass) + a LEFT FOLD over the doc's token occurrences
+    * in stream order of ln((hits(w,c)+1)/den_c) — the fold order is
+    * preserved via posexplode + sort_array + `aggregate`, because double
+    * addition is order-sensitive and the reference adds per occurrence
+    * in token order. The assigned class replays `assignClass`
+    * (:104-115): strict `>` over classes in ascending order, so ties
+    * keep the lexicographically smallest class.
+    *
+    * Docs with null text are excluded (the reference's confusion
+    * generator skips them, ConfusionMatrixGenerator.java:143); docs
+    * with zero tokens score prior-only. Output: (idCol, cls, score) —
+    * the winning class and its raw log score per doc.
+    */
+  def naiveBayesBatch(docs: DataFrame, idCol: String, textCol: String,
+      classCol: String, tokenizer: String => Array[String]): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val toksUdf = udf((s: String) => tokenizer(s))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(classCol).as("cls"),
+        toksUdf(col(textCol)).as("toks"))
+      .persist()
+    try {
+      val fieldStats = base.agg(
+        sum(size(array_distinct(col("toks")))).as("sumDocFreq"),
+        count(when(size(array_distinct(col("toks"))) > 0, 1)).as("docCount"))
+        .collect()(0)
+      val avgUniqueTerms = fieldStats.getLong(0) / fieldStats.getLong(1).toDouble
+
+      val classed = base.filter(col("cls").isNotNull && col("cls") =!= "")
+      // |classes| rows — tiny by definition of a class label
+      val dfByClass = classed.groupBy("cls").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(dfByClass.nonEmpty, "naiveBayesBatch: no classed docs")
+      val docsWithClass = dfByClass.valuesIterator.sum
+      val model = dfByClass.toSeq.sorted.map { case (c, dfC) =>
+        (c, math.log(dfC.toDouble) - math.log(docsWithClass.toDouble),
+          avgUniqueTerms * dfC + docsWithClass)
+      }
+      val classesDf = spark.createDataFrame(model)
+        .toDF("cls", "prior", "den")
+
+      // hits(c, w) stays a DataFrame: distinct-per-doc term counts per
+      // class, joined (not collected) — the only vocab-sized state
+      val hits = classed
+        .select(col("cls"), explode(array_distinct(col("toks"))).as("term"))
+        .groupBy("cls", "term").agg(count(lit(1)).as("h"))
+
+      val occ = base.select(col("id"),
+        posexplode(col("toks")).as(Seq("pos", "term")))
+      val contribs = occ
+        .join(broadcast(classesDf.select("cls", "den")))
+        .join(hits, Seq("cls", "term"), "left")
+        .withColumn("contrib",
+          log((coalesce(col("h"), lit(0L)) + lit(1.0d)) / col("den")))
+        .groupBy("id", "cls")
+        .agg(sort_array(collect_list(struct(col("pos"), col("contrib"))))
+          .as("arr"))
+
+      val emptyArr = array().cast("array<struct<pos:int,contrib:double>>")
+      val scored = base.select("id")
+        .crossJoin(broadcast(classesDf.select("cls", "prior")))
+        .join(contribs, Seq("id", "cls"), "left")
+        .withColumn("score",
+          aggregate(coalesce(col("arr"), emptyArr), col("prior"),
+            (acc, x) => acc + x.getField("contrib")))
+      val w = Window.partitionBy("id")
+        .orderBy(col("score").desc, col("cls").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id").as(idCol), col("cls"), col("score"))
+    } finally base.unpersist()
+  }
+
+  /** The linearized confusion matrix plus its metrics, exactly as the
+    * reference computes them (`classification/utils/
+    * ConfusionMatrixGenerator.java:120-307`).
+    *
+    * Counting (:143-175, single-valued class fields): rows with a
+    * non-null assigned class and a non-null, non-empty correct class
+    * increment counts(correct)(assigned). Metrics over the OBSERVED
+    * correct classes k (matrix rows):
+    *   precision(k) = m(k,k) > 0 ? m(k,k) / colsum_present(k) : 0
+    *   recall(k)    = rowsum(k) > 0 ? m(k,k) / rowsum(k) : 0  (:200-214)
+    *   accuracy     = (tp + tn) / (tfp + fn + tn) where tp/fn fold the
+    *     cells (diagonal / off-diagonal) and, per row-class k, tfp adds
+    *     colsum of k over rows HAVING the cell and tn counts rows
+    *     missing it (:245-272)
+    *   macro precision/recall = per-class mean (:279-304); the
+    *     reference folds these in HashMap iteration order (unspecified)
+    *     — we pin class-ASCENDING order, documented deviation
+    *   F1 = 2PR/(P+R) when both > 0 (:222-238)
+    *
+    * The matrix is a distributed groupBy; only |classes|² cells reach
+    * the driver.
+    */
+  final case class Confusion(matrix: Seq[(String, String, Long)],
+      accuracy: Double, precision: Double, recall: Double, f1: Double,
+      evaluated: Long) {
+    private lazy val rows = matrix.map(_._1).distinct.sorted
+    private lazy val cells = matrix.map { case (c, a, n) => (c, a) -> n }.toMap
+    def precisionOf(k: String): Double = {
+      val tp = cells.getOrElse((k, k), 0L).toDouble
+      val den = rows.iterator
+        .flatMap(r => cells.get((r, k))).map(_.toDouble).sum
+      if (tp > 0) tp / den else 0d
+    }
+    def recallOf(k: String): Double = {
+      val tp = cells.getOrElse((k, k), 0L).toDouble
+      val fn = matrix.iterator
+        .collect { case (c, a, n) if c == k && a != k => n }.sum.toDouble
+      if (tp + fn > 0) tp / (tp + fn) else 0d
+    }
+    def f1Of(k: String): Double = {
+      val (p, r) = (precisionOf(k), recallOf(k))
+      if (p > 0 && r > 0) 2 * p * r / (p + r) else 0d
+    }
+  }
+
+  def confusionMatrix(pairs: DataFrame, correctCol: String,
+      assignedCol: String): Confusion = {
+    val m = pairs
+      .filter(col(correctCol).isNotNull && col(correctCol) =!= "" &&
+        col(assignedCol).isNotNull)
+      .groupBy(col(correctCol).as("correct"), col(assignedCol).as("assigned"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(c => (c._1, c._2)).toSeq
+    val rows = m.map(_._1).distinct.sorted
+    val cells = m.map { case (c, a, n) => (c, a) -> n }.toMap
+    // accuracy (:245-272): integer folds, one division
+    var (tp, tn, tfp, fn) = (0L, 0L, 0L, 0L)
+    rows.foreach { k =>
+      m.foreach { case (c, a, n) =>
+        if (c == k) { if (a == k) tp += n else fn += n }
+      }
+      rows.foreach { r =>
+        cells.get((r, k)) match {
+          case Some(v) => tfp += v
+          case None    => tn += 1
+        }
+      }
+    }
+    val conf0 = Confusion(m, 0, 0, 0, 0, m.map(_._3).sum)
+    // macro averages folded class-ascending (pinned order)
+    var (pSum, rSum) = (0d, 0d)
+    rows.foreach { k => pSum += conf0.precisionOf(k); rSum += conf0.recallOf(k) }
+    val p = pSum / rows.size
+    val r = rSum / rows.size
+    conf0.copy(
+      accuracy = (tp + tn).toDouble / (tfp + fn + tn).toDouble,
+      precision = p, recall = r,
+      f1 = if (p > 0 && r > 0) 2 * p * r / (p + r) else 0d)
+  }
+
   /** `normClassificationResults` (SimpleNaiveBayesClassifier.java:
     * 288-313): softmax over raw log scores, exp-sum folded in
     * DESCENDING raw order (stable: ties keep class-ascending order).

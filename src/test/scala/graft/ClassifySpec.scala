@@ -185,6 +185,86 @@ class ClassifySpec extends AnyFunSuite {
     assert(sumdoc == hits.length)
   }
 
+  // ---------- batch NB: every doc classified in one pass ----------
+
+  test("naiveBayesBatch == per-doc argmax of the loop recompute, bit-exact") {
+    import spark.implicits._
+    val withIds = nbDocs.zipWithIndex.map { case ((t, c), i) => (i.toLong, t, c) }
+    val df = spark.createDataset(withIds).toDF("id", "text", "cls")
+    val got = Classify.naiveBayesBatch(df, "id", "text", "cls",
+        Analysis.simpleTokens)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == withIds.size) // unclassed docs are classified too
+    got.foreach { case (id, cls, score) =>
+      val raw = nbExpected(nbDocs, withIds(id.toInt)._2) // class-asc order
+      // assignClass (SimpleNaiveBayesClassifier.java:104-115): strict >
+      // over the class-asc list — ties keep the smallest class
+      var best = raw.head
+      raw.tail.foreach { c => if (c._2 > best._2) best = c }
+      assert(cls == best._1, s"doc $id")
+      assert(score == best._2, s"doc $id score")
+    }
+  }
+
+  // ---------- confusion matrix: reference formulas ----------
+
+  test("confusionMatrix: counts + metrics vs an independent transcription") {
+    import spark.implicits._
+    // absent columns (nothing assigned 'd'), an absent diagonal ('c'
+    // never correct→assigned c), null/empty rows to drop
+    val pairs = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+      ("b", "b"), ("c", "a"), ("c", "b"), ("d", "d"),
+      (null, "a"), ("", "b"), ("a", null))
+    val df = spark.createDataset(pairs).toDF("correct", "assigned")
+    val c = Classify.confusionMatrix(df, "correct", "assigned")
+
+    // independent transcription of ConfusionMatrixGenerator.java:200-307
+    val kept = pairs.filter { case (co, a) => co != null && co.nonEmpty && a != null }
+    val cells = kept.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = kept.map(_._1).distinct.sorted
+    assert(c.matrix.toSet ==
+      cells.map { case ((co, a), n) => (co, a, n) }.toSet)
+    assert(c.evaluated == kept.size)
+    var (tp, tn, tfp, fn) = (0L, 0L, 0L, 0L)
+    rows.foreach { k =>
+      cells.foreach { case ((co, a), n) =>
+        if (co == k) { if (a == k) tp += n else fn += n }
+      }
+      rows.foreach { r =>
+        if (cells.contains((r, k))) tfp += cells((r, k)) else tn += 1
+      }
+    }
+    assert(c.accuracy == (tp + tn).toDouble / (tfp + fn + tn))
+    def prec(k: String): Double = {
+      val t = cells.getOrElse((k, k), 0L).toDouble
+      val den = rows.flatMap(r => cells.get((r, k))).sum.toDouble
+      if (t > 0) t / den else 0d
+    }
+    def rec(k: String): Double = {
+      val t = cells.getOrElse((k, k), 0L).toDouble
+      val f = cells.collect { case ((co, a), n) if co == k && a != k => n }
+        .sum.toDouble
+      if (t + f > 0) t / (t + f) else 0d
+    }
+    var pS = 0d; var rS = 0d
+    rows.foreach { k => pS += prec(k); rS += rec(k) }
+    assert(c.precision == pS / rows.size)
+    assert(c.recall == rS / rows.size)
+    val (p, r) = (pS / rows.size, rS / rows.size)
+    assert(c.f1 == (if (p > 0 && r > 0) 2 * p * r / (p + r) else 0d))
+    // the per-class accessors agree with the transcription
+    rows.foreach { k =>
+      assert(c.precisionOf(k) == prec(k), s"precision $k")
+      assert(c.recallOf(k) == rec(k), s"recall $k")
+    }
+    // 'd' was only ever correct+assigned d → precision 1, recall 1
+    assert(c.precisionOf("d") == 1d && c.recallOf("d") == 1d)
+    // 'c' has no diagonal → precision 0, recall 0, f1 0
+    assert(c.precisionOf("c") == 0d && c.f1Of("c") == 0d)
+  }
+
   // ---------- BooleanPerceptronClassifier vs a plain-Scala fold ----------
 
   private val percDocs = Seq(
