@@ -769,6 +769,8 @@ object Bench {
     var attemptEstS = attemptEstimateS(BenchDocs, sizedDegradation)
     var a = 0
     var done = false
+    var phaseTimeouts = 0
+    var lastWatchdogS = 0.0
     while (a < maxAttempts && !done) {
       // attempt 1 ALWAYS runs (an artifact with one attempt beats none);
       // later attempts are gated on the measured attempt duration
@@ -780,9 +782,20 @@ object Bench {
         val tA0 = elapsedS
         val calibTries = math.max(1, math.min(4, (remainingS / 120).toInt))
         // watchdog: each phase may use at most the time left before the
-        // emit reserve — a host that collapses MID-attempt gets its child
-        // killed and the artifact still ships with what completed
-        def watchdogS: Double = math.max(30.0, remainingS - emitReserveS)
+        // emit reserve, AND at most 2.5x the current whole-attempt
+        // estimate — the round-5 driver run lost its ENTIRE 1709s budget
+        // to one 2-core phase when the host collapsed ~20x right after a
+        // clean-reading sizing probe. A phase that exceeds 2.5x the
+        // attempt estimate is hopeless in this window; killing it early
+        // leaves time for a downsized retry (below) instead of shipping
+        // a zero-attempt artifact.
+        def watchdogS: Double = {
+          val cap = sys.env.get("SPARK_GRAFT_PHASE_CAP_S").map(_.toDouble)
+            .getOrElse(math.max(300.0, attemptEstS * 2.5))
+          lastWatchdogS = math.max(30.0,
+            math.min(remainingS - emitReserveS, cap))
+          lastWatchdogS
+        }
         val l = forkPhase(lo, reps, s"lo$a", calibTries, watchdogS)
         if (remainingS < emitReserveS) throw new PhaseTimeout(s"hi$a", 0)
         val h = forkPhase(hi, reps, s"hi$a", calibTries, watchdogS)
@@ -806,10 +819,36 @@ object Bench {
         writeSnapshot()
       } catch {
         case t: PhaseTimeout =>
-          stopReason = s"phase watchdog: ${t.getMessage}"
-          System.err.println(s"[bench] $stopReason — emitting what completed")
-          done = true
-          writeSnapshot()
+          phaseTimeouts += 1
+          // mid-run host collapse with NOTHING completed yet: downsize to
+          // what fits half the remaining window at the degradation the
+          // kill itself implies (the phase ran >= its budget, so the
+          // window is at least budget / clean-phase-estimate slow), and
+          // retry — a zero-attempt artifact is the one outcome every
+          // round-4/5 driver run has shipped, and it is the worst one
+          val cleanLoEstS = 0.65 * attemptEstimateS(BenchDocs, 1.0)
+          val impliedDeg = math.max(sizedDegradation,
+            lastWatchdogS / math.max(1.0, cleanLoEstS))
+          if (runs.isEmpty && phaseTimeouts <= 3 &&
+              remainingS > emitReserveS + 240) {
+            val budgetS = (remainingS - emitReserveS) / 2
+            val fitDocs =
+              ((budgetS / impliedDeg - AttemptFixedS) / AttemptVarSPerM * 1e6)
+                .toLong
+            BenchDocs = math.max(BenchDocsFloor,
+              math.min(BenchDocs, fitDocs))
+            attemptEstS = attemptEstimateS(BenchDocs, impliedDeg)
+            a -= 1 // the killed attempt doesn't burn a slot
+            System.err.println(f"[bench] phase watchdog: ${t.getMessage} — " +
+              f"window ~${impliedDeg}%.1fx; retrying at docs=$BenchDocs " +
+              f"(est ${attemptEstS}%.0fs, ${f(remainingS)}s left)")
+            writeSnapshot()
+          } else {
+            stopReason = s"phase watchdog: ${t.getMessage}"
+            System.err.println(s"[bench] $stopReason — emitting what completed")
+            done = true
+            writeSnapshot()
+          }
       }
     }
 

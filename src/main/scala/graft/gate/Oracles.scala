@@ -175,6 +175,88 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** CommonTermsQuery (`queries/CommonTermsQuery.java:171-221`) in the
+    * SHOULD/SHOULD shape with a non-empty low group: the high/low split
+    * is recomputed IN SQL from each term's df against the reference's
+    * cutoff (df > ceil(mtf × maxDoc), float multiply) — if the engine
+    * splits differently the row set changes and the gate fails. Every
+    * term gets score CTEs at BOTH boosts; the split flag routes each
+    * term's rows to its group. Score = low-group sum (msm-gated MUST
+    * side) + optional high-group sum (msm-gated), the ReqOpt float law.
+    */
+  def commonTerms(terms: Seq[String], mtf: Float, lowMsm: Int,
+      highMsm: Int, lowBoost: Float, highBoost: Float, k: Int): String = {
+    val names = terms.indices
+    val ctes = names.map { i =>
+      termCtes(s"l$i", terms(i), lowBoost) +
+        termCtes(s"h$i", terms(i), highBoost)
+    }.mkString
+    val qdfRows = names.map(i =>
+      s"(${lit(terms(i))}, (SELECT count(*) FROM tf_l$i))").mkString(", ")
+    val cutoff =
+      s"ceil(CAST(${R(mtf.toString)} * ${R("(SELECT n FROM av)")} AS DOUBLE))"
+    val absClause =
+      if (mtf >= 1f) s"df > $mtf OR df > $cutoff" else s"df > $cutoff"
+    val lowUnion = names.map(i =>
+      s"SELECT doc_id, s FROM sc_l$i WHERE NOT (SELECT hi FROM grp WHERE term = ${lit(terms(i))})")
+      .mkString(" UNION ALL ")
+    val highUnion = names.map(i =>
+      s"SELECT doc_id, s FROM sc_h$i WHERE (SELECT hi FROM grp WHERE term = ${lit(terms(i))})")
+      .mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", qdf(term, df) AS (
+  SELECT * FROM (VALUES $qdfRows)
+), grp AS (
+  SELECT term, ($absClause) AS hi FROM qdf
+), lun AS ($lowUnion), lsa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM lun GROUP BY doc_id HAVING count(*) >= $lowMsm
+), hun AS ($highUnion), hsa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM hun GROUP BY doc_id HAVING count(*) >= $highMsm
+), res AS (
+  SELECT l.doc_id,
+    ${R("CAST(l.s AS DOUBLE) + COALESCE(CAST(h.s AS DOUBLE), 0)")} AS s
+  FROM lsa l LEFT JOIN hsa h ON l.doc_id = h.doc_id
+)""" + finish("res", k)
+  }
+
+  /** BoostingQuery (`queries/BoostingQuery.java:78-96`): score the match
+    * disjunction normally; docs also matching the context get one float
+    * multiply by `boost`.
+    */
+  def boosting(matchTerms: Seq[String], ctx: String, boost: Float,
+      k: Int): String = {
+    val names = matchTerms.indices.map(i => s"t$i")
+    val ctes = names.zip(matchTerms).map { case (n, t) => termCtes(n, t) }
+      .mkString + termCtes("cx", ctx)
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), sa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT doc_id,
+    CASE WHEN EXISTS (SELECT 1 FROM sc_cx WHERE sc_cx.doc_id = sa.doc_id)
+      THEN ${R(s"s * ${R(boost.toString)}")} ELSE s END AS s
+  FROM sa
+)""" + finish("res", k)
+  }
+
+  /** TermsQuery (`queries/TermsQuery.java:61`): constant score 1 for any
+    * doc containing at least one of the terms, doc-id tie order.
+    */
+  def termsSet(terms: Seq[String], k: Int): String = {
+    val in = terms.map(lit).mkString(", ")
+    tokDlenCtes +
+      s"""
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rnk
+FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN ($in))
+ORDER BY doc_id LIMIT $k"""
+  }
+
   /** MUST m FILTER f: filter matches without contributing score. */
   def mustFilter(m: String, f: String, k: Int): String =
     prologue + termCtes("m", m) + termCtes("f", f) +

@@ -185,6 +185,24 @@ object SearchGate {
     "q_bm25_or2" -> seg(Query.or(TermQ("dup"), TermQ("vector"))),
     "q_bm25_or3_msm2" -> seg(Query.orMin(2, TermQ("dup"), TermQ("spark"), TermQ("key"))),
     "q_bm25_not" -> seg(Query.not(TermQ("batch"), TermQ("spark"))),
+    // CommonTermsQuery: df-driven high/low split (0.5 × maxDoc cutoff:
+    // 'dup' df=25 and the absent term land LOW, the rest HIGH), SHOULD
+    // groups with fractional msm, demoted high-freq boost. The oracle
+    // recomputes the split from df in SQL — a wrong split changes rows.
+    "q_common_terms" -> ((spark, sfDir) => {
+      val s = searcher(spark, sfDir)
+      val q = s.commonTermsQuery(Seq("batch", "dup", "spark", "zzznope"),
+        maxTermFrequency = 0.5f, lowFreqMinShouldMatch = 0.5f,
+        highFreqMinShouldMatch = 0.4f, highFreqBoost = 0.3f)
+      hitsDf(spark, s.search(q, K))
+    }),
+    // BoostingQuery: matches/scores like the match side; docs also in
+    // the context get score × boost (0.4 demotion here)
+    "q_boosting" -> seg(BoostingQ(
+      BoolQ(should = Seq(TermQ("spark"), TermQ("key"))),
+      TermQ("batch"), 0.4f)),
+    // TermsQuery: const-score membership in a term set
+    "q_terms_set" -> seg(Query.termsSet(Seq("dup", "key"))),
     "q_bm25_must_should" -> seg(BoolQ(must = Seq(TermQ("dup")),
       should = Seq(TermQ("spark"), TermQ("key")))),
     "q_bm25_must_should_msm" -> seg(BoolQ(must = Seq(TermQ("batch")),
@@ -657,6 +675,13 @@ object SearchGate {
       Oracles.multiPhraseSloppyRpt2("order", Seq("order", "sort"), 2, K),
     "q_bm25_filter_only" -> Oracles.filterOnly(Seq("spark", "key"), K),
     "q_bm25_notall" -> Oracles.notAll("spark", K),
+    // msm values replay CommonTermsQuery.minNrShouldMatch for the
+    // EXPECTED split (2 low, 2 high): round(0.5×2)=1, round(0.4×2)=1
+    "q_common_terms" -> Oracles.commonTerms(
+      Seq("batch", "dup", "spark", "zzznope"), mtf = 0.5f,
+      lowMsm = 1, highMsm = 1, lowBoost = 1f, highBoost = 0.3f, k = K),
+    "q_boosting" -> Oracles.boosting(Seq("spark", "key"), "batch", 0.4f, K),
+    "q_terms_set" -> Oracles.termsSet(Seq("dup", "key"), K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),

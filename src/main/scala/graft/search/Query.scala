@@ -70,6 +70,16 @@ final case class BoostQ(query: Query, boost: Float) extends Query
 /** Matches like `query` but scores a constant (ConstantScoreQuery.java:34). */
 final case class ConstScoreQ(query: Query, score: Float = 1f) extends Query
 
+/** BoostingQuery (`queries/BoostingQuery.java:29-107`): matches and
+  * scores exactly like `matchQ`; a doc ALSO matched by `context` gets
+  * its score multiplied by `boost` (a demotion when boost < 1 — the
+  * reference's documented use). Context-only matches are ignored and
+  * the context never contributes score (its weight is created with
+  * needsScores = false).
+  */
+final case class BoostingQ(matchQ: Query, context: Query,
+    boost: Float) extends Query
+
 /** Expands to all indexed terms with this prefix, scored const-score like
   * the reference's MultiTermQueryConstantScoreWrapper (`:44`).
   */
@@ -374,6 +384,15 @@ object Query {
     BoolQ(must = Seq(positive), mustNot = Seq(negative))
   def terms(ts: String*): Seq[Query] = ts.map(TermQ)
 
+  /** TermsQuery (`queries/TermsQuery.java:61`): matches any doc
+    * containing at least one of the terms, constant score 1 regardless
+    * of how many match — the reference rewrites to a constant-score
+    * wrapper over the disjunction, exactly this tree.
+    */
+  def termsSet(ts: Seq[String]): Query =
+    if (ts.isEmpty) MatchNoneQ
+    else ConstScoreQ(BoolQ(should = terms(ts.distinct: _*)))
+
   /** Rewrite to fixpoint (BooleanQuery.java:230-290 simplifications). */
   def rewrite(q: Query): Query = {
     val r = rewriteOnce(q)
@@ -419,6 +438,13 @@ object Query {
     case ConstScoreQ(inner, sc) =>
       val i = rewriteOnce(inner)
       if (i == MatchNoneQ) MatchNoneQ else ConstScoreQ(i, sc)
+    case BoostingQ(mq, c, b) =>
+      val m = rewriteOnce(mq)
+      val c2 = rewriteOnce(c)
+      if (m == MatchNoneQ) MatchNoneQ
+      // an unmatched context (or boost 1) multiplies nothing — pure match
+      else if (c2 == MatchNoneQ || b == 1f) m
+      else BoostingQ(m, c2, b)
     case SynonymQ(ts) if ts.isEmpty => MatchNoneQ
     case SynonymQ(ts) if ts.size == 1 => TermQ(ts.head)
     case BlendedQ(ts, _) if ts.isEmpty => MatchNoneQ
@@ -482,6 +508,7 @@ object Query {
     case DisMaxQ(cs, _) => cs.exists(containsMatchAll)
     case BoostQ(i, _) => containsMatchAll(i)
     case ConstScoreQ(i, _) => containsMatchAll(i)
+    case BoostingQ(mq, _, _) => containsMatchAll(mq)
     case _ => false
   }
 
@@ -495,6 +522,9 @@ object Query {
     case BlendedBoostedQ(ts) => ts.map(_._1).toSet
     case BoostQ(i, _) => literalTerms(i)
     case ConstScoreQ(i, _) => literalTerms(i)
+    // the context's postings are read for membership even though only
+    // the match side contributes weight
+    case BoostingQ(mq, c, _) => literalTerms(mq) ++ literalTerms(c)
     case PhraseQ(ts, _) => ts.toSet
     case MultiPhraseQ(ps, _) => ps.flatten.toSet
     case SpanNearQ(ts, _, _) => ts.toSet

@@ -528,6 +528,27 @@ final class ReqOptScorer(req: DocScorer, opt: DocScorer) extends DocScorer {
 }
 
 /** required AND NOT excluded (ReqExclScorer.java:27). */
+/** BoostingQuery's scorer (`queries/BoostingQuery.java:78-96`): iterates
+  * exactly like the match scorer; when the context scorer also lands on
+  * the current doc, the score is match × boost (one float multiply, as
+  * the reference's `score() * boost`). The context side is advanced
+  * lazily and never scored.
+  */
+final class BoostingScorer(req: DocScorer, ctx: DocScorer,
+    boost: Float) extends DocScorer {
+  def doc: Long = req.doc
+  def nextDoc(): Long = req.nextDoc()
+  def advance(target: Long): Long = req.advance(target)
+  def score: Float = {
+    val d = req.doc
+    if (ctx.doc < d) ctx.advance(d)
+    if (ctx.doc == d) req.score * boost else req.score
+  }
+  def cost: Long = req.cost
+  def maxScore: Float =
+    if (boost > 1f) req.maxScore * boost else req.maxScore
+}
+
 final class ReqExclScorer(req: DocScorer, excl: DocScorer) extends DocScorer {
   def doc: Long = req.doc
   private def settle(d0: Long): Long = {

@@ -337,6 +337,13 @@ object SegmentSearcher {
       else new DisMaxScorer(subs, tie)
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
+    case BoostingQ(mq, ctx, b) =>
+      val r = buildScorer(mq, shard, blobs, plan, boost)
+      if (r eq EmptyScorer) EmptyScorer
+      else {
+        val c = buildScorer(ctx, shard, blobs, plan, 1f)
+        if (c eq EmptyScorer) r else new BoostingScorer(r, c, b)
+      }
     case PhraseQ(terms, slop) =>
       phraseScorer(terms, slop, shard, blobs, plan, boost)
     case MultiPhraseQ(ps, slop) =>
@@ -1184,6 +1191,65 @@ final class Searcher(private[search] val spark: SparkSession,
     terms.flatMap(t => statsCache(t).map(t -> _)).toMap
   }
 
+  /** CommonTermsQuery (`queries/CommonTermsQuery.java:64-214`): splits
+    * the terms into a high-frequency group (df > maxTermFrequency when
+    * the cutoff is an absolute count ≥ 1, OR df > ceil(maxTermFrequency
+    * × maxDoc) — the fractional form, :186-189) and a low-frequency
+    * group (absent terms land LOW, :184-185 termContext == null), then
+    * rewrites to the reference's exact boolean tree (:200-221):
+    *
+    *   Bool( MUST  Boost(Bool(low terms @ lowOccur, msm=lowMsm), lowBoost),
+    *         SHOULD Boost(Bool(high terms @ highOccur, msm=highMsm), highBoost) )
+    *
+    * msm is computed only for SHOULD groups: a fractional value < 1
+    * rounds against the group size (:135-141 Math.round), ≥ 1 truncates.
+    * When the low group is empty and highMsm == 0, the high occur is
+    * FORCED to MUST (:202-206 — high-freq-only queries must match all).
+    * Empty input → MatchNone; a single term → plain TermQuery (:96-100).
+    *
+    * The df lookups are the engine's distributed term stats (pruned
+    * reads); the rewrite itself is O(|terms|) on the driver.
+    */
+  def commonTermsQuery(terms: Seq[String], maxTermFrequency: Float,
+      highFreqMust: Boolean = false, lowFreqMust: Boolean = false,
+      lowFreqMinShouldMatch: Float = 0f,
+      highFreqMinShouldMatch: Float = 0f,
+      lowFreqBoost: Float = 1f, highFreqBoost: Float = 1f): Query = {
+    if (terms.isEmpty) return MatchNoneQ
+    if (terms.size == 1) return TermQ(terms.head)
+    val st = stats(terms.toSet)
+    val maxDoc = m.docCount
+    val cutoff = math.ceil((maxTermFrequency * maxDoc.toFloat).toDouble).toInt
+    val (high, low) = terms.partition { t =>
+      st.get(t).map(_._1).exists(df =>
+        (maxTermFrequency >= 1f && df > maxTermFrequency) || df > cutoff)
+    }
+    def minNr(f: Float, numOptional: Int): Int =
+      if (f >= 1f || f == 0f) f.toInt else math.round(f * numOptional)
+    val lowMsm =
+      if (!lowFreqMust && low.nonEmpty) minNr(lowFreqMinShouldMatch, low.size)
+      else 0
+    val highMsm =
+      if (!highFreqMust && high.nonEmpty)
+        minNr(highFreqMinShouldMatch, high.size)
+      else 0
+    // low group empty + no high msm → every high term becomes required
+    val highAsMust = highFreqMust || (low.isEmpty && highMsm == 0)
+    def group(ts: Seq[String], must: Boolean, msm: Int, b: Float): Query = {
+      val inner =
+        if (must) BoolQ(must = Query.terms(ts: _*))
+        else BoolQ(should = Query.terms(ts: _*), minShouldMatch = msm)
+      if (b == 1f) inner else BoostQ(inner, b)
+    }
+    val mustClause =
+      if (low.isEmpty) Nil
+      else Seq(group(low, lowFreqMust, lowMsm, lowFreqBoost))
+    val shouldClause =
+      if (high.isEmpty) Nil
+      else Seq(group(high, highAsMust, highMsm, highFreqBoost))
+    BoolQ(must = mustClause, should = shouldClause)
+  }
+
   /** Sorted in-memory term dictionary — the BlockTree terms-dict analog
     * for multi-term expansion. Loaded ONCE per Searcher when the
     * vocabulary fits `maxDictTerms` (round 1 ran a filter+orderBy+limit
@@ -1451,6 +1517,7 @@ final class Searcher(private[search] val spark: SparkSession,
       case DisMaxQ(cs, t) => DisMaxQ(cs.map(go), t)
       case BoostQ(i, b) => BoostQ(go(i), b)
       case ConstScoreQ(i, s) => ConstScoreQ(go(i), s)
+      case BoostingQ(mq, c, b) => BoostingQ(go(mq), go(c), b)
       // SpanMultiTermQueryWrapper (`spans/SpanMultiTermQueryWrapper
       // .java:51`): a multi-term query inside a span tree expands against
       // the dictionary into a Span.Or of term leaves (the reference's
