@@ -257,6 +257,109 @@ FROM (SELECT DISTINCT doc_id FROM tok WHERE term IN ($in))
 ORDER BY doc_id LIMIT $k"""
   }
 
+  /** A ValueSrc as REAL-cast SQL over a `documents` row aliased `alias` —
+    * one CAST(... AS REAL) per float op, mirroring ValueSources.toColumn
+    * node for node (laws cited on the case classes). `queryRef` resolves
+    * QueryV nodes to a score expression the caller has CTE'd.
+    */
+  def vsSql(vs: graft.search.ValueSrc, alias: String,
+      queryRef: graft.search.QueryV => String =
+        qv => sys.error(s"no oracle ref for $qv")): String = {
+    import graft.search._
+    def go(v: ValueSrc): String = v match {
+      case ConstV(c) => R(c.toString)
+      case FieldV(f) => R(s"$alias.$f")
+      case SumV(xs) => xs.map(go).reduceLeft((a, b) => R(s"$a + $b"))
+      case ProductV(xs) => xs.map(go).reduceLeft((a, b) => R(s"$a * $b"))
+      case DivV(a, b) => R(s"${go(a)} / ${go(b)}")
+      case PowV(a, b) => R(s"pow(${go(a)}, ${go(b)})")
+      case MaxV(xs) => xs.map(go).reduceLeft((a, b) => R(s"greatest($a, $b)"))
+      case MinV(xs) => xs.map(go).reduceLeft((a, b) => R(s"least($a, $b)"))
+      case LinearV(x, s, i) =>
+        R(s"${R(s"${go(x)} * ${R(s.toString)}")} + ${R(i.toString)}")
+      case RecipV(x, m, a, b) =>
+        R(s"${R(a.toString)} / ${R(s"${R(s"${R(m.toString)} * ${go(x)}")} + ${R(b.toString)}")}")
+      case RangeMapV(x, mn, mx, tgt, dflt) =>
+        val xe = go(x)
+        val other = dflt.map(d => R(d.toString)).getOrElse(xe)
+        s"(CASE WHEN $xe >= ${R(mn.toString)} AND $xe <= ${R(mx.toString)} THEN ${R(tgt.toString)} ELSE $other END)"
+      case ScaleV(x, mn, mx) =>
+        // corpus min/max of the source (float min/max ≡ min/max then cast
+        // for these monotone expressions), then the reference's scale law
+        val inner2 = vsSql(x, "d2", queryRef)
+        val minS = R(s"(SELECT min($inner2) FROM documents d2)")
+        val maxS = R(s"(SELECT max($inner2) FROM documents d2)")
+        val span = R(s"$maxS - $minS")
+        val scale =
+          s"(CASE WHEN $span = 0 THEN ${R("0")} ELSE ${R(s"${R(s"${R(mx.toString)} - ${R(mn.toString)}")} / $span")} END)"
+        R(s"${R(s"${R(s"${go(x)} - $minS")} * $scale")} + ${R(mn.toString)}")
+      case Log10V(x) => R(s"log10(${go(x)})")
+      case LnV(x) => R(s"ln(${go(x)})")
+      case SqrtV(x) => R(s"sqrt(${go(x)})")
+      case AbsV(x) => R(s"abs(${go(x)})")
+      case qv: QueryV => queryRef(qv)
+    }
+    go(vs)
+  }
+
+  /** FunctionQuery (`function/FunctionQuery.java:46-120`): every doc,
+    * score = the value. No tokenization needed unless the tree embeds
+    * QueryV terms — pass them via `termVs` (term → defVal), each gets a
+    * score CTE and a COALESCE lookup.
+    */
+  def functionQuery(vs: graft.search.ValueSrc, k: Int,
+      termVs: Seq[String] = Nil): String = {
+    import graft.search._
+    val names = termVs.distinct.sorted.zipWithIndex
+      .map { case (t, i) => t -> s"qv$i" }.toMap
+    val pro =
+      if (termVs.isEmpty) ""
+      else prologue + names.toSeq.sortBy(_._2)
+        .map { case (t, n) => termCtes(n, t) }.mkString + " "
+    val ref: QueryV => String = {
+      case QueryV(TermQ(t), d) if names.contains(t) =>
+        R(s"COALESCE((SELECT s FROM sc_${names(t)} WHERE sc_${names(t)}.doc_id = d.doc_id), ${R(d.toString)})")
+      case qv => sys.error(s"oracle supports QueryV(TermQ) only, got $qv")
+    }
+    s"""${pro}SELECT d.doc_id AS doc_id, CAST(${vsSql(vs, "d", ref)} AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY ${vsSql(vs, "d", ref)} DESC, d.doc_id) AS INT) AS rnk
+FROM documents d ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** BoostedQuery (`function/BoostedQuery.java:72-115`): the or-group's
+    * float score × the value, one float multiply.
+    */
+  def boostedOr(terms: Seq[String], vs: graft.search.ValueSrc,
+      k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), sa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT sa.doc_id, ${R(s"sa.s * ${vsSql(vs, "d")}")} AS s
+  FROM sa JOIN documents d ON sa.doc_id = d.doc_id
+)""" + finish("res", k)
+  }
+
+  /** FunctionRangeQuery (`function/FunctionRangeQuery.java:40-96`):
+    * value in [lower, upper], score = value.
+    */
+  def functionRange(vs: graft.search.ValueSrc, lower: Float, upper: Float,
+      k: Int, inclLower: Boolean = true, inclUpper: Boolean = true): String = {
+    val e = vsSql(vs, "d")
+    val lo = if (inclLower) ">=" else ">"
+    val hi = if (inclUpper) "<=" else "<"
+    s"""SELECT doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk
+FROM (SELECT d.doc_id AS doc_id, $e AS s FROM documents d
+      WHERE $e $lo ${R(lower.toString)} AND $e $hi ${R(upper.toString)})
+ORDER BY s DESC, doc_id LIMIT $k"""
+  }
+
   /** MUST m FILTER f: filter matches without contributing score. */
   def mustFilter(m: String, f: String, k: Int): String =
     prologue + termCtes("m", m) + termCtes("f", f) +

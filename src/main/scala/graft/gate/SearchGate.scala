@@ -203,6 +203,25 @@ object SearchGate {
       TermQ("batch"), 0.4f)),
     // TermsQuery: const-score membership in a term set
     "q_terms_set" -> seg(Query.termsSet(Seq("dup", "key"))),
+    // FunctionQuery over the docs column store: every doc, score =
+    // 1000/(n_chars+1) — the recip length-prior workhorse
+    "q_func_recip" -> seg(FunctionQ(RecipV(FieldV("n_chars"), 1f, 1000f, 1f))),
+    // corpus-scaled value: scale(n_chars, 0, 100) — exercises the eager
+    // distributed min/max stats walk
+    "q_func_scale" -> seg(FunctionQ(ScaleV(FieldV("n_chars"), 0f, 100f))),
+    // BoostedQuery: BM25 disjunction × per-doc length demotion (Solr
+    // boost= param), one float multiply per match
+    "q_func_boost" -> seg(FuncBoostedQ(
+      Query.or(TermQ("spark"), TermQ("key")),
+      RecipV(FieldV("n_chars"), 0.01f, 5f, 1f))),
+    // frange over a linear transform of a docvalue
+    "q_func_range" -> seg(FunctionRangeQ(
+      LinearV(FieldV("n_chars"), 0.5f, 10f), 100f, 200f)),
+    // relevance mixed into arithmetic: query($q, 0) + recip(length) —
+    // the QueryV bridge (Solr `query()` function)
+    "q_func_query_vs" -> seg(FunctionQ(SumV(Seq(
+      QueryV(TermQ("spark"), 0f),
+      RecipV(FieldV("n_chars"), 1f, 500f, 1f))))),
     "q_bm25_must_should" -> seg(BoolQ(must = Seq(TermQ("dup")),
       should = Seq(TermQ("spark"), TermQ("key")))),
     "q_bm25_must_should_msm" -> seg(BoolQ(must = Seq(TermQ("batch")),
@@ -682,6 +701,17 @@ object SearchGate {
       lowMsm = 1, highMsm = 1, lowBoost = 1f, highBoost = 0.3f, k = K),
     "q_boosting" -> Oracles.boosting(Seq("spark", "key"), "batch", 0.4f, K),
     "q_terms_set" -> Oracles.termsSet(Seq("dup", "key"), K),
+    "q_func_recip" -> Oracles.functionQuery(
+      RecipV(FieldV("n_chars"), 1f, 1000f, 1f), K),
+    "q_func_scale" -> Oracles.functionQuery(
+      ScaleV(FieldV("n_chars"), 0f, 100f), K),
+    "q_func_boost" -> Oracles.boostedOr(Seq("spark", "key"),
+      RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
+    "q_func_range" -> Oracles.functionRange(
+      LinearV(FieldV("n_chars"), 0.5f, 10f), 100f, 200f, K),
+    "q_func_query_vs" -> Oracles.functionQuery(SumV(Seq(
+      QueryV(TermQ("spark"), 0f),
+      RecipV(FieldV("n_chars"), 1f, 500f, 1f))), K, termVs = Seq("spark")),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),

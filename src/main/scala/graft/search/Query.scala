@@ -70,6 +70,29 @@ final case class BoostQ(query: Query, boost: Float) extends Query
 /** Matches like `query` but scores a constant (ConstantScoreQuery.java:34). */
 final case class ConstScoreQ(query: Query, score: Float = 1f) extends Query
 
+/** FunctionQuery (`queries/function/FunctionQuery.java:46-120`): matches
+  * EVERY doc; score = the value source's float value (queryWeight 1).
+  * NaN/-Inf scores map to -Float.MAX_VALUE (:113-117 — the reference's
+  * priority queues can't order NaN). Top-level only — evaluates as a
+  * column-pruned scan + top-k over the docs table, never via postings.
+  */
+final case class FunctionQ(vs: ValueSrc) extends Query
+
+/** BoostedQuery (`queries/function/BoostedQuery.java:72-115`, Solr's
+  * `boost` param): matches exactly like `query`; score = subquery score ×
+  * the value source's float value (one float multiply, :113).
+  */
+final case class FuncBoostedQ(query: Query, vs: ValueSrc) extends Query
+
+/** FunctionRangeQuery (`queries/function/FunctionRangeQuery.java:40-96`,
+  * Solr's `{!frange}`): matches docs whose value lands in
+  * [lower, upper] (float comparisons, inclusivity flags per bound,
+  * `FunctionValues.getRangeScorer`); score = the value itself with the
+  * ValueSourceScorer NaN/-Inf guard (`ValueSourceScorer.java:77-81`).
+  */
+final case class FunctionRangeQ(vs: ValueSrc, lower: Float, upper: Float,
+    inclLower: Boolean = true, inclUpper: Boolean = true) extends Query
+
 /** BoostingQuery (`queries/BoostingQuery.java:29-107`): matches and
   * scores exactly like `matchQ`; a doc ALSO matched by `context` gets
   * its score multiplied by `boost` (a demotion when boost < 1 — the
@@ -438,6 +461,9 @@ object Query {
     case ConstScoreQ(inner, sc) =>
       val i = rewriteOnce(inner)
       if (i == MatchNoneQ) MatchNoneQ else ConstScoreQ(i, sc)
+    case FuncBoostedQ(iq, vs) =>
+      val i = rewriteOnce(iq)
+      if (i == MatchNoneQ) MatchNoneQ else FuncBoostedQ(i, vs)
     case BoostingQ(mq, c, b) =>
       val m = rewriteOnce(mq)
       val c2 = rewriteOnce(c)

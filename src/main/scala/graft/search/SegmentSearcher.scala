@@ -337,6 +337,11 @@ object SegmentSearcher {
       else new DisMaxScorer(subs, tie)
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
+    case _: FunctionQ | _: FuncBoostedQ | _: FunctionRangeQ =>
+      throw new IllegalArgumentException(
+        "function queries are top-level only: they evaluate over the docs " +
+          "column store (Searcher.searchFunction/searchBoosted/" +
+          "searchFunctionRange), not the postings scorer tree")
     case BoostingQ(mq, ctx, b) =>
       val r = buildScorer(mq, shard, blobs, plan, boost)
       if (r eq EmptyScorer) EmptyScorer
@@ -1573,6 +1578,26 @@ final class Searcher(private[search] val spark: SparkSession,
   def search(q0: Query, k: Int, after: Option[(Double, Long)] = None,
       useWand: Boolean = true, sim0: Int = SegmentSearcher.SimBm25,
       multiSims: Seq[Int] = Nil): Array[Hit] = {
+    // function queries evaluate over the docs column store, not the
+    // postings scorer tree — dispatch before plan building
+    q0 match {
+      case FunctionQ(vs) =>
+        require(after.isEmpty && multiSims.isEmpty &&
+          sim0 == SegmentSearcher.SimBm25,
+          "function queries support no paging or similarity overrides")
+        return searchFunction(vs, k)
+      case FuncBoostedQ(iq, vs) =>
+        require(after.isEmpty && multiSims.isEmpty &&
+          sim0 == SegmentSearcher.SimBm25,
+          "BoostedQuery scores its subquery under BM25, no paging")
+        return searchBoosted(iq, vs, k)
+      case FunctionRangeQ(vs, l, u, il, iu) =>
+        require(after.isEmpty && multiSims.isEmpty &&
+          sim0 == SegmentSearcher.SimBm25,
+          "function queries support no paging or similarity overrides")
+        return searchFunctionRange(vs, l, u, il, iu, k)
+      case _ =>
+    }
     // a non-empty component list selects MultiSimilarity (CombSUM)
     val sim = if (multiSims.nonEmpty) SegmentSearcher.SimMulti else sim0
     if (multiSims.nonEmpty) {
@@ -1748,6 +1773,16 @@ final class Searcher(private[search] val spark: SparkSession,
     * back ONE long per shard.
     */
   def count(q0: Query): Long = {
+    q0 match {
+      case FunctionQ(_) => return m.docCount // every doc matches
+      case FuncBoostedQ(iq, _) => return count(iq) // vs never changes matching
+      case FunctionRangeQ(vs, l, u, il, iu) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val lo = if (il) col("v") >= lit(l) else col("v") > lit(l)
+        val hi = if (iu) col("v") <= lit(u) else col("v") < lit(u)
+        return functionDf(vs).filter(lo && hi).count()
+      case _ =>
+    }
     var q = Query.rewrite(q0)
     q = Query.rewrite(expandMultiTerm(q))
     if (q == MatchNoneQ) return 0L
@@ -2232,6 +2267,244 @@ final class Searcher(private[search] val spark: SparkSession,
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
   }
+
+  // ---------- function queries (queries/function/, Solr boost/bf/frange) ----------
+
+  /** Corpus (min, max) of a ScaleV's source, computed ONCE per Searcher —
+    * the reference's createWeight walk over every doc
+    * (`ScaleFloatFunction.java:58-97`) as one distributed min/max
+    * aggregate (NaN/±Inf excluded, :76-80; empty corpus → (0,0), :90-92).
+    */
+  private val scaleStatsCache =
+    scala.collection.concurrent.TrieMap.empty[ScaleV, (Float, Float)]
+
+  /** All matches of `q` with their BM25 scores as a DataFrame
+    * (docId, ms float) — the streaming form of search(): match streams
+    * flow out of the shard tasks (never centralizing), exactly the
+    * searchByFieldDistributed shape. Used as the relevance input to
+    * function-query arithmetic (QueryV joins, BoostedQuery multiply).
+    */
+  private[search] def matchScoresDf(q0: Query): DataFrame = {
+    import spark.implicits._
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    val emptyDf = spark.emptyDataset[(Long, Float)].toDF("docId", "ms")
+    if (q == MatchNoneQ) return emptyDf
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return emptyDf
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return emptyDf
+    val bPlan = spark.sparkContext.broadcast(plan)
+    shardRows(present, plan, forceAllShards = false)
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val p = bPlan.value
+        val scorer = SegmentSearcher.buildScorer(p.query,
+          if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
+        Iterator.continually(scorer.nextDoc())
+          .takeWhile(_ != DocScorer.NO_MORE)
+          .map(d => (d, scorer.score))
+      }
+      .toDF("docId", "ms")
+  }
+
+  /** The value source evaluated over the whole corpus: (docId, v float).
+    * A column-pruned parquet read of ONLY the referenced docvalue fields
+    * + whole-stage-codegen float arithmetic; QueryV nodes join their
+    * match-score streams in (left join + defVal coalesce,
+    * `QueryValueSource.java:82-104`).
+    */
+  def functionDf(vs: ValueSrc): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, coalesce, isnan, min => smin, max => smax}
+    val fields = ValueSources.fieldsOf(vs)
+    var base = docsDf.select((col("docId") +: fields.toSeq.sorted.map(col)): _*)
+    val qvs = ValueSources.queriesOf(vs).distinct
+    val qvCol = qvs.zipWithIndex.map { case (qv, i) => qv -> s"_qv$i" }.toMap
+    qvs.foreach { qv =>
+      val name = qvCol(qv)
+      base = base.join(
+        matchScoresDf(qv.q).withColumnRenamed("ms", name), Seq("docId"), "left")
+    }
+    lazy val ctx: ValueSources.ColCtx = ValueSources.ColCtx(
+      field = f => col(f),
+      queryScore = qv => coalesce(col(qvCol(qv)), lit(qv.defVal))
+        .cast(org.apache.spark.sql.types.FloatType),
+      scaleStats = scaleFor)
+    def scaleFor(sc: ScaleV): (Float, Float) =
+      scaleStatsCache.getOrElseUpdate(sc, {
+        val xc = ValueSources.toColumn(sc.x, ctx)
+        val finite = base.select(xc.as("x"))
+          .filter(!isnan(col("x")) && col("x") =!= Float.PositiveInfinity &&
+            col("x") =!= Float.NegativeInfinity)
+          .agg(smin("x"), smax("x")).head()
+        if (finite.isNullAt(0)) (0f, 0f)
+        else (finite.getFloat(0), finite.getFloat(1))
+      })
+    // post-order fill so nested ScaleV stats exist before parents need them
+    def fill(v: ValueSrc): Unit = v match {
+      case sc: ScaleV => fill(sc.x); scaleFor(sc); ()
+      case SumV(xs) => xs.foreach(fill)
+      case ProductV(xs) => xs.foreach(fill)
+      case MaxV(xs) => xs.foreach(fill)
+      case MinV(xs) => xs.foreach(fill)
+      case DivV(a, b) => fill(a); fill(b)
+      case PowV(a, b) => fill(a); fill(b)
+      case LinearV(x, _, _) => fill(x)
+      case RecipV(x, _, _, _) => fill(x)
+      case RangeMapV(x, _, _, _, _) => fill(x)
+      case Log10V(x) => fill(x)
+      case LnV(x) => fill(x)
+      case SqrtV(x) => fill(x)
+      case AbsV(x) => fill(x)
+      case _ => ()
+    }
+    fill(vs)
+    base.select(col("docId"), ValueSources.toColumn(vs, ctx).as("v"))
+  }
+
+  /** FunctionQuery search (`FunctionQuery.java:46-120`): every doc
+    * matches, score = float value, NaN/-Inf → -Float.MAX_VALUE
+    * (:113-117). Top-k = TakeOrderedAndProject over the function scan —
+    * nothing doc-count-sized reaches the driver.
+    */
+  def searchFunction(vs: ValueSrc, k: Int): Array[Hit] = {
+    import org.apache.spark.sql.functions.{col, lit, when, isnan}
+    functionDf(vs)
+      .select(col("docId"),
+        // Spark comparisons rank NaN ABOVE +Inf (unlike Java, where any
+        // NaN comparison is false) — test NaN explicitly
+        when(isnan(col("v")) || col("v") === lit(Float.NegativeInfinity),
+          lit(-Float.MaxValue)).otherwise(col("v")).as("s"))
+      .orderBy(col("s").desc, col("docId").asc)
+      .limit(k)
+      .collect()
+      .map(r => Hit(r.getLong(0), r.getFloat(1).toDouble))
+  }
+
+  /** FunctionRangeQuery search (`FunctionRangeQuery.java:40-96`): match =
+    * value in [lower, upper] (float comparisons, per-bound inclusivity),
+    * score = the value with the ValueSourceScorer guard. A filter over
+    * the function scan + top-k.
+    */
+  def searchFunctionRange(vs: ValueSrc, lower: Float, upper: Float,
+      inclLower: Boolean = true, inclUpper: Boolean = true,
+      k: Int = 10): Array[Hit] = {
+    import org.apache.spark.sql.functions.{col, lit, when, isnan}
+    val lo = if (inclLower) col("v") >= lit(lower) else col("v") > lit(lower)
+    val hi = if (inclUpper) col("v") <= lit(upper) else col("v") < lit(upper)
+    functionDf(vs)
+      .filter(lo && hi)
+      .select(col("docId"),
+        // Spark comparisons rank NaN ABOVE +Inf (unlike Java, where any
+        // NaN comparison is false) — test NaN explicitly
+        when(isnan(col("v")) || col("v") === lit(Float.NegativeInfinity),
+          lit(-Float.MaxValue)).otherwise(col("v")).as("s"))
+      .orderBy(col("s").desc, col("docId").asc)
+      .limit(k)
+      .collect()
+      .map(r => Hit(r.getLong(0), r.getFloat(1).toDouble))
+  }
+
+  /** BoostedQuery search (`BoostedQuery.java:72-115`, Solr `boost=`):
+    * matches like `q0`, score = match score × value (one float multiply,
+    * :113). The multiplier can reorder matches arbitrarily, so EVERY
+    * match is scored before top-k (WAND off — its bounds don't survive
+    * an unbounded per-doc multiplier):
+    *  - small index (postings + docvalues fit `maxLocalBytes`): local
+    *    scorer walk × dense docvalue arrays, bounded heap;
+    *  - else: the match-score stream joins the function scan
+    *    executor-side, top-k via TakeOrderedAndProject.
+    * The spec pins both paths equal.
+    */
+  def searchBoosted(q0: Query, vs: ValueSrc, k: Int): Array[Hit] = {
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+
+    val innerQs = ValueSources.queriesOf(vs).map(_.q)
+    def fitsLocal(iq: Query): Boolean = {
+      val its = Query.literalTerms(iq)
+      val ist = stats(its)
+      val pr = its.filter(ist.contains)
+      pr.isEmpty || estPostingBytes(ist, pr) <= maxLocalBytes
+    }
+    val localOk = dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) &&
+      innerQs.forall(fitsLocal)
+    if (localOk) {
+      val fval = ValueSources.evalLocal(vs, localVsCtx())
+      def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+        val queue = new BoundedHitQueue(k)
+        val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
+        var d = scorer.nextDoc()
+        while (d != DocScorer.NO_MORE) {
+          queue.insert(d, (scorer.score * fval(d)).toDouble)
+          d = scorer.nextDoc()
+        }
+        queue.sortedHits
+      }
+      val partials: Seq[Array[Hit]] =
+        if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+        else {
+          val rows = fetchRows(present)
+          if (rows.isEmpty) Nil
+          else if (!plan.sharded)
+            Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+          else (0 until plan.numShards).flatMap { s =>
+            val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+              .map(r => r.term -> r).toMap
+            if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+          }
+        }
+      TopK.merge(partials, k)
+    } else {
+      import org.apache.spark.sql.functions.col
+      matchScoresDf(q)
+        .join(functionDf(vs), "docId")
+        .select(col("docId"), (col("ms") * col("v"))
+          .cast(org.apache.spark.sql.types.FloatType).as("s"))
+        .orderBy(col("s").desc, col("docId").asc)
+        .limit(k)
+        .collect()
+        .map(r => Hit(r.getLong(0), r.getFloat(1).toDouble))
+    }
+  }
+
+  /** Driver-local evaluation context: dense docvalue arrays, QueryV
+    * scores materialized by a local exhaustive walk, and the SAME
+    * eagerly-computed scale stats as the Column path (one cached
+    * aggregate per ScaleV — min/max is order-insensitive, so sharing the
+    * distributed numbers keeps the two paths bit-identical by
+    * construction).
+    */
+  private def localVsCtx(): ValueSources.LocalCtx = ValueSources.LocalCtx(
+    field = f => { val g = docValues(f); d => g(d).toFloat },
+    queryScore = qv => {
+      val scores = new scala.collection.mutable.LongMap[Float]()
+      matchScoresDf(qv.q).collect()
+        .foreach(r => scores(r.getLong(0)) = r.getFloat(1))
+      d => scores.getOrElse(d, qv.defVal)
+    },
+    scaleStats = sc => scaleStatsCache.getOrElseUpdate(sc, {
+      // route through functionDf's aggregate so both paths share numbers
+      functionDf(sc); scaleStatsCache(sc)
+    }))
 
   def close(): Unit = {
     if (cacheSegments) {

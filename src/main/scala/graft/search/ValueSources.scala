@@ -1,0 +1,255 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** The function-query value sources (`lucene/queries/.../function/
+  * valuesource/`, Solr's function-query surface): per-doc float values
+  * composed from docvalue fields, constants, arithmetic, and subquery
+  * scores. Every node reproduces the reference's FLOAT arithmetic law at
+  * its cited line; each op is a single float32 rounding step, so the
+  * DataFrame evaluation (FloatType columns), the driver-local evaluation
+  * (Scala Float), and the DuckDB oracle (REAL casts) are bit-identical.
+  *
+  * Scale shape: a ValueSrc evaluates as a Catalyst Column over the
+  * index's docs table — a column-pruned parquet scan reading ONLY the
+  * referenced fields, with whole-stage codegen over the arithmetic. No
+  * per-doc driver work at any corpus size.
+  */
+sealed trait ValueSrc
+
+/** ConstValueSource (`valuesource/ConstValueSource.java:33`). */
+final case class ConstV(v: Float) extends ValueSrc
+
+/** Numeric docvalue field as float — LongFieldSource.floatVal's
+  * `(float) longVal` (`valuesource/LongFieldSource.java:72`).
+  */
+final case class FieldV(field: String) extends ValueSrc
+
+/** Left-fold float sum (`valuesource/SumFloatFunction.java:36-42`). */
+final case class SumV(xs: Seq[ValueSrc]) extends ValueSrc
+
+/** Left-fold float product (`ProductFloatFunction.java:36-42`). */
+final case class ProductV(xs: Seq[ValueSrc]) extends ValueSrc
+
+/** Float a/b (`DivFloatFunction.java:39-41`). */
+final case class DivV(a: ValueSrc, b: ValueSrc) extends ValueSrc
+
+/** `(float) Math.pow(a, b)` (`PowFloatFunction.java:39-41`). */
+final case class PowV(a: ValueSrc, b: ValueSrc) extends ValueSrc
+
+/** Running float max over the sources (`MaxFloatFunction.java:36-45`). */
+final case class MaxV(xs: Seq[ValueSrc]) extends ValueSrc
+
+/** Running float min over the sources (`MinFloatFunction.java:36-45`). */
+final case class MinV(xs: Seq[ValueSrc]) extends ValueSrc
+
+/** `x*slope + intercept`, float mult then float add
+  * (`LinearFloatFunction.java:57`).
+  */
+final case class LinearV(x: ValueSrc, slope: Float, intercept: Float)
+  extends ValueSrc
+
+/** `a/(m*x + b)` — the recency/length-demotion workhorse
+  * (`ReciprocalFloatFunction.java:60`).
+  */
+final case class RecipV(x: ValueSrc, m: Float, a: Float, b: Float)
+  extends ValueSrc
+
+/** `val in [min,max] ? target : (default | val)`, float comparisons
+  * (`RangeMapFloatFunction.java:74-76`).
+  */
+final case class RangeMapV(x: ValueSrc, min: Float, max: Float,
+    target: Float, default: Option[Float]) extends ValueSrc
+
+/** Scales x's values across the WHOLE corpus into [min,max]
+  * (`ScaleFloatFunction.java:58-127`): corpus minSrc/maxSrc are computed
+  * eagerly (the reference's createWeight walk over every doc — here one
+  * distributed min/max aggregate), then per doc
+  * `(v - minSrc)*scale + min` with
+  * `scale = maxSrc==minSrc ? 0 : (max-min)/(maxSrc-minSrc)`. NaN/±Inf
+  * source values are excluded from the corpus min/max (:76-80).
+  */
+final case class ScaleV(x: ValueSrc, min: Float, max: Float) extends ValueSrc
+
+/** Solr's log(x): `(float) Math.log10(x)` (Solr ValueSourceParser "log"
+  * → Log10 via SimpleFloatFunction).
+  */
+final case class Log10V(x: ValueSrc) extends ValueSrc
+
+/** Solr's ln(x): `(float) Math.log(x)`. */
+final case class LnV(x: ValueSrc) extends ValueSrc
+
+/** Solr's sqrt(x): `(float) Math.sqrt(x)`. */
+final case class SqrtV(x: ValueSrc) extends ValueSrc
+
+/** Solr's abs(x): `Math.abs(x)` on the float. */
+final case class AbsV(x: ValueSrc) extends ValueSrc
+
+/** Subquery relevance score, or `defVal` for non-matching docs —
+  * QueryValueSource (`valuesource/QueryValueSource.java:55-120`,
+  * Solr's `query($q, def)`): the bridge that mixes relevance into
+  * arithmetic (e.g. `sum(query($q), recip(age,...))`).
+  */
+final case class QueryV(q: Query, defVal: Float = 0f) extends ValueSrc
+
+object ValueSources {
+
+  /** Docvalue fields referenced anywhere in the tree (for the pruned
+    * column read).
+    */
+  def fieldsOf(vs: ValueSrc): Set[String] = vs match {
+    case FieldV(f) => Set(f)
+    case SumV(xs) => xs.flatMap(fieldsOf).toSet
+    case ProductV(xs) => xs.flatMap(fieldsOf).toSet
+    case MaxV(xs) => xs.flatMap(fieldsOf).toSet
+    case MinV(xs) => xs.flatMap(fieldsOf).toSet
+    case DivV(a, b) => fieldsOf(a) ++ fieldsOf(b)
+    case PowV(a, b) => fieldsOf(a) ++ fieldsOf(b)
+    case LinearV(x, _, _) => fieldsOf(x)
+    case RecipV(x, _, _, _) => fieldsOf(x)
+    case RangeMapV(x, _, _, _, _) => fieldsOf(x)
+    case ScaleV(x, _, _) => fieldsOf(x)
+    case Log10V(x) => fieldsOf(x)
+    case LnV(x) => fieldsOf(x)
+    case SqrtV(x) => fieldsOf(x)
+    case AbsV(x) => fieldsOf(x)
+    case _ => Set.empty
+  }
+
+  /** QueryV nodes in the tree, in deterministic (pre-order) order. */
+  def queriesOf(vs: ValueSrc): Seq[QueryV] = vs match {
+    case q: QueryV => Seq(q)
+    case SumV(xs) => xs.flatMap(queriesOf)
+    case ProductV(xs) => xs.flatMap(queriesOf)
+    case MaxV(xs) => xs.flatMap(queriesOf)
+    case MinV(xs) => xs.flatMap(queriesOf)
+    case DivV(a, b) => queriesOf(a) ++ queriesOf(b)
+    case PowV(a, b) => queriesOf(a) ++ queriesOf(b)
+    case LinearV(x, _, _) => queriesOf(x)
+    case RecipV(x, _, _, _) => queriesOf(x)
+    case RangeMapV(x, _, _, _, _) => queriesOf(x)
+    case ScaleV(x, _, _) => queriesOf(x)
+    case Log10V(x) => queriesOf(x)
+    case LnV(x) => queriesOf(x)
+    case SqrtV(x) => queriesOf(x)
+    case AbsV(x) => queriesOf(x)
+    case _ => Nil
+  }
+
+  /** Evaluation context for the Column form. `field` resolves a docvalue
+    * column, `queryScore` resolves a QueryV to its (pre-joined) score
+    * column, `scaleStats` supplies the eagerly-computed corpus (min, max)
+    * of a ScaleV's source.
+    */
+  final case class ColCtx(field: String => Column,
+      queryScore: QueryV => Column,
+      scaleStats: ScaleV => (Float, Float))
+
+  private def f32(c: Column): Column = c.cast(FloatType)
+
+  /** The ValueSrc as a FloatType Catalyst Column — every node is one
+    * float32-rounded step, matching the reference law cited on the case
+    * class. (+,-,*,/,sqrt computed in double then rounded to float are
+    * correctly rounded — standard double-rounding-safety for p=24 ops in
+    * p=53 — so Spark's type promotions cannot diverge from Java floats.)
+    */
+  def toColumn(vs: ValueSrc, ctx: ColCtx): Column = vs match {
+    case ConstV(v) => lit(v)
+    case FieldV(f) => f32(ctx.field(f))
+    case SumV(xs) =>
+      xs.map(toColumn(_, ctx)).reduceLeft((a, b) => f32(a + b))
+    case ProductV(xs) =>
+      xs.map(toColumn(_, ctx)).reduceLeft((a, b) => f32(a * b))
+    case DivV(a, b) => f32(toColumn(a, ctx) / toColumn(b, ctx))
+    case PowV(a, b) =>
+      f32(pow(toColumn(a, ctx).cast(DoubleType), toColumn(b, ctx).cast(DoubleType)))
+    case MaxV(xs) =>
+      xs.map(toColumn(_, ctx)).reduceLeft((a, b) => f32(greatest(a, b)))
+    case MinV(xs) =>
+      xs.map(toColumn(_, ctx)).reduceLeft((a, b) => f32(least(a, b)))
+    case LinearV(x, s, i) => f32(f32(toColumn(x, ctx) * lit(s)) + lit(i))
+    case RecipV(x, m, a, b) =>
+      f32(lit(a) / f32(f32(lit(m) * toColumn(x, ctx)) + lit(b)))
+    case RangeMapV(x, mn, mx, tgt, dflt) =>
+      val v = toColumn(x, ctx)
+      when(v >= lit(mn) && v <= lit(mx), lit(tgt))
+        .otherwise(dflt.map(lit(_)).getOrElse(v))
+    case sc @ ScaleV(x, mn, mx) =>
+      val (minSrc, maxSrc) = ctx.scaleStats(sc)
+      val scale = if (maxSrc - minSrc == 0f) 0f else (mx - mn) / (maxSrc - minSrc)
+      f32(f32(f32(toColumn(x, ctx) - lit(minSrc)) * lit(scale)) + lit(mn))
+    // Spark's log/log10 return NULL for non-positive input (Hive
+    // semantics); Java returns -Inf at 0 and NaN below — restore the
+    // Math.log law explicitly so NaN propagates like the JVM's
+    case Log10V(x) =>
+      val c = toColumn(x, ctx).cast(DoubleType)
+      f32(when(c > lit(0d), log10(c))
+        .when(c === lit(0d), lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+    case LnV(x) =>
+      val c = toColumn(x, ctx).cast(DoubleType)
+      f32(when(c > lit(0d), log(c))
+        .when(c === lit(0d), lit(Double.NegativeInfinity))
+        .otherwise(lit(Double.NaN)))
+    case SqrtV(x) => f32(sqrt(toColumn(x, ctx).cast(DoubleType)))
+    case AbsV(x) => f32(abs(toColumn(x, ctx)))
+    case q: QueryV => ctx.queryScore(q)
+  }
+
+  /** Evaluation context for the driver-local form (small-index fast
+    * path): dense docvalue lookups, materialized QueryV score maps, and
+    * the same eagerly-computed scale stats.
+    */
+  final case class LocalCtx(field: String => (Long => Float),
+      queryScore: QueryV => (Long => Float),
+      scaleStats: ScaleV => (Float, Float))
+
+  /** Driver-local evaluator — same float law as toColumn; the spec pins
+    * the two equal on every node type.
+    */
+  def evalLocal(vs: ValueSrc, ctx: LocalCtx): Long => Float = vs match {
+    case ConstV(v) => _ => v
+    case FieldV(f) => ctx.field(f)
+    case SumV(xs) =>
+      val fs = xs.map(evalLocal(_, ctx))
+      d => fs.foldLeft(0f)((acc, f) => acc + f(d))
+    case ProductV(xs) =>
+      val fs = xs.map(evalLocal(_, ctx))
+      d => fs.foldLeft(1f)((acc, f) => acc * f(d))
+    case DivV(a, b) =>
+      val (fa, fb) = (evalLocal(a, ctx), evalLocal(b, ctx))
+      d => fa(d) / fb(d)
+    case PowV(a, b) =>
+      val (fa, fb) = (evalLocal(a, ctx), evalLocal(b, ctx))
+      d => math.pow(fa(d), fb(d)).toFloat
+    case MaxV(xs) =>
+      val fs = xs.map(evalLocal(_, ctx))
+      d => fs.map(_(d)).reduceLeft(math.max)
+    case MinV(xs) =>
+      val fs = xs.map(evalLocal(_, ctx))
+      d => fs.map(_(d)).reduceLeft(math.min)
+    case LinearV(x, s, i) =>
+      val fx = evalLocal(x, ctx); d => fx(d) * s + i
+    case RecipV(x, m, a, b) =>
+      val fx = evalLocal(x, ctx); d => a / (m * fx(d) + b)
+    case RangeMapV(x, mn, mx, tgt, dflt) =>
+      val fx = evalLocal(x, ctx)
+      d => { val v = fx(d); if (v >= mn && v <= mx) tgt else dflt.getOrElse(v) }
+    case sc @ ScaleV(x, mn, mx) =>
+      val fx = evalLocal(x, ctx)
+      val (minSrc, maxSrc) = ctx.scaleStats(sc)
+      val scale = if (maxSrc - minSrc == 0f) 0f else (mx - mn) / (maxSrc - minSrc)
+      d => (fx(d) - minSrc) * scale + mn
+    case Log10V(x) =>
+      val fx = evalLocal(x, ctx); d => math.log10(fx(d)).toFloat
+    case LnV(x) =>
+      val fx = evalLocal(x, ctx); d => math.log(fx(d)).toFloat
+    case SqrtV(x) =>
+      val fx = evalLocal(x, ctx); d => math.sqrt(fx(d)).toFloat
+    case AbsV(x) =>
+      val fx = evalLocal(x, ctx); d => math.abs(fx(d))
+    case q: QueryV => ctx.queryScore(q)
+  }
+}

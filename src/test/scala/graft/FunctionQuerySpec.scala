@@ -1,0 +1,178 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.search._
+
+/** Function queries (`lucene/queries/.../function/`) pinned against
+  * from-scratch float recomputations in spec code (independent of both
+  * the Column evaluator and the local evaluator), plus local ↔
+  * forced-distributed parity for BoostedQuery.
+  */
+class FunctionQuerySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private lazy val (dir, nlenOf) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val files = Corpus.generate(140, seed = 1313L)
+    val df = spark.createDataset(files).repartition(4).toDF()
+      .withColumn("nlen", length(col("content")).cast("long"))
+    val ix = IndexBuilder.buildLogical(df, "content", None,
+      Seq("repo", "path", "commit"),
+      BuildConfig(numBuckets = 4, numDocShards = 2, saltThreshold = 1000000L))
+    val d = java.nio.file.Files.createTempDirectory("graft-func").toString
+    IndexBuilder.writeIndex(ix, d, "snap", 1)
+    val nlens = ix.docs.select("docId", "nlen").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ix.unpersistCached(); ix.postings.unpersist()
+    (d, nlens)
+  }
+
+  private lazy val searcher = new Searcher(spark, SegmentSearcher.load(dir))
+  private lazy val distSearcher =
+    new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = false,
+      maxLocalBytes = 0L)
+
+  private val composite: ValueSrc = SumV(Seq(
+    DivV(
+      ProductV(Seq(
+        MaxV(Seq(
+          RecipV(FieldV("nlen"), 0.01f, 5f, 1f),
+          MinV(Seq(
+            LinearV(SqrtV(FieldV("nlen")), 0.5f, 2f),
+            PowV(FieldV("nlen"), ConstV(0.5f)))))),
+        RangeMapV(FieldV("nlen"), 100f, 300f, 7f, None))),
+      SumV(Seq(
+        Log10V(SumV(Seq(
+          DivV(ProductV(Seq(ConstV(0.1f), FieldV("nlen"))), ConstV(1f)),
+          ConstV(1f)))),
+        ConstV(1f)))),
+    AbsV(ConstV(-3f))))
+
+  test("functionDf matches a from-scratch float recompute on every node type") {
+    val got = searcher.functionDf(composite).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(got.size == nlenOf.size)
+    nlenOf.foreach { case (d, n) =>
+      val exp = {
+        val x = n.toFloat
+        val recip = 5f / (0.01f * x + 1f)
+        val lin = math.sqrt(x.toDouble).toFloat * 0.5f + 2f
+        val p = math.pow(x.toDouble, 0.5f.toDouble).toFloat
+        val mx = math.max(recip, math.min(lin, p))
+        val rm = if (x >= 100f && x <= 300f) 7f else x
+        val lg = math.log10((0.1f * x / 1f + 1f).toDouble).toFloat
+        (mx * rm / (lg + 1f)) + math.abs(-3f)
+      }
+      assert(got(d) == exp, s"doc $d nlen $n")
+    }
+  }
+
+  test("searchFunction: top-k by value desc, docId tie-break, exact scores") {
+    val vs = RecipV(FieldV("nlen"), 1f, 1000f, 1f)
+    val exp = nlenOf.toSeq
+      .map { case (d, n) => (d, 1000f / (1f * n.toFloat + 1f)) }
+      .sortBy { case (d, s) => (-s.toDouble, d) }.take(10)
+    val got = searcher.search(FunctionQ(vs), 10)
+    assert(got.map(h => (h.docId, h.score.toFloat)).toSeq == exp)
+  }
+
+  test("searchFunction: NaN maps to -Float.MAX_VALUE (ValueSourceScorer law)") {
+    // log10 of a negative linear transform → NaN for every doc
+    val vs = Log10V(LinearV(FieldV("nlen"), 1f, -1e9f))
+    val got = searcher.search(FunctionQ(vs), 5)
+    assert(got.forall(_.score == -Float.MaxValue.toDouble))
+    // NaN scores all equal → docId asc order
+    assert(got.map(_.docId).toSeq == got.map(_.docId).toSeq.sorted)
+  }
+
+  test("ScaleV: corpus min → target min, corpus max → target max") {
+    val hits = searcher.search(FunctionQ(ScaleV(FieldV("nlen"), 0f, 100f)),
+      nlenOf.size)
+    val byDoc = hits.map(h => h.docId -> h.score.toFloat).toMap
+    val minDoc = nlenOf.minBy(_._2)._1
+    val maxDoc = nlenOf.maxBy(_._2)._1
+    assert(byDoc(maxDoc) == 100f)
+    assert(byDoc(minDoc) == 0f)
+    // law recompute
+    val (mn, mx) = (nlenOf.values.min.toFloat, nlenOf.values.max.toFloat)
+    val scale = 100f / (mx - mn)
+    nlenOf.foreach { case (d, n) =>
+      assert(byDoc(d) == (n.toFloat - mn) * scale + 0f)
+    }
+  }
+
+  test("QueryV: match score where matched, defVal elsewhere") {
+    val vs = SumV(Seq(QueryV(TermQ("merge"), 0.25f), ConstV(1f)))
+    val matches = searcher.search(TermQ("merge"), nlenOf.size)
+      .map(h => h.docId -> h.score.toFloat).toMap
+    val got = searcher.functionDf(vs).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(matches.nonEmpty && matches.size < nlenOf.size)
+    nlenOf.keys.foreach { d =>
+      val exp = matches.getOrElse(d, 0.25f) + 1f
+      assert(got(d) == exp, s"doc $d")
+    }
+  }
+
+  test("searchBoosted: refold + local ↔ forced-distributed parity") {
+    val q = BoolQ(should = Seq(TermQ("merge"), TermQ("sort")))
+    val vs = RecipV(FieldV("nlen"), 0.01f, 5f, 1f)
+    val all = searcher.search(q, nlenOf.size)
+    val exp = all.map { h =>
+      val v = 5f / (0.01f * nlenOf(h.docId).toFloat + 1f)
+      (h.docId, h.score.toFloat * v)
+    }.sortBy { case (d, s) => (-s.toDouble, d) }.take(12).toSeq
+    val local = searcher.search(FuncBoostedQ(q, vs), 12)
+    assert(local.map(h => (h.docId, h.score.toFloat)).toSeq == exp)
+    assert(local.nonEmpty)
+    val dist = distSearcher.search(FuncBoostedQ(q, vs), 12)
+    assert(dist.map(h => (h.docId, h.score.toFloat)).toSeq == exp)
+  }
+
+  test("searchFunctionRange: inclusivity flags + value scores") {
+    val vs = FieldV("nlen")
+    val vals = nlenOf.toSeq.map { case (d, n) => (d, n.toFloat) }
+    val sorted = vals.map(_._2).distinct.sorted
+    val (lo, hi) = (sorted(sorted.size / 4), sorted(3 * sorted.size / 4))
+    def expect(incl: Boolean): Seq[(Long, Float)] = vals
+      .filter { case (_, v) =>
+        if (incl) v >= lo && v <= hi else v > lo && v < hi }
+      .sortBy { case (d, v) => (-v.toDouble, d) }.take(10)
+    val gi = searcher.search(FunctionRangeQ(vs, lo, hi), 10)
+    assert(gi.map(h => (h.docId, h.score.toFloat)).toSeq == expect(true))
+    val ge = searcher.search(
+      FunctionRangeQ(vs, lo, hi, inclLower = false, inclUpper = false), 10)
+    assert(ge.map(h => (h.docId, h.score.toFloat)).toSeq == expect(false))
+    assert(gi.length >= ge.length && gi.nonEmpty)
+  }
+
+  test("count() dispatch for function queries") {
+    assert(searcher.count(FunctionQ(FieldV("nlen"))) == nlenOf.size.toLong)
+    val inRange = nlenOf.values.count(n => n.toFloat >= 100f && n.toFloat <= 400f)
+    assert(searcher.count(FunctionRangeQ(FieldV("nlen"), 100f, 400f)) ==
+      inRange.toLong)
+    val mCount = searcher.count(TermQ("merge"))
+    assert(searcher.count(FuncBoostedQ(TermQ("merge"), FieldV("nlen"))) == mCount)
+  }
+
+  test("function queries are top-level only (loud failure inside trees)") {
+    val ex = intercept[IllegalArgumentException] {
+      searcher.search(BoolQ(should = Seq(TermQ("merge"),
+        FunctionQ(FieldV("nlen")))), 5)
+    }
+    assert(ex.getMessage.contains("top-level"))
+  }
+
+  test("rewrite: FuncBoostedQ folds MatchNone, preserves inner rewrite") {
+    assert(Query.rewrite(FuncBoostedQ(PhraseQ(Nil), FieldV("nlen"))) ==
+      MatchNoneQ)
+    val r = Query.rewrite(FuncBoostedQ(BoolQ(should = Seq(TermQ("a"))),
+      FieldV("nlen")))
+    assert(r == FuncBoostedQ(TermQ("a"), FieldV("nlen")))
+  }
+}
