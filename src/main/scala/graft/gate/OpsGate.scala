@@ -69,7 +69,26 @@ object OpsGate {
   WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
 )"""
 
+  private def gateDrill = Facets.Drill(Seq(
+    "lang" -> Seq("en", "fr"),
+    "source" -> Seq("src1", "src2", "src3")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DrillSideways facets (facet/DrillSideways.java): drill on lang +
+    // source; each drilled dim's counts ignore its OWN filter (near-miss
+    // law), computed in ONE pass + ONE shuffle for all dims
+    "q_facet_sideways" -> ((s, d) => {
+      val (facets, _) = Facets.drillSideways(docs(s, d),
+        col("n_chars") >= 100, gateDrill, Seq("lang", "source"))
+      facets
+    }),
+    // the same pass's drill-down hit set (docs matching ALL dims)
+    "q_facet_drilldown" -> ((s, d) => {
+      val (_, hits) = Facets.drillSideways(docs(s, d),
+        col("n_chars") >= 100, gateDrill, Seq("lang", "source"))
+      hits.select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
 
     // The sf corpora contain zero exact-duplicate texts (round-4 verdict:
     // a 0=0-row gate proves nothing), so the fixture PLANTS duplicates —
@@ -569,6 +588,24 @@ SELECT doc_id,
 FROM y ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_facet_sideways" ->
+      """WITH ann AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN lang IN ('en','fr') THEN 1 ELSE 0 END AS lang_ok,
+    CASE WHEN source IN ('src1','src2','src3') THEN 1 ELSE 0 END AS src_ok
+  FROM documents WHERE n_chars >= 100
+)
+SELECT facet, value, cnt FROM (
+  SELECT 'lang' AS facet, lang AS value, count(*) AS cnt
+  FROM ann WHERE src_ok = 1 GROUP BY lang
+  UNION ALL
+  SELECT 'source' AS facet, source AS value, count(*) AS cnt
+  FROM ann WHERE lang_ok = 1 GROUP BY source
+) ORDER BY facet, cnt DESC, value""",
+    "q_facet_drilldown" ->
+      """SELECT doc_id, lang, source FROM documents
+WHERE n_chars >= 100 AND lang IN ('en','fr')
+  AND source IN ('src1','src2','src3') ORDER BY doc_id""",
     "q_classify_nb_batch" -> (nbBatchCtes +
       "\nSELECT doc_id, cls, score FROM best ORDER BY doc_id"),
     "q_classify_confusion" -> (nbBatchCtes +
