@@ -360,6 +360,71 @@ FROM (SELECT d.doc_id AS doc_id, $e AS s FROM documents d
 ORDER BY s DESC, doc_id LIMIT $k"""
   }
 
+  /** TermsComponent enumeration (`handler/component/TermsComponent.java
+    * :60-170`): df per term from scratch, the component's filter set, and
+    * the CountPair (df desc, term asc) or index (term asc) order.
+    */
+  def termsEnum(limit: Int, prefix: Option[String] = None,
+      lower: Option[String] = None, upper: Option[String] = None,
+      lowerIncl: Boolean = true, upperIncl: Boolean = false,
+      regexp: Option[String] = None, minCount: Long = 1L,
+      maxCount: Long = Long.MaxValue, sortByCount: Boolean = true): String = {
+    val conds = Seq(
+      prefix.map(p => s"term LIKE ${lit(p + "%")}"),
+      lower.map(l => s"term ${if (lowerIncl) ">=" else ">"} ${lit(l)}"),
+      upper.map(u => s"term ${if (upperIncl) "<=" else "<"} ${lit(u)}"),
+      regexp.map(r => s"regexp_full_match(term, ${lit(r)})"),
+      Some(s"df >= $minCount"),
+      if (maxCount == Long.MaxValue) None else Some(s"df <= $maxCount")
+    ).flatten.mkString(" AND ")
+    val order = if (sortByCount) "df DESC, term" else "term"
+    tokDlenCtes +
+      s""", tdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+)
+SELECT term, df FROM tdf WHERE $conds ORDER BY $order LIMIT $limit"""
+  }
+
+  /** QueryElevationComponent over an or-group
+    * (`handler/component/QueryElevationComponent.java:383-415`): pinned
+    * ids first in priority order (score = match score or 0), excluded
+    * ids gone, organic tail under the normal law.
+    */
+  def elevatedOr(terms: Seq[String], elevate: Seq[Long],
+      exclude: Set[Long], k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    val evRows = elevate.zipWithIndex
+      .map { case (d, i) => s"($d, ${i + 1})" }.mkString(", ")
+    val exCl =
+      if (exclude.isEmpty) "1=1"
+      else s"ev.doc_id NOT IN (${exclude.mkString(", ")})"
+    val orgNotIn = (elevate ++ exclude).mkString(", ")
+    prologue + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id
+), ev(doc_id, pri) AS (
+  SELECT * FROM (VALUES $evRows)
+), headx AS (
+  SELECT ev.doc_id,
+    COALESCE((SELECT CAST(s AS DOUBLE) FROM res WHERE res.doc_id = ev.doc_id),
+             0.0) AS score, pri
+  FROM ev WHERE $exCl
+), orgx AS (
+  SELECT doc_id, CAST(s AS DOUBLE) AS score FROM res
+  WHERE doc_id NOT IN ($orgNotIn)
+)
+SELECT doc_id, score,
+  CAST(row_number() OVER (ORDER BY grp, pri, score DESC, doc_id) AS INT) AS rnk
+FROM (
+  SELECT doc_id, score, 0 AS grp, pri FROM headx
+  UNION ALL SELECT doc_id, score, 1 AS grp, 0 AS pri FROM orgx
+) ORDER BY grp, pri, score DESC, doc_id LIMIT $k"""
+  }
+
   /** MUST m FILTER f: filter matches without contributing score. */
   def mustFilter(m: String, f: String, k: Int): String =
     prologue + termCtes("m", m) + termCtes("f", f) +

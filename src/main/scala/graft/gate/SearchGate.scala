@@ -203,6 +203,27 @@ object SearchGate {
       TermQ("batch"), 0.4f)),
     // TermsQuery: const-score membership in a term set
     "q_terms_set" -> seg(Query.termsSet(Seq("dup", "key"))),
+    // TermsComponent: count-sorted prefix enumeration with a df floor
+    "q_terms_enum" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .termsEnum(limit = 15, prefix = Some("s"), minCount = 5)
+        .toSeq.toDF("term", "df")
+    }),
+    // TermsComponent: index-order walk of a term range + whole-term regexp
+    "q_terms_enum_index" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .termsEnum(limit = 20, lower = Some("d"), upper = Some("p"),
+          regexp = Some("[a-z]+[0-9]*"), sortByCount = false)
+        .toSeq.toDF("term", "df")
+    }),
+    // QueryElevationComponent: pinned ids first (one matching, one not),
+    // one excluded, organic tail intact
+    "q_elevate" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchElevated(
+        Query.or(TermQ("spark"), TermQ("key")), K,
+        elevate = Seq(42L, 7L), exclude = Set(3L)))),
     // FunctionQuery over the docs column store: every doc, score =
     // 1000/(n_chars+1) — the recip length-prior workhorse
     "q_func_recip" -> seg(FunctionQ(RecipV(FieldV("n_chars"), 1f, 1000f, 1f))),
@@ -701,6 +722,11 @@ object SearchGate {
       lowMsm = 1, highMsm = 1, lowBoost = 1f, highBoost = 0.3f, k = K),
     "q_boosting" -> Oracles.boosting(Seq("spark", "key"), "batch", 0.4f, K),
     "q_terms_set" -> Oracles.termsSet(Seq("dup", "key"), K),
+    "q_terms_enum" -> Oracles.termsEnum(15, prefix = Some("s"), minCount = 5),
+    "q_terms_enum_index" -> Oracles.termsEnum(20, lower = Some("d"),
+      upper = Some("p"), regexp = Some("[a-z]+[0-9]*"), sortByCount = false),
+    "q_elevate" -> Oracles.elevatedOr(Seq("spark", "key"),
+      Seq(42L, 7L), Set(3L), K),
     "q_func_recip" -> Oracles.functionQuery(
       RecipV(FieldV("n_chars"), 1f, 1000f, 1f), K),
     "q_func_scale" -> Oracles.functionQuery(

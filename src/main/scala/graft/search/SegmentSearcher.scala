@@ -2268,6 +2268,76 @@ final class Searcher(private[search] val spark: SparkSession,
       .map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  // ---------- terms enumeration (Solr TermsComponent) ----------
+
+  /** Terms enumeration with bounds/prefix/regexp/df-range filters — the
+    * Solr TermsComponent surface (`handler/component/TermsComponent.java
+    * :60-170`): walk the term space from `lower` (or the prefix), stop
+    * past `upper` or a prefix mismatch, keep terms whose docFreq lands in
+    * [minCount, maxCount]; `sortByCount` ranks by (df desc, term asc) —
+    * the CountPair ordering (`request/SimpleFacets.java:996-1000`; BytesRef
+    * byte order ≡ String order for this engine's lowercased ASCII terms) —
+    * else index (term-asc) order. `regexp` uses matches() whole-term
+    * semantics (:104-110).
+    *
+    * Scale shape: a filter + TakeOrderedAndProject over the termstats
+    * parquet (term-range and prefix predicates push down to the scan);
+    * df is the index-global count (the ExactStatsCache analog), where
+    * the reference reports per-shard docFreq merged by the component.
+    */
+  def termsEnum(limit: Int = 10,
+      lower: Option[String] = None, upper: Option[String] = None,
+      lowerIncl: Boolean = true, upperIncl: Boolean = false,
+      prefix: Option[String] = None, regexp: Option[String] = None,
+      minCount: Long = 1L, maxCount: Long = Long.MaxValue,
+      sortByCount: Boolean = true): Array[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    var df = termStatsDf.select(col("term"), col("df"))
+    prefix.foreach(p => df = df.filter(col("term").startsWith(p)))
+    lower.foreach(l =>
+      df = df.filter(if (lowerIncl) col("term") >= l else col("term") > l))
+    upper.foreach(u =>
+      df = df.filter(if (upperIncl) col("term") <= u else col("term") < u))
+    regexp.foreach(r => df = df.filter(col("term").rlike(s"^(?:$r)$$")))
+    df = df.filter(col("df") >= minCount && col("df") <= maxCount)
+    val sorted =
+      if (sortByCount) df.orderBy(col("df").desc, col("term").asc)
+      else df.orderBy(col("term").asc)
+    sorted.limit(limit).collect().map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  // ---------- query elevation (Solr QueryElevationComponent) ----------
+
+  /** Editorially pinned results — the QueryElevationComponent surface
+    * (`handler/component/QueryElevationComponent.java:55,383-415`): the
+    * `elevate` ids rank FIRST in the given (priority) order whether or
+    * not they match the query (the reference ORs an id-query into the
+    * main query and sorts by the elevation comparator first,
+    * :480-520); `exclude` ids are removed entirely; organic hits follow
+    * under the normal (score desc, docId) law. Elevated docs carry
+    * their real match score, or 0 when they only exist via elevation
+    * (the reference reports the boosted id-clause score there — a
+    * config-dependent sentinel; 0 is this engine's documented variant).
+    *
+    * Elevated scores come from a pruned distributed lookup
+    * (matchScoresDf filtered to the handful of pinned ids), never a full
+    * collect.
+    */
+  def searchElevated(q0: Query, k: Int, elevate: Seq[Long],
+      exclude: Set[Long] = Set.empty): Array[Hit] = {
+    import org.apache.spark.sql.functions.col
+    require(elevate.nonEmpty, "elevate list must be non-empty")
+    val pinned = elevate.distinct.filterNot(exclude)
+    val elevScores: Map[Long, Float] =
+      if (pinned.isEmpty) Map.empty
+      else matchScoresDf(q0).filter(col("docId").isin(pinned: _*))
+        .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val head = pinned.map(d => Hit(d, elevScores.getOrElse(d, 0f).toDouble))
+    val organic = search(q0, k + elevate.size + exclude.size)
+      .filterNot(h => pinned.contains(h.docId) || exclude.contains(h.docId))
+    (head ++ organic).take(k).toArray
+  }
+
   // ---------- function queries (queries/function/, Solr boost/bf/frange) ----------
 
   /** Corpus (min, max) of a ScaleV's source, computed ONCE per Searcher —
