@@ -86,6 +86,31 @@ object Norms {
   def decodedNormRanges(maxLen: Int = 1 << 22): Seq[(Long, Long, Double)] =
     rangesOf(l => decodedNorm(l).toDouble, maxLen)
 
+  /** SweetSpotSimilarity lengthNorm
+    * (lucene/misc SweetSpotSimilarity.java:137-152):
+    * 1/sqrt(steepness·(|l−min|+|l−max|−(max−min)) + 1), float ops in the
+    * reference's order (float multiply-add, then 1.0f / double sqrt cast
+    * back to float). The plateau [min, max] norms to exactly 1.
+    */
+  def sweetSpotNorm(length: Int, min: Int, max: Int, steep: Float): Float = {
+    val inner =
+      steep * (math.abs(length - min) + math.abs(length - max) - (max - min)).toFloat + 1.0f
+    (1.0f / math.sqrt(inner.toDouble)).toFloat
+  }
+
+  /** Index-time SweetSpot norm byte (the index-time Similarity determines
+    * the stored byte, as in Lucene).
+    */
+  def sweetSpotNormByte(length: Int, min: Int, max: Int, steep: Float): Byte =
+    SmallFloat.floatToByte315(sweetSpotNorm(length, min, max, steep))
+
+  /** length → decoded SweetSpot fieldNorm ranges, for oracle SQL. */
+  def sweetSpotNormRanges(min: Int, max: Int, steep: Float,
+      maxLen: Int = 1 << 22): Seq[(Long, Long, Double)] =
+    rangesOf(l =>
+      SmallFloat.byte315ToFloat(sweetSpotNormByte(l, min, max, steep)).toDouble,
+      maxLen)
+
   private def rangesOf(f: Int => Double,
       maxLen: Int): Seq[(Long, Long, Double)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]

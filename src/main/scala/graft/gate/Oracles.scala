@@ -128,6 +128,33 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** Query-time join (JoinUtil + ScoreMode over the `source` field): the
+    * from-term's scores fold per join value — Total/Avg replay the
+    * doc_id-ordered float `+=` of TermsWithScoreCollector.SV via
+    * list_reduce, Min/Max are order-free float compares — and every doc
+    * sharing the value scores the fold.
+    */
+  def joinScored(term: String, mode: String, k: Int): String = {
+    val orderedSum =
+      s"list_reduce(list_prepend(${R("0")}, list(${R("s")} ORDER BY doc_id)), (acc, x) -> ${R("acc + x")})"
+    val foldExpr = mode match {
+      case "max"   => R("MAX(s)")
+      case "min"   => R("MIN(s)")
+      case "total" => orderedSum
+      case "avg"   => R(s"$orderedSum / ${R("COUNT(*)")}")
+      case "none"  => R("1")
+    }
+    prologue + termCtes("a", term) +
+      s""", fside AS (
+  SELECT d.source AS jv, f.doc_id, f.s
+  FROM sc_a f JOIN documents d ON f.doc_id = d.doc_id
+), folded AS (
+  SELECT jv, $foldExpr AS js FROM fside GROUP BY jv
+), res AS (
+  SELECT d.doc_id, f.js AS s FROM documents d JOIN folded f ON d.source = f.jv
+)""" + finish("res", k)
+  }
+
   /** a AND NOT b. */
   def not(a: String, b: String, k: Int): String =
     prologue + termCtes("a", a) + termCtes("b", b) +
@@ -1544,6 +1571,69 @@ ORDER BY t.rnk"""
     val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
     val coord = R(s"CAST(count(*) AS REAL) / ${R(terms.size.toString)}")
     classicPrologue + dfCtes + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R(s"${R("SUM(CAST(s AS DOUBLE))")} * $coord")} AS s
+  FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
+  // ---------- SweetSpotSimilarity (lucene/misc SweetSpotSimilarity.java:40)
+  // Classic's idf²·queryNorm·coord math with (a) the plateau lengthNorm
+  // byte315-encoded at index time (computeLengthNorm, :137-152) and
+  // (b) baselineTf (:177-184). Gate parameters: lengthNorm min=8 max=40
+  // steepness=0.5; baselineTf base=1.5 min=2.
+
+  private lazy val sweetNormRows: String =
+    Norms.sweetSpotNormRanges(8, 40, 0.5f).map { case (lo, hi, v) =>
+      s"($lo, ${if (hi == Long.MaxValue) "9223372036854775807" else hi}, $v)"
+    }.mkString(", ")
+
+  /** SweetSpot prologue: tok + ssn(doc_id, nv REAL) + av(n). */
+  private def sweetPrologue: String =
+    tokDlenCtes +
+    s""", ssnormq(lo, hi, nv) AS (
+  SELECT * FROM (VALUES $sweetNormRows)
+), ssn AS (
+  SELECT dlen.doc_id, ${R("ssnormq.nv")} AS nv
+  FROM dlen JOIN ssnormq ON dlen.len BETWEEN ssnormq.lo AND ssnormq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM documents) AS n
+)"""
+
+  /** baselineTf in the reference's float order:
+    * 0 → 0 (no tf row ⇒ absent anyway), tf ≤ min → base,
+    * else (float)sqrt((freq + base²) − min).
+    */
+  private def ssTfExpr(tfCol: String): String = {
+    val base = R("1.5")
+    val inner = R(s"${R(s"CAST($tfCol AS REAL) + ${R(s"$base * $base")}")} - ${R("2.0")}")
+    s"CASE WHEN $tfCol <= 2 THEN $base ELSE ${R(s"sqrt(CAST($inner AS DOUBLE))")} END"
+  }
+
+  private def ssTermCtes(a: String, term: String, value: String): String =
+    s""", tf_$a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = ${lit(term)} GROUP BY doc_id
+), sc_$a AS (
+  SELECT t.doc_id,
+    ${R(s"${R(s"${ssTfExpr("t.tf")} * $value")} * ssn.nv")} AS s
+  FROM tf_$a t JOIN ssn ON t.doc_id = ssn.doc_id
+)"""
+
+  def sweetSpotTerm(term: String, k: Int): String = {
+    val (dfCtes, values) = classicValues(Seq(term))
+    sweetPrologue + dfCtes + ssTermCtes("t0", term, values.head) +
+      finish("sc_t0", k)
+  }
+
+  def sweetSpotOr(terms: Seq[String], k: Int): String = {
+    val (dfCtes, values) = classicValues(terms)
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).zip(values).map { case ((n, t), v) =>
+      ssTermCtes(n, t, v)
+    }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    val coord = R(s"CAST(count(*) AS REAL) / ${R(terms.size.toString)}")
+    sweetPrologue + dfCtes + ctes +
       s""", un AS ($union), res AS (
   SELECT doc_id, ${R(s"${R("SUM(CAST(s AS DOUBLE))")} * $coord")} AS s
   FROM un GROUP BY doc_id

@@ -244,6 +244,72 @@ object RelationalGate {
         .orderBy("hour", "event_type").limit(500)
     }),
 
+    // ExpandComponent (solr/core/.../component/ExpandComponent.java:91):
+    // after collapsing on o_custkey, expand the groups present on the
+    // collapsed page — up to 2 non-head docs per group under the same
+    // sort. The page's group list is tiny by construction → broadcast.
+    "q_expand" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val ranked = t(s, d, "orders").withColumn("grnk", row_number().over(w))
+      val heads = ranked.filter(col("grnk") === 1)
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(20)
+        .select(col("o_custkey").as("g"))
+      ranked.join(broadcast(heads), col("o_custkey") === col("g"), "left_semi")
+        .filter(col("grnk") > 1)
+        .withColumn("rnk", (col("grnk") - 1).cast("int"))
+        .filter(col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // facet.query (solr SimpleFacets.getFacetQueryCounts): named predicate
+    // counts, all computed in ONE scan (no per-facet pass)
+    "q_facet_query" -> ((s, d) => {
+      t(s, d, "orders").agg(
+        sum(when(col("o_totalprice") > 150000, 1L).otherwise(0L)).as("high_price"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("urgent"),
+        sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L)).as("y1995"))
+    }),
+
+    // facet.interval (solr IntervalFacets.java): explicit-bound intervals
+    // incl. an OVERLAPPING one — per-interval conditional counts in one
+    // scan, unpivoted to (interval, cnt) rows
+    "q_interval_facet" -> ((s, d) => {
+      t(s, d, "part").agg(
+          sum(when(col("p_retailprice") >= 0 && col("p_retailprice") < 1000, 1L)
+            .otherwise(0L)).as("c0"),
+          sum(when(col("p_retailprice") >= 900 && col("p_retailprice") <= 1400, 1L)
+            .otherwise(0L)).as("c1"),
+          sum(when(col("p_retailprice") > 1400, 1L).otherwise(0L)).as("c2"))
+        .select(expr(
+          "stack(3, '[0,1000)', c0, '[900,1400]', c1, '(1400,*)', c2) AS (interval, cnt)"))
+        .orderBy("interval")
+    }),
+
+    // Hierarchical taxonomy facets (lucene/facet FacetsConfig hierarchical
+    // dims + TaxonomyFacetCounts): every path prefix of lang/source gets a
+    // rollup count — one explode of the per-doc prefix chain, one groupBy
+    "q_taxo_facet" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(array(col("lang"),
+          concat_ws("/", col("lang"), col("source")))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("cnt"))
+        .orderBy("path")
+    }),
+
+    // AnalyticsComponent expressions (solr/contrib/analytics): composed
+    // stats per bucket — div(sum,count), median, unique, sub(max,min)
+    "q_analytics_expr" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_orderstatus").agg(
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("mean_expr"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          countDistinct("o_custkey").as("unique_cust"),
+          round(max("o_totalprice") - min("o_totalprice"), 4).as("range_expr"))
+        .orderBy("o_orderstatus")
+    }),
+
     // GatherNodesStream 2-hop graph expansion (io/graph/GatherNodesStream
     // .java:54): part → orders containing it → co-ordered parts
     "q_graph_expand" -> ((s, d) => {
@@ -407,6 +473,54 @@ FROM orders WHERE o_orderkey <= 200 ORDER BY 1""",
       """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS cnt,
   ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500""",
+
+    "q_expand" ->
+      """WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+      ORDER BY o_totalprice DESC, o_orderkey) AS grnk
+  FROM orders
+), heads AS (
+  SELECT o_custkey FROM ranked WHERE grnk = 1
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(grnk - 1 AS INT) AS rnk
+FROM ranked
+WHERE o_custkey IN (SELECT o_custkey FROM heads) AND grnk BETWEEN 2 AND 3
+ORDER BY o_custkey, rnk""",
+
+    "q_facet_query" ->
+      """SELECT
+  COUNT(*) FILTER (o_totalprice > 150000) AS high_price,
+  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+  COUNT(*) FILTER (year(o_orderdate) = 1995) AS y1995
+FROM orders""",
+
+    "q_interval_facet" ->
+      """SELECT interval, cnt FROM (
+  SELECT '[0,1000)' AS interval,
+    COUNT(*) FILTER (p_retailprice >= 0 AND p_retailprice < 1000) AS cnt FROM part
+  UNION ALL
+  SELECT '[900,1400]',
+    COUNT(*) FILTER (p_retailprice >= 900 AND p_retailprice <= 1400) FROM part
+  UNION ALL
+  SELECT '(1400,*)', COUNT(*) FILTER (p_retailprice > 1400) FROM part)
+ORDER BY interval""",
+
+    "q_taxo_facet" ->
+      """SELECT path, cnt FROM (
+  SELECT lang AS path, COUNT(*) AS cnt FROM documents GROUP BY 1
+  UNION ALL
+  SELECT lang || '/' || source AS path, COUNT(*) AS cnt FROM documents GROUP BY 1)
+ORDER BY path""",
+
+    "q_analytics_expr" ->
+      """SELECT o_orderstatus,
+  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS mean_expr,
+  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+  COUNT(DISTINCT o_custkey) AS unique_cust,
+  ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS range_expr
+FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_graph_expand" ->
       """SELECT DISTINCT l_partkey FROM lineitem

@@ -56,13 +56,13 @@ object SearchGate {
   def clearCaches(): Unit = {
     def quietly(f: => Unit): Unit =
       try f catch { case _: Exception => } // session may already be stopped
-    (searcherCache.values ++ fieldSearcherCache.values)
-      .foreach(s => quietly(s.close()))
+    (searcherCache.values ++ fieldSearcherCache.values ++
+      sweetSearcherCache.values).foreach(s => quietly(s.close()))
     logicalCache.values.foreach(ix => quietly {
       ix.unpersistCached(); ix.postings.unpersist()
     })
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
-    fieldSearcherCache.clear()
+    fieldSearcherCache.clear(); sweetSearcherCache.clear()
     createdDirs.keys.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     createdDirs.clear()
@@ -95,6 +95,29 @@ object SearchGate {
       val ix = IndexBuilder.buildLogical(docs, fieldCol, Some("doc_id"), Nil,
         gateConfig)
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-field-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** SweetSpot-normed index (the index-time Similarity determines the
+    * stored norm byte): same corpus, norm byte = byte315(SweetSpot
+    * plateau lengthNorm) — scores ONLY under SimSweetSpot.
+    */
+  val SweetSpotNormSim = "sweetspot:8:40:0.5"
+  private val sweetSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def sweetSearcher(spark: SparkSession, sfDir: String): Searcher =
+    sweetSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#sweet".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-sweet-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(offsets = false, payloads = None,
+          normSim = SweetSpotNormSim))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-sweet-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -169,6 +192,18 @@ object SearchGate {
       val hits = DataFrameSearcher.search(ix, q, k).collect()
         .map(r => Hit(r.getLong(0), r.getDouble(1)))
       hitsDf(spark, hits)
+    }
+
+  /** JoinUtil gate runner: full scored match set via the DataFrame path
+    * (a join needs EVERY match, not top-k — driver-collecting it would
+    * not survive scale), folded + broadcast by ops.Join.
+    */
+  private def joinGate(q: Query, mode: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val ix = logical(spark, sfDir)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val sc = DataFrameSearcher.scores(ix, q)
+      graft.ops.Join.joinScored(docs, sc, "source", "source", mode, K)
     }
 
   // ---- the reference query set ----
@@ -480,6 +515,23 @@ object SearchGate {
           MultiField.FieldRef(fieldSearcher(spark, sfDir, "source"), 1f)))
       hitsDf(spark, hits)
     }),
+    // Query-time join with score mapping (lucene/join JoinUtil.java:92 +
+    // ScoreMode.java:22): BM25 from-query scores fold per `source` value
+    // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
+    // sharing the value scores the fold — one gate per ScoreMode
+    // SweetSpotSimilarity (lucene/misc SweetSpotSimilarity.java:40):
+    // plateau lengthNorm encoded at index time + baselineTf, Classic
+    // weights/coord otherwise — runs against the sweet-normed index
+    "q_sweetspot_term" -> ((spark, sfDir) => hitsDf(spark,
+      sweetSearcher(spark, sfDir).search(TermQ("spark"), K, None, true,
+        SegmentSearcher.SimSweetSpot))),
+    "q_sweetspot_or2" -> ((spark, sfDir) => hitsDf(spark,
+      sweetSearcher(spark, sfDir).search(Query.or(TermQ("dup"), TermQ("vector")),
+        K, None, true, SegmentSearcher.SimSweetSpot))),
+    "q_join_score_avg" -> joinGate(TermQ("spark"), "avg"),
+    "q_join_score_max" -> joinGate(TermQ("batch"), "max"),
+    "q_join_score_total" -> joinGate(TermQ("order"), "total"),
+    "q_join_score_min" -> joinGate(TermQ("key"), "min"),
     // SimpleNaiveBayesClassifier (lucene/classification): class = lang,
     // raw log scores gated (softmax normalization is spec-pinned);
     // training stats are corpus aggregations, scoring folds driver-side
@@ -749,6 +801,12 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_sweetspot_term" -> Oracles.sweetSpotTerm("spark", K),
+    "q_sweetspot_or2" -> Oracles.sweetSpotOr(Seq("dup", "vector"), K),
+    "q_join_score_avg" -> Oracles.joinScored("spark", "avg", K),
+    "q_join_score_max" -> Oracles.joinScored("batch", "max", K),
+    "q_join_score_total" -> Oracles.joinScored("order", "total", K),
+    "q_join_score_min" -> Oracles.joinScored("key", "min", K),
     "q_classify_nb" -> Oracles.classifyNb("order sort merge fast key"),
     "q_classify_knn" -> Oracles.classifyKnn(
       "order sort merge fast key table scan row", K, 6, 1, 5),

@@ -63,7 +63,24 @@ object IndexBuilder {
         * [[graft.core.Analysis.Payloads]] for the policies ("pos",
         * "len", "delimited:<c>"). Requires positions = true.
         */
-      payloads: Option[String] = None)
+      payloads: Option[String] = None,
+      /** Index-time norm encoder — the Similarity that determines the
+        * stored norm byte, as in Lucene. "default" = byte315(1/√length)
+        * (serves BM25's quantized length AND Classic's fieldNorm);
+        * "sweetspot:<min>:<max>:<steep>" = byte315 of SweetSpot's plateau
+        * lengthNorm (`lucene/misc SweetSpotSimilarity.java:137-152`) —
+        * such an index scores ONLY under SimSweetSpot (loudly enforced at
+        * query time).
+        */
+      normSim: String = "default")
+
+  /** Parse "sweetspot:min:max:steep" → (min, max, steep). */
+  def sweetSpotParams(normSim: String): (Int, Int, Float) = {
+    val parts = normSim.split(":")
+    require(parts.length == 4 && parts(0) == "sweetspot",
+      s"bad normSim '$normSim' (want sweetspot:<min>:<max>:<steep>)")
+    (parts(1).toInt, parts(2).toInt, parts(3).toFloat)
+  }
 
   /** Encode flat (start, len) token bounds as delta varints (start gaps
     * are non-negative — bounds ascend).
@@ -155,7 +172,12 @@ object IndexBuilder {
       persistPostings: Boolean = true): LogicalIndex = {
     val spark = corpus.sparkSession
     val tok = tokenizerFn(cfg.tokenizer)
-    val normUdf = udf((len: Int) => Norms.normByte(len))
+    val normUdf =
+      if (cfg.normSim == "default") udf((len: Int) => Norms.normByte(len))
+      else {
+        val (mn, mx, st) = sweetSpotParams(cfg.normSim)
+        udf((len: Int) => Norms.sweetSpotNormByte(len, mn, mx, st))
+      }
     // ONE tokenize pass per row produces BOTH the doc-side stats (length →
     // norm byte) and the postings with per-term POSITIONS: every token of
     // a doc lives in one input row, so (term → positions) needs no shuffle
@@ -566,7 +588,9 @@ object IndexBuilder {
       /** Payload policy name when segments carry a payloads sidecar
         * (BuildConfig.payloads); None = no payloads.
         */
-      payloads: Option[String] = None)
+      payloads: Option[String] = None,
+      /** Index-time norm encoder (BuildConfig.normSim). */
+      normSim: String = "default")
 
   object Manifest {
     def toJson(m: Manifest): String = {
@@ -577,6 +601,8 @@ object IndexBuilder {
         s""""positions":${m.positions},"offsets":${m.offsets},""" +
         m.indexSort.map(f => s""""indexSort":"$f",""").getOrElse("") +
         m.payloads.map(p => s""""payloads":"$p",""").getOrElse("") +
+        (if (m.normSim == "default") ""
+         else s""""normSim":"${m.normSim}",""") +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
     }
     def fromJson(s: String): Manifest = {
@@ -592,12 +618,15 @@ object IndexBuilder {
         .findFirstMatchIn(s).map(_.group(1))
       val payloads = """"payloads":"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1))
+      val normSim = """"normSim":"([^"]*)"""".r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("default")
       Manifest(str("snapshotId"), num("docCount").toLong,
         num("sumTotalTermFreq").toLong, num("numBuckets").toInt,
         num("numDocShards").toInt, num("saltThreshold").toLong,
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
-        num("numGroups").toInt, positions, indexSort, offsets, payloads)
+        num("numGroups").toInt, positions, indexSort, offsets, payloads,
+        normSim)
     }
   }
 
@@ -750,7 +779,8 @@ object IndexBuilder {
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
       ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
-      ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets, ix.cfg.payloads)
+      ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets, ix.cfg.payloads,
+      ix.cfg.normSim)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

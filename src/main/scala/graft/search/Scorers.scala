@@ -47,6 +47,8 @@ final class TermScorer(it: PostingsIterator, w: Float,
     if (sim == 0) BM25.score(w, it.tf.toFloat, cache(it.norm & 0xff))
     else if (sim == 1) (math.sqrt(it.tf.toFloat.toDouble).toFloat * w) * cache(it.norm & 0xff)
     else if (sim == 2) lmScore(it.tf.toFloat, cache(it.norm & 0xff))
+    else if (sim == SegmentSearcher.SimSweetSpot)
+      (SegmentSearcher.sweetSpotTf(it.tf.toFloat) * w) * cache(it.norm & 0xff)
     else jmScore(it.tf.toFloat, cache(it.norm & 0xff))
 
   /** LMDirichlet score body: inner ratios in FLOAT (Java evaluates
@@ -89,6 +91,8 @@ final class TermScorer(it: PostingsIterator, w: Float,
     if (sim == 0) BM25.score(w, tf, cache(it.blockMinNorm(b) & 0xff))
     else if (sim == 1) (math.sqrt(tf.toDouble).toFloat * w) * cache(it.blockMinNorm(b) & 0xff)
     else if (sim == 2) lmScore(tf, cache(it.blockMinNorm(b) & 0xff))
+    else if (sim == SegmentSearcher.SimSweetSpot)
+      (SegmentSearcher.sweetSpotTf(tf) * w) * cache(it.blockMinNorm(b) & 0xff)
     else jmScore(tf, cache(it.blockMinNorm(b) & 0xff))
   }
   def underlying: PostingsIterator = it

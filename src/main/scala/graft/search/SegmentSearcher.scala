@@ -113,6 +113,29 @@ object SegmentSearcher {
     * to [[Searcher.search]].
     */
   val SimMulti = 15
+  /** SweetSpotSimilarity (`lucene/misc SweetSpotSimilarity.java:40`):
+    * ClassicSimilarity with (a) a plateau lengthNorm encoded into the
+    * norm byte at INDEX time (BuildConfig.normSim = "sweetspot:min:max:
+    * steep" — the index-time Similarity determines the stored byte, as in
+    * Lucene) and (b) baselineTf (SweetSpotSimilarity.java:177-184):
+    * 0 → 0, tf ≤ min → base, else √(tf + base² − min). Weights, queryNorm,
+    * coord and the raw-byte315 decode are Classic's unchanged.
+    */
+  val SimSweetSpot = 16
+  /** baselineTf factors (setBaselineTfFactors) used by SimSweetSpot. */
+  val SSTfBase = 1.5f
+  val SSTfMin = 2.0f
+
+  @inline def sweetSpotTf(freq: Float): Float =
+    if (freq == 0f) 0f
+    else if (freq <= SSTfMin) SSTfBase
+    else math.sqrt((freq + (SSTfBase * SSTfBase) - SSTfMin).toDouble).toFloat
+
+  /** Classic-family sims share idf²·queryNorm weights, coord composites
+    * and the raw byte315 norm decode; they differ only in tf().
+    */
+  @inline def isClassicFamily(sim: Int): Boolean =
+    sim == SimClassic || sim == SimSweetSpot
 
   @inline def isSimBase(sim: Int): Boolean =
     (sim >= SimDFRInL2 && sim <= SimIBLlL1) ||
@@ -656,7 +679,7 @@ object SegmentSearcher {
         // classic folds the accumulated boost INSIDE the weight value
         // (queryNorm·boost·idf·idf association, mkClassicWeights) — the
         // runtime multiplier must not re-apply it
-        val w = if (boost == 1f || plan.sim == SimClassic) wi.weight
+        val w = if (boost == 1f || SegmentSearcher.isClassicFamily(plan.sim)) wi.weight
           else wi.weight * boost
         val ts: DocScorer =
           if (plan.sim == SimDFR)
@@ -772,7 +795,7 @@ object SegmentSearcher {
     // maxCoord counts every scoring clause at weight construction —
     // absent terms included (`BooleanWeight.java:55-76`)
     val coords: Array[Float] =
-      if (plan.sim == SimClassic && should.size > 1 && must.isEmpty)
+      if (SegmentSearcher.isClassicFamily(plan.sim) && should.size > 1 && must.isEmpty)
         Array.tabulate(should.size + 1)(i =>
           if (i == 0) 0f else i.toFloat / should.size.toFloat)
       else null
@@ -782,7 +805,7 @@ object SegmentSearcher {
     if (msm > 0 && shouldS.size < msm) return EmptyScorer
 
     var req: DocScorer =
-      if (must.nonEmpty && plan.sim == SimClassic && should.nonEmpty) {
+      if (must.nonEmpty && SegmentSearcher.isClassicFamily(plan.sim) && should.nonEmpty) {
         // conjunction-disjunction mix under a coord'ing similarity
         // (`BooleanWeight.java:434-474`): required and optional pieces
         // built coord-DISABLED, the composite owns the coord; maxCoord
@@ -1608,6 +1631,12 @@ final class Searcher(private[search] val spark: SparkSession,
       require(!multiSims.contains(SegmentSearcher.SimMulti),
         "MultiSimilarity components cannot nest MultiSimilarity")
     }
+    // the index-time norm encoder fixes which similarity can decode the
+    // stored norm bytes (Lucene: the same Similarity must be set at index
+    // and query time) — reject the mismatch loudly instead of mis-scoring
+    require((m.normSim != "default") == (sim == SegmentSearcher.SimSweetSpot),
+      s"index norms encoded with '${m.normSim}': SweetSpot-normed indexes " +
+        "score only under SimSweetSpot, default-normed ones never do")
     var q = Query.rewrite(q0)
     q = expandMultiTerm(q)
     q = Query.rewrite(q)
@@ -1626,6 +1655,7 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = sim match {
       case SegmentSearcher.SimClassic => mkClassicWeights(q, st)
+      case SegmentSearcher.SimSweetSpot => mkClassicWeights(q, st)
       case SegmentSearcher.SimLMDirichlet => mkLMWeights(q, st)
       case SegmentSearcher.SimLMJM => mkJMWeights(q, st)
       case SegmentSearcher.SimDFR => mkDFRWeights(q, st)
@@ -1640,6 +1670,7 @@ final class Searcher(private[search] val spark: SparkSession,
     val simCache = sim match {
       case SegmentSearcher.SimBm25 => cache
       case SegmentSearcher.SimClassic => SegmentSearcher.classicNormTable
+      case SegmentSearcher.SimSweetSpot => SegmentSearcher.classicNormTable
       case _ => graft.core.Norms.NORM_TABLE
     }
     // WAND stays off under Classic (its wandLeaves fast path would bypass
