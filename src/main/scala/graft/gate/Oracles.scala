@@ -1102,6 +1102,95 @@ FROM (
 )""" + finish("res", k)
   }
 
+  /** ComplexPhraseQueryParser mixed-sign phrase
+    * (`complexPhrase/ComplexPhraseQueryParser.java:326-352`), 3 slots
+    * `"t0 -neg t1"~slop`: include = near(t0, t1, slop + 1), exclude =
+    * near(t0, neg, t1, slop), result = SpanNot(include, exclude) — an
+    * include span [q0, e) is vetoed when an exclude span [x0, xe)
+    * satisfies xe > q0 AND x0 < e (pre = post = 0). Weight folds the
+    * INCLUDE side's terms only (SpanNotWeight.extractTerms).
+    */
+  def complexPhraseNot(t0: String, neg: String, t1: String, slop: Int,
+      k: Int): String = {
+    val score = spanTreeScore(spanTreeWeight(Seq(t0, t1)))
+    prologue + spanPosx +
+      s""", ia AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(t0)}
+), ib AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(t1)}
+), xb AS (
+  SELECT doc_id, pos - 1 AS pos FROM posx WHERE term = ${lit(neg)}
+), inc AS (
+  SELECT ia.doc_id, ia.pos AS q0, MIN(ib.pos) AS q1
+  FROM ia JOIN ib ON ib.doc_id = ia.doc_id AND ib.pos >= ia.pos + 1
+  GROUP BY ALL
+), exc2 AS (
+  SELECT ia.doc_id, ia.pos AS x0, MIN(xb.pos) AS x1
+  FROM ia JOIN xb ON xb.doc_id = ia.doc_id AND xb.pos >= ia.pos + 1
+  GROUP BY ALL
+), exc AS (
+  SELECT e.doc_id, e.x0, e.x1, MIN(ib.pos) AS x2
+  FROM exc2 e JOIN ib ON ib.doc_id = e.doc_id AND ib.pos >= e.x1 + 1
+  GROUP BY ALL
+), excsp AS (
+  SELECT doc_id, x0, x2 + 1 AS xe FROM exc
+  WHERE (x1 - x0 - 1) + (x2 - x1 - 1) <= $slop
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + (q1 - q0 - 1) AS DOUBLE))")} AS freq
+  FROM inc sp
+  WHERE q1 - q0 - 1 <= ${slop + 1} AND NOT EXISTS (
+    SELECT 1 FROM excsp x WHERE x.doc_id = sp.doc_id
+      AND x.xe > sp.q0 AND x.x0 < sp.q1 + 1)
+  GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
+  /** Unordered 2-clause span near (surround `kN(a, b)` → slop k−1;
+    * `NearSpansUnordered.java` min-advancing walk): cursors (i, j) start
+    * at each list's head; every state emits span (min, max+1) with width
+    * |a−b|−1, then the cursor holding the smaller position advances;
+    * the walk stops when a list exhausts (trailing pairs are NOT
+    * emitted). Replayed with a recursive CTE over (doc_id, i, j).
+    */
+  def surroundUnordered2(a: String, b: String, slop: Int, k: Int): String = {
+    val score = spanTreeScore(spanTreeWeight(Seq(a, b)))
+    "WITH RECURSIVE" + (prologue + spanPosx +
+      s""", pa AS (
+  SELECT doc_id, pos - 1 AS pos,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM posx WHERE term = ${lit(a)}
+), pb AS (
+  SELECT doc_id, pos - 1 AS pos,
+    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM posx WHERE term = ${lit(b)}
+), walk(doc_id, i, j) AS (
+  SELECT da.doc_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+  FROM (SELECT DISTINCT doc_id FROM pa) da
+  JOIN (SELECT DISTINCT doc_id FROM pb) db ON da.doc_id = db.doc_id
+  UNION ALL
+  SELECT w.doc_id,
+    CASE WHEN wa.pos < wb.pos THEN w.i + 1 ELSE w.i END,
+    CASE WHEN wa.pos < wb.pos THEN w.j ELSE w.j + 1 END
+  FROM walk w
+  JOIN pa wa ON wa.doc_id = w.doc_id AND wa.rn = w.i
+  JOIN pb wb ON wb.doc_id = w.doc_id AND wb.rn = w.j
+), spans AS (
+  SELECT w.doc_id, abs(wa.pos - wb.pos) - 1 AS width
+  FROM walk w
+  JOIN pa wa ON wa.doc_id = w.doc_id AND wa.rn = w.i
+  JOIN pb wb ON wb.doc_id = w.doc_id AND wb.rn = w.j
+), ph AS (
+  SELECT doc_id, ${R("SUM(1.0 / CAST(1 + width AS DOUBLE))")} AS freq
+  FROM spans WHERE width <= $slop GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""").stripPrefix("WITH") + finish("res", k)
+  }
+
   /** SpanContaining (`SpanContainingQuery.java:80-94`, forward-only
     * streaming law): an ordered-near big span containing a term little.
     * With bigs processed in start order, the little cursor always rests

@@ -519,6 +519,18 @@ object SearchGate {
     // ScoreMode.java:22): BM25 from-query scores fold per `source` value
     // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
     // sharing the value scores the fold — one gate per ScoreMode
+    // ComplexPhraseQueryParser (queryparser/complexPhrase/...java:91):
+    // wildcard inside a phrase; mixed-sign phrase → SpanNot per the
+    // reference's include/exclude law (:326-352)
+    "q_complex_phrase" -> seg(QueryParser.parseComplexPhrase("\"ord* merge\"~4")),
+    "q_complex_phrase_not" ->
+      seg(QueryParser.parseComplexPhrase("\"order -sort merge\"~1")),
+    // Surround query language (queryparser/surround): prefix W, an infix
+    // W chain (one distance query, LAST operator's distance), prefix N
+    // (unordered min-advancing walk)
+    "q_surround_w" -> seg(QueryParser.parseSurround("3w(order, sort)")),
+    "q_surround_infix" -> seg(QueryParser.parseSurround("order 4w sort 4w merge")),
+    "q_surround_n" -> seg(QueryParser.parseSurround("4n(order, merge)")),
     // SweetSpotSimilarity (lucene/misc SweetSpotSimilarity.java:40):
     // plateau lengthNorm encoded at index time + baselineTf, Classic
     // weights/coord otherwise — runs against the sweet-normed index
@@ -801,6 +813,13 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_complex_phrase" -> Oracles.spanNearWildcard("ord%", "merge", 4, K),
+    "q_complex_phrase_not" ->
+      Oracles.complexPhraseNot("order", "sort", "merge", 1, K),
+    "q_surround_w" -> Oracles.spanNearOrdered(Seq("order", "sort"), 2, K),
+    "q_surround_infix" ->
+      Oracles.spanNearOrdered(Seq("order", "sort", "merge"), 3, K),
+    "q_surround_n" -> Oracles.surroundUnordered2("order", "merge", 3, K),
     "q_sweetspot_term" -> Oracles.sweetSpotTerm("spark", K),
     "q_sweetspot_or2" -> Oracles.sweetSpotOr(Seq("dup", "vector"), K),
     "q_join_score_avg" -> Oracles.joinScored("spark", "avg", K),

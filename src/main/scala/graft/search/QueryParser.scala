@@ -66,6 +66,276 @@ object QueryParser {
     Query.rewrite(q)
   }
 
+  /** ComplexPhraseQueryParser surface (`queryparser/complexPhrase/
+    * ComplexPhraseQueryParser.java:91,254-352`): ONE quoted phrase whose
+    * slots may be plain terms, wildcard/prefix/fuzzy terms, or `(a b)`
+    * groups, with an optional `~slop` suffix. Slots compile to span
+    * clauses (term → Span.Term, multi-term → Span.Multi, group →
+    * Span.Or), the phrase to Span.Near(slop, inOrder). A single
+    * plain-term phrase returns the TermQuery itself (the reference's
+    * `contents instanceof TermQuery` short-circuit). `-slot` negatives
+    * replay the mixed-sign law (:326-352): include = near(positives,
+    * slop + numNegatives) — or the lone positive — exclude = near(ALL
+    * slots, slop), result = SpanNot(include, exclude).
+    */
+  def parseComplexPhrase(input: String, inOrder: Boolean = true): Query = {
+    val s = input.trim
+    if (!s.startsWith("\"")) throw ParseError("complex phrase must be quoted", 0)
+    val endQ = s.indexOf('"', 1)
+    if (endQ < 0) throw ParseError("unterminated phrase", s.length)
+    val body = s.substring(1, endQ)
+    val tail = s.substring(endQ + 1).trim
+    val slop =
+      if (tail.isEmpty) 0
+      else if (tail.startsWith("~")) tail.drop(1).toInt
+      else throw ParseError(s"unexpected '$tail' after phrase", endQ + 1)
+
+    def slotSpan(w: String): Span = {
+      val hasStar = w.contains('*')
+      val hasQm = w.contains('?')
+      val tilde = w.indexOf('~')
+      if (hasStar && w.indexOf('*') == w.length - 1 && !hasQm &&
+          w.count(_ == '*') == 1)
+        Span.Multi(PrefixQ(oneToken(w.dropRight(1))))
+      else if (hasStar || hasQm)
+        Span.Multi(WildcardQ(w.toLowerCase(java.util.Locale.ROOT)))
+      else if (tilde >= 0) {
+        val e = if (tilde == w.length - 1) 2 else w.substring(tilde + 1).toInt
+        Span.Multi(FuzzyQ(oneToken(w.substring(0, tilde)), e))
+      } else Span.Term(oneToken(w))
+    }
+
+    // slots: groups keep their parens; words split on whitespace
+    val slots = Seq.newBuilder[(Span, Boolean)] // (span, isNegative)
+    var i = 0
+    while (i < body.length) {
+      while (i < body.length && body.charAt(i).isWhitespace) i += 1
+      if (i < body.length) {
+        var neg = false
+        if (body.charAt(i) == '-') { neg = true; i += 1 }
+        if (i < body.length && body.charAt(i) == '(') {
+          val close = body.indexOf(')', i)
+          if (close < 0) throw ParseError("unterminated group in phrase", i)
+          val members = body.substring(i + 1, close).split("\\s+")
+            .filter(_.nonEmpty).toSeq
+          if (members.exists(_.startsWith("-")))
+            throw ParseError("negatives inside phrase groups unsupported", i)
+          if (members.isEmpty) throw ParseError("empty group in phrase", i)
+          slots += ((Span.Or(members.map(slotSpan)), neg))
+          i = close + 1
+        } else {
+          val start = i
+          while (i < body.length && !body.charAt(i).isWhitespace) i += 1
+          slots += ((slotSpan(body.substring(start, i)), neg))
+        }
+      }
+    }
+    val all = slots.result()
+    if (all.isEmpty) throw ParseError("empty phrase", 0)
+    val positives = all.collect { case (sp, false) => sp }
+    val numNeg = all.size - positives.size
+    if (positives.isEmpty) throw ParseError("pure negative phrase", 0)
+    if (all.size == 1) all.head._1 match {
+      case Span.Term(t) => return TermQ(t)
+      case sp => return SpanQ(Span.Near(Seq(sp), slop, inOrder))
+    }
+    if (numNeg == 0)
+      SpanQ(Span.Near(positives, slop, inOrder))
+    else {
+      val include =
+        if (positives.size == 1) positives.head
+        else Span.Near(positives, slop + numNeg, inOrder)
+      val exclude = Span.Near(all.map(_._1), slop, inOrder)
+      SpanQ(Span.Not(include, exclude))
+    }
+  }
+
+  private def oneToken(w: String): String = {
+    val toks = graft.core.Analysis.simpleTokens(w)
+    if (toks.length != 1)
+      throw ParseError(s"'$w' analyzes to ${toks.length} tokens", 0)
+    toks(0)
+  }
+
+  /** Surround query language (`queryparser/surround/parser/QueryParser
+    * .jj:202-217,345-360`): distance operators nW (ordered) / nN
+    * (unordered) in prefix `3w(a, b)` and infix `a 3w b` form — distance
+    * n defaults to 1 and maps to slop n−1 (`surround/query/DistanceQuery
+    * .java:97`) — under the boolean layer OR < AND < NOT < N < W (JJ
+    * production order). Terms may be truncated (`a*` prefix, `a?b`
+    * wildcard). Distance subqueries may be terms, truncations, OR groups
+    * or nested distance ops; AND/NOT inside a distance op is rejected
+    * (the reference's distanceSubQueryNotAllowed law). An infix chain
+    * `a 3w b 2w c` folds into ONE distance query with the LAST
+    * operator's distance (:345-352).
+    */
+  def parseSurround(input: String): Query = {
+    val p = new SurroundP(input)
+    val q = p.parseOr()
+    p.skipWs()
+    if (!p.eof) throw ParseError(s"unexpected '${p.rest}'", p.pos)
+    Query.rewrite(toQuery(q))
+  }
+
+  // surround AST: distance ops must stay symbolic until we know whether
+  // they sit inside another distance op (span) or at top level (query)
+  private sealed trait SQ
+  private final case class STerm(w: String) extends SQ
+  private final case class SDist(cls: Seq[SQ], dist: Int, ordered: Boolean) extends SQ
+  private final case class SOr(cls: Seq[SQ]) extends SQ
+  private final case class SAnd(cls: Seq[SQ]) extends SQ
+  private final case class SNot(pos: SQ, neg: SQ) extends SQ
+
+  private def termQuery(w: String): Query = {
+    val hasStar = w.contains('*')
+    val hasQm = w.contains('?')
+    if (hasStar && w.indexOf('*') == w.length - 1 && !hasQm &&
+        w.count(_ == '*') == 1) PrefixQ(oneToken(w.dropRight(1)))
+    else if (hasStar || hasQm) WildcardQ(w.toLowerCase(java.util.Locale.ROOT))
+    else TermQ(oneToken(w))
+  }
+
+  private def toSpan(q: SQ): Span = q match {
+    case STerm(w) => termQuery(w) match {
+      case TermQ(t) => Span.Term(t)
+      case mt => Span.Multi(mt)
+    }
+    case SDist(cls, dist, ordered) =>
+      Span.Near(cls.map(toSpan), dist - 1, ordered)
+    case SOr(cls) => Span.Or(cls.map(toSpan))
+    case other => throw ParseError(
+      s"subquery not allowed in a distance operator: $other", 0)
+  }
+
+  private def toQuery(q: SQ): Query = q match {
+    case STerm(w) => termQuery(w)
+    case d: SDist => SpanQ(toSpan(d))
+    case SOr(cls) => BoolQ(should = cls.map(toQuery), minShouldMatch = 1)
+    case SAnd(cls) => BoolQ(must = cls.map(toQuery))
+    case SNot(pos, neg) =>
+      BoolQ(must = Seq(toQuery(pos)), mustNot = Seq(toQuery(neg)))
+  }
+
+  private final class SurroundP(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def rest: String = s.substring(pos)
+    def peek: Char = s.charAt(pos)
+    def skipWs(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+
+    /** Case-insensitive keyword at a token boundary. */
+    private def kw(k: String): Boolean = {
+      skipWs()
+      if (s.regionMatches(true, pos, k, 0, k.length)) {
+        val after = pos + k.length
+        if (after >= s.length || !s.charAt(after).isLetterOrDigit) {
+          pos = after; return true
+        }
+      }
+      false
+    }
+
+    /** Distance operator token `(<digits>)?[wWnN]` at a boundary;
+      * returns (distance, ordered).
+      */
+    private def distOp(): Option[(Int, Boolean)] = {
+      skipWs()
+      val save = pos
+      var d = 0
+      var hasD = false
+      while (!eof && peek.isDigit) { d = d * 10 + (peek - '0'); pos += 1; hasD = true }
+      if (!eof && (peek == 'w' || peek == 'W' || peek == 'n' || peek == 'N')) {
+        val ordered = peek == 'w' || peek == 'W'
+        val after = pos + 1
+        val boundary = after >= s.length || !s.charAt(after).isLetterOrDigit
+        if (boundary) {
+          pos = after
+          val dist = if (hasD) d else 1
+          if (dist < 1) throw ParseError("distance must be >= 1", save)
+          return Some((dist, ordered))
+        }
+      }
+      pos = save
+      None
+    }
+
+    def parseOr(): SQ = {
+      var cls = Seq(parseAnd())
+      while (kw("OR")) cls :+= parseAnd()
+      if (cls.size == 1) cls.head else SOr(cls)
+    }
+
+    private def parseAnd(): SQ = {
+      var cls = Seq(parseNot())
+      while (kw("AND")) cls :+= parseNot()
+      if (cls.size == 1) cls.head else SAnd(cls)
+    }
+
+    private def parseNot(): SQ = {
+      var q = parseN()
+      while (kw("NOT")) q = SNot(q, parseN())
+      q
+    }
+
+    /** Infix N chain (binds looser than W, JJ NQuery → WQuery). */
+    private def parseN(): SQ = infixChain(parseW(), ordered = false)
+
+    private def parseW(): SQ = infixChain(parsePrimary(), ordered = true)
+
+    private def infixChain(first: SQ, ordered: Boolean): SQ = {
+      var cls = Seq(first)
+      var dist = 1
+      var more = true
+      while (more) {
+        val save = pos
+        distOp() match {
+          case Some((d, o)) if o == ordered =>
+            dist = d // the LAST operator's distance wins (:345-352)
+            cls :+= (if (ordered) parsePrimary() else parseW())
+          case _ => pos = save; more = false
+        }
+      }
+      if (cls.size == 1) cls.head else SDist(cls, dist, ordered)
+    }
+
+    private def parsePrimary(): SQ = {
+      skipWs()
+      if (eof) throw ParseError("expected clause", pos)
+      // prefix distance op: 3w(a, b)
+      val save = pos
+      distOp() match {
+        case Some((d, ordered)) =>
+          skipWs()
+          if (!eof && peek == '(') {
+            pos += 1
+            var cls = Seq(parseOr())
+            while ({ skipWs(); !eof && peek == ',' }) { pos += 1; cls :+= parseOr() }
+            skipWs()
+            if (eof || peek != ')') throw ParseError("expected ')'", pos)
+            pos += 1
+            if (cls.size < 2)
+              throw ParseError("distance op needs >= 2 subqueries", save)
+            return SDist(cls, d, ordered)
+          }
+          pos = save // bare 'w'/'n' word, not an operator
+        case None =>
+      }
+      if (peek == '(') {
+        pos += 1
+        val q = parseOr()
+        skipWs()
+        if (eof || peek != ')') throw ParseError("expected ')'", pos)
+        pos += 1
+        q
+      } else {
+        val start = pos
+        while (!eof && !" \t\n(),".contains(peek)) pos += 1
+        if (pos == start) throw ParseError("expected word", pos)
+        STerm(s.substring(start, pos))
+      }
+    }
+  }
+
   private final class P(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length

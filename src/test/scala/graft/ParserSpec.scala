@@ -113,4 +113,70 @@ class ParserSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(viaString === viaAdt)
   }
+
+  test("complex phrase: slots, groups, slop, single-term short-circuit") {
+    // single plain-term phrase returns the TermQuery itself
+    assert(QueryParser.parseComplexPhrase("\"order\"") === TermQ("order"))
+    // wildcard slot -> Span.Multi, term slot -> Span.Term, ~slop
+    assert(QueryParser.parseComplexPhrase("\"ord* merge\"~4") ===
+      SpanQ(Span.Near(Seq(Span.Multi(PrefixQ("ord")), Span.Term("merge")), 4)))
+    // mid-token wildcard and fuzzy slots
+    assert(QueryParser.parseComplexPhrase("\"o?der sort~1\"") ===
+      SpanQ(Span.Near(Seq(Span.Multi(WildcardQ("o?der")),
+        Span.Multi(FuzzyQ("sort", 1))), 0)))
+    // (a b) group -> Span.Or
+    assert(QueryParser.parseComplexPhrase("\"(order merge) sort\"~2") ===
+      SpanQ(Span.Near(Seq(Span.Or(Seq(Span.Term("order"), Span.Term("merge"))),
+        Span.Term("sort")), 2)))
+    // mixed-sign law: include widened by numNegatives, exclude = all slots
+    assert(QueryParser.parseComplexPhrase("\"order -sort merge\"~1") ===
+      SpanQ(Span.Not(
+        Span.Near(Seq(Span.Term("order"), Span.Term("merge")), 2),
+        Span.Near(Seq(Span.Term("order"), Span.Term("sort"),
+          Span.Term("merge")), 1))))
+    // lone positive include stays unwrapped
+    assert(QueryParser.parseComplexPhrase("\"order -sort\"") ===
+      SpanQ(Span.Not(Span.Term("order"),
+        Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 0))))
+    assertThrows[QueryParser.ParseError](
+      QueryParser.parseComplexPhrase("\"-a -b\""))
+    assertThrows[QueryParser.ParseError](
+      QueryParser.parseComplexPhrase("no quotes"))
+  }
+
+  test("surround: distance ops, infix/prefix parity, booleans") {
+    val sp = QueryParser.parseSurround(_)
+    // prefix W: distance k -> slop k-1, ordered
+    assert(sp("3w(order, sort)") ===
+      SpanQ(Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 2)))
+    // default distance 1 -> slop 0 (adjacency)
+    assert(sp("w(order, sort)") ===
+      SpanQ(Span.Near(Seq(Span.Term("order"), Span.Term("sort")), 0)))
+    // N unordered
+    assert(sp("4n(order, merge)") ===
+      SpanQ(Span.Near(Seq(Span.Term("order"), Span.Term("merge")), 3,
+        inOrder = false)))
+    // infix chain folds into ONE distance query, LAST operator's distance
+    assert(sp("order 4w sort 4w merge") ===
+      SpanQ(Span.Near(Seq(Span.Term("order"), Span.Term("sort"),
+        Span.Term("merge")), 3)))
+    assert(sp("order 2w sort 5w merge") === sp("5w(order, sort, merge)"))
+    // truncation inside a distance op -> Span.Multi
+    assert(sp("2w(ord*, sort)") ===
+      SpanQ(Span.Near(Seq(Span.Multi(PrefixQ("ord")), Span.Term("sort")), 1)))
+    // OR group inside a distance op -> Span.Or
+    assert(sp("(order OR merge) 3w sort") ===
+      SpanQ(Span.Near(Seq(Span.Or(Seq(Span.Term("order"), Span.Term("merge"))),
+        Span.Term("sort")), 2)))
+    // booleans: AND/OR/NOT above the distance layer
+    assert(sp("order AND sort") === Query.and(TermQ("order"), TermQ("sort")))
+    assert(sp("order OR sort") ===
+      BoolQ(should = Seq(TermQ("order"), TermQ("sort")), minShouldMatch = 1))
+    assert(sp("order NOT sort") ===
+      BoolQ(must = Seq(TermQ("order")), mustNot = Seq(TermQ("sort"))))
+    // a word starting with w/n is a term, not an operator
+    assert(sp("window") === TermQ("window"))
+    // AND inside a distance op is rejected (distanceSubQueryNotAllowed)
+    assertThrows[QueryParser.ParseError](sp("3w(order AND sort, merge)"))
+  }
 }
