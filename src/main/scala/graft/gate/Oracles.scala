@@ -1102,6 +1102,108 @@ FROM (
 )""" + finish("res", k)
   }
 
+  /** Standalone tokenized-positions CTE (no scoring prologue needed). */
+  private val pxCte: String =
+    s"""WITH px AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> '' AND length(x) <= 255) AS arr
+        FROM documents)
+)"""
+
+  /** FreeTextSuggester (`suggest/analyzing/FreeTextSuggester.java:
+    * 466-726`), 2-gram model, key = "<ctx> <partial>": bigram
+    * completions of (ctx, partial·) score count/count(ctx); the unigram
+    * model backs off at ALPHA = 0.4 over totTokens, skipping last-tokens
+    * the bigram model already suggested; values are the fixed-point
+    * longs (long)(Long.MAX_VALUE·backoff·c/ctxCount); final order
+    * (value desc, key asc).
+    */
+  def freeText(ctx: String, partial: String, num: Int): String = {
+    val MaxD = "9223372036854775807.0"
+    pxCte +
+      s""", uni AS (
+  SELECT term, count(*) AS c FROM px GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+), bi AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS c
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2
+), ctxc AS (
+  SELECT CAST(c AS DOUBLE) AS c FROM uni WHERE term = ${lit(ctx)}
+), bm AS (
+  SELECT ${lit(ctx)} || ' ' || t2 AS suggestion, t2 AS lastTok,
+    CAST(trunc((($MaxD * 1.0) * c) / (SELECT c FROM ctxc)) AS BIGINT) AS value
+  FROM bi WHERE t1 = ${lit(ctx)} AND t2 LIKE ${lit(partial + "%")}
+  ORDER BY c DESC, t2 LIMIT $num
+), um AS (
+  SELECT term AS suggestion,
+    CAST(trunc((($MaxD * 0.4) * c) / (SELECT t FROM tot)) AS BIGINT) AS value
+  FROM uni WHERE term LIKE ${lit(partial + "%")}
+    AND term NOT IN (SELECT lastTok FROM bm)
+  ORDER BY c DESC, term LIMIT $num
+)
+SELECT suggestion, value,
+  CAST(row_number() OVER (ORDER BY value DESC, suggestion) AS INT) AS rnk
+FROM (SELECT suggestion, value FROM bm UNION ALL
+      SELECT suggestion, value FROM um)
+ORDER BY value DESC, suggestion"""
+  }
+
+  /** Percolator fixture oracle: one EXISTS per registered query shape
+    * (term / and / exact phrase / prefix / must+mustNot / sloppy ordered
+    * phrase / wildcard), unioned as (doc_id, query_id) pairs.
+    */
+  def percolate(slop: Int): String =
+    pxCte +
+      s""", t AS (SELECT DISTINCT doc_id, term FROM px)
+SELECT doc_id, query_id FROM (
+  SELECT d.doc_id, CAST(1 AS BIGINT) AS query_id FROM documents d
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term = 'spark')
+  UNION ALL
+  SELECT d.doc_id, CAST(2 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term = 'order')
+    AND EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term = 'sort')
+  UNION ALL
+  SELECT d.doc_id, CAST(3 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.doc_id = d.doc_id AND a.term = 'order' AND b.term = 'sort')
+  UNION ALL
+  SELECT d.doc_id, CAST(4 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term LIKE 'sc%')
+  UNION ALL
+  SELECT d.doc_id, CAST(5 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term = 'batch')
+    AND NOT EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id AND term = 'spark')
+  UNION ALL
+  SELECT d.doc_id, CAST(6 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM px a JOIN px b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos - 1 <= $slop
+    WHERE a.doc_id = d.doc_id AND a.term = 'order' AND b.term = 'sort')
+  UNION ALL
+  SELECT d.doc_id, CAST(7 AS BIGINT) FROM documents d
+  WHERE EXISTS (SELECT 1 FROM t WHERE t.doc_id = d.doc_id
+    AND regexp_full_match(term, 's[a-z0-9]rt'))
+) ORDER BY doc_id, query_id"""
+
+  /** TermVectorComponent (`solr/core/.../component/TermVectorComponent
+    * .java`): per-doc term vectors — tf, positions, collection df.
+    */
+  def termVectors(ids: Seq[Long]): String =
+    pxCte +
+      s""", tv AS (
+  SELECT doc_id, term, CAST(count(*) AS INT) AS tf,
+    list(CAST(pos - 1 AS INT) ORDER BY pos) AS positions
+  FROM px WHERE doc_id IN (${ids.mkString(", ")}) GROUP BY 1, 2
+), dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM px GROUP BY 1
+)
+SELECT tv.doc_id, tv.term, tv.tf, dfs.df, tv.positions
+FROM tv JOIN dfs USING (term) ORDER BY doc_id, term"""
+
   /** ComplexPhraseQueryParser mixed-sign phrase
     * (`complexPhrase/ComplexPhraseQueryParser.java:326-352`), 3 slots
     * `"t0 -neg t1"~slop`: include = near(t0, t1, slop + 1), exclude =

@@ -58,6 +58,8 @@ object SearchGate {
       try f catch { case _: Exception => } // session may already be stopped
     (searcherCache.values ++ fieldSearcherCache.values ++
       sweetSearcherCache.values).foreach(s => quietly(s.close()))
+    freeTextCache.values.foreach(m => quietly(m.unpersist()))
+    freeTextCache.clear()
     logicalCache.values.foreach(ix => quietly {
       ix.unpersistCached(); ix.postings.unpersist()
     })
@@ -123,6 +125,15 @@ object SearchGate {
       ix.postings.unpersist()
       new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
+
+  /** Cached FreeText 2-gram model per sfDir (built from the logical
+    * index's postings — positions self-join, no re-tokenize).
+    */
+  private val freeTextCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.ops.FreeText.Model]
+  def freeTextModel(spark: SparkSession, sfDir: String): graft.ops.FreeText.Model =
+    freeTextCache.getOrElseUpdate(sfDir,
+      graft.ops.FreeText.build(logical(spark, sfDir).postings))
 
   def segment(spark: SparkSession, sfDir: String): SegmentSearcher.SegmentIndex =
     segmentCache.getOrElseUpdate(sfDir, {
@@ -519,6 +530,45 @@ object SearchGate {
     // ScoreMode.java:22): BM25 from-query scores fold per `source` value
     // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
     // sharing the value scores the fold — one gate per ScoreMode
+    // FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+    // 2-gram stupid-backoff LM — "order s" completes via the bigram
+    // model first, unigram completions back off at ALPHA = 0.4
+    "q_suggest_freetext" -> ((spark, sfDir) => {
+      import spark.implicits._
+      graft.ops.FreeText.lookup(freeTextModel(spark, sfDir), "order s", 6)
+        .zipWithIndex
+        .map { case ((sug, v), i) => (sug, v, i + 1) }
+        .toDF("suggestion", "value", "rnk")
+    }),
+    // Percolation (lucene/memory MemoryIndex.java:76-101 prospective
+    // search): 7 registered queries stream over the documents table,
+    // each doc builds its per-doc term→positions map once
+    "q_percolate" -> ((spark, sfDir) => {
+      import graft.ops.Percolator.PQuery
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val qs = Seq(
+        PQuery(1, TermQ("spark")),
+        PQuery(2, Query.and(TermQ("order"), TermQ("sort"))),
+        PQuery(3, PhraseQ(Seq("order", "sort"))),
+        PQuery(4, PrefixQ("sc")),
+        PQuery(5, BoolQ(must = Seq(TermQ("batch")),
+          mustNot = Seq(TermQ("spark")))),
+        PQuery(6, PhraseQ(Seq("order", "sort"), 2)),
+        PQuery(7, WildcardQ("s?rt")))
+      graft.ops.Percolator.percolate(docs, "text", "doc_id", qs)
+        .orderBy("doc_id", "query_id")
+    }),
+    // TermVectorComponent (solr TermVectorComponent.java): per-doc term
+    // vectors straight off the logical postings (tf, positions) joined
+    // with collection df
+    "q_termvectors" -> ((spark, sfDir) => {
+      val ix = logical(spark, sfDir)
+      ix.postings.filter(col("docId").isin(40L, 41L, 42L))
+        .join(ix.termStats.select(col("term"), col("df")), Seq("term"))
+        .select(col("docId").as("doc_id"), col("term"), col("tf"),
+          col("df"), col("pos").as("positions"))
+        .orderBy("doc_id", "term")
+    }),
     // ComplexPhraseQueryParser (queryparser/complexPhrase/...java:91):
     // wildcard inside a phrase; mixed-sign phrase → SpanNot per the
     // reference's include/exclude law (:326-352)
@@ -813,6 +863,9 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_suggest_freetext" -> Oracles.freeText("order", "s", 6),
+    "q_percolate" -> Oracles.percolate(2),
+    "q_termvectors" -> Oracles.termVectors(Seq(40L, 41L, 42L)),
     "q_complex_phrase" -> Oracles.spanNearWildcard("ord%", "merge", 4, K),
     "q_complex_phrase_not" ->
       Oracles.complexPhraseNot("order", "sort", "merge", 1, K),

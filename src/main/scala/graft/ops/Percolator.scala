@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.search._
+
+/** Percolation — the MemoryIndex use case (`lucene/memory/.../MemoryIndex
+  * .java:76-101`: "a pure main memory index … for prospective search":
+  * index ONE document, run many stored queries against it). Spark shape:
+  * the (small by definition) registered query set broadcasts with the
+  * UDF closure; each document builds its per-doc term→positions map once
+  * (the MemoryIndex) and evaluates every query against it — one
+  * distributed pass over the stream, no shuffle at all, output =
+  * (doc, query) match pairs.
+  *
+  * Supported query shapes mirror what the per-doc index answers without
+  * corpus stats: Term, Prefix, Wildcard, exact/sloppy ordered Phrase
+  * (leapfrog over the positions map), and Bool (must/should/mustNot/
+  * minShouldMatch) over those.
+  */
+object Percolator {
+
+  final case class PQuery(id: Long, q: Query)
+
+  /** (doc_id, query_id) pairs, one row per matching stored query. */
+  def percolate(docs: DataFrame, contentCol: String, idCol: String,
+      queries: Seq[PQuery], tokenizer: String = "simple"): DataFrame = {
+    queries.foreach(pq => validate(pq.q))
+    val tok = graft.index.IndexBuilder.tokenizerFn(tokenizer)
+    val qs = queries // broadcast via closure
+    val matchUdf = udf { (content: String) =>
+      val toks = tok(if (content == null) "" else content)
+      val mem = buildMem(toks)
+      qs.collect { case PQuery(id, q) if matches(mem, q) => id }
+    }
+    docs.select(col(idCol).as("doc_id"),
+        explode(matchUdf(col(contentCol))).as("query_id"))
+  }
+
+  /** The per-doc "MemoryIndex": term → ascending positions. */
+  private[graft] def buildMem(toks: Array[String]): Map[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+    var i = 0
+    while (i < toks.length) {
+      var b = m.get(toks(i))
+      if (b == null) { b = new scala.collection.mutable.ArrayBuilder.ofInt(); m.put(toks(i), b) }
+      b += i
+      i += 1
+    }
+    val out = Map.newBuilder[String, Array[Int]]
+    m.forEach((k, v) => out += k -> v.result())
+    out.result()
+  }
+
+  private def validate(q: Query): Unit = q match {
+    case TermQ(_) | PrefixQ(_) | WildcardQ(_) =>
+    case PhraseQ(_, _) =>
+    case BoolQ(m, s, n, f, _) => (m ++ s ++ n ++ f).foreach(validate)
+    case other => throw new IllegalArgumentException(
+      s"percolator supports term/prefix/wildcard/phrase/bool queries: $other")
+  }
+
+  private[graft] def matches(mem: Map[String, Array[Int]], q: Query): Boolean =
+    q match {
+      case TermQ(t) => mem.contains(t)
+      case PrefixQ(p) => mem.keysIterator.exists(_.startsWith(p))
+      case WildcardQ(w) =>
+        val re = ("^(?:" + w.flatMap {
+          case '*' => "[a-z0-9]*"
+          case '?' => "[a-z0-9]"
+          case c if "\\.[]{}()<>+-=!$^|".indexOf(c) >= 0 => "\\" + c
+          case c => c.toString
+        } + ")$").r
+        mem.keysIterator.exists(t => re.findFirstIn(t).isDefined)
+      case PhraseQ(terms, slop) =>
+        val lists = terms.map(mem.getOrElse(_, null))
+        if (lists.exists(_ eq null)) false
+        else if (slop == 0) exactPhrase(lists)
+        else sloppyOrdered(lists, slop)
+      case BoolQ(must, should, mustNot, filter, msm) =>
+        val req = (must ++ filter).forall(matches(mem, _))
+        val notOk = !mustNot.exists(matches(mem, _))
+        val matched = should.count(matches(mem, _))
+        val needed =
+          if (should.isEmpty) 0
+          else if (msm > 0) msm
+          else if (must.isEmpty && filter.isEmpty) 1
+          else 0
+        req && notOk && matched >= needed
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+
+  /** Adjacent run: position p in list0 with p+i in each list i. */
+  private def exactPhrase(lists: Seq[Array[Int]]): Boolean =
+    lists.head.exists(p =>
+      lists.zipWithIndex.tail.forall { case (l, i) =>
+        java.util.Arrays.binarySearch(l, p + i) >= 0
+      })
+
+  /** Ordered sloppy match: chain-of-minimums walk, total gap ≤ slop. */
+  private def sloppyOrdered(lists: Seq[Array[Int]], slop: Int): Boolean =
+    lists.head.exists { p0 =>
+      var prev = p0
+      var gaps = 0
+      var ok = true
+      lists.tail.foreach { l =>
+        if (ok) {
+          val idx = {
+            val i = java.util.Arrays.binarySearch(l, prev + 1)
+            if (i >= 0) i else -i - 1
+          }
+          if (idx >= l.length) ok = false
+          else { gaps += l(idx) - prev - 1; prev = l(idx) }
+        }
+      }
+      ok && gaps <= slop
+    }
+}
