@@ -1204,6 +1204,131 @@ SELECT doc_id, query_id FROM (
 SELECT tv.doc_id, tv.term, tv.tf, dfs.df, tv.positions
 FROM tv JOIN dfs USING (term) ORDER BY doc_id, term"""
 
+  /** edismax bf (additive boost function, `search/DisMaxQParser.java:
+    * 166-183`): dismax main query + per-doc function value, one float
+    * add per match.
+    */
+  def dismaxAdded(terms: Seq[String], tie: Float,
+      vs: graft.search.ValueSrc, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), ag AS (
+  SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+  FROM un GROUP BY doc_id
+), dm AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM ag
+), res AS (
+  SELECT dm.doc_id, ${R(s"dm.s + ${vsSql(vs, "d")}")} AS s
+  FROM dm JOIN documents d ON dm.doc_id = d.doc_id
+)""" + finish("res", k)
+  }
+
+  /** edismax bq (additive boost query): dismax main + a boosted optional
+    * term, ReqOpt float law (float(req_double + COALESCE(opt_double, 0))).
+    */
+  def edismaxBq(terms: Seq[String], tie: Float, bqTerm: String,
+      bqBoost: Float, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes + termCtes("bq", bqTerm, bqBoost) +
+      s""", un AS ($union), ag AS (
+  SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+  FROM un GROUP BY doc_id
+), dm AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM ag
+), res AS (
+  SELECT dm.doc_id,
+    ${R("CAST(dm.s AS DOUBLE) + COALESCE(CAST(sc_bq.s AS DOUBLE), 0)")} AS s
+  FROM dm LEFT JOIN sc_bq ON dm.doc_id = sc_bq.doc_id
+)""" + finish("res", k)
+  }
+
+  /** SpellCheckCollator over two misspelled terms
+    * (`solr/core/.../spelling/SpellCheckCollator.java:52-183`,
+    * `PossibilityIterator.java:39-141`): per slot the DirectSpellChecker
+    * top-numSug ranking, combinations ordered (rank-sum, slot ranks),
+    * first maxTries re-queried as conjunctions, hits > 0 kept up to
+    * maxColl, output in try order.
+    */
+  def collate2(a: String, b: String, numSug: Int, maxTries: Int,
+      maxColl: Int): String = {
+    def slot(name: String, t: String): String = {
+      val dist = s"levenshtein(term, ${lit(t)})"
+      val termLen = Character.codePointCount(t, 0, t.length)
+      val minLen = s"least($termLen, length(term))"
+      val score = R(s"${R("1.0")} - ${R(s"CAST($dist AS REAL) / CAST($minLen AS REAL)")}")
+      s""", $name AS (
+  SELECT term, row_number() OVER (ORDER BY sc DESC, df DESC, term) - 1 AS rnk
+  FROM (SELECT term, $score AS sc, df FROM vocab
+        WHERE abs(length(term) - $termLen) <= 2
+          AND term <> ${lit(t)} AND $dist <= 2 AND $score > 0
+        ORDER BY sc DESC, df DESC, term LIMIT $numSug)
+)"""
+    }
+    prologue +
+      ", vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)" +
+      slot("sug_a", a) + slot("sug_b", b) +
+      s""", combos AS (
+  SELECT a.term AS sa, b.term AS sb,
+    row_number() OVER (ORDER BY a.rnk + b.rnk, a.rnk, b.rnk) AS tryno
+  FROM sug_a a CROSS JOIN sug_b b
+), tried AS (
+  SELECT * FROM combos WHERE tryno <= $maxTries
+), hitc AS (
+  SELECT tryno, sa, sb,
+    (SELECT count(*) FROM (
+       SELECT doc_id FROM tok WHERE term = t.sa
+       INTERSECT
+       SELECT doc_id FROM tok WHERE term = t.sb)) AS h
+  FROM tried t
+), keep AS (
+  SELECT sa || ' ' || sb AS "collation", h AS hits, tryno
+  FROM hitc WHERE h > 0 ORDER BY tryno LIMIT $maxColl
+)
+SELECT "collation", hits,
+  CAST(row_number() OVER (ORDER BY tryno) AS INT) AS rnk
+FROM keep ORDER BY tryno"""
+  }
+
+  /** FuzzySuggester (`suggest/analyzing/FuzzySuggester.java:40-109`):
+    * terms with a prefix within 1 Damerau edit of the key, first char
+    * exact, keys < 3 chars exact-only; EXACT_FIRST, df desc, term asc.
+    */
+  def suggestFuzzy(key: String, k: Int): String = {
+    val kq = lit(key)
+    tokDlenCtes +
+      s""", dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), acc AS (
+  SELECT term, df FROM dfs
+  WHERE term LIKE ${lit(key + "%")} OR (
+    ${key.length} >= 3 AND substr(term, 1, 1) = substr($kq, 1, 1)
+    AND list_min(list_transform(generate_series(0, length(term) - 1),
+      i -> damerau_levenshtein(substr($kq, 2), substr(term, 2, i)))) <= 1)
+)
+SELECT term AS suggestion, df FROM acc
+ORDER BY (term = $kq) DESC, df DESC, term LIMIT $k"""
+  }
+
+  /** AnalyzingInfixSuggester (`suggest/analyzing/AnalyzingInfixSuggester
+    * .java:77-95`): dictionary terms containing the fragment, df desc.
+    */
+  def suggestInfix(frag: String, k: Int): String =
+    tokDlenCtes +
+      s""", dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+)
+SELECT term AS suggestion, df FROM dfs
+WHERE contains(term, ${lit(frag)})
+ORDER BY df DESC, term LIMIT $k"""
+
   /** ComplexPhraseQueryParser mixed-sign phrase
     * (`complexPhrase/ComplexPhraseQueryParser.java:326-352`), 3 slots
     * `"t0 -neg t1"~slop`: include = near(t0, t1, slop + 1), exclude =
@@ -2538,10 +2663,10 @@ FROM res ORDER BY s DESC, cls"""
   SELECT doc_id, term, count(*) AS tf FROM tok
   WHERE term IN (SELECT word FROM boosted) GROUP BY doc_id, term
 ), persc AS (
-  -- weight exactly as the engine folds it: wi.weight = idf·(k1+1) at
-  -- plan time, then ×boost in the scorer (termScorer's w = weight·boost)
+  -- boosted-term weight in the REFERENCE association
+  -- (BM25Similarity.java:296 weight = idf·boost, scored weight·(k1+1))
   SELECT t.doc_id,
-    ${R(s"${R(s"${R(s"${R(s"${idfExpr("(SELECT count(DISTINCT doc_id) FROM tok WHERE term = t.term)")} * ($K1 + $one)")} * b.boost")} * ${R("t.tf")}")} / ${R(s"${R("t.tf")} + ${cacheExpr("dn.qlen")}")}")} AS s
+    ${R(s"${R(s"${R(s"${R(s"b.boost * ${idfExpr("(SELECT count(DISTINCT doc_id) FROM tok WHERE term = t.term)")}")} * ($K1 + $one)")} * ${R("t.tf")}")} / ${R(s"${R("t.tf")} + ${cacheExpr("dn.qlen")}")}")} AS s
   FROM tfq t JOIN boosted b ON b.word = t.term
   JOIN dn ON t.doc_id = dn.doc_id
 ), dscore AS (

@@ -530,6 +530,42 @@ object SearchGate {
     // ScoreMode.java:22): BM25 from-query scores fold per `source` value
     // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
     // sharing the value scores the fold — one gate per ScoreMode
+    // edismax bf: additive boost function attached to a dismax main
+    // query (DisMaxQParser.java:166-183 — bf joins as a SHOULD
+    // FunctionQuery clause; score = main + f(doc))
+    "q_edismax_bf" -> seg(FuncAddedQ(
+      DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f),
+      RecipV(FieldV("n_chars"), 0.01f, 5f, 1f))),
+    // edismax bq: additive boost QUERY — a boosted optional term over
+    // the dismax main (ReqOpt attach)
+    "q_edismax_bq" -> seg(BoolQ(
+      must = Seq(DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f)),
+      should = Seq(BoostQ(TermQ("dup"), 1.5f)))),
+    // SpellCheckCollator: combination re-query of per-term suggestions,
+    // rank-sum order, hits>0 kept, try-order output
+    "q_spell_collate" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .collate(Seq("sprk", "btch"), numSug = 4, maxTries = 8,
+          maxCollations = 3)
+        .zipWithIndex
+        .map { case ((c, h), i) => (c, h, i + 1) }
+        .toDF("collation", "hits", "rnk")
+    }),
+    // FuzzySuggester (suggest/analyzing/FuzzySuggester.java): fuzzy
+    // prefix completion — first char exact, <=1 Damerau edit on the
+    // prefix, EXACT_FIRST ranking; scans ONE termdict partition
+    "q_suggest_fuzzy" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestFuzzy("sprk", 5).toSeq
+        .toDF("suggestion", "df")
+    }),
+    // AnalyzingInfixSuggester: completions matching anywhere in the term
+    "q_suggest_infix" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestInfix("ort", 5).toSeq
+        .toDF("suggestion", "df")
+    }),
     // FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
     // 2-gram stupid-backoff LM — "order s" completes via the bigram
     // model first, unigram completions back off at ALPHA = 0.4
@@ -863,6 +899,13 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_edismax_bf" -> Oracles.dismaxAdded(Seq("spark", "key"), 0.3f,
+      RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
+    "q_edismax_bq" -> Oracles.edismaxBq(Seq("spark", "key"), 0.3f,
+      "dup", 1.5f, K),
+    "q_spell_collate" -> Oracles.collate2("sprk", "btch", 4, 8, 3),
+    "q_suggest_fuzzy" -> Oracles.suggestFuzzy("sprk", 5),
+    "q_suggest_infix" -> Oracles.suggestInfix("ort", 5),
     "q_suggest_freetext" -> Oracles.freeText("order", "s", 6),
     "q_percolate" -> Oracles.percolate(2),
     "q_termvectors" -> Oracles.termVectors(Seq(40L, 41L, 42L)),

@@ -84,6 +84,13 @@ final case class FunctionQ(vs: ValueSrc) extends Query
   */
 final case class FuncBoostedQ(query: Query, vs: ValueSrc) extends Query
 
+/** Additive boost function (Solr edismax `bf` — `search/DisMaxQParser
+  * .java:166-183` attaches each boost function as a SHOULD FunctionQuery
+  * clause): matches like `query`, score = match score + value — the
+  * additive sibling of [[FuncBoostedQ]]'s multiply.
+  */
+final case class FuncAddedQ(query: Query, vs: ValueSrc) extends Query
+
 /** FunctionRangeQuery (`queries/function/FunctionRangeQuery.java:40-96`,
   * Solr's `{!frange}`): matches docs whose value lands in
   * [lower, upper] (float comparisons, inclusivity flags per bound,
@@ -461,6 +468,9 @@ object Query {
     case ConstScoreQ(inner, sc) =>
       val i = rewriteOnce(inner)
       if (i == MatchNoneQ) MatchNoneQ else ConstScoreQ(i, sc)
+    case FuncAddedQ(iq, vs) =>
+      val i = rewrite(iq)
+      if (i == MatchNoneQ) MatchNoneQ else FuncAddedQ(i, vs)
     case FuncBoostedQ(iq, vs) =>
       val i = rewriteOnce(iq)
       if (i == MatchNoneQ) MatchNoneQ else FuncBoostedQ(i, vs)

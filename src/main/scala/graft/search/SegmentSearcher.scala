@@ -137,6 +137,51 @@ object SegmentSearcher {
   @inline def isClassicFamily(sim: Int): Boolean =
     sim == SimClassic || sim == SimSweetSpot
 
+  /** FuzzySuggester acceptance (`suggest/analyzing/FuzzySuggester.java:
+    * 40-109`): true when some PREFIX of `term` is within `maxEdits`
+    * Damerau edits of `key`, with the first codepoint exact
+    * (DEFAULT_NON_FUZZY_PREFIX = 1) and no edits at all for keys shorter
+    * than DEFAULT_MIN_FUZZY_LENGTH = 3 (exact prefix only).
+    */
+  def fuzzyPrefixAccept(key: String, term: String, maxEdits: Int = 1): Boolean = {
+    if (term.startsWith(key)) return true
+    if (key.length < 3) return false
+    if (term.isEmpty || term.charAt(0) != key.charAt(0)) return false
+    damerauPrefixMin(key.substring(1), term.substring(1)) <= maxEdits
+  }
+
+  /** min over prefixes p of `t` of the Damerau-Levenshtein distance
+    * damerau(key, p) — the last-column minimum of the optimal-string-
+    * alignment DP (equal to unrestricted Damerau at threshold ≤ 1, the
+    * only edit budget the reference default uses).
+    */
+  def damerauPrefixMin(key: String, t: String): Int = {
+    val n = key.length
+    var prev2: Array[Int] = null
+    var prev = Array.tabulate(n + 1)(identity) // D(0)(j) = j: delete key
+    var best = prev(n)
+    var i = 1
+    while (i <= t.length) {
+      val cur = new Array[Int](n + 1)
+      cur(0) = i
+      var j = 1
+      while (j <= n) {
+        val cost = if (t.charAt(i - 1) == key.charAt(j - 1)) 0 else 1
+        var v = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+          prev(j - 1) + cost)
+        if (i > 1 && j > 1 && t.charAt(i - 1) == key.charAt(j - 2) &&
+            t.charAt(i - 2) == key.charAt(j - 1))
+          v = math.min(v, prev2(j - 2) + 1)
+        cur(j) = v
+        j += 1
+      }
+      if (cur(n) < best) best = cur(n)
+      prev2 = prev; prev = cur
+      i += 1
+    }
+    best
+  }
+
   @inline def isSimBase(sim: Int): Boolean =
     (sim >= SimDFRInL2 && sim <= SimIBLlL1) ||
       (sim >= SimDFIChi && sim <= SimIBSplDZ)
@@ -360,7 +405,7 @@ object SegmentSearcher {
       else new DisMaxScorer(subs, tie)
     case BoolQ(must, should, mustNot, filterQs, msm) =>
       boolScorer(must, should, mustNot, filterQs, msm, shard, blobs, plan, boost)
-    case _: FunctionQ | _: FuncBoostedQ | _: FunctionRangeQ =>
+    case _: FunctionQ | _: FuncBoostedQ | _: FuncAddedQ | _: FunctionRangeQ =>
       throw new IllegalArgumentException(
         "function queries are top-level only: they evaluate over the docs " +
           "column store (Searcher.searchFunction/searchBoosted/" +
@@ -678,9 +723,13 @@ object SegmentSearcher {
         val it = PostingsCodec.iterator(row.docBlocks, row.skipData)
         // classic folds the accumulated boost INSIDE the weight value
         // (queryNorm·boost·idf·idf association, mkClassicWeights) — the
-        // runtime multiplier must not re-apply it
+        // runtime multiplier must not re-apply it. BM25 boosts fold in
+        // the reference's association (BM25Similarity.java:296
+        // weight = idf·boost, scored weight·(k1+1)) — NOT
+        // (idf·(k1+1))·boost, which drifts one ulp for non-power-of-two
+        // boosts
         val w = if (boost == 1f || SegmentSearcher.isClassicFamily(plan.sim)) wi.weight
-          else wi.weight * boost
+          else BM25.weightValue(BM25.idf(wi.df, plan.maxDoc), plan.params, boost)
         val ts: DocScorer =
           if (plan.sim == SimDFR)
             new DFRTermScorer(it, wi.df, wi.ttf, plan.maxDoc, plan.avgdl,
@@ -707,8 +756,8 @@ object SegmentSearcher {
     val dfs = ts.flatMap(plan.weights.get).map(_.df)
     if (dfs.isEmpty) return EmptyScorer
     // SynonymQuery blends: df = max over members
-    val w0 = BM25.weightValue(BM25.idf(dfs.max, plan.maxDoc), plan.params)
-    val w = if (boost == 1f) w0 else w0 * boost
+    val w = BM25.weightValue(BM25.idf(dfs.max, plan.maxDoc), plan.params,
+      boost)
     // in a sharded context, cold (unsalted) member lists are restricted to
     // this shard's docs up front (cold lists are small by definition), so
     // the union never double-counts across shards
@@ -1614,6 +1663,11 @@ final class Searcher(private[search] val spark: SparkSession,
           sim0 == SegmentSearcher.SimBm25,
           "BoostedQuery scores its subquery under BM25, no paging")
         return searchBoosted(iq, vs, k)
+      case FuncAddedQ(iq, vs) =>
+        require(after.isEmpty && multiSims.isEmpty &&
+          sim0 == SegmentSearcher.SimBm25,
+          "bf scores its subquery under BM25, no paging")
+        return searchBoosted(iq, vs, k, additive = true)
       case FunctionRangeQ(vs, l, u, il, iu) =>
         require(after.isEmpty && multiSims.isEmpty &&
           sim0 == SegmentSearcher.SimBm25,
@@ -1807,6 +1861,7 @@ final class Searcher(private[search] val spark: SparkSession,
     q0 match {
       case FunctionQ(_) => return m.docCount // every doc matches
       case FuncBoostedQ(iq, _) => return count(iq) // vs never changes matching
+      case FuncAddedQ(iq, _) => return count(iq)
       case FunctionRangeQ(vs, l, u, il, iu) =>
         import org.apache.spark.sql.functions.{col, lit}
         val lo = if (il) col("v") >= lit(l) else col("v") > lit(l)
@@ -2199,6 +2254,118 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** Fuzzy completion suggest — the FuzzySuggester surface
+    * (`lucene/suggest/.../analyzing/FuzzySuggester.java:40-109`):
+    * completions whose PREFIX lies within `maxEdits` (default
+    * DEFAULT_MAX_EDITS = 1) Damerau edits of the key, first codepoint
+    * exact (DEFAULT_NON_FUZZY_PREFIX = 1), exact-only for keys shorter
+    * than DEFAULT_MIN_FUZZY_LENGTH = 3. Ranking: EXACT_FIRST (the key
+    * itself, if a term, ranks first) then df desc, term asc. The
+    * first-char-exact law makes the scan a single termdict partition on
+    * both paths.
+    */
+  def suggestFuzzy(key: String, k: Int, maxEdits: Int = 1): Array[(String, Long)] = {
+    require(key.nonEmpty, "empty key")
+    termDict match {
+      case Some(d) =>
+        val cands = Set.newBuilder[String]
+        var i = SegmentSearcher.lowerBound(d, key.take(1))
+        val c0 = key.charAt(0)
+        while (i < d.length && d(i).nonEmpty && d(i).charAt(0) == c0) {
+          if (SegmentSearcher.fuzzyPrefixAccept(key, d(i), maxEdits))
+            cands += d(i)
+          i += 1
+        }
+        val st = stats(cands.result())
+        st.toArray.map { case (t, (df, _)) => (t, df) }
+          .sortWith { case ((ta, da), (tb, db)) =>
+            val (ea, eb) = (ta == key, tb == key)
+            if (ea != eb) ea
+            else if (da != db) da > db
+            else ta < tb
+          }.take(k)
+      case None =>
+        val base = termDictDf.getOrElse(termStatsDf)
+        val pruned =
+          if (termDictDf.isDefined)
+            base.filter(col("pfx") === key.take(1))
+          else base
+        val acceptUdf = udf((t: String) =>
+          SegmentSearcher.fuzzyPrefixAccept(key, t, maxEdits))
+        pruned.filter(acceptUdf(col("term")))
+          .select("term", "df")
+          .orderBy((col("term") === key).desc, col("df").desc, col("term"))
+          .limit(k).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+    }
+  }
+
+  /** Infix completion suggest — the AnalyzingInfixSuggester surface
+    * (`lucene/suggest/.../analyzing/AnalyzingInfixSuggester.java:77-95`:
+    * matches at ANY token start, not just the beginning): dictionary
+    * terms containing `frag`, df desc then term asc. No prefix to prune
+    * on — a full dictionary scan, as the reference pays with its own
+    * auxiliary index.
+    */
+  def suggestInfix(frag: String, k: Int): Array[(String, Long)] = {
+    require(frag.nonEmpty, "empty fragment")
+    termDict match {
+      case Some(d) =>
+        val cands = d.iterator.filter(_.contains(frag)).toSet
+        stats(cands).toArray.map { case (t, (df, _)) => (t, df) }
+          .sortWith { case ((ta, da), (tb, db)) =>
+            if (da != db) da > db else ta < tb
+          }.take(k)
+      case None =>
+        termDictDf.getOrElse(termStatsDf)
+          .filter(col("term").contains(frag))
+          .select("term", "df")
+          .orderBy(col("df").desc, col("term"))
+          .limit(k).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+    }
+  }
+
+  /** SpellCheckCollator (`solr/core/.../spelling/SpellCheckCollator
+    * .java:52-183` + `PossibilityIterator.java:39-141`: possibilities
+    * ranked by the SUM of their component suggestion ranks): per
+    * misspelled term take the top `numSug` suggestions in the
+    * DirectSpellChecker ranking, enumerate combinations ordered
+    * (rank-sum asc, then the slot-rank tuple lexicographically — the
+    * engine's pinned variant of the reference's insertion-order
+    * tie-break), re-query the first `maxTries` as conjunctions, and
+    * keep up to `maxCollations` whose hit count is > 0 — output stays
+    * in try order (NOT sorted by hits), as the reference documents.
+    */
+  def collate(terms: Seq[String], numSug: Int = 5, maxTries: Int = 10,
+      maxCollations: Int = 3): Seq[(String, Long)] = {
+    require(terms.nonEmpty, "empty collation input")
+    val slots = terms.map(t => suggest(t, numSug).map(_._1).toSeq)
+    if (slots.exists(_.isEmpty)) return Nil
+    val combos = slots.foldLeft(Seq((Seq.empty[Int], Seq.empty[String]))) {
+      (acc, slot) =>
+        for ((rs, ts) <- acc; (t, r) <- slot.zipWithIndex)
+          yield (rs :+ r, ts :+ t)
+    }
+    val ranked = combos.sortWith { case ((ra, _), (rb, _)) =>
+      val (sa, sb) = (ra.sum, rb.sum)
+      if (sa != sb) sa < sb
+      else ra.zip(rb).find { case (x, y) => x != y }
+        .exists { case (x, y) => x < y }
+    }
+    val out = Seq.newBuilder[(String, Long)]
+    var tries = 0
+    var colls = 0
+    val it = ranked.iterator
+    while (it.hasNext && tries < maxTries && colls < maxCollations) {
+      val (_, ts) = it.next()
+      tries += 1
+      val h = count(Query.and(ts.map(TermQ.apply): _*))
+      if (h > 0) { out += ((ts.mkString(" "), h)); colls += 1 }
+    }
+    out.result()
+  }
+
   def searchByField(q0: Query, k: Int, field: String,
       asc: Boolean = true): Array[(Long, Long)] = {
     var q = Query.rewrite(q0)
@@ -2523,7 +2690,8 @@ final class Searcher(private[search] val spark: SparkSession,
     *    executor-side, top-k via TakeOrderedAndProject.
     * The spec pins both paths equal.
     */
-  def searchBoosted(q0: Query, vs: ValueSrc, k: Int): Array[Hit] = {
+  def searchBoosted(q0: Query, vs: ValueSrc, k: Int,
+      additive: Boolean = false): Array[Hit] = {
     var q = Query.rewrite(q0)
     q = Query.rewrite(expandMultiTerm(q))
     if (q == MatchNoneQ) return Array.empty
@@ -2555,7 +2723,9 @@ final class Searcher(private[search] val spark: SparkSession,
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
         var d = scorer.nextDoc()
         while (d != DocScorer.NO_MORE) {
-          queue.insert(d, (scorer.score * fval(d)).toDouble)
+          queue.insert(d,
+            (if (additive) scorer.score + fval(d)
+             else scorer.score * fval(d)).toDouble)
           d = scorer.nextDoc()
         }
         queue.sortedHits
@@ -2578,8 +2748,9 @@ final class Searcher(private[search] val spark: SparkSession,
       import org.apache.spark.sql.functions.col
       matchScoresDf(q)
         .join(functionDf(vs), "docId")
-        .select(col("docId"), (col("ms") * col("v"))
-          .cast(org.apache.spark.sql.types.FloatType).as("s"))
+        .select(col("docId"),
+          (if (additive) col("ms") + col("v") else col("ms") * col("v"))
+            .cast(org.apache.spark.sql.types.FloatType).as("s"))
         .orderBy(col("s").desc, col("docId").asc)
         .limit(k)
         .collect()
