@@ -1297,6 +1297,16 @@ SELECT "collation", hits,
 FROM keep ORDER BY tryno"""
   }
 
+  /** RealTimeGet over the gate's two-batch fixture: ids where
+    * doc_id % modN == 0 return the batch-1 (" updated") content hash,
+    * the rest batch-0.
+    */
+  def realTimeGet(ids: Seq[Long], modN: Int): String =
+    s"""SELECT doc_id,
+  sha256(CASE WHEN doc_id % $modN = 0 THEN text || ' updated' ELSE text END) AS sha
+FROM documents WHERE doc_id IN (${ids.mkString(", ")})
+ORDER BY doc_id"""
+
   /** FuzzySuggester (`suggest/analyzing/FuzzySuggester.java:40-109`):
     * terms with a prefix within 1 Damerau edit of the key, first char
     * exact, keys < 3 chars exact-only; EXACT_FIRST, df desc, term asc.

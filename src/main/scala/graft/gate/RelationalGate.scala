@@ -310,6 +310,42 @@ object RelationalGate {
         .orderBy("o_orderstatus")
     }),
 
+    // HavingStream (io/stream/HavingStream.java:48): boolean operand
+    // over the rolled-up tuples — filter AFTER aggregation
+    "q_having" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .filter(col("cnt") >= 10 && col("sum_price") > 1000000)
+        .orderBy("o_custkey")
+    }),
+
+    // CartesianProductStream (io/stream/CartesianProductStream.java:55):
+    // one output tuple per element of a multivalued field — built here
+    // by collecting each order's lineitems, then exploding back
+    "q_cartesian" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_orderkey") <= 100)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey").agg(sort_array(collect_list("l_partkey")).as("parts"))
+      li.select(col("l_orderkey"), explode(col("parts")).as("partkey"))
+        .orderBy("l_orderkey", "partkey")
+    }),
+
+    // Solr result grouping by QUERY (group.query): each named predicate
+    // is its own bucket with a top-3 inside (GroupingSearch group-by-
+    // query form / solr Grouping.CommandQuery)
+    "q_group_query" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      def bucket(name: String, pred: org.apache.spark.sql.Column) =
+        o.filter(pred)
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(3)
+          .select(lit(name).as("bucket"), col("o_orderkey"), col("o_totalprice"))
+      bucket("urgent", col("o_orderpriority") === "1-URGENT")
+        .unionByName(bucket("open_f", col("o_orderstatus") === "F"))
+        .orderBy(col("bucket"), desc("o_totalprice"), asc("o_orderkey"))
+    }),
+
     // GatherNodesStream 2-hop graph expansion (io/graph/GatherNodesStream
     // .java:54): part → orders containing it → co-ordered parts
     "q_graph_expand" -> ((s, d) => {
@@ -521,6 +557,29 @@ ORDER BY path""",
   COUNT(DISTINCT o_custkey) AS unique_cust,
   ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS range_expr
 FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_having" ->
+      """SELECT o_custkey, COUNT(*) AS cnt,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY 1
+HAVING COUNT(*) >= 10
+  AND CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 1000000
+ORDER BY o_custkey""",
+
+    "q_cartesian" ->
+      """SELECT l_orderkey, l_partkey AS partkey FROM lineitem
+WHERE l_orderkey <= 100 ORDER BY l_orderkey, partkey""",
+
+    "q_group_query" ->
+      """SELECT bucket, o_orderkey, o_totalprice FROM (
+  SELECT 'urgent' AS bucket, o_orderkey, o_totalprice,
+    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'open_f', o_orderkey, o_totalprice,
+    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+  FROM orders WHERE o_orderstatus = 'F')
+WHERE rn <= 3 ORDER BY bucket, o_totalprice DESC, o_orderkey""",
 
     "q_graph_expand" ->
       """SELECT DISTINCT l_partkey FROM lineitem

@@ -126,6 +126,32 @@ object SearchGate {
       new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
 
+  /** Two-snapshot streaming index per sfDir for the RealTimeGet gate:
+    * snap=0 = every document, snap=1 = docs with doc_id % 7 == 0
+    * re-indexed with ' updated' appended — the /get view must return the
+    * batch-1 version for those ids and batch-0 for the rest.
+    */
+  private val rtgCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def rtgIndex(spark: SparkSession, sfDir: String): String =
+    rtgCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#rtg".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-rtg-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val cfgRtg = gateConfig.copy(offsets = false, payloads = None)
+      def writeSnap(batch: org.apache.spark.sql.DataFrame, id: Int): Unit = {
+        val ix = IndexBuilder.buildLogical(batch, "text", Some("doc_id"),
+          Nil, cfgRtg)
+        IndexBuilder.writeIndex(ix, s"$dir/snap=$id", s"rtg-$id", numGroups = 1)
+        ix.unpersistCached(); ix.postings.unpersist()
+      }
+      writeSnap(docs, 0)
+      writeSnap(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("text", concat(col("text"), lit(" updated"))), 1)
+      dir
+    })
+
   /** Cached FreeText 2-gram model per sfDir (built from the logical
     * index's postings — positions self-join, no re-tokenize).
     */
@@ -530,6 +556,23 @@ object SearchGate {
     // ScoreMode.java:22): BM25 from-query scores fold per `source` value
     // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
     // sharing the value scores the fold — one gate per ScoreMode
+    // Solr function-query STRING syntax (ValueSourceParser surface):
+    // the parsed tree must score identically to the programmatic one —
+    // incl. the query($q) local-params indirection
+    "q_func_parsed" -> seg(FunctionQ(ValueSources.parseFunc(
+      "sum(recip(n_chars,0.01,5,1), linear(n_chars,0.5,10))"))),
+    "q_func_parsed_query" -> seg(FunctionQ(ValueSources.parseFunc(
+      "sum(query($q), recip(n_chars,1,1000,1))",
+      Map("q" -> TermQ("key"))))),
+    // RealTimeGet (/get): newest version of each id across streaming
+    // snapshots, last-write-wins by batch order, no compaction needed
+    "q_realtime_get" -> ((spark, sfDir) => {
+      val dir = rtgIndex(spark, sfDir)
+      graft.streaming.StreamingIndex
+        .realTimeGet(spark, dir, Seq(0L, 3L, 5L, 7L, 14L, 21L))
+        .select(col("docId").as("doc_id"), col("contentSha256").as("sha"))
+        .orderBy("doc_id")
+    }),
     // edismax bf: additive boost function attached to a dismax main
     // query (DisMaxQParser.java:166-183 — bf joins as a SHOULD
     // FunctionQuery clause; score = main + f(doc))
@@ -899,6 +942,13 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_func_parsed" -> Oracles.functionQuery(SumV(Seq(
+      RecipV(FieldV("n_chars"), 0.01f, 5f, 1f),
+      LinearV(FieldV("n_chars"), 0.5f, 10f))), K),
+    "q_func_parsed_query" -> Oracles.functionQuery(SumV(Seq(
+      QueryV(TermQ("key"), 0f),
+      RecipV(FieldV("n_chars"), 1f, 1000f, 1f))), K, termVs = Seq("key")),
+    "q_realtime_get" -> Oracles.realTimeGet(Seq(0L, 3L, 5L, 7L, 14L, 21L), 7),
     "q_edismax_bf" -> Oracles.dismaxAdded(Seq("spark", "key"), 0.3f,
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
     "q_edismax_bq" -> Oracles.edismaxBq(Seq("spark", "key"), 0.3f,

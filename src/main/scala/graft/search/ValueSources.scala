@@ -96,6 +96,114 @@ final case class QueryV(q: Query, defVal: Float = 0f) extends ValueSrc
 
 object ValueSources {
 
+  /** Solr's function-query string syntax
+    * (`solr/core/.../search/ValueSourceParser.java` — the `sum(…)`,
+    * `recip(…)`, `query($x)` surface of `fl`/`sort`/`boost=`/`bf`):
+    * parse `func(arg, …)` trees onto the [[ValueSrc]] zoo. Numeric
+    * literals → ConstV, bare identifiers → FieldV, `$param` references
+    * resolve through `queries` (the local-params indirection for
+    * `query($q)`). Functions whose reference signature takes scalar
+    * positions (linear/recip/map/scale) require literal numbers there,
+    * exactly like the Solr parser's `parseFloat` slots.
+    */
+  def parseFunc(input: String,
+      queries: Map[String, Query] = Map.empty): ValueSrc = {
+    val p = new FuncP(input, queries)
+    val v = p.parseV()
+    p.skipWs()
+    require(p.eof, s"unexpected '${input.substring(p.pos)}'")
+    v
+  }
+
+  private final class FuncP(s: String, queries: Map[String, Query]) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def peek: Char = s.charAt(pos)
+    def skipWs(): Unit = while (!eof && peek.isWhitespace) pos += 1
+
+    private def ident(): String = {
+      skipWs()
+      val start = pos
+      while (!eof && (peek.isLetterOrDigit || peek == '_' || peek == '.' ||
+        peek == '-' || peek == '+')) pos += 1
+      require(pos > start, s"expected identifier at $start")
+      s.substring(start, pos)
+    }
+
+    private def expect(c: Char): Unit = {
+      skipWs()
+      require(!eof && peek == c, s"expected '$c' at $pos")
+      pos += 1
+    }
+
+    private def args(): Seq[ValueSrc] = {
+      expect('(')
+      val out = Seq.newBuilder[ValueSrc]
+      out += parseV()
+      while ({ skipWs(); !eof && peek == ',' }) { pos += 1; out += parseV() }
+      expect(')')
+      out.result()
+    }
+
+    private def num(v: ValueSrc): Float = v match {
+      case ConstV(f) => f
+      case other => throw new IllegalArgumentException(
+        s"expected a numeric literal, got $other")
+    }
+
+    def parseV(): ValueSrc = {
+      skipWs()
+      if (!eof && peek == '$') {
+        pos += 1
+        val name = ident()
+        val q = queries.getOrElse(name,
+          throw new IllegalArgumentException(s"unbound query param $$$name"))
+        return QueryV(q)
+      }
+      val word = ident()
+      skipWs()
+      val isCall = !eof && peek == '('
+      if (!isCall) {
+        return word.toFloatOption match {
+          case Some(f) => ConstV(f)
+          case None => FieldV(word)
+        }
+      }
+      word match {
+        case "sum" => SumV(args())
+        case "product" => ProductV(args())
+        case "div" => val a = args(); require(a.size == 2, "div(a,b)"); DivV(a(0), a(1))
+        case "pow" => val a = args(); require(a.size == 2, "pow(a,b)"); PowV(a(0), a(1))
+        case "max" => MaxV(args())
+        case "min" => MinV(args())
+        case "linear" =>
+          val a = args(); require(a.size == 3, "linear(x,m,c)")
+          LinearV(a(0), num(a(1)), num(a(2)))
+        case "recip" =>
+          val a = args(); require(a.size == 4, "recip(x,m,a,b)")
+          RecipV(a(0), num(a(1)), num(a(2)), num(a(3)))
+        case "map" =>
+          val a = args(); require(a.size == 4 || a.size == 5, "map(x,min,max,target[,def])")
+          RangeMapV(a(0), num(a(1)), num(a(2)), num(a(3)),
+            if (a.size == 5) Some(num(a(4))) else None)
+        case "scale" =>
+          val a = args(); require(a.size == 3, "scale(x,min,max)")
+          ScaleV(a(0), num(a(1)), num(a(2)))
+        case "log" => val a = args(); require(a.size == 1, "log(x)"); Log10V(a(0))
+        case "ln" => val a = args(); require(a.size == 1, "ln(x)"); LnV(a(0))
+        case "sqrt" => val a = args(); require(a.size == 1, "sqrt(x)"); SqrtV(a(0))
+        case "abs" => val a = args(); require(a.size == 1, "abs(x)"); AbsV(a(0))
+        case "query" =>
+          // query($q) — the Solr local-params indirection
+          val a = args(); require(a.size == 1 && a.head.isInstanceOf[QueryV],
+            "query($param)")
+          a.head
+        case other => throw new IllegalArgumentException(
+          s"unknown function '$other'")
+      }
+    }
+  }
+
   /** Docvalue fields referenced anywhere in the tree (for the pruned
     * column read).
     */

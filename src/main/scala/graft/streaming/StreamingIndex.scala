@@ -59,6 +59,37 @@ object StreamingIndex {
       .filter(p => IndexBuilder.readManifest(p).isDefined)
   }
 
+  /** RealTimeGet (`solr/core/.../handler/component/RealTimeGetComponent
+    * .java` — the /get handler): return the NEWEST version of each id
+    * without waiting for compaction, reading ACROSS committed streaming
+    * snapshots with last-write-wins by batch order. Batch ids order
+    * NUMERICALLY (snap=10 follows snap=9); tier-merged snapshots sort
+    * before any live batch — a tier merge only ever contains versions
+    * the later batches supersede. One pruned read of the (narrow) docs
+    * stores + a per-id window, nothing corpus-sized on the driver.
+    */
+  def realTimeGet(spark: SparkSession, indexDir: String,
+      ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val snaps = snapshots(indexDir)
+    require(snaps.nonEmpty, s"no committed snapshots under $indexDir")
+    val SnapN = """snap=(\d+)""".r
+    val dfs = snaps.map { p =>
+      val seq = new java.io.File(p).getName match {
+        case SnapN(n) => n.toLong
+        case _ => -1L // tiered merge of older batches
+      }
+      spark.read.parquet(s"$p/docs").withColumn("snapSeq", lit(seq))
+    }
+    val w = Window.partitionBy("docId").orderBy(desc("snapSeq"))
+    dfs.reduce(_.unionByName(_))
+      .filter(col("docId").isin(ids: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Merge all committed snapshots into one queryable index. */
   def compact(spark: SparkSession, indexDir: String, outDir: String): Unit = {
     val snaps = snapshots(indexDir)

@@ -175,4 +175,51 @@ class FunctionQuerySpec extends AnyFunSuite {
       FieldV("nlen")))
     assert(r == FuncBoostedQ(TermQ("a"), FieldV("nlen")))
   }
+
+  test("parseFunc: string syntax maps 1:1 onto the ValueSrc zoo") {
+    import ValueSources.parseFunc
+    assert(parseFunc("sum(recip(n_chars,0.01,5,1), linear(n_chars,0.5,10))")
+      === SumV(Seq(RecipV(FieldV("n_chars"), 0.01f, 5f, 1f),
+        LinearV(FieldV("n_chars"), 0.5f, 10f))))
+    assert(parseFunc("div(ln(x), sqrt(2.5))")
+      === DivV(LnV(FieldV("x")), SqrtV(ConstV(2.5f))))
+    assert(parseFunc("map(x,0,10,1,-1)")
+      === RangeMapV(FieldV("x"), 0f, 10f, 1f, Some(-1f)))
+    assert(parseFunc("max(product(a,b), abs(c), 3)")
+      === MaxV(Seq(ProductV(Seq(FieldV("a"), FieldV("b"))),
+        AbsV(FieldV("c")), ConstV(3f))))
+    assert(parseFunc("query($q)", Map("q" -> TermQ("spark")))
+      === QueryV(TermQ("spark")))
+    // scalar slots demand literals; unknown funcs and params are loud
+    intercept[IllegalArgumentException](parseFunc("linear(x, y, 1)"))
+    intercept[IllegalArgumentException](parseFunc("frob(x)"))
+    intercept[IllegalArgumentException](parseFunc("query($nope)"))
+    intercept[IllegalArgumentException](parseFunc("sum(a,b) trailing"))
+  }
+
+  test("realTimeGet: last-write-wins across batches; tier merges oldest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft-rtg").toString
+    def snap(id: String, rows: Seq[(Long, String)]): Unit = {
+      val ix = IndexBuilder.buildLogical(
+        rows.toDF("doc_id", "content"), "content", Some("doc_id"), Nil,
+        BuildConfig(numBuckets = 2, numDocShards = 1, saltThreshold = 100000L))
+      IndexBuilder.writeIndex(ix, s"$base/snap=$id", s"rtg-$id", 1)
+      ix.unpersistCached(); ix.postings.unpersist()
+    }
+    // a tier-merged snapshot (oldest), then batches 2 and 10 — numeric
+    // order must place snap=10 after snap=2 (lexicographic would not)
+    snap("tier-r0", Seq(1L -> "one v0", 2L -> "two v0", 3L -> "three v0"))
+    snap("2", Seq(1L -> "one v2", 3L -> "three v2"))
+    snap("10", Seq(3L -> "three v10"))
+    val got = graft.streaming.StreamingIndex
+      .realTimeGet(spark, base, Seq(1L, 2L, 3L))
+      .select("docId", "contentSha256").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Map(1L -> sha("one v2"), 2L -> sha("two v0"),
+      3L -> sha("three v10")))
+  }
 }
