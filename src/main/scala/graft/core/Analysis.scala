@@ -251,6 +251,21 @@ object Analysis {
     out.toArray
   }
 
+  /** ShingleFilter (`lucene/analysis/common/.../shingle/ShingleFilter
+    * .java:35-70`) in its outputUnigrams = false configuration: token
+    * n-grams joined with the DEFAULT_TOKEN_SEPARATOR " ", one shingle
+    * per start position (posInc 1 each — the flat-array position
+    * convention holds). The phrase-as-term field pattern: an index built
+    * on shingles answers n-word phrase queries as SINGLE-term lookups —
+    * at scale, a phrase query stops touching positions entirely.
+    */
+  def shingles(tokens: Array[String], n: Int): Array[String] = {
+    require(n >= 2, "shingle size >= 2")
+    if (tokens.length < n) Array.empty
+    else Array.tabulate(tokens.length - n + 1)(i =>
+      tokens.slice(i, i + n).mkString(" "))
+  }
+
   /** Payload-producing token filters (the reference's payload filter
     * family, `lucene/analysis/common/.../payloads/`): each policy maps an
     * occurrence (token, position) to the possibly-rewritten term plus a

@@ -40,8 +40,27 @@ object Oracles {
   /** Shared CTE prologue over the `documents` table:
     * tok(doc_id, term), dn(doc_id, qlen REAL), av(n, avgdl REAL).
     */
-  def prologue: String =
-    tokDlenCtes +
+  def prologue: String = tokDlenCtes + normAvSuffix
+
+  /** Same prologue shape with SHINGLE terms (ShingleFilter
+    * outputUnigrams=false, n = 2, separator " "): tok emits word
+    * bigrams, dlen counts them — termCtes/finish compose unchanged.
+    */
+  def shinglePrologue: String =
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+    i -> a[i] || ' ' || a[i + 1])) AS term
+  FROM arr WHERE len(a) >= 2
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+)""" + normAvSuffix
+
+  private def normAvSuffix: String =
     s""", normq(lo, hi, qlen) AS (
   SELECT * FROM (VALUES $normValuesRows)
 ), dn AS (
@@ -1296,6 +1315,31 @@ SELECT "collation", hits,
   CAST(row_number() OVER (ORDER BY tryno) AS INT) AS rnk
 FROM keep ORDER BY tryno"""
   }
+
+  /** BM25 term query over the SHINGLED field — the phrase-as-term
+    * pattern: tf = adjacent-pair count, doc length = shingle count.
+    */
+  def shingleTerm(bigram: String, k: Int): String =
+    shinglePrologue + termCtes("a", bigram) + finish("sc_a", k)
+
+  /** Count-sorted shingle enumeration (termsEnum over the bigram
+    * vocabulary — distributed phrase statistics).
+    */
+  def shingleTermsEnum(prefix: String, limit: Int, minCount: Int): String =
+    shinglePrologue +
+      s"""
+SELECT term, count(DISTINCT doc_id) AS df FROM tok
+WHERE term LIKE ${lit(prefix + "%")}
+GROUP BY term HAVING count(DISTINCT doc_id) >= $minCount
+ORDER BY df DESC, term LIMIT $limit"""
+
+  /** Luke / CheckIndex index statistics. */
+  def indexStats: String =
+    tokDlenCtes +
+      s"""
+SELECT (SELECT count(*) FROM documents) AS doc_count,
+  (SELECT count(DISTINCT term) FROM tok) AS num_terms,
+  (SELECT count(*) FROM tok) AS sum_ttf"""
 
   /** RealTimeGet over the gate's two-batch fixture: ids where
     * doc_id % modN == 0 return the batch-1 (" updated") content hash,

@@ -57,7 +57,8 @@ object SearchGate {
     def quietly(f: => Unit): Unit =
       try f catch { case _: Exception => } // session may already be stopped
     (searcherCache.values ++ fieldSearcherCache.values ++
-      sweetSearcherCache.values).foreach(s => quietly(s.close()))
+      sweetSearcherCache.values ++ shingleSearcherCache.values)
+      .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
     logicalCache.values.foreach(ix => quietly {
@@ -65,6 +66,7 @@ object SearchGate {
     })
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
+    shingleSearcherCache.clear()
     createdDirs.keys.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     createdDirs.clear()
@@ -120,6 +122,28 @@ object SearchGate {
         gateConfig.copy(offsets = false, payloads = None,
           normSim = SweetSpotNormSim))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-sweet-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Shingled (word-bigram) index per sfDir — ShingleFilter
+    * outputUnigrams=false: phrase-as-term fields. At 100 TB this is the
+    * trade that removes positions from the phrase hot path entirely.
+    */
+  private val shingleSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def shingleSearcher(spark: SparkSession, sfDir: String): Searcher =
+    shingleSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#shingle".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-shingle-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "shingle:2", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-shingle-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -556,6 +580,23 @@ object SearchGate {
     // ScoreMode.java:22): BM25 from-query scores fold per `source` value
     // (doc_id-ordered float fold, TermsWithScoreCollector.SV), every doc
     // sharing the value scores the fold — one gate per ScoreMode
+    // ShingleFilter phrase-as-term field: the 2-word phrase runs as ONE
+    // term lookup on the shingled index (no positions touched)
+    "q_shingle_phrase" -> ((spark, sfDir) => hitsDf(spark,
+      shingleSearcher(spark, sfDir).search(TermQ("order sort"), K))),
+    // distributed phrase statistics: count-sorted bigram enumeration
+    "q_shingle_terms" -> ((spark, sfDir) => {
+      import spark.implicits._
+      shingleSearcher(spark, sfDir)
+        .termsEnum(limit = 10, prefix = Some("order "), minCount = 1)
+        .toSeq.toDF("term", "df")
+    }),
+    // Luke / CheckIndex statistics surface (LukeRequestHandler analog)
+    "q_index_stats" -> ((spark, sfDir) => {
+      import spark.implicits._
+      Seq(searcher(spark, sfDir).indexStats()).toDF(
+        "doc_count", "num_terms", "sum_ttf")
+    }),
     // Solr function-query STRING syntax (ValueSourceParser surface):
     // the parsed tree must score identically to the programmatic one —
     // incl. the query($q) local-params indirection
@@ -942,6 +983,9 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_shingle_phrase" -> Oracles.shingleTerm("order sort", K),
+    "q_shingle_terms" -> Oracles.shingleTermsEnum("order ", 10, 1),
+    "q_index_stats" -> Oracles.indexStats,
     "q_func_parsed" -> Oracles.functionQuery(SumV(Seq(
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f),
       LinearV(FieldV("n_chars"), 0.5f, 10f))), K),

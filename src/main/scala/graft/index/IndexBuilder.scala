@@ -126,6 +126,11 @@ object IndexBuilder {
     // "pattern:<regex>" — PatternTokenizer, split on the regex
     case p if p.startsWith("pattern:") =>
       Analysis.patternTokens(p.stripPrefix("pattern:"))
+    // "shingle:<n>" — word n-grams over simple tokens (ShingleFilter,
+    // outputUnigrams=false): phrase-as-term fields
+    case sh if sh.startsWith("shingle:") =>
+      val n = sh.stripPrefix("shingle:").toInt
+      (s: String) => Analysis.shingles(Analysis.simpleTokens(s), n)
     // "edge:<min>:<max>" — simple tokens expanded to edge n-grams
     // (search-as-you-type index)
     case e if e.startsWith("edge:") =>

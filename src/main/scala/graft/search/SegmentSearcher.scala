@@ -2483,6 +2483,18 @@ final class Searcher(private[search] val spark: SparkSession,
     * df is the index-global count (the ExactStatsCache analog), where
     * the reference reports per-shard docFreq merged by the component.
     */
+  /** Luke / CheckIndex index statistics (solr LukeRequestHandler
+    * surface): (docCount, distinct terms, sumTotalTermFreq) — the first
+    * and last from the committed manifest, the term count a distinct
+    * aggregate over the (narrow) term-stats store.
+    */
+  def indexStats(): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.countDistinct
+    val numTerms = termStatsDf.agg(countDistinct("term"))
+      .collect()(0).getLong(0)
+    (m.docCount, numTerms, m.sumTotalTermFreq)
+  }
+
   def termsEnum(limit: Int = 10,
       lower: Option[String] = None, upper: Option[String] = None,
       lowerIncl: Boolean = true, upperIncl: Boolean = false,

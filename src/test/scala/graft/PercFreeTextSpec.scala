@@ -115,4 +115,42 @@ class PercFreeTextSpec extends AnyFunSuite {
       (((MaxD * FreeText.Alpha) * 5) / 16).toLong)
     intercept[IllegalArgumentException] { FreeText.lookup(model, "  ", 5) }
   }
+
+  // ---------- Shingles ----------
+
+  test("shingles: n-grams, separator, short-input empty") {
+    import graft.core.Analysis
+    assert(Analysis.shingles(Array("a", "b", "c"), 2).toSeq ==
+      Seq("a b", "b c"))
+    assert(Analysis.shingles(Array("a", "b", "c", "d"), 3).toSeq ==
+      Seq("a b c", "b c d"))
+    assert(Analysis.shingles(Array("a"), 2).isEmpty)
+    intercept[IllegalArgumentException](Analysis.shingles(Array("a"), 1))
+  }
+
+  test("shingle index: TermQ('a b') hit set == exact PhraseQ membership") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "order sort order merge"),
+      (2L, "sort order and more order sort here"),
+      (3L, "order then much later sort"),
+      (4L, "merge sort order sort order sort")).toDF("doc_id", "text")
+    def build(tok: String) = {
+      val ix = graft.index.IndexBuilder.buildLogical(docs, "text",
+        Some("doc_id"), Nil, graft.index.IndexBuilder.BuildConfig(
+          numBuckets = 2, numDocShards = 1, saltThreshold = 100000L,
+          tokenizer = tok))
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-sh").toString
+      graft.index.IndexBuilder.writeIndex(ix, dir, "snap", 1)
+      ix.unpersistCached(); ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir))
+    }
+    val plain = build("simple")
+    val shingled = build("shingle:2")
+    val viaShingle = shingled.search(TermQ("order sort"), 10)
+      .map(_.docId).toSet
+    val viaPhrase = plain.search(PhraseQ(Seq("order", "sort")), 10)
+      .map(_.docId).toSet
+    assert(viaShingle == viaPhrase && viaShingle == Set(1L, 2L, 4L))
+  }
 }
