@@ -1351,6 +1351,56 @@ SELECT (SELECT count(*) FROM documents) AS doc_count,
 FROM documents WHERE doc_id IN (${ids.mkString(", ")})
 ORDER BY doc_id"""
 
+  /** FuzzyLikeThisQuery (`sandbox/.../FuzzyLikeThisQuery.java:183-330`),
+    * prefixLength = 0, two input words: per word the variants within
+    * maxEdits = min(2, ⌊(1−minSim)·len⌋) with scaled similarity >
+    * minSim, top 50 by (sim, term); rescored sim²·classicIdf(source df |
+    * int-avg variant df); global top maxNumTerms; each selected variant
+    * scored BM25 against the ARTIFICIAL df = 1 context with its score as
+    * boost, SHOULD-summed.
+    */
+  def fuzzyLikeThis2(a: String, b: String, minSim: Float, maxNumTerms: Int,
+      k: Int): String = {
+    def slot(name: String, w: String): String = {
+      val wLen = Character.codePointCount(w, 0, w.length)
+      val maxEdits = math.min(2, ((1f - minSim) * wLen).toInt)
+      val dist = s"levenshtein(term, ${lit(w)})"
+      val sExpr = R(s"${R("1.0")} - ${R(s"CAST($dist AS REAL) / CAST(least($wLen, length(term)) AS REAL)")}")
+      s""", var_$name AS (
+  SELECT term, df, $sExpr AS s FROM vocab
+  WHERE $dist <= $maxEdits AND $sExpr > ${R(minSim.toString)}
+), top_$name AS (
+  SELECT term, s FROM var_$name ORDER BY s DESC, term LIMIT 50
+), dfv_$name AS (
+  SELECT COALESCE((SELECT df FROM vocab WHERE term = ${lit(w)}),
+    (SELECT sum(df) // count(*) FROM var_$name)) AS df
+), scored_$name AS (
+  SELECT term,
+    ${R(s"${R("t.s * t.s")} * ${classicIdf(s"(SELECT df FROM dfv_$name)")}")} AS sc
+  FROM top_$name t
+)"""
+    }
+    val idf1 = idfExpr("1")
+    val one = R("1")
+    prologue +
+      ", vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term)" +
+      slot("a", a) + slot("b", b) +
+      s""", sel AS (
+  SELECT term, sc FROM (SELECT * FROM scored_a UNION ALL SELECT * FROM scored_b)
+  ORDER BY sc DESC, term LIMIT $maxNumTerms
+), tfv AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM sel) GROUP BY 1, 2
+), persc AS (
+  SELECT t.doc_id,
+    ${R(s"${R(s"${R(s"${R(s"v.sc * $idf1")} * ($K1 + $one)")} * ${R("t.tf")}")} / ${R(s"${R("t.tf")} + ${cacheExpr("dn.qlen")}")}")} AS s
+  FROM tfv t JOIN sel v ON v.term = t.term
+  JOIN dn ON t.doc_id = dn.doc_id
+), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM persc GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** FuzzySuggester (`suggest/analyzing/FuzzySuggester.java:40-109`):
     * terms with a prefix within 1 Damerau edit of the key, first char
     * exact, keys < 3 chars exact-only; EXACT_FIRST, df desc, term asc.

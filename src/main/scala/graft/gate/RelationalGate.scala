@@ -310,6 +310,40 @@ object RelationalGate {
         .orderBy("o_orderstatus")
     }),
 
+    // RandomStream (io/stream/RandomStream.java): pseudo-random sample
+    // of matching docs — the reference sorts on a seeded random field;
+    // here the seeded hash is md5(seed || key) so the sample is
+    // deterministic AND identically computable by the oracle
+    "q_random_sample" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_totalprice") > 100000)
+        .withColumn("h", md5(concat(lit("seed42-"), col("o_orderkey"))))
+        .orderBy("h").limit(20)
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // JSON Facet API nested facets (solr/core/.../search/facet/
+    // FacetField.java — terms facet containing a terms subfacet + stat,
+    // each level sorted by its stat and limited): top-3 statuses by
+    // count, top-2 priorities by sum inside each
+    "q_json_facet_nested" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val top = o.groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("o_orderstatus")).limit(3)
+        .select(col("o_orderstatus").as("st"), col("cnt"))
+      val sub = o.join(broadcast(top), col("o_orderstatus") === col("st"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(desc("sum_price"), asc("o_orderpriority"))
+      sub.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .join(broadcast(top), col("o_orderstatus") === col("st"))
+        .select(col("o_orderstatus"), col("cnt"), col("o_orderpriority"),
+          col("sum_price"), col("rnk"))
+        .orderBy(desc("cnt"), asc("o_orderstatus"), asc("rnk"))
+    }),
+
     // HavingStream (io/stream/HavingStream.java:48): boolean operand
     // over the rolled-up tuples — filter AFTER aggregation
     "q_having" -> ((s, d) => {
@@ -557,6 +591,31 @@ ORDER BY path""",
   COUNT(DISTINCT o_custkey) AS unique_cust,
   ROUND(MAX(o_totalprice) - MIN(o_totalprice), 4) AS range_expr
 FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_random_sample" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 100000
+ORDER BY md5('seed42-' || o_orderkey) LIMIT 20""",
+
+    "q_json_facet_nested" ->
+      """WITH top AS (
+  SELECT o_orderstatus AS st, COUNT(*) AS cnt FROM orders
+  GROUP BY 1 ORDER BY cnt DESC, st LIMIT 3
+), sub AS (
+  SELECT o.o_orderstatus, o.o_orderpriority,
+    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM orders o JOIN top ON o.o_orderstatus = top.st
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT o_orderstatus, o_orderpriority, sum_price,
+    CAST(row_number() OVER (PARTITION BY o_orderstatus
+      ORDER BY sum_price DESC, o_orderpriority) AS INT) AS rnk
+  FROM sub
+)
+SELECT r.o_orderstatus, t.cnt, r.o_orderpriority, r.sum_price, r.rnk
+FROM ranked r JOIN top t ON r.o_orderstatus = t.st
+WHERE r.rnk <= 2
+ORDER BY t.cnt DESC, r.o_orderstatus, r.rnk""",
 
     "q_having" ->
       """SELECT o_custkey, COUNT(*) AS cnt,

@@ -625,6 +625,11 @@ object SearchGate {
     "q_edismax_bq" -> seg(BoolQ(
       must = Seq(DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f)),
       should = Seq(BoostQ(TermQ("dup"), 1.5f)))),
+    // FuzzyLikeThisQuery (sandbox): fuzzy variants of each input word,
+    // sim^2*idf selection, artificial df=1 scoring context
+    "q_fuzzy_like_this" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).fuzzyLikeThis("sprk btch", minSim = 0.5f,
+        maxNumTerms = 6, k = K))),
     // SpellCheckCollator: combination re-query of per-term suggestions,
     // rank-sum order, hits>0 kept, try-order output
     "q_spell_collate" -> ((spark, sfDir) => {
@@ -997,6 +1002,7 @@ object SearchGate {
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
     "q_edismax_bq" -> Oracles.edismaxBq(Seq("spark", "key"), 0.3f,
       "dup", 1.5f, K),
+    "q_fuzzy_like_this" -> Oracles.fuzzyLikeThis2("sprk", "btch", 0.5f, 6, K),
     "q_spell_collate" -> Oracles.collate2("sprk", "btch", 4, 8, 3),
     "q_suggest_fuzzy" -> Oracles.suggestFuzzy("sprk", 5),
     "q_suggest_infix" -> Oracles.suggestInfix("ort", 5),

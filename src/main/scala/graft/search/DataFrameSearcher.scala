@@ -87,8 +87,8 @@ object DataFrameSearcher {
 
     case BlendedQ(ts, tie) => blendedScoreDf(ix, ts, tie, boost, stats, params)
 
-    case BlendedBoostedQ(ts) =>
-      blendedBoostedScoreDf(ix, ts, boost, stats, params)
+    case BlendedBoostedQ(ts, dfo) =>
+      blendedBoostedScoreDf(ix, ts, dfo, boost, stats, params)
 
     case DisMaxQ(clauses, tie) =>
       // max + (sum-max)*tie with the sum folded in FLOAT in clause order —
@@ -201,12 +201,12 @@ object DataFrameSearcher {
     * float partials, one float cast (DisjunctionSumScorer.java:43-46).
     */
   private def blendedBoostedScoreDf(ix: LogicalIndex,
-      ts: Seq[(String, Float)], boost: Float, stats: QueryStats,
-      params: BM25Params): DataFrame = {
+      ts: Seq[(String, Float)], dfOverride: Option[Long], boost: Float,
+      stats: QueryStats, params: BM25Params): DataFrame = {
     val present = ts.filter(p => stats.dfByTerm.getOrElse(p._1, 0L) > 0L)
     if (present.isEmpty) return emptyScores(ix)
     val dfMax = present.map(p => stats.dfByTerm(p._1)).max
-    val idf = BM25.idf(dfMax, stats.docCount)
+    val idf = BM25.idf(dfOverride.getOrElse(dfMax), stats.docCount)
     val avgdl = BM25.avgFieldLength(stats.sumTotalTermFreq, stats.docCount)
     val cache = BM25.normCache(params, avgdl)
     val parts = present.zipWithIndex.map { case ((t, b), i) =>

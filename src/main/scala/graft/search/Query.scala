@@ -49,7 +49,12 @@ final case class BlendedQ(terms: Seq[String],
   * `MultiTermQuery.TopTermsBlendedFreqScoringRewrite:190-226`). The
   * rewritten form of FuzzyScoredQ.
   */
-final case class BlendedBoostedQ(terms: Seq[(String, Float)]) extends Query
+final case class BlendedBoostedQ(terms: Seq[(String, Float)],
+    /** Score every clause with this ARTIFICIAL df instead of the blended
+      * max — FuzzyLikeThisQuery's newTermQuery builds a TermContext with
+      * total df = ttf = 1 (`sandbox/.../FuzzyLikeThisQuery.java:246-266`).
+      */
+    dfOverride: Option[Long] = None) extends Query
 
 /** SCORED fuzzy — the reference FuzzyQuery's actual default rewrite
   * (`FuzzyQuery.java:100` TopTermsBlendedFreqScoringRewrite): the top
@@ -486,8 +491,10 @@ object Query {
     case BlendedQ(ts, _) if ts.isEmpty => MatchNoneQ
     // single member: blended df == its own df — plain TermQuery
     case BlendedQ(ts, _) if ts.size == 1 => TermQ(ts.head)
-    case BlendedBoostedQ(ts) if ts.isEmpty => MatchNoneQ
-    case BlendedBoostedQ(ts) if ts.size == 1 =>
+    case BlendedBoostedQ(ts, _) if ts.isEmpty => MatchNoneQ
+    // single member collapses to a plain term ONLY when the df is real —
+    // an artificial-df clause must keep its weight law
+    case BlendedBoostedQ(ts, None) if ts.size == 1 =>
       if (ts.head._2 == 1f) TermQ(ts.head._1)
       else BoostQ(TermQ(ts.head._1), ts.head._2)
     case PhraseQ(ts, _) if ts.isEmpty => MatchNoneQ
@@ -555,7 +562,7 @@ object Query {
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case SynonymQ(ts) => ts.toSet
     case BlendedQ(ts, _) => ts.toSet
-    case BlendedBoostedQ(ts) => ts.map(_._1).toSet
+    case BlendedBoostedQ(ts, _) => ts.map(_._1).toSet
     case BoostQ(i, _) => literalTerms(i)
     case ConstScoreQ(i, _) => literalTerms(i)
     // the context's postings are read for membership even though only

@@ -397,8 +397,8 @@ object SegmentSearcher {
       new ConstScorer(buildScorer(i, shard, blobs, plan, 1f), boost * s)
     case SynonymQ(ts) => synonymScorer(ts, shard, blobs, plan, boost)
     case BlendedQ(ts, tie) => blendedScorer(ts, tie, shard, blobs, plan, boost)
-    case BlendedBoostedQ(ts) =>
-      blendedBoostedScorer(ts, shard, blobs, plan, boost)
+    case BlendedBoostedQ(ts, dfo) =>
+      blendedBoostedScorer(ts, dfo, shard, blobs, plan, boost)
     case DisMaxQ(cs, tie) =>
       val subs = cs.map(buildScorer(_, shard, blobs, plan, boost)).toArray
       if (subs.forall(_ eq EmptyScorer)) EmptyScorer
@@ -807,7 +807,8 @@ object SegmentSearcher {
     * ((boost·idf)·(k1+1), the BoostQuery-wrapped TermWeight), combined
     * by plain SHOULD sum (DisjunctionSumScorer double-sum → float).
     */
-  private def blendedBoostedScorer(ts: Seq[(String, Float)], shard: Int,
+  private def blendedBoostedScorer(ts: Seq[(String, Float)],
+      dfOverride: Option[Long], shard: Int,
       blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
     // the blended math below is BM25-specific (BM25.weightValue against
     // the BM25 length cache); under any other sim plan.cache holds raw
@@ -817,7 +818,7 @@ object SegmentSearcher {
       s"BlendedBoostedQ/FuzzyScoredQ score with BM25 math only (sim=${plan.sim})")
     val dfs = ts.flatMap(p => plan.weights.get(p._1)).map(_.df)
     if (dfs.isEmpty) return EmptyScorer
-    val idf = BM25.idf(dfs.max, plan.maxDoc)
+    val idf = BM25.idf(dfOverride.getOrElse(dfs.max), plan.maxDoc)
     val subs = ts.flatMap { case (t, b) =>
       blobs.get(t).map { row =>
         val w = BM25.weightValue(idf, plan.params, boost * b)
@@ -2324,6 +2325,62 @@ final class Searcher(private[search] val spark: SparkSession,
           .limit(k).collect()
           .map(r => (r.getString(0), r.getLong(1)))
     }
+  }
+
+  /** FuzzyLikeThisQuery (`lucene/sandbox/.../queries/FuzzyLikeThisQuery
+    * .java:183-330`): per DISTINCT analyzed input word, fuzzy variants
+    * within maxEdits = min(2, ⌊(1−minSim)·len⌋) whose scaled similarity
+    * exceeds `minSim` (the SlowFuzzyTermsEnum accept), optionally
+    * sharing an exact prefix; the top MAX_VARIANTS_PER_TERM = 50 per
+    * word by (similarity, term). Each kept variant is rescored
+    * sim² · classicIdf(df) where df is the SOURCE word's — or, when the
+    * source is absent from the index, the INT-division average of every
+    * enumerated variant's df (:226-231). The global top `maxNumTerms`
+    * variants across all words rewrite to a SHOULD of boosted term
+    * queries scored against the ARTIFICIAL df = 1 TermContext
+    * (newTermQuery :246-266) — ridden here on BlendedBoostedQ's
+    * dfOverride, local and distributed paths alike.
+    */
+  def fuzzyLikeThis(text: String, minSim: Float = 0.5f,
+      prefixLength: Int = 0, maxNumTerms: Int = 10, k: Int = 10,
+      maxVariantsPerTerm: Int = 50): Array[Hit] = {
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    graft.core.Analysis.simpleTokens(text).foreach(words += _)
+    val global = scala.collection.mutable.ArrayBuffer.empty[(String, Float)]
+    words.foreach { word =>
+      val wordLen = Character.codePointCount(word, 0, word.length)
+      val maxEdits = math.min(2, ((1f - minSim) * wordLen).toInt)
+      val pfx = word.substring(0, math.min(prefixLength, word.length))
+      val cands = Query.literalTerms(
+        expandMultiTerm(FuzzyQ(word, maxEdits), 4096))
+        .filter(_.startsWith(pfx))
+      if (cands.nonEmpty) {
+        val st = stats(cands)
+        val variants = st.toArray.flatMap { case (t, (df, _)) =>
+          val d = editDistance(t, word)
+          val tLen = Character.codePointCount(t, 0, t.length)
+          val score = 1.0f - d.toFloat / math.min(wordLen, tLen).toFloat
+          if (score > minSim) Some((t, score, df)) else None
+        }
+        if (variants.nonEmpty) {
+          val top = variants.sortWith { case ((ta, sa, _), (tb, sb, _)) =>
+            if (sa != sb) sa > sb else ta < tb
+          }.take(maxVariantsPerTerm)
+          val sourceDf = st.get(word).map(_._1).getOrElse(0L)
+          val df =
+            if (sourceDf > 0) sourceDf
+            else variants.map(_._3).sum / variants.length
+          val idf = classicIdf(df)
+          top.foreach { case (t, s, _) => global += ((t, (s * s) * idf)) }
+        }
+      }
+    }
+    val selected = global.sortWith { case ((ta, sa), (tb, sb)) =>
+      if (sa != sb) sa > sb else ta < tb
+    }.take(maxNumTerms).toSeq
+    if (selected.isEmpty) Array.empty
+    else search(BlendedBoostedQ(selected.sortBy(_._1),
+      dfOverride = Some(1L)), k)
   }
 
   /** SpellCheckCollator (`solr/core/.../spelling/SpellCheckCollator
