@@ -1341,6 +1341,24 @@ SELECT (SELECT count(*) FROM documents) AS doc_count,
   (SELECT count(DISTINCT term) FROM tok) AS num_terms,
   (SELECT count(*) FROM tok) AS sum_ttf"""
 
+  /** IndexSearcher.explain breakdown for the TOP BM25 hit of a term:
+    * df, tf, idf, quantized length, weight, score.
+    */
+  def explain(term: String, k1: String = "unused"): String =
+    prologue + termCtes("a", term) +
+      s""", top1 AS (
+  SELECT doc_id FROM sc_a ORDER BY s DESC, doc_id LIMIT 1
+)
+SELECT t.doc_id, ${lit(term)} AS term,
+  (SELECT count(*) FROM tf_a) AS df,
+  CAST(t.tf AS INT) AS tf,
+  CAST(${idfExpr("(SELECT count(*) FROM tf_a)")} AS DOUBLE) AS idf,
+  CAST(dn.qlen AS DOUBLE) AS qlen,
+  CAST(${weightExpr("(SELECT count(*) FROM tf_a)", 1f)} AS DOUBLE) AS weight,
+  CAST((SELECT s FROM sc_a WHERE doc_id = t.doc_id) AS DOUBLE) AS score
+FROM tf_a t JOIN dn ON t.doc_id = dn.doc_id
+WHERE t.doc_id = (SELECT doc_id FROM top1)"""
+
   /** RealTimeGet over the gate's two-batch fixture: ids where
     * doc_id % modN == 0 return the batch-1 (" updated") content hash,
     * the rest batch-0.

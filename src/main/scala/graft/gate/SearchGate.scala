@@ -625,6 +625,16 @@ object SearchGate {
     "q_edismax_bq" -> seg(BoolQ(
       must = Seq(DisMaxQ(Seq(TermQ("spark"), TermQ("key")), 0.3f)),
       should = Seq(BoostQ(TermQ("dup"), 1.5f)))),
+    // IndexSearcher.explain: full factor breakdown for the top hit
+    "q_explain" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val top = s.search(TermQ("spark"), 1).head
+      val (df, tf, idf, qlen, w, score) = s.explain("spark", top.docId).get
+      Seq((top.docId, "spark", df, tf, idf.toDouble, qlen.toDouble,
+        w.toDouble, score.toDouble))
+        .toDF("doc_id", "term", "df", "tf", "idf", "qlen", "weight", "score")
+    }),
     // FuzzyLikeThisQuery (sandbox): fuzzy variants of each input word,
     // sim^2*idf selection, artificial df=1 scoring context
     "q_fuzzy_like_this" -> ((spark, sfDir) => hitsDf(spark,
@@ -1002,6 +1012,7 @@ object SearchGate {
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
     "q_edismax_bq" -> Oracles.edismaxBq(Seq("spark", "key"), 0.3f,
       "dup", 1.5f, K),
+    "q_explain" -> Oracles.explain("spark"),
     "q_fuzzy_like_this" -> Oracles.fuzzyLikeThis2("sprk", "btch", 0.5f, 6, K),
     "q_spell_collate" -> Oracles.collate2("sprk", "btch", 4, 8, 3),
     "q_suggest_fuzzy" -> Oracles.suggestFuzzy("sprk", 5),

@@ -2540,6 +2540,31 @@ final class Searcher(private[search] val spark: SparkSession,
     * df is the index-global count (the ExactStatsCache analog), where
     * the reference reports per-shard docFreq merged by the component.
     */
+  /** IndexSearcher.explain analog (`search/IndexSearcher.java:650-672`,
+    * `BM25Similarity.explainScore`): the factor breakdown for one
+    * (term, doc) under BM25 — (df, tf, idf, quantized length, weight,
+    * score). None when the doc does not contain the term.
+    */
+  def explain(term: String, docId: Long): Option[(Long, Int, Float, Float, Float, Float)] = {
+    val st = stats(Set(term))
+    st.get(term).flatMap { case (df, _) =>
+      val rows = fetchRows(Set(term))
+      var found: Option[(Int, Byte)] = None
+      rows.iterator.takeWhile(_ => found.isEmpty).foreach { r =>
+        val it = PostingsCodec.iterator(r.docBlocks, r.skipData)
+        it.advance(docId)
+        if (it.doc == docId) found = Some((it.tf, it.norm))
+      }
+      found.map { case (tf, nb) =>
+        val idf = BM25.idf(df, m.docCount)
+        val w = BM25.weightValue(idf, params)
+        val qlen = graft.core.Norms.NORM_TABLE(nb & 0xff)
+        val score = BM25.score(w, tf.toFloat, cache(nb & 0xff))
+        (df, tf, idf, qlen, w, score)
+      }
+    }
+  }
+
   /** Luke / CheckIndex index statistics (solr LukeRequestHandler
     * surface): (docCount, distinct terms, sumTotalTermFreq) — the first
     * and last from the committed manifest, the term count a distinct
