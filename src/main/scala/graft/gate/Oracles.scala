@@ -1341,6 +1341,21 @@ SELECT (SELECT count(*) FROM documents) AS doc_count,
   (SELECT count(DISTINCT term) FROM tok) AS num_terms,
   (SELECT count(*) FROM tok) AS sum_ttf"""
 
+  /** Multi-field sort over matches of a term: (token count asc,
+    * n_chars desc, doc_id) — the Sort chain's lexicographic law.
+    */
+  def sortMulti(term: String, k: Int): String =
+    prologue +
+      s""", m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = ${lit(term)}
+)
+SELECT m.doc_id, dlen.len, d.n_chars,
+  CAST(row_number() OVER (
+    ORDER BY dlen.len ASC, d.n_chars DESC, m.doc_id) AS INT) AS rnk
+FROM m JOIN dlen ON m.doc_id = dlen.doc_id
+JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY dlen.len ASC, d.n_chars DESC, m.doc_id LIMIT $k"""
+
   /** IndexSearcher.explain breakdown for the TOP BM25 hit of a term:
     * df, tf, idf, quantized length, weight, score.
     */

@@ -778,6 +778,16 @@ object SearchGate {
         .map { case ((d, v), i) => (d, v, i + 1) }
         .toDF("doc_id", "sort_val", "rnk")
     }),
+    // multi-field sort (Sort with a SortField chain): token count asc,
+    // char count desc, docId tie — ties on the first field fall through
+    "q_sort_multi" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).searchBySort(TermQ("spark"), K,
+          Seq(("length", true), ("n_chars", false)))
+        .zipWithIndex.toSeq
+        .map { case ((d, vs), i) => (d, vs(0), vs(1), i + 1) }
+        .toDF("doc_id", "len", "n_chars", "rnk")
+    }),
     // total hit count without collection (TotalHitCountCollector analog)
     "q_bm25_count" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -1039,6 +1049,7 @@ object SearchGate {
     "q_classify_perceptron" -> Oracles.classifyPerceptron(
       "order sort merge fast key", batchSize = 3, modN = 16, rem = 3),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
+    "q_sort_multi" -> Oracles.sortMulti("spark", K),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),

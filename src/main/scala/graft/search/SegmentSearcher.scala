@@ -2423,6 +2423,95 @@ final class Searcher(private[search] val spark: SparkSession,
     out.result()
   }
 
+  /** Multi-field sort — the Sort-with-a-SortField-chain form of
+    * [[searchByField]] (`search/Sort.java:35-60`; TopFieldCollector
+    * compares the chain lexicographically, ties on field i fall to
+    * field i+1, final tie docId asc). Numeric fields only, each with
+    * its own direction. Local path: bounded k-heap under the chain
+    * ordering per shard + merge; distributed: the full match stream
+    * joins docvalues executor-side, TakeOrderedAndProject over the
+    * multi-column sort.
+    */
+  def searchBySort(q0: Query, k: Int,
+      fields: Seq[(String, Boolean)]): Array[(Long, Array[Long])] = {
+    require(fields.nonEmpty, "empty sort spec")
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+
+    val ord = new Ordering[(Long, Array[Long])] {
+      def compare(a: (Long, Array[Long]), b: (Long, Array[Long])): Int = {
+        var i = 0
+        while (i < fields.length) {
+          val c = java.lang.Long.compare(a._2(i), b._2(i))
+          if (c != 0) return if (fields(i)._2) c else -c
+          i += 1
+        }
+        java.lang.Long.compare(a._1, b._1)
+      }
+    }
+
+    val localOk = dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
+    if (localOk) {
+      val gets = fields.map(f => docValues(f._1))
+      def collectShard(shard: Int,
+          blobs: Map[String, SegRow]): Seq[(Long, Array[Long])] = {
+        // max-heap under the reversed chain ordering: head = WORST kept
+        val pq = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Array[Long])](ord)
+        val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
+        var d = scorer.nextDoc()
+        while (d != DocScorer.NO_MORE) {
+          pq.enqueue((d, gets.map(_(d)).toArray))
+          if (pq.size > k) pq.dequeue()
+          d = scorer.nextDoc()
+        }
+        pq.dequeueAll.toSeq
+      }
+      val partials: Seq[(Long, Array[Long])] =
+        if (present.isEmpty) collectShard(-1, Map.empty)
+        else {
+          val rows = fetchRows(present)
+          if (rows.isEmpty) Nil
+          else if (!plan.sharded)
+            collectShard(-1, rows.map(r => r.term -> r).toMap)
+          else (0 until plan.numShards).flatMap { s =>
+            val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+              .map(r => r.term -> r).toMap
+            if (blobs.isEmpty) Nil else collectShard(s, blobs)
+          }
+        }
+      partials.sorted(ord).take(k).toArray
+    } else {
+      import org.apache.spark.sql.functions.col
+      val dv = docsDf.select(
+        col("docId") +: fields.map(f => col(f._1).cast("long").as(s"s_${f._1}")): _*)
+      val matches =
+        if (present.isEmpty) dv.select("docId")
+        else matchScoresDf(q).select("docId")
+      val sortCols = fields.map(f =>
+        if (f._2) col(s"s_${f._1}").asc else col(s"s_${f._1}").desc) :+
+        col("docId").asc
+      matches.join(dv, "docId")
+        .orderBy(sortCols: _*)
+        .limit(k)
+        .collect()
+        .map(r => (r.getLong(0),
+          fields.indices.map(i => r.getLong(i + 1)).toArray))
+    }
+  }
+
   def searchByField(q0: Query, k: Int, field: String,
       asc: Boolean = true): Array[(Long, Long)] = {
     var q = Query.rewrite(q0)

@@ -155,4 +155,38 @@ class JoinSweetSpec extends AnyFunSuite {
         .search(TermQ("val"), 5, None, true, SegmentSearcher.SimSweetSpot)
     }
   }
+
+  // ---------- multi-field sort ----------
+
+  test("searchBySort: chain ordering, tie fall-through, distributed parity") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark a b", 30L), (2L, "spark a b", 10L),
+      (3L, "spark a b c d", 99L), (4L, "spark a b", 20L),
+      (5L, "nothing here", 5L), (6L, "spark x y z w q", 7L))
+      .toDF("doc_id", "text", "aux")
+    val ix = graft.index.IndexBuilder.buildLogical(docs, "text",
+      Some("doc_id"), Nil, graft.index.IndexBuilder.BuildConfig(
+        numBuckets = 2, numDocShards = 1, saltThreshold = 100000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-msort").toString
+    graft.index.IndexBuilder.writeIndex(ix, dir, "snap", 1)
+    ix.unpersistCached(); ix.postings.unpersist()
+    val local = new Searcher(spark, SegmentSearcher.load(dir))
+    // docs 1,2,4 tie on length (3 tokens) -> aux DESC breaks: 1(30),4(20),2(10)
+    val got = local.searchBySort(TermQ("spark"), 10,
+      Seq(("length", true), ("aux", false))).map(_._1).toSeq
+    assert(got == Seq(1L, 4L, 2L, 3L, 6L))
+    // k cuts inside the tie group
+    assert(local.searchBySort(TermQ("spark"), 2,
+      Seq(("length", true), ("aux", false))).map(_._1).toSeq == Seq(1L, 4L))
+    // forced-distributed parity
+    val dist = new Searcher(spark, SegmentSearcher.load(dir),
+      cacheSegments = false, maxLocalBytes = 0L)
+    val a = local.searchBySort(TermQ("spark"), 10,
+      Seq(("length", true), ("aux", false))).map(t => (t._1, t._2.toSeq)).toSeq
+    val b = dist.searchBySort(TermQ("spark"), 10,
+      Seq(("length", true), ("aux", false))).map(t => (t._1, t._2.toSeq)).toSeq
+    assert(a == b)
+    local.close(); dist.close()
+  }
 }
