@@ -174,6 +174,24 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** MUST m AND MUST (b0 OR b1 …): conjunction sum of the term and the
+    * disjunction (SimpleQueryParser's `m + (a | b)` shape).
+    */
+  def andOr(m: String, ors: Seq[String], k: Int): String = {
+    val names = ors.indices.map(i => s"o$i")
+    val ctes = termCtes("m", m) +
+      names.zip(ors).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), osum AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+), res AS (
+  SELECT sc_m.doc_id,
+    ${R("CAST(sc_m.s AS DOUBLE) + CAST(osum.s AS DOUBLE)")} AS s
+  FROM sc_m JOIN osum ON sc_m.doc_id = osum.doc_id
+)""" + finish("res", k)
+  }
+
   /** a AND NOT b. */
   def not(a: String, b: String, k: Int): String =
     prologue + termCtes("a", a) + termCtes("b", b) +

@@ -778,6 +778,10 @@ object SearchGate {
         .map { case ((d, v), i) => (d, v, i + 1) }
         .toDF("doc_id", "sort_val", "rnk")
     }),
+    // SimpleQueryParser (queryparser/simple): '+' AND over an OR group,
+    // and '-' negation — the fault-tolerant end-user syntax
+    "q_simple_parsed" -> seg(QueryParser.parseSimple("dup + (spark | key)")),
+    "q_simple_neg" -> seg(QueryParser.parseSimple("batch + -spark")),
     // multi-field sort (Sort with a SortField chain): token count asc,
     // char count desc, docId tie — ties on the first field fall through
     "q_sort_multi" -> ((spark, sfDir) => {
@@ -1049,6 +1053,8 @@ object SearchGate {
     "q_classify_perceptron" -> Oracles.classifyPerceptron(
       "order sort merge fast key", batchSize = 3, modN = 16, rem = 3),
     "q_bm25_sort_field" -> Oracles.sortByField("spark", "n_chars", K, asc = false),
+    "q_simple_parsed" -> Oracles.andOr("dup", Seq("spark", "key"), K),
+    "q_simple_neg" -> Oracles.not("batch", "spark", K),
     "q_sort_multi" -> Oracles.sortMulti("spark", K),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),

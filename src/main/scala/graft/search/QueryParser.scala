@@ -150,6 +150,111 @@ object QueryParser {
     }
   }
 
+  /** SimpleQueryParser (`lucene/queryparser/.../simple/SimpleQueryParser
+    * .java:43-120`): the fault-tolerant end-user syntax — `+` AND,
+    * `|` OR (binding looser than `+`), `-` NOT on a clause, quoted
+    * phrases with optional `~slop`, a trailing `*` prefix, parentheses;
+    * bare whitespace applies `defaultOp` ("or" = SHOULD, the reference
+    * default, or "and"). Lenient: stray operators at clause boundaries
+    * are skipped rather than rejected, as the reference parses
+    * degenerate input best-effort.
+    */
+  def parseSimple(input: String, defaultOp: String = "or"): Query = {
+    val p = new SimpleP(input, defaultOp == "and")
+    val q = p.parseOr()
+    Query.rewrite(q)
+  }
+
+  private final class SimpleP(s: String, andDefault: Boolean) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def peek: Char = s.charAt(pos)
+    def skipWs(): Unit = while (!eof && peek.isWhitespace) pos += 1
+
+    def parseOr(): Query = {
+      var groups = Seq(parseAnd())
+      while ({ skipWs(); !eof && peek == '|' }) { pos += 1; groups :+= parseAnd() }
+      val flat = groups.filterNot(_ == MatchNoneQ)
+      if (flat.isEmpty) MatchNoneQ
+      else if (flat.size == 1) flat.head
+      else BoolQ(should = flat, minShouldMatch = 1)
+    }
+
+    /** A '+'-or-whitespace chain; '-' negates its operand. */
+    private def parseAnd(): Query = {
+      val pos0 = Seq.newBuilder[Query]
+      val neg0 = Seq.newBuilder[Query]
+      var more = true
+      var explicitAnd = false
+      var sawAny = false
+      val wsClauses = Seq.newBuilder[(Query, Boolean)] // (clause, negated)
+      while (more) {
+        skipWs()
+        if (eof || peek == '|' || peek == ')') more = false
+        else {
+          if (peek == '+') { pos += 1; explicitAnd = true; skipWs() }
+          var negated = false
+          if (!eof && peek == '-') { pos += 1; negated = true; skipWs() }
+          if (eof || peek == '|' || peek == ')') more = false // stray op: lenient
+          else {
+            wsClauses += ((parsePrim(), negated))
+            sawAny = true
+          }
+        }
+      }
+      if (!sawAny) return MatchNoneQ
+      val cls = wsClauses.result().filterNot(_._1 == MatchNoneQ)
+      if (cls.isEmpty) return MatchNoneQ
+      val negs = cls.collect { case (q, true) => q }
+      val poss = cls.collect { case (q, false) => q }
+      if (poss.isEmpty) throw ParseError("pure negative clause", pos)
+      if (negs.isEmpty && !explicitAnd && !andDefault && poss.size > 1)
+        BoolQ(should = poss, minShouldMatch = 1) // default op = SHOULD
+      else if (negs.isEmpty && poss.size == 1) poss.head
+      else BoolQ(must = poss, mustNot = negs)
+    }
+
+    private def parsePrim(): Query = {
+      if (peek == '(') {
+        pos += 1
+        val q = parseOr()
+        skipWs()
+        if (!eof && peek == ')') pos += 1 // unterminated: lenient
+        q
+      } else if (peek == '"') {
+        pos += 1
+        val start = pos
+        while (!eof && peek != '"') pos += 1
+        val raw = s.substring(start, pos)
+        if (!eof) pos += 1
+        var slop = 0
+        if (!eof && peek == '~') {
+          pos += 1
+          var n = 0
+          var any = false
+          while (!eof && peek.isDigit) { n = n * 10 + (peek - '0'); pos += 1; any = true }
+          if (any) slop = n
+        }
+        val ts = graft.core.Analysis.simpleTokens(raw).toSeq
+        if (ts.isEmpty) MatchNoneQ
+        else if (ts.size == 1) TermQ(ts.head)
+        else PhraseQ(ts, slop)
+      } else {
+        val start = pos
+        while (!eof && !" \t\n+|-()\"".contains(peek)) pos += 1
+        val w = s.substring(start, pos)
+        if (w.isEmpty) { pos += 1; MatchNoneQ } // lone symbol: lenient
+        else if (w.endsWith("*") && w.length > 1)
+          PrefixQ(oneToken(w.dropRight(1)))
+        else graft.core.Analysis.simpleTokens(w).toSeq match {
+          case Seq(t) => TermQ(t)
+          case Seq() => MatchNoneQ
+          case ts => PhraseQ(ts) // "a.b" analyzes to 2 tokens → phrase
+        }
+      }
+    }
+  }
+
   private def oneToken(w: String): String = {
     val toks = graft.core.Analysis.simpleTokens(w)
     if (toks.length != 1)

@@ -179,4 +179,28 @@ class ParserSpec extends AnyFunSuite {
     // AND inside a distance op is rejected (distanceSubQueryNotAllowed)
     assertThrows[QueryParser.ParseError](sp("3w(order AND sort, merge)"))
   }
+
+  test("simple query parser: ops, precedence, leniency") {
+    val sp = (x: String) => QueryParser.parseSimple(x)
+    assert(sp("dup + (spark | key)") === BoolQ(must = Seq(TermQ("dup"),
+      BoolQ(should = Seq(TermQ("spark"), TermQ("key")), minShouldMatch = 1))))
+    assert(sp("batch + -spark") ===
+      BoolQ(must = Seq(TermQ("batch")), mustNot = Seq(TermQ("spark"))))
+    // default operator = SHOULD: bare whitespace ORs
+    assert(sp("dup spark") ===
+      BoolQ(should = Seq(TermQ("dup"), TermQ("spark")), minShouldMatch = 1))
+    assert(QueryParser.parseSimple("dup spark", defaultOp = "and") ===
+      BoolQ(must = Seq(TermQ("dup"), TermQ("spark"))))
+    // '|' binds looser than '+'
+    assert(sp("a + b | c") === BoolQ(should = Seq(
+      BoolQ(must = Seq(TermQ("a"), TermQ("b"))), TermQ("c")),
+      minShouldMatch = 1))
+    // phrase with slop, prefix star
+    assert(sp("\"order sort\"~2") === PhraseQ(Seq("order", "sort"), 2))
+    assert(sp("scan*") === PrefixQ("scan"))
+    // leniency: stray trailing operator and unterminated group survive
+    assert(sp("dup +") === TermQ("dup"))
+    assert(sp("(dup | spark") ===
+      BoolQ(should = Seq(TermQ("dup"), TermQ("spark")), minShouldMatch = 1))
+  }
 }
