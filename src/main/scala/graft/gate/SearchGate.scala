@@ -67,6 +67,9 @@ object SearchGate {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear()
+    // the rtg fixture dir is deleted below with the other tracked dirs —
+    // a surviving path cache would dangle into the next gate run
+    rtgCache.clear()
     createdDirs.keys.foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     createdDirs.clear()
