@@ -1005,6 +1005,59 @@ FROM (
 )""" + finish("res", k)
   }
 
+  /** TermAutomatonQuery oracle for automatons whose freq law reduces to
+    * adjacency + unigram counts (every pure-term automaton the gate
+    * runs; the spec pins the general DP incl. ANY gaps). Derived from
+    * `TermAutomatonScorer.countMatches` (TermAutomatonScorer.java:
+    * 227-345): with no ANY arcs the gap walk never runs, so freq =
+    * Σ accept landings = Σ adjacency pairs (a@p, b∈set@p+1 for each
+    * chain edge into an accept) + Σ single-token accepts (terms with a
+    * start→accept arc). Weight = float idf fold over sorted DISTINCT
+    * PRESENT terms × (k1+1) — the engine's span-weight convention —
+    * tf = freq (int), score = BM25 against the doc norm.
+    */
+  def termAutomaton(adjacency: Seq[(String, Seq[String])],
+      unigrams: Seq[String], k: Int): String = {
+    val allTerms =
+      (adjacency.flatMap { case (a, bs) => a +: bs } ++ unigrams).distinct
+    val idfFold = allTerms.sorted.map { t =>
+      val df = s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})"
+      s"CASE WHEN $df > 0 THEN ${idfExpr(df)} ELSE ${R("0")} END"
+    }.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val fExpr = "CAST(p.freq AS REAL)"
+    val score = R(s"${R(s"$w * $fExpr")} / ${R(s"$fExpr + ${cacheExpr("dn.qlen")}")}")
+    val adjCtes = adjacency.zipWithIndex.map { case ((a, bs), i) =>
+      val in = bs.distinct.map(lit).mkString(", ")
+      s""", adj$i AS (
+  SELECT x.doc_id, count(*) AS c
+  FROM posx x JOIN posx y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  WHERE x.term = ${lit(a)} AND y.term IN ($in)
+  GROUP BY x.doc_id
+)"""
+    }.mkString
+    val uniCte =
+      if (unigrams.isEmpty) ""
+      else {
+        val in = unigrams.distinct.map(lit).mkString(", ")
+        s""", uni AS (
+  SELECT doc_id, count(*) AS c FROM posx WHERE term IN ($in)
+  GROUP BY doc_id
+)"""
+      }
+    val parts =
+      adjacency.indices.map(i => s"SELECT doc_id, c FROM adj$i") ++
+        (if (unigrams.isEmpty) Nil else Seq("SELECT doc_id, c FROM uni"))
+    prologue + spanPosx + adjCtes + uniCte +
+      s""", fr AS (
+  SELECT doc_id, SUM(c) AS freq FROM (${parts.mkString(" UNION ALL ")})
+  GROUP BY doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM fr p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
   // ---------- composed span trees (Spans interval algebra) ----------
   //
   // Shared scaffolding: 0-based positions + the chain-of-minimums span

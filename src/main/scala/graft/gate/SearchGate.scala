@@ -476,6 +476,32 @@ object SearchGate {
     // absent member must fold as +0 in the weight on both sides
     "q_span_near_or" -> seg(SpanNearOrQ(
       Seq(Seq("order", "merge"), Seq("sort", "zzznosuchterm")), 5)),
+    // TermAutomatonQuery (sandbox TermAutomatonQuery.java:68): the
+    // "order (sort|merge)" chain automaton — freq counts accept
+    // landings (= adjacency pairs here), scored like a phrase
+    "q_term_automaton" -> seg({
+      val b = new TermAutomatonBuilder
+      val s0 = b.createState(); val s1 = b.createState()
+      val s2 = b.createState()
+      b.setAccept(s2, true)
+      b.addTransition(s0, s1, "order")
+      b.addTransition(s1, s2, "sort")
+      b.addTransition(s1, s2, "merge")
+      TermAutomatonQ(b.finish())
+    }),
+    // union-depth automaton: accepts the single token "sort" AND the
+    // two-token path "order sort" — every sort token lands an accept
+    // via the start step, adjacency pairs land a second one
+    "q_term_automaton_union" -> seg({
+      val b = new TermAutomatonBuilder
+      val s0 = b.createState(); val s1 = b.createState()
+      val s2 = b.createState()
+      b.setAccept(s2, true)
+      b.addTransition(s0, s2, "sort")
+      b.addTransition(s0, s1, "order")
+      b.addTransition(s1, s2, "sort")
+      TermAutomatonQ(b.finish())
+    }),
     // composed span trees (Spans interval algebra — arbitrary nesting):
     // SpanFirst over a SpanNear subclause
     "q_span_tree_first" -> seg(SpanQ(Span.First(
@@ -946,6 +972,10 @@ object SearchGate {
     "q_suggest_prefix" -> Oracles.suggestPrefix("s", 4),
     "q_bm25_prefix_scored" -> Oracles.prefixScored("s", 4, K),
     "q_bm25_prefix_blended" -> Oracles.prefixBlended("s", 4, K),
+    "q_term_automaton" -> Oracles.termAutomaton(
+      Seq("order" -> Seq("sort", "merge")), Nil, K),
+    "q_term_automaton_union" -> Oracles.termAutomaton(
+      Seq("order" -> Seq("sort")), Seq("sort"), K),
     "q_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_span_first" -> Oracles.spanFirst("order", 25, K),
     "q_span_or" -> Oracles.spanOr(Seq("order", "sort"), K),

@@ -409,6 +409,16 @@ final case class SpanPayloadCheckQ(root: Span,
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
+/** TermAutomatonQuery (`sandbox/.../search/TermAutomatonQuery.java:68`):
+  * a determinized term automaton run over each candidate doc's merged
+  * positions; freq = accept-landing count, scored BM25 like a phrase.
+  * Build the automaton with [[TermAutomatonBuilder]]. Weight = float idf
+  * fold over sorted DISTINCT PRESENT terms × (k1+1) × boost (the
+  * convention every span weight here uses; the reference folds the same
+  * per-term stats in hash order — same value up to float association).
+  */
+final case class TermAutomatonQ(automaton: TermAutomaton) extends Query
+
 object Query {
 
   /** Convenience constructors. */
@@ -580,6 +590,7 @@ object Query {
     case SpanQ(root) => Span.allTerms(root).toSet
     case PayloadScoreQ(root, _, _) => Span.allTerms(root).toSet
     case SpanPayloadCheckQ(root, _) => Span.allTerms(root).toSet
+    case TermAutomatonQ(ta) => ta.terms.toSet
     case _ => Set.empty
   }
 

@@ -431,6 +431,8 @@ object SegmentSearcher {
       spanNotScorer(i, e, math.max(pre, 0), math.max(post, 0),
         shard, blobs, plan, boost)
     case SpanQ(root) => spanTreeScorer(root, shard, blobs, plan, boost)
+    case TermAutomatonQ(ta) =>
+      termAutomatonScorer(ta, shard, blobs, plan, boost)
     case PayloadScoreQ(root, fn, inc) =>
       payloadSpanScorer(root, shard, blobs, plan, boost,
         check = null, fn = PayloadFns.of(fn), includeSpanScore = inc)
@@ -615,6 +617,44 @@ object SegmentSearcher {
           new ModFilterScorer(ss, shard, plan.numShards)
         else ss
     }
+
+  /** TermAutomatonQuery (`sandbox/.../TermAutomatonQuery.java:329-350`):
+    * disjunction over the automaton's terms, per-doc merged-position DP
+    * (freq = accept landings), BM25 with tf = freq. Weight = float idf
+    * fold over sorted DISTINCT PRESENT terms × (k1+1) × boost — the span
+    * weight convention (the reference folds the same per-term stats from
+    * a HashMap; value identical up to float association, and the oracle
+    * replays this fold). Sharding mirrors the span tree scorers: salted
+    * rows already hold only this shard's docs, so the outer mod-filter is
+    * needed only when some present row is cold.
+    */
+  private def termAutomatonScorer(ta: TermAutomaton, shard: Int,
+      blobs: Map[String, SegRow], plan: Plan, boost: Float): DocScorer = {
+    // phrase-style BM25 math against the BM25 length cache — loud-failure
+    // convention of blendedScorer for any other sim
+    require(plan.sim == SegmentSearcher.SimBm25,
+      s"TermAutomatonQ scores with BM25 math only (sim=${plan.sim})")
+    val present = ta.terms.zipWithIndex
+      .filter { case (t, _) => blobs.contains(t) && plan.weights.contains(t) }
+    if (present.isEmpty) return EmptyScorer
+    var idfSum = 0f
+    present.map(_._1).distinct.sorted.foreach { t =>
+      idfSum += BM25.idf(plan.weights(t).df, plan.maxDoc)
+    }
+    val w = BM25.weightValue(idfSum, plan.params, boost)
+    val rows = present.map { case (t, _) => blobs(t) }
+    val its = rows.map { r =>
+      val it = PostingsCodec.iterator(r.docBlocks, r.skipData, r.posBlocks)
+      if (!it.hasPositions)
+        sys.error("term-automaton requires an index built with positions")
+      it
+    }
+    val ids = present.map(_._2)
+    val ss = new TermAutomatonScorer(ta, its, ids, w, plan.cache)
+    if (shard >= 0 && !rows.forall(_.salt >= 0))
+      new ModFilterScorer(ss, shard, plan.numShards)
+    else ss
+  }
 
   /** Payload span queries over the payloads sidecar: PayloadScoreQ
     * (`check == null`; fn folds collected leaf payloads, score =
