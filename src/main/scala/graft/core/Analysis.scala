@@ -266,6 +266,79 @@ object Analysis {
       tokens.slice(i, i + n).mkString(" "))
   }
 
+  /** CommonGramsFilter (`analysis/common/.../commongrams/
+    * CommonGramsFilter.java:52-188`): index-side bigram overlay for
+    * frequent terms. Every unigram is kept at its position; whenever the
+    * previous token was common OR the current token is common (and a
+    * previous token exists), a gram `prev_cur` is additionally emitted
+    * at the PREVIOUS token's position (the reference's
+    * posInc-0 + posLen-2 overlay, CommonGramsFilter.java:170-187).
+    * Returns (term, position) pairs in the reference's emission order
+    * (gram immediately before the unigram it ends on); field length for
+    * norms counts UNIGRAMS only — grams are position-increment-0
+    * overlaps, discounted exactly like the reference's
+    * `state.getLength() - state.getNumOverlap()`
+    * (BM25Similarity.java:146-150, discountOverlaps=true).
+    */
+  def commonGrams(tokens: Array[String],
+      common: Set[String]): Array[(String, Int)] = {
+    if (tokens.isEmpty) return Array.empty
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](
+      tokens.length + 4)
+    var i = 0
+    var lastWasCommon = false
+    while (i < tokens.length) {
+      val isCommon = common.contains(tokens(i))
+      if (i > 0 && (lastWasCommon || isCommon))
+        out += ((tokens(i - 1) + "_" + tokens(i), i - 1))
+      out += ((tokens(i), i))
+      lastWasCommon = isCommon
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** CommonGramsQueryFilter (`commongrams/CommonGramsQueryFilter.java:
+    * 82-114`) composed over [[commonGrams]]: the query-side reduction —
+    * grams are preferred, a unigram survives only when not covered on
+    * its gram side per the reference's held-previous algorithm:
+    * hold each token; emit the held token when a NON-gram arrives; a
+    * gram arriving DROPS the held token; at exhaustion the held token is
+    * emitted unless the last emission was a gram. Every emitted token
+    * gets position increment 1 (the filter forces gram posInc to 1), so
+    * positions are simply 0..k-1 — a phrase over the output matches the
+    * [[commonGrams]]-indexed field. The full reference test matrix
+    * (CommonGramsFilterTest.java:90-158) is pinned in CoreSpec.
+    */
+  def commonGramsQuery(tokens: Array[String],
+      common: Set[String]): Array[String] = {
+    val stream = commonGrams(tokens, common) // (term, pos); gram iff '_'
+    def isGram(ix: Int): Boolean = {
+      // grams are the only emissions whose position != their running
+      // unigram position — cheaper and collision-free vs checking '_'
+      // (simpleTokens can never emit '_'): a gram repeats the PREVIOUS
+      // position; detect by comparing with the previous element
+      ix > 0 && stream(ix)._2 == stream(ix - 1)._2
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var held: String = null
+    var heldGram = false
+    var lastEmittedWasGram = false
+    var i = 0
+    while (i < stream.length) {
+      val gram = isGram(i)
+      if (held != null && !gram) {
+        out += held
+        lastEmittedWasGram = heldGram
+      }
+      held = stream(i)._1
+      heldGram = gram
+      i += 1
+    }
+    if (held != null && !lastEmittedWasGram) out += held
+    out.toArray
+  }
+
   /** Payload-producing token filters (the reference's payload filter
     * family, `lucene/analysis/common/.../payloads/`): each policy maps an
     * occurrence (token, position) to the possibly-rewritten term plus a

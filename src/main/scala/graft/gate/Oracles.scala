@@ -71,6 +71,89 @@ object Oracles {
          ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
 )"""
 
+  /** Prologue for a CommonGrams-analyzed field
+    * (`analysis/common/.../commongrams/CommonGramsFilter.java:52`):
+    * tok = every unigram PLUS a `prev_cur` gram wherever either side is
+    * a common word (the posInc-0 overlay). Norm length (dlen → dn)
+    * counts UNIGRAMS only — grams are position-increment-0 overlaps the
+    * norm discounts (BM25Similarity.java:146-150) — while avgdl counts
+    * the full postings stream including grams (sumTotalTermFreq is the
+    * Σtf aggregate). `cgPosx(common)` adds gram+unigram positions (gram
+    * at its FIRST word's position, the posInc-0 law) for phrase oracles.
+    */
+  def commonGramsPrologue(common: Seq[String]): String =
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), grams AS (
+  SELECT doc_id, a[i] || '_' || a[i + 1] AS term, i - 1 AS pos
+  FROM (SELECT doc_id, a,
+          unnest(list_filter(generate_series(1, len(a) - 1),
+            i -> ${cgCommonPred(common, "i")})) AS i
+        FROM arr WHERE len(a) >= 2)
+), uni AS (
+  SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) - 1 AS pos
+  FROM arr
+), tok AS (
+  SELECT doc_id, term FROM uni UNION ALL SELECT doc_id, term FROM grams
+), dlen AS (
+  SELECT d.doc_id, count(u.term) AS len
+  FROM documents d LEFT JOIN uni u ON d.doc_id = u.doc_id GROUP BY d.doc_id
+)""" + normAvSuffix
+
+  private def cgCommonPred(common: Seq[String], iVar: String): String = {
+    val lst = "[" + common.map(lit).mkString(", ") + "]"
+    s"list_contains($lst, a[$iVar]) OR list_contains($lst, a[$iVar + 1])"
+  }
+
+  /** Positioned CommonGrams stream (grams + unigrams) for phrase
+    * matching over the gram field.
+    */
+  private def cgPosx: String =
+    s""", posx AS (
+  SELECT doc_id, term, pos FROM uni UNION ALL
+  SELECT doc_id, term, pos FROM grams
+)"""
+
+  /** Single-token query over a CommonGrams field (a phrase whose query
+    * filter reduced to one gram/unigram): plain BM25 term scoring
+    * against the gram field's stats.
+    */
+  def commonGramsTerm(term: String, common: Seq[String], k: Int): String =
+    commonGramsPrologue(common) + termCtes("a", term) + finish("sc_a", k)
+
+  /** Exact phrase over a CommonGrams field: consecutive positions in the
+    * gram stream (a gram occupies its first word's position, so mixed
+    * gram/unigram chains still advance by exactly 1). freq = match
+    * count, weight = float idf fold in QUERY ORDER over all constituent
+    * terms (PhraseWeight's law — the conjunction makes every df > 0).
+    */
+  def commonGramsPhrase(terms: Seq[String], common: Seq[String],
+      k: Int): String = {
+    require(terms.size >= 2)
+    val idfFold = terms.map { t =>
+      idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})")
+    }.reduce((x, y) => R(s"$x + $y"))
+    val w = R(s"$idfFold * ($K1 + ${R("1")})")
+    val fExpr = "CAST(p.freq AS REAL)"
+    val score = R(s"${R(s"$w * $fExpr")} / ${R(s"$fExpr + ${cacheExpr("dn.qlen")}")}")
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"JOIN posx p$i ON p$i.doc_id = p0.doc_id AND p$i.pos = p0.pos + $i AND p$i.term = ${lit(t)}"
+    }.mkString("\n  ")
+    commonGramsPrologue(common) + cgPosx +
+      s""", fr AS (
+  SELECT p0.doc_id, count(*) AS freq
+  FROM posx p0
+  $joins
+  WHERE p0.term = ${lit(terms.head)}
+  GROUP BY p0.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM fr p JOIN dn ON p.doc_id = dn.doc_id
+  WHERE p.freq > 0
+)""" + finish("res", k)
+  }
+
   /** Float idf: (float) ln(1 + (n - df + 0.5)/(df + 0.5)). */
   private def idfExpr(dfExpr: String): String =
     R(s"ln(1 + ((SELECT n FROM av) - $dfExpr + 0.5)/($dfExpr + 0.5))")

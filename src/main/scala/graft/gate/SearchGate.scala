@@ -57,7 +57,8 @@ object SearchGate {
     def quietly(f: => Unit): Unit =
       try f catch { case _: Exception => } // session may already be stopped
     (searcherCache.values ++ fieldSearcherCache.values ++
-      sweetSearcherCache.values ++ shingleSearcherCache.values)
+      sweetSearcherCache.values ++ shingleSearcherCache.values ++
+      cgSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -66,7 +67,7 @@ object SearchGate {
     })
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
-    shingleSearcherCache.clear()
+    shingleSearcherCache.clear(); cgSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -147,6 +148,28 @@ object SearchGate {
         gateConfig.copy(tokenizer = "shingle:2", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-shingle-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** CommonGrams index (CommonGramsFilter overlay, common = the
+    * reference StandardAnalyzer English stop set): unigrams at their
+    * positions plus `prev_cur` grams at the first word's position.
+    */
+  private val cgSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def cgSearcher(spark: SparkSession, sfDir: String): Searcher =
+    cgSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#commongrams".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-cg-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "commongrams", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-cg-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -611,6 +634,18 @@ object SearchGate {
     // sharing the value scores the fold — one gate per ScoreMode
     // ShingleFilter phrase-as-term field: the 2-word phrase runs as ONE
     // term lookup on the shingled index (no positions touched)
+    // CommonGrams field (CommonGramsFilter + query-side reduction):
+    // "the spark" reduces to the single gram term the_spark
+    "q_commongrams_term" -> ((spark, sfDir) => hitsDf(spark,
+      cgSearcher(spark, sfDir).search(
+        Query.commonGramsPhrase(Seq("the", "spark"),
+          graft.core.Analysis.EnglishStopWords), K))),
+    // "part the sort" (n s n) reduces to the 2-gram phrase
+    // [part_the, the_sort] — consecutive positions on the gram field
+    "q_commongrams_phrase" -> ((spark, sfDir) => hitsDf(spark,
+      cgSearcher(spark, sfDir).search(
+        Query.commonGramsPhrase(Seq("part", "the", "sort"),
+          graft.core.Analysis.EnglishStopWords), K))),
     "q_shingle_phrase" -> ((spark, sfDir) => hitsDf(spark,
       shingleSearcher(spark, sfDir).search(TermQ("order sort"), K))),
     // distributed phrase statistics: count-sorted bigram enumeration
@@ -1045,6 +1080,11 @@ object SearchGate {
     "q_bm25_edismax_pf" -> Oracles.edismaxQf(Seq("order", "sort"),
       Seq(("text", 1f), ("source", 2f)), msm = 1, tie = 0.2f, k = K,
       pf = Seq(("text", 1.5f), ("source", 1f))),
+    "q_commongrams_term" -> Oracles.commonGramsTerm("the_spark",
+      graft.core.Analysis.EnglishStopWords.toSeq.sorted, K),
+    "q_commongrams_phrase" -> Oracles.commonGramsPhrase(
+      Seq("part_the", "the_sort"),
+      graft.core.Analysis.EnglishStopWords.toSeq.sorted, K),
     "q_shingle_phrase" -> Oracles.shingleTerm("order sort", K),
     "q_shingle_terms" -> Oracles.shingleTermsEnum("order ", 10, 1),
     "q_index_stats" -> Oracles.indexStats,

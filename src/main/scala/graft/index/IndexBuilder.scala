@@ -139,6 +139,31 @@ object IndexBuilder {
     case other => sys.error(s"unknown tokenizer: $other")
   }
 
+  /** Position-aware tokenizers: (norm length, (term, position) pairs) —
+    * for analyzers that emit position-increment-0 overlay tokens, which
+    * a flat `String => Array[String]` (position = array index) cannot
+    * express. Norm length counts REAL positions only (the reference's
+    * discountOverlaps, BM25Similarity.java:146-150); sumTotalTermFreq
+    * still counts every posting occurrence including overlays (it is the
+    * Σtf aggregate over the postings relation).
+    *
+    *   "commongrams"          CommonGramsFilter over simple tokens with
+    *                          the reference StandardAnalyzer stop set
+    *   "commongrams:<w;w;…>"  same with an explicit common-word set
+    */
+  def posTokenizerFn(name: String): Option[String => (Int, Array[(String, Int)])] = {
+    def cg(common: Set[String]): String => (Int, Array[(String, Int)]) =
+      (s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        (toks.length, Analysis.commonGrams(toks, common))
+      }
+    if (name == "commongrams") Some(cg(Analysis.EnglishStopWords))
+    else if (name.startsWith("commongrams:"))
+      Some(cg(name.stripPrefix("commongrams:")
+        .split(";").filter(_.nonEmpty).toSet))
+    else None
+  }
+
   /** Logical (pre-segment) index: the relational core every query path and
     * the DuckDB oracle share.
     */
@@ -176,7 +201,8 @@ object IndexBuilder {
       cfg: BuildConfig = BuildConfig(),
       persistPostings: Boolean = true): LogicalIndex = {
     val spark = corpus.sparkSession
-    val tok = tokenizerFn(cfg.tokenizer)
+    val posTok = posTokenizerFn(cfg.tokenizer)
+    val tok = if (posTok.isDefined) null else tokenizerFn(cfg.tokenizer)
     val normUdf =
       if (cfg.normSim == "default") udf((len: Int) => Norms.normByte(len))
       else {
@@ -189,29 +215,59 @@ object IndexBuilder {
     // at all — the DWPT-local TermsHash of the reference
     // (`index/TermsHashPerField.java:145-183`) done per row; tf falls out
     // as positions.length. Output: (fieldLength, [(term, positions)…]).
-    val docPosUdf = udf { (s: String) =>
-      val toks = tok(s)
-      val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
-      var i = 0
-      while (i < toks.length) {
-        var b = m.get(toks(i))
-        if (b == null) {
-          b = new scala.collection.mutable.ArrayBuilder.ofInt()
-          m.put(toks(i), b)
+    val docPosUdf =
+      if (posTok.isEmpty) udf { (s: String) =>
+        val toks = tok(s)
+        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+        var i = 0
+        while (i < toks.length) {
+          var b = m.get(toks(i))
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuilder.ofInt()
+            m.put(toks(i), b)
+          }
+          b += i
+          i += 1
         }
-        b += i
-        i += 1
+        val out = new Array[(String, Array[Int])](m.size)
+        val it = m.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(j) = (e.getKey, e.getValue.result())
+          j += 1
+        }
+        (toks.length, out)
       }
-      val out = new Array[(String, Array[Int])](m.size)
-      val it = m.entrySet().iterator()
-      var j = 0
-      while (it.hasNext) {
-        val e = it.next()
-        out(j) = (e.getKey, e.getValue.result())
-        j += 1
+      else udf { (s: String) =>
+        // position-aware analyzer: emission order keeps per-term
+        // positions ascending (an overlay gram never precedes the
+        // unigram opening its position), so the grouped lists encode
+        // directly; norm length = real positions only
+        val pf = posTok.get
+        val (len, pairs) = pf(s)
+        val m = new java.util.LinkedHashMap[String, scala.collection.mutable.ArrayBuilder.ofInt]()
+        var i = 0
+        while (i < pairs.length) {
+          val (t, p) = pairs(i)
+          var b = m.get(t)
+          if (b == null) {
+            b = new scala.collection.mutable.ArrayBuilder.ofInt()
+            m.put(t, b)
+          }
+          b += p
+          i += 1
+        }
+        val out = new Array[(String, Array[Int])](m.size)
+        val it = m.entrySet().iterator()
+        var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(j) = (e.getKey, e.getValue.result())
+          j += 1
+        }
+        (len, out)
       }
-      (toks.length, out)
-    }
     // payload-producing variant (only compiled into the plan when
     // cfg.payloads is set — the hot payload-free path keeps the slim UDF
     // above): the policy may rewrite the term (delimited filter), so
@@ -277,6 +333,9 @@ object IndexBuilder {
     cfg.payloads.foreach { _ =>
       require(cfg.positions,
         "payloads require positions (BuildConfig.positions = true)")
+      require(posTok.isEmpty,
+        "payload policies compose with flat tokenizers only " +
+          s"(tokenizer=${cfg.tokenizer} is position-aware)")
     }
     val perDoc0 = withBounds
       .withColumn("_p",

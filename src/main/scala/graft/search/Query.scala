@@ -438,6 +438,21 @@ object Query {
     if (ts.isEmpty) MatchNoneQ
     else ConstScoreQ(BoolQ(should = terms(ts.distinct: _*)))
 
+  /** Phrase against a CommonGrams-analyzed field
+    * (`commongrams/CommonGramsQueryFilter.java:82-114`): the analyzed
+    * query tokens run through the query-side gram reduction (grams
+    * preferred, covered unigrams dropped), then phrase-match the gram
+    * field — every emitted token has position increment 1, and an
+    * indexed gram sits at its first word's position, so the reduced
+    * sequence advances by exactly 1 per token.
+    */
+  def commonGramsPhrase(tokens: Seq[String], common: Set[String]): Query = {
+    val qs = graft.core.Analysis.commonGramsQuery(tokens.toArray, common)
+    if (qs.isEmpty) MatchNoneQ
+    else if (qs.length == 1) TermQ(qs.head)
+    else PhraseQ(qs.toSeq)
+  }
+
   /** Rewrite to fixpoint (BooleanQuery.java:230-290 simplifications). */
   def rewrite(q: Query): Query = {
     val r = rewriteOnce(q)

@@ -163,6 +163,58 @@ class CoreSpec extends AnyFunSuite {
       === Seq("h", "hi", "t", "th"))
   }
 
+  test("commonGrams: the reference index-side matrix with positions") {
+    // stop words "of" "the" "s" — the reference fixture
+    // (CommonGramsFilterTest.java:161-248); expected = (term, position)
+    // pairs where a posInc-0 gram repeats its first word's position
+    val common = Set("of", "the", "s")
+    def cg(s: String) =
+      Analysis.commonGrams(s.split(" ").filter(_.nonEmpty), common).toSeq
+    assert(cg("the") == Seq(("the", 0)))
+    assert(cg("foo") == Seq(("foo", 0)))
+    assert(cg("brown fox") == Seq(("brown", 0), ("fox", 1)))
+    assert(cg("the fox") == Seq(("the", 0), ("the_fox", 0), ("fox", 1)))
+    assert(cg("fox of") == Seq(("fox", 0), ("fox_of", 0), ("of", 1)))
+    assert(cg("of the") == Seq(("of", 0), ("of_the", 0), ("the", 1)))
+    assert(cg("quick brown fox") ==
+      Seq(("quick", 0), ("brown", 1), ("fox", 2)))
+    assert(cg("quick brown the") ==
+      Seq(("quick", 0), ("brown", 1), ("brown_the", 1), ("the", 2)))
+    assert(cg("quick the fox") == Seq(("quick", 0), ("quick_the", 0),
+      ("the", 1), ("the_fox", 1), ("fox", 2)))
+    assert(cg("fox of the") == Seq(("fox", 0), ("fox_of", 0),
+      ("of", 1), ("of_the", 1), ("the", 2)))
+    assert(cg("the quick brown") ==
+      Seq(("the", 0), ("the_quick", 0), ("quick", 1), ("brown", 2)))
+    assert(cg("the fox of") == Seq(("the", 0), ("the_fox", 0),
+      ("fox", 1), ("fox_of", 1), ("of", 2)))
+    assert(cg("of the fox") == Seq(("of", 0), ("of_the", 0),
+      ("the", 1), ("the_fox", 1), ("fox", 2)))
+    assert(cg("of the of") == Seq(("of", 0), ("of_the", 0),
+      ("the", 1), ("the_of", 1), ("of", 2)))
+  }
+
+  test("commonGramsQuery: the reference query-side matrix") {
+    val common = Set("of", "the", "s")
+    def q(s: String) =
+      Analysis.commonGramsQuery(s.split(" ").filter(_.nonEmpty), common).toSeq
+    // CommonGramsFilterTest.java:90-158 — every case
+    assert(q("brown fox") == Seq("brown", "fox"))
+    assert(q("the fox") == Seq("the_fox"))
+    assert(q("fox of") == Seq("fox_of"))
+    assert(q("of the") == Seq("of_the"))
+    assert(q("the") == Seq("the"))
+    assert(q("foo") == Seq("foo"))
+    assert(q("quick brown fox") == Seq("quick", "brown", "fox"))
+    assert(q("quick brown the") == Seq("quick", "brown_the"))
+    assert(q("quick the brown") == Seq("quick_the", "the_brown"))
+    assert(q("fox of the") == Seq("fox_of", "of_the"))
+    assert(q("the quick brown") == Seq("the_quick", "quick", "brown"))
+    assert(q("the fox of") == Seq("the_fox", "fox_of"))
+    assert(q("of the fox") == Seq("of_the", "the_fox"))
+    assert(q("of the of") == Seq("of_the", "the_of"))
+  }
+
   test("BM25 formula spot checks (hand-computed, SURVEY.md §2.5)") {
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     assert(math.abs(graft.search.BM25.idf(1, 2) -
