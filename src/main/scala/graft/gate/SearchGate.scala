@@ -594,6 +594,25 @@ object SearchGate {
     "q_bm25_notall" -> seg(Query.not(MatchAllQ, TermQ("spark"))),
     // string-syntax surface (§2.13): parsed query ≡ programmatic ADT
     "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")),
+    // XML query parser (queryparser/xml/CoreParser.java surface): the
+    // same trees as existing gated queries, built from XML — proves the
+    // element/attribute/occurs mapping end-to-end
+    "q_xml_bool" -> seg(XmlQueryParser.parse(
+      """<BooleanQuery>
+           <Clause occurs="must"><TermQuery>dup</TermQuery></Clause>
+           <Clause occurs="should"><TermQuery>spark</TermQuery></Clause>
+           <Clause occurs="should"><TermQuery>key</TermQuery></Clause>
+         </BooleanQuery>""")),
+    "q_xml_dismax" -> seg(XmlQueryParser.parse(
+      """<DisjunctionMaxQuery tieBreaker="0.3">
+           <TermQuery>spark</TermQuery>
+           <TermQuery>key</TermQuery>
+         </DisjunctionMaxQuery>""")),
+    "q_xml_span_near" -> seg(XmlQueryParser.parse(
+      """<SpanNear slop="4" inOrder="true">
+           <SpanTerm>order</SpanTerm>
+           <SpanTerm>sort</SpanTerm>
+         </SpanNear>""")),
     // mid-token wildcard through the parser (WildcardQuery.java:42-46)
     "q_bm25_wildcard" -> seg(QueryParser.parse("sp?rk")),
     // dismax/edismax end-user surface with Solr mm spec ("75%" of 4 ⇒ 3)
@@ -934,6 +953,9 @@ object SearchGate {
     "q_bm25_or3_msm2" -> Oracles.or(Seq("dup", "spark", "key"), 2, K),
     "q_bm25_not" -> Oracles.not("batch", "spark", K),
     "q_bm25_must_should" -> Oracles.mustShould("dup", Seq("spark", "key"), 0, K),
+    "q_xml_bool" -> Oracles.mustShould("dup", Seq("spark", "key"), 0, K),
+    "q_xml_dismax" -> Oracles.dismax(Seq("spark", "key"), 0.3f, K),
+    "q_xml_span_near" -> Oracles.spanNearOrdered(Seq("order", "sort"), 4, K),
     "q_bm25_must_should_msm" -> Oracles.mustShould("batch",
       Seq("dup", "spark", "key"), 2, K),
     "q_bm25_filter" -> Oracles.mustFilter("spark", "dup", K),
