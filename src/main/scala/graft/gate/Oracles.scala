@@ -2074,6 +2074,158 @@ SELECT t.doc_id,
 FROM topk t JOIN arrs USING (doc_id) JOIN firstp USING (doc_id)
 ORDER BY t.rnk"""
 
+  /** FastVectorHighlighter fragments for a single-term query, recomputed
+    * from scratch: char offsets of every token occurrence via
+    * interleaved token/separator prefix sums, the greedy fragment loop
+    * (`vectorhighlight/BaseFragListBuilder.java:48-103`) as a recursive
+    * CTE state machine (one occurrence per step, margin 6, centering,
+    * border-violation skip, trailing close step), WeightedFieldFragList
+    * scoring (`WeightedFieldFragList.java:45-77`: single distinct term →
+    * totalBoost = float(w · n·(1/√n)) with w = float(ln(N/(df+1)) + 1)),
+    * SimpleBoundaryScanner window adjustment (maxScan 20, boundary chars
+    * . , ! ? space tab newline) and <b></b> tagging
+    * (`BaseFragmentsBuilder.java:147-178`). Fragments ranked boost desc,
+    * startOffset asc; top `maxNumFragments` per doc of the top-k docs of
+    * the plain BM25 term query.
+    */
+  def fvhFragments(term: String, k: Int, fragCharSize: Int,
+      maxNumFragments: Int, margin: Int = 6): String = {
+    val t = lit(term)
+    val FCS = fragCharSize
+    val B = s"['.', ',', '!', '?', ' ', chr(9), chr(10)]"
+    // findStartOffset(text, s) / findEndOffset(text, e) as SQL macros
+    def findStart(text: String, s: String): String =
+      s"""CASE WHEN $s < 1 OR $s > length($text) THEN $s ELSE COALESCE(
+  $s - list_min(list_filter(generate_series(0, 19),
+        d -> $s - d >= 1 AND list_contains($B, substr($text, $s - d, 1)))),
+  CASE WHEN $s <= 20 THEN 0 ELSE $s END) END"""
+    def findEnd(text: String, e: String): String =
+      s"""COALESCE($e + list_min(list_filter(generate_series(0, 19),
+        d -> $e + d < length($text)
+          AND list_contains($B, substr($text, $e + d + 1, 1)))), $e)"""
+    // w = (float)(ln(numDocs/(df+1.0)) + 1.0); norm = n·(1/√n) in float;
+    // single distinct term → totalBoost = float(w · norm)
+    val wExpr = R("ln(CAST((SELECT n FROM av) AS DOUBLE) / " +
+      "((SELECT count(*) FROM tf_a) + 1)) + 1.0")
+    val normExpr = R("CAST(nmem AS REAL) * " +
+      R("CAST(1 AS REAL) / CAST(sqrt(CAST(nmem AS DOUBLE)) AS REAL)"))
+    val fvhScoreExpr = R(s"$wExpr * $normExpr")
+    "WITH RECURSIVE" + prologue.stripPrefix("WITH") + termCtes("a", term) +
+      s""", topk AS (
+  SELECT doc_id, s FROM sc_a ORDER BY s DESC, doc_id LIMIT $k
+), tsplit AS (
+  SELECT d.doc_id, d.text,
+    regexp_extract_all(d.text, '[A-Za-z0-9]+') AS tks,
+    regexp_extract_all(d.text, '[^A-Za-z0-9]+') AS seps,
+    CASE WHEN regexp_matches(d.text, '^[^A-Za-z0-9]') THEN 1 ELSE 0 END AS lead
+  FROM documents d JOIN topk USING (doc_id)
+), tokrows AS (
+  SELECT doc_id, unnest(tks) AS tk, generate_subscripts(tks, 1) AS i, lead
+  FROM tsplit
+), tokcum AS (
+  SELECT doc_id, i, tk, lead,
+    COALESCE(sum(length(tk)) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tkbefore
+  FROM tokrows
+), seprows AS (
+  SELECT doc_id, unnest(seps) AS sp, generate_subscripts(seps, 1) AS i
+  FROM tsplit
+), sepcum AS (
+  SELECT doc_id, i,
+    sum(length(sp)) OVER (PARTITION BY doc_id ORDER BY i) AS sepupto
+  FROM seprows
+), occn AS (
+  SELECT doc_id, so, CAST(so + ln AS INT) AS eo,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY so) AS INT) AS idx
+  FROM (SELECT tc.doc_id,
+          CAST(tc.tkbefore + COALESCE(sc.sepupto, 0) AS INT) AS so,
+          length(tc.tk) AS ln
+        FROM tokcum tc LEFT JOIN sepcum sc
+          ON sc.doc_id = tc.doc_id AND sc.i = tc.i - 1 + tc.lead
+        WHERE lower(tc.tk) = $t AND length(tc.tk) <= 255)
+), cnt AS (
+  SELECT doc_id, CAST(max(idx) AS INT) AS n FROM occn GROUP BY doc_id
+), rec AS (
+  -- the greedy loop, one occurrence per step; step n+1 closes the tail
+  SELECT doc_id, 0 AS idx, 0 AS flr, false AS open,
+    0 AS fso, 0 AS feo, 0 AS prov,
+    CAST([] AS STRUCT(so INT, eo INT)[]) AS ms,
+    CAST([] AS STRUCT(s INT, e INT, ms STRUCT(so INT, eo INT)[])[]) AS em
+  FROM cnt
+  UNION ALL
+  SELECT doc_id, idx2, flr2,
+    (absorb OR opennew) AS open,
+    CASE WHEN absorb THEN fso WHEN opennew THEN oso ELSE 0 END AS fso,
+    CASE WHEN absorb OR opennew THEN oeo ELSE 0 END AS feo,
+    CASE WHEN absorb THEN prov
+         WHEN opennew THEN greatest(oeo, greatest(oso - $margin, flr2) + $FCS)
+         ELSE 0 END AS prov,
+    CASE WHEN absorb THEN list_append(ms, {'so': oso, 'eo': oeo})
+         WHEN opennew THEN [{'so': oso, 'eo': oeo}]
+         ELSE CAST([] AS STRUCT(so INT, eo INT)[]) END AS ms,
+    CASE WHEN closing THEN list_append(em,
+           {'s': cstart, 'e': CAST(flr2 AS INT), 'ms': ms})
+         ELSE em END AS em
+  FROM (
+    SELECT *,
+      (has_o AND (NOT open OR closing) AND oso >= flr2) AS opennew
+    FROM (
+      SELECT *,
+        CASE WHEN closing THEN cstart + greatest(feo - fso, $FCS)
+             ELSE flr END AS flr2
+      FROM (
+        SELECT r.doc_id, r.idx + 1 AS idx2, r.flr, r.open, r.fso, r.feo,
+          r.prov, r.ms, r.em,
+          (o.idx IS NOT NULL) AS has_o,
+          (r.open AND (o.idx IS NULL OR o.eo > r.prov)) AS closing,
+          (r.open AND o.idx IS NOT NULL AND o.eo <= r.prov) AS absorb,
+          CASE WHEN r.fso - greatest(0, ($FCS - (r.feo - r.fso)) // 2) < r.flr
+               THEN r.flr
+               ELSE r.fso - greatest(0, ($FCS - (r.feo - r.fso)) // 2)
+          END AS cstart,
+          o.so AS oso, o.eo AS oeo
+        FROM rec r JOIN cnt c USING (doc_id)
+        LEFT JOIN occn o ON o.doc_id = r.doc_id AND o.idx = r.idx + 1
+        WHERE r.idx <= c.n
+      ) s0
+    ) s1
+  ) s2
+), final AS (
+  SELECT r1.doc_id, r1.em
+  FROM rec r1 JOIN cnt c ON c.doc_id = r1.doc_id AND r1.idx = c.n + 1
+), frags AS (
+  SELECT doc_id, f.s AS fs, f.e AS fe, f.ms AS ms, len(f.ms) AS nmem
+  FROM (SELECT doc_id, unnest(em) AS f FROM final) u
+), scored AS (
+  SELECT doc_id, fs, fe, ms, $fvhScoreExpr AS fscore
+  FROM frags
+), ranked AS (
+  SELECT doc_id, fs, fe, ms, fscore,
+    CAST(row_number() OVER (PARTITION BY doc_id
+      ORDER BY fscore DESC, fs ASC) AS INT) AS frank
+  FROM scored
+), sel AS (
+  SELECT r.*, d.text,
+    ${findStart("d.text", "r.fs")} AS mso,
+    CASE WHEN length(d.text) < r.fe THEN length(d.text)
+         ELSE ${findEnd("d.text", "r.fe")} END AS eo2
+  FROM ranked r JOIN documents d USING (doc_id)
+  WHERE r.frank <= $maxNumFragments
+)
+SELECT doc_id,
+  array_to_string(list_transform(generate_series(1, CAST(len(ms) AS INT)),
+    i -> substr(substr(text, mso + 1, eo2 - mso),
+           (CASE WHEN i = 1 THEN 0 ELSE ms[i - 1].eo - mso END) + 1,
+           ms[i].so - mso - (CASE WHEN i = 1 THEN 0 ELSE ms[i - 1].eo - mso END))
+         || '<b>' || substr(substr(text, mso + 1, eo2 - mso),
+              ms[i].so - mso + 1, ms[i].eo - ms[i].so) || '</b>'), '')
+  || substr(substr(text, mso + 1, eo2 - mso), ms[len(ms)].eo - mso + 1)
+  AS fragment,
+  CAST(fscore AS DOUBLE) AS fscore, frank
+FROM sel
+ORDER BY doc_id, frank"""
+  }
+
   /** Prefix: const-score 1.0 over docs containing any matching term. */
   def prefix(p: String, k: Int): String =
     prologue +

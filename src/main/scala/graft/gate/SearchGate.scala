@@ -916,6 +916,31 @@ object SearchGate {
         .map { case (h, i) => (h.docId, snips.getOrElse(h.docId, ""), i + 1) }
         .toDF("doc_id", "snippet", "rnk")
     }),
+    // FastVectorHighlighter multi-fragment passages (vectorhighlight/
+    // BaseFragListBuilder + WeightedFieldFragList + ScoreOrder): top-3
+    // boundary-adjusted tagged fragments per top-5 doc, driver form
+    "q_fvh_fragments" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val hits = s.search(TermQ("spark"), 5)
+      val fr = s.fvhHighlightAll(hits, Set("spark"), contentCol = "text",
+        fragCharSize = 60, maxNumFragments = 3)
+      hits.toSeq.flatMap(h => fr.getOrElse(h.docId, Nil).zipWithIndex
+        .map { case ((f, sc), i) => (h.docId, f, sc.toDouble, i + 1) })
+        .toDF("doc_id", "fragment", "fscore", "frank")
+    }),
+    // same fragments through the batch DataFrame path (fragments as
+    // rows, executor-side — the 10^7-hit shape); same oracle
+    "q_fvh_batch" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val hits = s.search(TermQ("spark"), 5)
+      val ids = hits.map(_.docId).toSeq.toDF("docId")
+      s.fvhFrame(ids, Set("spark"), contentCol = "text",
+        fragCharSize = 60, maxNumFragments = 3)
+        .select(col("docId").as("doc_id"), col("fragment"),
+          col("fscore").cast("double").as("fscore"), col("frank"))
+    }),
     // batch highlight: the FULL q_bm25_term_k100 hit set through the
     // DataFrame path (executor-side snippets, no driver round-trip)
     "q_highlight_batch" -> ((spark, sfDir) => {
@@ -1156,6 +1181,8 @@ object SearchGate {
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),
     "q_bm25_rescore" -> Oracles.rescoreTerm("batch", "spark", 2f, 20, K),
     "q_highlight" -> Oracles.highlightTerm("spark", K),
+    "q_fvh_fragments" -> Oracles.fvhFragments("spark", 5, 60, 3),
+    "q_fvh_batch" -> Oracles.fvhFragments("spark", 5, 60, 3),
     "q_highlight_batch" -> Oracles.highlightTerm("batch", 100),
     "q_mlt_terms" -> Oracles.mltTermsBatch(40L, 44L, 2, 5, 10))
 }

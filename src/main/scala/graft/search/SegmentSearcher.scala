@@ -2067,6 +2067,84 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** FastVectorHighlighter term weights (FieldTermStack.java:110):
+    * (float)(ln(numDocs / (docFreq + 1.0)) + 1.0) per query term,
+    * absent terms included with df 0 (they simply never match).
+    */
+  private def fvhWeights(terms: Set[String]): Map[String, Float] = {
+    val st = stats(terms)
+    terms.map(t => t ->
+      Fvh.termWeight(m.docCount, st.get(t).map(_._1).getOrElse(0L))).toMap
+  }
+
+  private def fvhBounds(content: String, blob: Array[Byte]): Array[Int] =
+    if (blob != null) IndexBuilder.decodeTokenBounds(blob)
+    else {
+      require(m.tokenizer == "simple",
+        "FVH without stored offsets re-tokenizes — 'simple' tokenizer only")
+      graft.core.Analysis.simpleTokenBounds(content)
+    }
+
+  /** FastVectorHighlighter multi-fragment passages, page-size driver
+    * form: per hit doc, up to `maxNumFragments` boundary-adjusted tagged
+    * fragments with their WeightedFieldFragList scores, in score order
+    * (boost desc, startOffset asc). See [[Fvh]] for the re-derived laws.
+    */
+  def fvhHighlightAll(hits: Array[Hit], terms: Set[String],
+      contentCol: String = "content", fragCharSize: Int = 100,
+      maxNumFragments: Int = 3): Map[Long, Seq[(String, Float)]] = {
+    if (hits.isEmpty) return Map.empty
+    val w = fvhWeights(terms)
+    val ids = hits.map(_.docId).toSeq
+    val cols =
+      if (useOffsets) Seq(col("docId"), col(contentCol), col("tokenBounds"))
+      else Seq(col("docId"), col(contentCol))
+    docsDf.filter(col("docId").isin(ids: _*)).select(cols: _*).collect()
+      .map { r =>
+        val text = r.getString(1)
+        val blob = if (useOffsets) r.getAs[Array[Byte]](2) else null
+        r.getLong(0) -> Fvh.highlightDoc(text, fvhBounds(text, blob), w,
+          fragCharSize, maxNumFragments)
+      }.toMap
+  }
+
+  /** Batch FVH (fragments-as-rows): join the hit frame against the row
+    * store, compute fragments executor-side, one row per (doc,
+    * fragment) with `fragment`, `fscore` (float) and `frank` (1 = best).
+    * The 100 TB shape — nothing per-request reaches the driver.
+    */
+  def fvhFrame(hits: DataFrame, terms: Set[String],
+      contentCol: String = "content", fragCharSize: Int = 100,
+      maxNumFragments: Int = 3): DataFrame = {
+    val w = fvhWeights(terms)
+    val (fcs, mnf) = (fragCharSize, maxNumFragments)
+    val needsOffsets = useOffsets
+    val tokName = m.tokenizer
+    val fragsU = udf((content: String, blob: Array[Byte]) => {
+      val bounds =
+        if (blob != null) IndexBuilder.decodeTokenBounds(blob)
+        else {
+          require(tokName == "simple",
+            "FVH without stored offsets re-tokenizes — 'simple' tokenizer only")
+          graft.core.Analysis.simpleTokenBounds(content)
+        }
+      Fvh.highlightDoc(content, bounds, w, fcs, mnf)
+    })
+    val src =
+      if (needsOffsets)
+        hits.join(docsDf.select(col("docId"), col(contentCol),
+          col("tokenBounds")), "docId")
+      else
+        hits.join(docsDf.select(col("docId"), col(contentCol)), "docId")
+          .withColumn("tokenBounds", lit(null).cast("binary"))
+    src.select(hits.columns.map(col).toSeq :+
+        posexplode(fragsU(col(contentCol), col("tokenBounds")))
+          .as(Seq("_pos", "_f")): _*)
+      .select(hits.columns.map(col).toSeq ++ Seq(
+        col("_f._1").as("fragment"), col("_f._2").as("fscore"),
+        (col("_pos") + 1).cast("int").as("frank")): _*)
+  }
+
   /** Batch MoreLikeThis term selection: for EVERY doc in `docIds`
     * (a DataFrame with a `docId` column), the top tf×idf terms — the
     * same selection law as [[moreLikeThis]] but as distributed joins
