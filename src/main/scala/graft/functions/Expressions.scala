@@ -76,6 +76,23 @@ case class GraftTokens(child: Expression, analyzer: String = "simple")
     copy(child = newChild)
 }
 
+/** Porter stem (release 3) of a lowercase word — the reference's
+  * `analysis/en/PorterStemFilter.java` as a codegen'd scalar: the whole
+  * stemming predicate stays inside whole-stage codegen when used in a
+  * filter/projection over a term dictionary.
+  */
+case class PorterStemExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "porter_stem"
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(graft.core.Porter.stem(s.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = UTF8String.fromString(graft.core.Porter.stem($c.toString()));")
+  override protected def withNewChildInternal(newChild: Expression): PorterStemExpr =
+    copy(child = newChild)
+}
+
 /** byte315 norm byte for a field length (`SmallFloat.floatToByte315`). */
 case class NormByteExpr(child: Expression)
   extends UnaryExpression {
@@ -157,6 +174,9 @@ object GraftFunctions {
     GraftColumnBridge.column(LevAccept(GraftColumnBridge.expression(term),
       pattern, maxEdits))
 
+  def porterStem(word: Column): Column =
+    GraftColumnBridge.column(PorterStemExpr(GraftColumnBridge.expression(word)))
+
   /** Register the SQL-surface functions on a session (ValueSourceParser
     * registry analog, `solr/core/.../search/ValueSourceParser.java`).
     */
@@ -168,5 +188,7 @@ object GraftFunctions {
       exprs => NormByteExpr(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("bm25_idf",
       exprs => Bm25Idf(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("porter_stem",
+      exprs => PorterStemExpr(exprs.head), "scala_udf")
   }
 }

@@ -42,6 +42,56 @@ object OpsGate {
       dir
     })
 
+  /** (word, published stem) — every 235th pair of the canonical Porter
+    * test vocabulary (Porter's voc.txt/output.txt, shipped by the
+    * reference as `analysis/common/src/test/.../en/porterTestData.zip`).
+    * The expected stems are the PUBLISHED outputs, not engine-derived.
+    */
+  private[gate] val porterSample: Seq[(String, String)] = Seq(
+    ("a", "a"), ("addeth", "addeth"), ("ague", "agu"),
+    ("anchorage", "anchorag"), ("araise", "arais"), ("athens", "athen"),
+    ("baker", "baker"), ("bearest", "bearest"), ("bequeath", "bequeath"),
+    ("blaspheming", "blasphem"), ("bores", "bore"),
+    ("bringer", "bringer"), ("buzzing", "buzz"),
+    ("carpenter", "carpent"), ("chances", "chanc"),
+    ("chooser", "chooser"), ("clotens", "cloten"),
+    ("committ", "committ"), ("confusion", "confus"),
+    ("convents", "convent"), ("cousins", "cousin"),
+    ("cubbert", "cubbert"), ("darts", "dart"),
+    ("delighted", "delight"), ("devilish", "devilish"),
+    ("discontinue", "discontinu"), ("distress", "distress"),
+    ("drawn", "drawn"), ("eastcheap", "eastcheap"),
+    ("enclos", "enclo"), ("envenom", "envenom"),
+    ("ethiope", "ethiop"), ("extern", "extern"),
+    ("fathomless", "fathomless"), ("fin", "fin"), ("fogs", "fog"),
+    ("foughten", "foughten"), ("furthest", "furthest"),
+    ("ghastly", "ghastli"), ("goot", "goot"), ("grubs", "grub"),
+    ("harlotry", "harlotri"), ("henchman", "henchman"),
+    ("honorably", "honor"), ("hypocrisy", "hypocrisi"),
+    ("incensed", "incens"), ("ink", "ink"), ("invited", "invit"),
+    ("jugs", "jug"), ("lad", "lad"), ("leaver", "leaver"),
+    ("linger", "linger"), ("luciana", "luciana"),
+    ("manent", "manent"), ("measured", "measur"), ("mille", "mill"),
+    ("moles", "mole"), ("muniments", "muniment"), ("ners", "ner"),
+    ("nursh", "nursh"), ("opposers", "oppos"), ("overt", "overt"),
+    ("parrots", "parrot"), ("penitently", "penit"),
+    ("philosopher", "philosoph"), ("pleach", "pleach"),
+    ("possibility", "possibl"), ("presses", "press"),
+    ("prone", "prone"), ("purposeth", "purposeth"), ("ralph", "ralph"),
+    ("recourse", "recours"), ("repealing", "repeal"),
+    ("revers", "rever"), ("rooted", "root"), ("salicam", "salicam"),
+    ("scoffer", "scoffer"), ("sensual", "sensual"),
+    ("shining", "shine"), ("simulation", "simul"), ("smelt", "smelt"),
+    ("source", "sourc"), ("spurrer", "spurrer"),
+    ("stirrups", "stirrup"), ("subjection", "subject"),
+    ("surfeiting", "surfeit"), ("taleporter", "taleport"),
+    ("tetter", "tetter"), ("tickled", "tickl"), ("traduc", "traduc"),
+    ("troyan", "troyan"), ("unbitted", "unbit"),
+    ("ungodly", "ungodli"), ("unrest", "unrest"),
+    ("upreared", "uprear"), ("vent", "vent"),
+    ("volscians", "volscian"), ("waver", "waver"),
+    ("whitmore", "whitmor"), ("woods", "wood"))
+
   /** Shared oracle CTE: tokenized positions + shingles (3-token). */
   private val shingleCte =
     """WITH posx AS (
@@ -168,6 +218,18 @@ object OpsGate {
         nlist = 16, nprobe = 4, excludeId = Some(0L))
         .withColumn("cos", round(col("cos"), 4))
         .select("id", "cos")
+    }),
+
+    // Porter stemming over a 100-word stratified sample of the published
+    // Porter test vocabulary (every 235th pair of porterTestData.zip's
+    // voc.txt) — the oracle's expected stems are the PUBLISHED outputs,
+    // fully independent of the engine; PorterSpec sweeps all 23,531.
+    "q_text_stem" -> ((s, d) => {
+      import s.implicits._
+      porterSample.map(_._1).toDF("word")
+        .select(col("word"),
+          graft.functions.GraftFunctions.porterStem(col("word")).as("stem"))
+        .orderBy("word")
     }),
 
     "q_text_tokencount" -> ((s, d) =>
@@ -668,6 +730,12 @@ FROM embeddings e,
 WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
 LIMIT 10""",
+
+    "q_text_stem" -> {
+      val rows = porterSample
+        .map { case (w, st) => s"('$w', '$st')" }.mkString(", ")
+      s"SELECT word, stem FROM (VALUES $rows) t(word, stem) ORDER BY word"
+    },
 
     "q_text_tokencount" ->
       """SELECT doc_id,

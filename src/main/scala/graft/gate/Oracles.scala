@@ -154,6 +154,94 @@ object Oracles {
 )""" + finish("res", k)
   }
 
+  // ---- Porter-analyzed field ----
+
+  /** Planted inflected docs for the porter gate — identical literals on
+    * the engine side (SearchGate.porterSearcher).
+    */
+  val porterPlanted: Seq[(Long, String)] = Seq(
+    900001L -> "queries merged tables",
+    900002L -> "querying the customers keys",
+    900003L -> "valued tables merge queries")
+
+  /** token → Porter stem for the ENTIRE gate vocabulary (31 corpus
+    * words + the planted inflections). Entries present in the published
+    * Porter test vocabulary (porterTestData.zip voc/output) are pinned
+    * from it verbatim: a/batch/big/customer→custom/fast/join/key→kei/
+    * line/order/part/row/scan/slow/small/sort/spark/stream/table→tabl/
+    * the/value→valu/window, tables→tabl/keys→kei/customers→custom/
+    * valued→valu; the rest follow the algorithm PorterSpec pins against
+    * all 23,531 published pairs.
+    */
+  private val porterDict: Seq[(String, String)] = Seq(
+    "a" -> "a", "agg" -> "agg", "batch" -> "batch", "big" -> "big",
+    "column" -> "column", "customer" -> "custom", "data" -> "data",
+    "dup" -> "dup", "fast" -> "fast", "filter" -> "filter",
+    "group" -> "group", "hash" -> "hash", "join" -> "join",
+    "key" -> "kei", "line" -> "line", "merge" -> "merg",
+    "order" -> "order", "part" -> "part", "query" -> "queri",
+    "row" -> "row", "scan" -> "scan", "slow" -> "slow",
+    "small" -> "small", "sort" -> "sort", "spark" -> "spark",
+    "stream" -> "stream", "table" -> "tabl", "the" -> "the",
+    "value" -> "valu", "vector" -> "vector", "window" -> "window",
+    // planted inflections
+    "queries" -> "queri", "merged" -> "merg", "tables" -> "tabl",
+    "querying" -> "queri", "customers" -> "custom", "keys" -> "kei",
+    "valued" -> "valu", "merges" -> "merg")
+
+  /** Prologue over documents ∪ planted inflected docs, every token
+    * mapped through the embedded Porter dictionary (PorterStemFilter,
+    * `analysis/en/PorterStemFilter.java`). Tokens outside the dict pass
+    * through unstemmed — the gate vocabulary is fully enumerated above,
+    * so a corpus regeneration that adds vocabulary fails the gate loudly
+    * rather than silently agreeing.
+    */
+  def porterPrologue: String = {
+    val plantedRows = porterPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val dictRows = porterDict
+      .map { case (w, s) => s"(${lit(w)}, ${lit(s)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), stemmap(w, st) AS (
+  SELECT * FROM (VALUES $dictRows)
+), rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM d2
+), tok AS (
+  SELECT r.doc_id, coalesce(m.st, r.rt) AS term
+  FROM (SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255) r
+  LEFT JOIN stemmap m ON r.rt = m.w
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)"""
+  }
+
+  /** BM25 term query over the porter-analyzed corpus. */
+  def porterTerm(stem: String, k: Int): String =
+    porterPrologue + termCtes("a", stem) + finish("sc_a", k)
+
+  /** OR-of-two over the porter field (msm 1). */
+  def porterOr2(s1: String, s2: String, k: Int): String = {
+    val ctes = termCtes("t0", s1) + termCtes("t1", s2)
+    porterPrologue + ctes +
+      s""", un AS (SELECT doc_id, s FROM sc_t0 UNION ALL SELECT doc_id, s FROM sc_t1),
+res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** Float idf: (float) ln(1 + (n - df + 0.5)/(df + 0.5)). */
   private def idfExpr(dfExpr: String): String =
     R(s"ln(1 + ((SELECT n FROM av) - $dfExpr + 0.5)/($dfExpr + 0.5))")

@@ -58,7 +58,7 @@ object SearchGate {
       try f catch { case _: Exception => } // session may already be stopped
     (searcherCache.values ++ fieldSearcherCache.values ++
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
-      cgSearcherCache.values)
+      cgSearcherCache.values ++ porterSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -68,6 +68,7 @@ object SearchGate {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
+    porterSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -170,6 +171,34 @@ object SearchGate {
         gateConfig.copy(tokenizer = "commongrams", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-cg-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Porter-stemmed index (PorterStemFilter over the simple chain,
+    * `analysis/en/PorterStemFilter.java`) over documents ∪ planted
+    * inflected docs — the planted rows make stems CONFLATE (query/
+    * queries/querying → queri), so df, norms, and scores all shift vs
+    * the unstemmed field and the oracle has teeth.
+    */
+  private val porterSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def porterSearcher(spark: SparkSession, sfDir: String): Searcher =
+    porterSearcherCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dirHash = Integer.toHexString(s"$sfDir#porter".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-porter-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = base.unionByName(
+        Oracles.porterPlanted.toDF("doc_id", "text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "porter", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-porter-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -667,6 +696,13 @@ object SearchGate {
           graft.core.Analysis.EnglishStopWords), K))),
     "q_shingle_phrase" -> ((spark, sfDir) => hitsDf(spark,
       shingleSearcher(spark, sfDir).search(TermQ("order sort"), K))),
+    // Porter-stemmed field: "queri" hits query/queries/querying docs with
+    // the conflated df; the OR adds the tabl stem (table/tables)
+    "q_bm25_porter" -> ((spark, sfDir) => hitsDf(spark,
+      porterSearcher(spark, sfDir).search(TermQ("queri"), K))),
+    "q_bm25_porter_or2" -> ((spark, sfDir) => hitsDf(spark,
+      porterSearcher(spark, sfDir).search(
+        BoolQ(should = Seq(TermQ("queri"), TermQ("tabl"))), K))),
     // distributed phrase statistics: count-sorted bigram enumeration
     "q_shingle_terms" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -1133,6 +1169,8 @@ object SearchGate {
       Seq("part_the", "the_sort"),
       graft.core.Analysis.EnglishStopWords.toSeq.sorted, K),
     "q_shingle_phrase" -> Oracles.shingleTerm("order sort", K),
+    "q_bm25_porter" -> Oracles.porterTerm("queri", K),
+    "q_bm25_porter_or2" -> Oracles.porterOr2("queri", "tabl", K),
     "q_shingle_terms" -> Oracles.shingleTermsEnum("order ", 10, 1),
     "q_index_stats" -> Oracles.indexStats,
     "q_func_parsed" -> Oracles.functionQuery(SumV(Seq(

@@ -136,6 +136,10 @@ object IndexBuilder {
     case e if e.startsWith("edge:") =>
       val Array(_, lo, hi) = e.split(":", 3)
       (s: String) => Analysis.edgeNGrams(Analysis.simpleTokens(s), lo.toInt, hi.toInt)
+    // PorterStemFilter over the simple chain (the reference's
+    // analysis/en — stems conflate inflected forms into one term)
+    case "porter" =>
+      (s: String) => Analysis.simpleTokens(s).map(graft.core.Porter.stem)
     case other => sys.error(s"unknown tokenizer: $other")
   }
 
