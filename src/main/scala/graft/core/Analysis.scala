@@ -339,6 +339,75 @@ object Analysis {
     out.toArray
   }
 
+  /** Parsed index-time synonym rules (the SynonymFilter +
+    * SolrSynonymParser surface,
+    * `analysis/common/.../synonym/SynonymFilter.java:33-96`,
+    * `SolrSynonymParser.java:30-55`):
+    *
+    *   "a,b,c"   expansion group (expand=true): each member keeps the
+    *             original token and emits the OTHER members as
+    *             position-increment-0 overlays (keepOrig)
+    *   "a=>b,c"  directed rule: occurrences of `a` are REPLACED by the
+    *             outputs at `a`'s position (keepOrig=false)
+    *
+    * Single-token inputs and outputs only — the reference additionally
+    * buffers multi-word synonyms into its sausage encoding; that subset
+    * is out of scope here and rejected at parse (no spaces allowed).
+    */
+  final case class SynonymRules(
+      expand: Map[String, Array[String]],
+      directed: Map[String, Array[String]])
+
+  def parseSynonymRules(spec: String): SynonymRules = {
+    val exp = scala.collection.mutable.Map.empty[String, Array[String]]
+    val dir = scala.collection.mutable.Map.empty[String, Array[String]]
+    spec.split(";").map(_.trim).filter(_.nonEmpty).foreach { rule =>
+      require(!rule.contains(" "),
+        s"multi-word synonyms are not supported: '$rule'")
+      if (rule.contains("=>")) {
+        val Array(lhs, rhs) = rule.split("=>", 2)
+        val outs = rhs.split(",").map(_.trim).filter(_.nonEmpty)
+        require(lhs.trim.nonEmpty && outs.nonEmpty, s"bad rule '$rule'")
+        dir(lhs.trim) = dir.getOrElse(lhs.trim, Array.empty) ++ outs
+      } else {
+        val members = rule.split(",").map(_.trim).filter(_.nonEmpty)
+        require(members.length >= 2, s"expansion group needs >= 2: '$rule'")
+        members.foreach { m =>
+          val others = members.filter(_ != m)
+          exp(m) = (exp.getOrElse(m, Array.empty) ++ others).distinct
+        }
+      }
+    }
+    val overlap = exp.keySet intersect dir.keySet
+    require(overlap.isEmpty,
+      s"tokens both expanded and replaced: ${overlap.mkString(",")}")
+    SynonymRules(exp.toMap, dir.toMap)
+  }
+
+  /** Apply [[SynonymRules]] to a token stream: (term, position) pairs
+    * with overlays/replacements at the source token's position. The
+    * caller's norm length is the REAL position count `tokens.length`
+    * (discountOverlaps — replacements occupy the source position).
+    */
+  def synonymTokens(tokens: Array[String],
+      rules: SynonymRules): Array[(String, Int)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](
+      tokens.length + 4)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      rules.directed.get(t) match {
+        case Some(repls) =>
+          repls.foreach(r => out += ((r, i)))
+        case None =>
+          out += ((t, i))
+          rules.expand.get(t).foreach(_.foreach(syn => out += ((syn, i))))
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Payload-producing token filters (the reference's payload filter
     * family, `lucene/analysis/common/.../payloads/`): each policy maps an
     * occurrence (token, position) to the possibly-rewritten term plus a

@@ -154,6 +154,89 @@ object Oracles {
 )""" + finish("res", k)
   }
 
+  // ---- Synonym-analyzed field ----
+
+  /** Prologue over a SynonymFilter-analyzed `text` field
+    * (`analysis/common/.../synonym/SynonymFilter.java`):
+    * `expand` pairs (w → o) overlay o at every w position (original
+    * kept, posInc 0); `directed` pairs REPLACE w with its outputs at
+    * w's position. Norm length counts REAL positions (the original
+    * token count — overlays are posInc-0, replacements occupy the
+    * source position); avgdl counts the full postings stream including
+    * overlays. Defines posx(doc_id, term, pos) for phrase oracles.
+    */
+  def synonymPrologue(expand: Seq[(String, String)],
+      directed: Seq[(String, String)]): String = {
+    def valuesOf(ps: Seq[(String, String)]): String =
+      ps.map { case (w, o) => s"(${lit(w)}, ${lit(o)})" }.mkString(", ")
+    val dirFilter =
+      if (directed.isEmpty) ""
+      else s" WHERE term NOT IN (SELECT w FROM dirm)"
+    val dirArm =
+      if (directed.isEmpty) ""
+      else s"""
+  UNION ALL
+  SELECT u.doc_id, m.o AS term, u.pos FROM uni u JOIN dirm m ON u.term = m.w"""
+    val expArm =
+      if (expand.isEmpty) ""
+      else s"""
+  UNION ALL
+  SELECT u.doc_id, m.o AS term, u.pos FROM uni u JOIN expm m ON u.term = m.w"""
+    val dirCte =
+      if (directed.isEmpty) ""
+      else s""", dirm(w, o) AS (
+  SELECT * FROM (VALUES ${valuesOf(directed)})
+)"""
+    val expCte =
+      if (expand.isEmpty) ""
+      else s""", expm(w, o) AS (
+  SELECT * FROM (VALUES ${valuesOf(expand)})
+)"""
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), uni AS (
+  SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) - 1 AS pos
+  FROM arr
+)$dirCte$expCte, posx AS (
+  SELECT doc_id, term, pos FROM uni$dirFilter$dirArm$expArm
+), tok AS (
+  SELECT doc_id, term FROM posx
+), dlen AS (
+  SELECT d.doc_id, count(u.term) AS len
+  FROM documents d LEFT JOIN uni u ON d.doc_id = u.doc_id GROUP BY d.doc_id
+)""" + normAvSuffix
+  }
+
+  /** BM25 term query over the synonym field. */
+  def synonymTerm(expand: Seq[(String, String)],
+      directed: Seq[(String, String)], term: String, k: Int): String =
+    synonymPrologue(expand, directed) + termCtes("a", term) + finish("sc_a", k)
+
+  /** Exact 2-term phrase over the synonym field (overlays at the source
+    * position make "the rapid" match "the fast" under fast→rapid).
+    * Same scoring law as [[phrase2]]: adjacency count = freq, weight =
+    * (idf(a)+idf(b)) * (k1+1).
+    */
+  def synonymPhrase2(expand: Seq[(String, String)],
+      directed: Seq[(String, String)], a: String, b: String,
+      k: Int): String = {
+    val idfSum = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(a)})")} + ${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(b)})")}")
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val tfR = R("p.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    synonymPrologue(expand, directed) +
+      s""", ph AS (
+  SELECT p1.doc_id, count(*) AS tf
+  FROM posx p1 JOIN posx p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = ${lit(a)} AND p2.term = ${lit(b)}
+  GROUP BY p1.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
   // ---- Porter-analyzed field ----
 
   /** Planted inflected docs for the porter gate — identical literals on

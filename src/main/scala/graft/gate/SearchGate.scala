@@ -58,7 +58,8 @@ object SearchGate {
       try f catch { case _: Exception => } // session may already be stopped
     (searcherCache.values ++ fieldSearcherCache.values ++
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
-      cgSearcherCache.values ++ porterSearcherCache.values)
+      cgSearcherCache.values ++ porterSearcherCache.values ++
+      synSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -68,7 +69,7 @@ object SearchGate {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
-    porterSearcherCache.clear()
+    porterSearcherCache.clear(); synSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -199,6 +200,33 @@ object SearchGate {
         gateConfig.copy(tokenizer = "porter", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-porter-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Index-time SynonymFilter field (`synonym/SynonymFilter.java`):
+    * expansion group {fast, rapid} (originals kept + posInc-0 overlays)
+    * and directed rule column=>col (replacement). Overlays share the
+    * source token's position, so phrases match THROUGH synonyms.
+    */
+  val SynonymSpec = "fast,rapid;column=>col"
+  val SynonymExpandPairs: Seq[(String, String)] =
+    Seq("fast" -> "rapid", "rapid" -> "fast")
+  val SynonymDirectedPairs: Seq[(String, String)] = Seq("column" -> "col")
+  private val synSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def synSearcher(spark: SparkSession, sfDir: String): Searcher =
+    synSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#synonym".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-syn-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = s"synonym:$SynonymSpec", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-syn-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -696,6 +724,16 @@ object SearchGate {
           graft.core.Analysis.EnglishStopWords), K))),
     "q_shingle_phrase" -> ((spark, sfDir) => hitsDf(spark,
       shingleSearcher(spark, sfDir).search(TermQ("order sort"), K))),
+    // SynonymFilter field: 'rapid' is an overlay on every 'fast'
+    // occurrence (expansion group), 'col' replaces 'column' (directed),
+    // and the overlay shares its source position so the exact phrase
+    // "the rapid" matches docs saying "the fast"
+    "q_bm25_synonym_overlay" -> ((spark, sfDir) => hitsDf(spark,
+      synSearcher(spark, sfDir).search(TermQ("rapid"), K))),
+    "q_bm25_synonym_replaced" -> ((spark, sfDir) => hitsDf(spark,
+      synSearcher(spark, sfDir).search(TermQ("col"), K))),
+    "q_synonym_phrase" -> ((spark, sfDir) => hitsDf(spark,
+      synSearcher(spark, sfDir).search(PhraseQ(Seq("the", "rapid")), K))),
     // Porter-stemmed field: "queri" hits query/queries/querying docs with
     // the conflated df; the OR adds the tabl stem (table/tables)
     "q_bm25_porter" -> ((spark, sfDir) => hitsDf(spark,
@@ -1171,6 +1209,12 @@ object SearchGate {
     "q_shingle_phrase" -> Oracles.shingleTerm("order sort", K),
     "q_bm25_porter" -> Oracles.porterTerm("queri", K),
     "q_bm25_porter_or2" -> Oracles.porterOr2("queri", "tabl", K),
+    "q_bm25_synonym_overlay" -> Oracles.synonymTerm(
+      SynonymExpandPairs, SynonymDirectedPairs, "rapid", K),
+    "q_bm25_synonym_replaced" -> Oracles.synonymTerm(
+      SynonymExpandPairs, SynonymDirectedPairs, "col", K),
+    "q_synonym_phrase" -> Oracles.synonymPhrase2(
+      SynonymExpandPairs, SynonymDirectedPairs, "the", "rapid", K),
     "q_shingle_terms" -> Oracles.shingleTermsEnum("order ", 10, 1),
     "q_index_stats" -> Oracles.indexStats,
     "q_func_parsed" -> Oracles.functionQuery(SumV(Seq(

@@ -165,6 +165,16 @@ object IndexBuilder {
     else if (name.startsWith("commongrams:"))
       Some(cg(name.stripPrefix("commongrams:")
         .split(";").filter(_.nonEmpty).toSet))
+    else if (name.startsWith("synonym:")) {
+      // "synonym:a,b;c=>d" — index-time SynonymFilter overlays
+      // (expansion groups keep the original + posInc-0 synonyms;
+      // directed rules replace). Parsed once, shipped in the closure.
+      val rules = Analysis.parseSynonymRules(name.stripPrefix("synonym:"))
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        (toks.length, Analysis.synonymTokens(toks, rules))
+      })
+    }
     else None
   }
 

@@ -215,6 +215,33 @@ class CoreSpec extends AnyFunSuite {
     assert(q("of the of") == Seq("of_the", "the_of"))
   }
 
+  test("synonymTokens: expansion overlays, directed replacement, norm law") {
+    val rules = Analysis.parseSynonymRules("fast,rapid;column=>col")
+    // expansion group: original kept, overlay at the SAME position
+    assert(Analysis.synonymTokens(Array("the", "fast", "scan"), rules)
+      .toSeq == Seq(("the", 0), ("fast", 1), ("rapid", 1), ("scan", 2)))
+    // group is symmetric: rapid also overlays fast
+    assert(Analysis.synonymTokens(Array("rapid"), rules)
+      .toSeq == Seq(("rapid", 0), ("fast", 0)))
+    // directed rule: original REPLACED at its position (keepOrig=false)
+    assert(Analysis.synonymTokens(Array("a", "column", "b"), rules)
+      .toSeq == Seq(("a", 0), ("col", 1), ("b", 2)))
+    // three-member group expands to both others
+    val r3 = Analysis.parseSynonymRules("a,b,c")
+    assert(Analysis.synonymTokens(Array("b"), r3)
+      .toSeq == Seq(("b", 0), ("a", 0), ("c", 0)))
+    // directed rule with two outputs at one position
+    val r2 = Analysis.parseSynonymRules("x=>y,z")
+    assert(Analysis.synonymTokens(Array("x"), r2)
+      .toSeq == Seq(("y", 0), ("z", 0)))
+    // loud rejections: multi-word, singleton group, expand∩directed
+    assertThrows[IllegalArgumentException](
+      Analysis.parseSynonymRules("domain name=>dns"))
+    assertThrows[IllegalArgumentException](Analysis.parseSynonymRules("solo"))
+    assertThrows[IllegalArgumentException](
+      Analysis.parseSynonymRules("a,b;a=>c"))
+  }
+
   test("BM25 formula spot checks (hand-computed, SURVEY.md §2.5)") {
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     assert(math.abs(graft.search.BM25.idf(1, 2) -
