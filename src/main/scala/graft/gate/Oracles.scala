@@ -154,6 +154,21 @@ object Oracles {
 )""" + finish("res", k)
   }
 
+  /** Diversified top-k (DiversifiedTopDocsCollector law): BM25 term
+    * scoring, then within-key rank ≤ maxPerKey under (score desc,
+    * doc_id asc), then the plain top-k.
+    */
+  def diversifiedTerm(term: String, keyCol: String, maxPerKey: Int,
+      k: Int): String =
+    prologue + termCtes("a", term) +
+      s""", keyed AS (
+  SELECT s.doc_id, s.s,
+    row_number() OVER (PARTITION BY d.$keyCol ORDER BY s.s DESC, s.doc_id) AS krnk
+  FROM sc_a s JOIN documents d ON s.doc_id = d.doc_id
+), res AS (
+  SELECT doc_id, s FROM keyed WHERE krnk <= $maxPerKey
+)""" + finish("res", k)
+
   // ---- Synonym-analyzed field ----
 
   /** Prologue over a SynonymFilter-analyzed `text` field

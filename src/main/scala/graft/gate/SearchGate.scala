@@ -724,6 +724,11 @@ object SearchGate {
           graft.core.Analysis.EnglishStopWords), K))),
     "q_shingle_phrase" -> ((spark, sfDir) => hitsDf(spark,
       shingleSearcher(spark, sfDir).search(TermQ("order sort"), K))),
+    // DiversifiedTopDocsCollector: top-10 for 'data' with at most 2 hits
+    // per lang — high-scoring same-lang "filler" is forced out in favor
+    // of other langs' best
+    "q_diversified" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDiversified(TermQ("data"), K, "lang", 2))),
     // SynonymFilter field: 'rapid' is an overlay on every 'fast'
     // occurrence (expansion group), 'col' replaces 'column' (directed),
     // and the overlay shares its source position so the exact phrase
@@ -1209,6 +1214,7 @@ object SearchGate {
     "q_shingle_phrase" -> Oracles.shingleTerm("order sort", K),
     "q_bm25_porter" -> Oracles.porterTerm("queri", K),
     "q_bm25_porter_or2" -> Oracles.porterOr2("queri", "tabl", K),
+    "q_diversified" -> Oracles.diversifiedTerm("data", "lang", 2, K),
     "q_bm25_synonym_overlay" -> Oracles.synonymTerm(
       SynonymExpandPairs, SynonymDirectedPairs, "rapid", K),
     "q_bm25_synonym_replaced" -> Oracles.synonymTerm(

@@ -2730,6 +2730,143 @@ final class Searcher(private[search] val spark: SparkSession,
       .map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  // ---------- diversified top-k ----------
+
+  /** Diversity-controlled top-k under BM25 — the
+    * DiversifiedTopDocsCollector analog (`lucene/misc/src/java/org/
+    * apache/lucene/search/DiversifiedTopDocsCollector.java:62-161`): at
+    * most `maxPerKey` hits per key (a stored docvalues column) survive
+    * into the final top `k`. The reference's single-pass queue juggling
+    * (a bounded per-key queue feeding a global queue, with cross-queue
+    * evictions) maintains exactly the greedy law "admit docs in (score
+    * desc, docId asc) order, skip a doc whose key already holds
+    * maxPerKey admitted docs, stop at k": a doc is rejected iff
+    * maxPerKey better same-key docs exist, i.e. iff its WITHIN-KEY rank
+    * under the hit ordering exceeds maxPerKey — same-key admission
+    * depends only on same-key predecessors. Both paths compute that
+    * declarative form.
+    *
+    * Scale shape: the local path keeps one bounded heap per key per
+    * shard (the reference's perKeyQueues); the distributed path streams
+    * matches out of the groupByKey shard tasks, joins keys executor-side
+    * from the docs column store, and applies a per-key row_number window
+    * + TakeOrderedAndProject — nothing match-count-sized reaches the
+    * driver.
+    */
+  def searchDiversified(q0: Query, k: Int, keyField: String,
+      maxPerKey: Int): Array[Hit] = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+    val sharded = weights.values.exists(_.salted)
+    // WAND off: diversity can promote docs outside the plain top-k, so
+    // score-threshold pruning is unsound here
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val localOk = dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
+    if (localOk) diversifiedLocal(plan, present, keyField, maxPerKey, k)
+    else diversifiedDistributed(plan, present, keyField, maxPerKey, k)
+  }
+
+  /** String-keyed docvalues accessor (driver-local path only — gated by
+    * `dvBytes <= maxLocalBytes` like [[docValues]]). Key identity is all
+    * diversity needs, so every column type keys via its string form.
+    */
+  private val keyCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long => String]
+  private def docKeys(field: String): Long => String =
+    keyCache.getOrElseUpdate(field, {
+      val rows = docsDf
+        .select(col("docId"), col(field).cast("string")).collect()
+      val m = rows.map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "" else r.getString(1))).toMap
+      (d: Long) => m(d)
+    })
+
+  private def diversifiedLocal(plan: Plan, present: Set[String],
+      keyField: String, maxPerKey: Int, k: Int): Array[Hit] = {
+    val keyOf = docKeys(keyField)
+    def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+      // one bounded heap per key — the reference's perKeyQueues
+      val perKey = new java.util.HashMap[String, BoundedHitQueue]()
+      val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs,
+        plan, 1f)
+      var d = scorer.nextDoc()
+      while (d != DocScorer.NO_MORE) {
+        val s = scorer.score.toDouble
+        var q = perKey.get(keyOf(d))
+        if (q == null) {
+          q = new BoundedHitQueue(maxPerKey)
+          perKey.put(keyOf(d), q)
+        }
+        q.insert(d, s)
+        d = scorer.nextDoc()
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Hit]
+      perKey.values.forEach(q => out ++= q.sortedHits)
+      out.toArray
+    }
+    val partials: Seq[Array[Hit]] =
+      if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+      else {
+        val rows = fetchRows(present)
+        if (rows.isEmpty) Nil
+        else if (!plan.sharded)
+          Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+        else (0 until plan.numShards).flatMap { s =>
+          val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+            .map(r => r.term -> r).toMap
+          if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+        }
+      }
+    // shards keep maxPerKey per key EACH — re-apply the within-key rank
+    // filter globally, then the plain top-k
+    val queue = new BoundedHitQueue(k)
+    partials.flatten.groupBy(h => keyOf(h.docId)).values.foreach { hs =>
+      hs.sortBy(h => (-h.score, h.docId)).take(maxPerKey)
+        .foreach(h => queue.insert(h.docId, h.score))
+    }
+    queue.sortedHits
+  }
+
+  private def diversifiedDistributed(plan: Plan, present: Set[String],
+      keyField: String, maxPerKey: Int, k: Int): Array[Hit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bPlan = spark.sparkContext.broadcast(plan)
+    val matches = shardRows(present, plan, forceAllShards = false)
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val p = bPlan.value
+        val scorer = SegmentSearcher.buildScorer(p.query,
+          if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
+        Iterator.continually(scorer.nextDoc())
+          .takeWhile(_ != DocScorer.NO_MORE)
+          .map(d => (d, scorer.score.toDouble))
+      }
+      .toDF("docId", "score")
+    val dv = docsDf.select(col("docId"), col(keyField).cast("string").as("dkey"))
+    val w = Window.partitionBy("dkey")
+      .orderBy(col("score").desc, col("docId").asc)
+    matches.join(dv, "docId")
+      .withColumn("krnk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("krnk") <= maxPerKey)
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+      .select("docId", "score")
+      .collect()
+      .map(r => Hit(r.getLong(0), r.getDouble(1)))
+  }
+
   // ---------- terms enumeration (Solr TermsComponent) ----------
 
   /** Terms enumeration with bounds/prefix/regexp/df-range filters — the
