@@ -93,6 +93,19 @@ case class PorterStemExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ASCII folding (ASCIIFoldingFilter law) as a codegen'd scalar. */
+case class AsciiFoldExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "ascii_fold"
+  override protected def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(graft.core.AsciiFold.fold(s.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = UTF8String.fromString(graft.core.AsciiFold.fold($c.toString()));")
+  override protected def withNewChildInternal(newChild: Expression): AsciiFoldExpr =
+    copy(child = newChild)
+}
+
 /** byte315 norm byte for a field length (`SmallFloat.floatToByte315`). */
 case class NormByteExpr(child: Expression)
   extends UnaryExpression {
@@ -177,6 +190,9 @@ object GraftFunctions {
   def porterStem(word: Column): Column =
     GraftColumnBridge.column(PorterStemExpr(GraftColumnBridge.expression(word)))
 
+  def asciiFold(text: Column): Column =
+    GraftColumnBridge.column(AsciiFoldExpr(GraftColumnBridge.expression(text)))
+
   /** Register the SQL-surface functions on a session (ValueSourceParser
     * registry analog, `solr/core/.../search/ValueSourceParser.java`).
     */
@@ -190,5 +206,7 @@ object GraftFunctions {
       exprs => Bm25Idf(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("porter_stem",
       exprs => PorterStemExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("ascii_fold",
+      exprs => AsciiFoldExpr(exprs.head), "scala_udf")
   }
 }

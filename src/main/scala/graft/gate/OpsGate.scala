@@ -92,6 +92,24 @@ object OpsGate {
     ("volscians", "volscian"), ("waver", "waver"),
     ("whitmore", "whitmor"), ("woods", "wood"))
 
+  /** (word, expected ASCII folding) — hand-pinned against the reference
+    * ASCIIFoldingFilter's outputs (diacritics strip; ß→ss, æ→ae, œ→oe,
+    * ø→o, þ→th, ł→l, đ/ð→d, ı→i; non-Latin scripts untouched).
+    */
+  private[gate] val asciiSample: Seq[(String, String)] = Seq(
+    ("café", "cafe"), ("résumé", "resume"), ("naïve", "naive"),
+    ("Ångström", "Angstrom"), ("über", "uber"), ("señor", "senor"),
+    ("garçon", "garcon"), ("crème brûlée", "creme brulee"),
+    ("straße", "strasse"), ("Œuvre", "OEuvre"), ("œuf", "oeuf"),
+    ("smörgåsbord", "smorgasbord"), ("Þór", "THor"), ("þorn", "thorn"),
+    ("Ærø", "AEro"), ("łódź", "lodz"), ("Đông", "Dong"),
+    ("fjörð", "fjord"), ("ħelu", "helu"), ("ışık", "isik"),
+    ("İstanbul", "Istanbul"), ("Dvořák", "Dvorak"), ("Škoda", "Skoda"),
+    ("Zürich", "Zurich"), ("piñata", "pinata"), ("Gödel", "Godel"),
+    ("Señorío", "Senorio"), ("væri", "vaeri"), ("hello", "hello"),
+    ("already ascii 123", "already ascii 123"),
+    ("Ελλάδα", "Ελλάδα"), ("москва", "москва"))
+
   /** Shared oracle CTE: tokenized positions + shingles (3-token). */
   private val shingleCte =
     """WITH posx AS (
@@ -218,6 +236,16 @@ object OpsGate {
         nlist = 16, nprobe = 4, excludeId = Some(0L))
         .withColumn("cos", round(col("cos"), 4))
         .select("id", "cos")
+    }),
+
+    // ASCII folding over a hand-pinned accented-word matrix (the
+    // ASCIIFoldingFilter law); oracle = the expected foldings verbatim
+    "q_text_asciifold" -> ((s, d) => {
+      import s.implicits._
+      asciiSample.map(_._1).toDF("word")
+        .select(col("word"),
+          graft.functions.GraftFunctions.asciiFold(col("word")).as("folded"))
+        .orderBy("word")
     }),
 
     // Porter stemming over a 100-word stratified sample of the published
@@ -730,6 +758,12 @@ FROM embeddings e,
 WHERE e.vec_id <> 0
 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC, e.vec_id
 LIMIT 10""",
+
+    "q_text_asciifold" -> {
+      val rows = asciiSample
+        .map { case (w, f) => s"('$w', '$f')" }.mkString(", ")
+      s"SELECT word, folded FROM (VALUES $rows) t(word, folded) ORDER BY word"
+    },
 
     "q_text_stem" -> {
       val rows = porterSample

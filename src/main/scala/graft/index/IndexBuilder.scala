@@ -140,6 +140,10 @@ object IndexBuilder {
     // analysis/en — stems conflate inflected forms into one term)
     case "porter" =>
       (s: String) => Analysis.simpleTokens(s).map(graft.core.Porter.stem)
+    // ASCIIFoldingFilter before the simple chain: folding precedes
+    // tokenization so accented letters join their ASCII runs
+    case "asciifold" =>
+      (s: String) => Analysis.simpleTokens(graft.core.AsciiFold.fold(s))
     case other => sys.error(s"unknown tokenizer: $other")
   }
 

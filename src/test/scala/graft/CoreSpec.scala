@@ -242,6 +242,33 @@ class CoreSpec extends AnyFunSuite {
       Analysis.parseSynonymRules("a,b;a=>c"))
   }
 
+  test("asciiFold: reference mapping matrix, pass-through, idempotence") {
+    import graft.core.AsciiFold.fold
+    // diacritic strip (NFD path) — capitals stay capitals
+    assert(fold("café") == "cafe")
+    assert(fold("Étude") == "Etude")
+    assert(fold("ÀÁÂÃÄÅ àáâãäå") == "AAAAAA aaaaaa")
+    assert(fold("ÈÉÊË èéêë ÌÍÎÏ ìíîï") == "EEEE eeee IIII iiii")
+    assert(fold("ÒÓÔÕÖ òóôõö ÙÚÛÜ ùúûü ÝŸ ýÿ Ññ Çç") ==
+      "OOOOO ooooo UUUU uuuu YY yy Nn Cc")
+    assert(fold("ĀāĒēĪīŌōŪū ČčŠšŽž ĞğŞş") == "AaEeIiOoUu CcSsZz GgSs")
+    // non-decomposable specials (the explicit table)
+    assert(fold("ß Æ æ Œ œ Ø ø Đ đ Ð ð Þ þ Ł ł Ħ ħ ı ŋ ſ") ==
+      "ss AE ae OE oe O o D d D d TH th L l H h i n s")
+    // decompose-then-special chains (Ǽ → Æ+acute → AE)
+    assert(fold("Ǽǣ") == "AEae")
+    // non-Latin scripts byte-identical (incl. precomposed accents)
+    for (s <- Seq("Ελλάδα", "ά", "москва", "й", "中文", "한글"))
+      assert(fold(s) == s, s)
+    // ASCII fast path + idempotence
+    assert(fold("plain ascii 42!") == "plain ascii 42!")
+    for (s <- Seq("café", "straße", "Þór", "łódź"))
+      assert(fold(fold(s)) == fold(s))
+    // tokenizer composition: folding precedes the simple chain
+    assert(graft.index.IndexBuilder.tokenizerFn("asciifold")(
+      "Crème Brûlée straße").toSeq == Seq("creme", "brulee", "strasse"))
+  }
+
   test("BM25 formula spot checks (hand-computed, SURVEY.md §2.5)") {
     // idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     assert(math.abs(graft.search.BM25.idf(1, 2) -
