@@ -166,8 +166,63 @@ case class LevAccept(child: Expression, pattern: String, maxEdits: Int)
     copy(child = newChild)
 }
 
+/** One-arg function call under the JavascriptCompiler binding law
+  * (`expressions/js/JavascriptCompiler.java` binds `java.lang.Math`
+  * statics; Spark's builtin math expressions use `StrictMath`, which
+  * drifts from `Math.log` by 1 ULP at e.g. 3.0) — the expression-sort
+  * Column form routes every function here so it is bit-identical to
+  * [[graft.search.JsExpr.evalD]] by construction, inside whole-stage
+  * codegen.
+  */
+case class JsMath1(fn: String, child: Expression) extends UnaryExpression {
+  require(graft.search.JsExpr.Functions.get(fn).contains(1), fn)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"js_$fn"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.search.JsExpr.callD(fn, List(v.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${JsMath1.javaCall(fn, c)};")
+  override protected def withNewChildInternal(newChild: Expression): JsMath1 =
+    copy(child = newChild)
+}
+
+object JsMath1 {
+  private[functions] def javaCall(fn: String, a: String): String = fn match {
+    case "ln" => s"java.lang.Math.log($a)"
+    case "acosh" | "asinh" | "atanh" => s"graft.search.JsExpr.${fn}D($a)"
+    case other => s"java.lang.Math.$other($a)"
+  }
+}
+
+/** Two-arg companion of [[JsMath1]] (atan2, pow, min, max, logn). */
+case class JsMath2(fn: String, left: Expression, right: Expression)
+  extends BinaryExpression {
+  require(graft.search.JsExpr.Functions.get(fn).contains(2), fn)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"js_$fn"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.search.JsExpr.callD(fn,
+      List(a.asInstanceOf[Double], b.asInstanceOf[Double]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => fn match {
+      // MathUtil.log(base, x) (`util/MathUtil.java:50-52`)
+      case "logn" =>
+        s"${ev.value} = java.lang.Math.log($b) / java.lang.Math.log($a);"
+      case other => s"${ev.value} = java.lang.Math.$other($a, $b);"
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JsMath2 = copy(left = newLeft, right = newRight)
+}
+
 /** Column builders + SQL registration. */
 object GraftFunctions {
+
+  def jsMath1(fn: String, a: Column): Column =
+    GraftColumnBridge.column(JsMath1(fn, GraftColumnBridge.expression(a)))
+
+  def jsMath2(fn: String, a: Column, b: Column): Column =
+    GraftColumnBridge.column(JsMath2(fn, GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
 
   def bm25Score(tf: Column, normByte: Column, weight: Float,
       cache: Array[Float]): Column =

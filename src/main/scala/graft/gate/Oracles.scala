@@ -678,6 +678,29 @@ FROM documents d ORDER BY score DESC, doc_id LIMIT $k"""
 )""" + finish("res", k)
   }
 
+  /** CustomScoreQuery (`queries/CustomScoreQuery.java:291-304` with the
+    * default `CustomScoreProvider.customScore`,
+    * `CustomScoreProvider.java:66-88`): matches = the BM25 disjunction of
+    * `terms`; score = boost * (subScore * v0 * v1 * ...) — each multiply
+    * float-cast to replay the scorer's sequential float fold.
+    */
+  def customScore(terms: Seq[String], vss: Seq[graft.search.ValueSrc],
+      boost: Float, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    val folded = vss.foldLeft("sa.s")((acc, vs) => R(s"$acc * ${vsSql(vs, "d")}"))
+    prologue + ctes +
+      s""", un AS ($union), sa AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id
+), res AS (
+  SELECT sa.doc_id, ${R(s"${R(boost.toString)} * $folded")} AS s
+  FROM sa JOIN documents d ON sa.doc_id = d.doc_id
+)""" + finish("res", k)
+  }
+
   /** FunctionRangeQuery (`function/FunctionRangeQuery.java:40-96`):
     * value in [lower, upper], score = value.
     */
@@ -1695,6 +1718,48 @@ SELECT m.doc_id, dlen.len, d.n_chars,
 FROM m JOIN dlen ON m.doc_id = dlen.doc_id
 JOIN documents d ON m.doc_id = d.doc_id
 ORDER BY dlen.len ASC, d.n_chars DESC, m.doc_id LIMIT $k"""
+
+  /** Expression sort (lucene/expressions `ExpressionSortField`): matches
+    * of `term` ranked DESC (getSortField reverse=true) by
+    * `sqrt(n_chars) + 2*ln(1.0+length) - (n_chars > 400 ? 50 : 0)`
+    * recomputed here in double arithmetic — `length` is the exact token
+    * count (dlen), `50`/`0` are double pushes (DECIMAL literals compile
+    * via Double.parseDouble, JavascriptCompiler visitNumeric).
+    */
+  def exprSort(term: String, k: Int): String =
+    prologue +
+      s""", m AS (
+  SELECT DISTINCT doc_id FROM tok WHERE term = ${lit(term)}
+), res AS (
+  SELECT m.doc_id,
+    sqrt(CAST(d.n_chars AS DOUBLE)) + 2 * ln(1.0 + dlen.len)
+      - (CASE WHEN d.n_chars > 400 THEN CAST(50 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END) AS expr_val
+  FROM m JOIN documents d ON m.doc_id = d.doc_id
+  JOIN dlen ON m.doc_id = dlen.doc_id
+)
+SELECT doc_id, expr_val,
+  CAST(row_number() OVER (ORDER BY expr_val DESC, doc_id) AS INT) AS rnk
+FROM res ORDER BY expr_val DESC, doc_id LIMIT $k"""
+
+  /** ExpressionRescorer (`expressions/ExpressionRescorer.java:47-57` →
+    * SortRescorer): top-`firstK` BM25 hits of `first`, re-ORDERED by
+    * `_score + ln(1.0 + n_chars) / 10` (expr desc, doc asc); the sort
+    * value is the double expression, the hit score stays first-pass.
+    */
+  def exprRescore(first: String, firstK: Int, k: Int): String =
+    prologue + termCtes("a", first) +
+      s""", fp AS (
+  SELECT doc_id, s FROM sc_a ORDER BY s DESC, doc_id LIMIT $firstK
+), res AS (
+  SELECT fp.doc_id,
+    CAST(fp.s AS DOUBLE) + ln(1.0 + d.n_chars) / 10 AS expr_val,
+    fp.s AS first_s
+  FROM fp JOIN documents d ON fp.doc_id = d.doc_id
+)
+SELECT doc_id, expr_val, first_s,
+  CAST(row_number() OVER (ORDER BY expr_val DESC, doc_id) AS INT) AS rnk
+FROM res ORDER BY expr_val DESC, doc_id LIMIT $k"""
 
   /** IndexSearcher.explain breakdown for the TOP BM25 hit of a term:
     * df, tf, idf, quantized length, weight, score.

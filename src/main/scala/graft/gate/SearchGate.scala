@@ -414,6 +414,13 @@ object SearchGate {
     "q_func_boost" -> seg(FuncBoostedQ(
       Query.or(TermQ("spark"), TermQ("key")),
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f))),
+    // CustomScoreQuery (default provider): BM25 disjunction × two value
+    // sources folded in clause order, query boost applied at score time
+    "q_custom_score" -> seg(CustomScoreQ(
+      Query.or(TermQ("spark"), TermQ("key")),
+      Seq(RecipV(FieldV("n_chars"), 0.01f, 5f, 1f),
+        LinearV(SqrtV(FieldV("n_chars")), 0.1f, 1f)),
+      boost = 1.3f)),
     // frange over a linear transform of a docvalue
     "q_func_range" -> seg(FunctionRangeQ(
       LinearV(FieldV("n_chars"), 0.5f, 10f), 100f, 200f)),
@@ -954,6 +961,28 @@ object SearchGate {
         .map { case ((d, vs), i) => (d, vs(0), vs(1), i + 1) }
         .toDF("doc_id", "len", "n_chars", "rnk")
     }),
+    // expression sort (lucene/expressions ExpressionSortField): matches
+    // ranked by a compiled Javascript-dialect expression over docvalues
+    "q_expr_sort" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .searchByExpr(TermQ("spark"), K,
+          "sqrt(n_chars) + 2*ln(1.0+length) - (n_chars > 400 ? 50 : 0)")
+        .zipWithIndex.toSeq
+        .map { case ((d, v), i) => (d, v, i + 1) }
+        .toDF("doc_id", "expr_val", "rnk")
+    }),
+    // ExpressionRescorer: re-order first-pass hits by an expression with
+    // _score bound; sort value = expression, hit score stays first-pass
+    "q_expr_rescore" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val first = s.search(TermQ("batch"), 20)
+      s.rescoreExpr(first, "_score + ln(1.0 + n_chars) / 10", K)
+        .zipWithIndex.toSeq
+        .map { case ((d, v, fs), i) => (d, v, fs.toFloat, i + 1) }
+        .toDF("doc_id", "expr_val", "first_s", "rnk")
+    }),
     // total hit count without collection (TotalHitCountCollector analog)
     "q_bm25_count" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -1190,6 +1219,9 @@ object SearchGate {
       ScaleV(FieldV("n_chars"), 0f, 100f), K),
     "q_func_boost" -> Oracles.boostedOr(Seq("spark", "key"),
       RecipV(FieldV("n_chars"), 0.01f, 5f, 1f), K),
+    "q_custom_score" -> Oracles.customScore(Seq("spark", "key"),
+      Seq(RecipV(FieldV("n_chars"), 0.01f, 5f, 1f),
+        LinearV(SqrtV(FieldV("n_chars")), 0.1f, 1f)), 1.3f, K),
     "q_func_range" -> Oracles.functionRange(
       LinearV(FieldV("n_chars"), 0.5f, 10f), 100f, 200f, K),
     "q_func_query_vs" -> Oracles.functionQuery(SumV(Seq(
@@ -1264,6 +1296,8 @@ object SearchGate {
     "q_simple_parsed" -> Oracles.andOr("dup", Seq("spark", "key"), K),
     "q_simple_neg" -> Oracles.not("batch", "spark", K),
     "q_sort_multi" -> Oracles.sortMulti("spark", K),
+    "q_expr_sort" -> Oracles.exprSort("spark", K),
+    "q_expr_rescore" -> Oracles.exprRescore("batch", 20, K),
     "q_bm25_count" -> Oracles.countNot("batch", "spark"),
     "q_field_value" -> Oracles.sortByField("spark", "n_chars", K, asc = true),
     "q_bm25_mlt" -> Oracles.mlt(42L, 2, 5, 15, K),

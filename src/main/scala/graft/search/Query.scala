@@ -96,6 +96,18 @@ final case class FuncBoostedQ(query: Query, vs: ValueSrc) extends Query
   */
 final case class FuncAddedQ(query: Query, vs: ValueSrc) extends Query
 
+/** CustomScoreQuery (`queries/CustomScoreQuery.java:38-63` with the
+  * default provider `CustomScoreProvider.java:66-88`): matches exactly
+  * like `sub` (the value sources only affect the score); score =
+  * `boost * (subScore * v0 * v1 * ...)` — a sequential float fold in
+  * clause order, zero sources degenerating to `subScore * 1f`. The
+  * query boost is applied at score time, never normalized down the tree
+  * (`CustomScoreQuery.java:210-224` — the provider function need not be
+  * distributive).
+  */
+final case class CustomScoreQ(sub: Query, valSrcs: Seq[ValueSrc],
+    boost: Float = 1f) extends Query
+
 /** FunctionRangeQuery (`queries/function/FunctionRangeQuery.java:40-96`,
   * Solr's `{!frange}`): matches docs whose value lands in
   * [lower, upper] (float comparisons, inclusivity flags per bound,
@@ -504,6 +516,9 @@ object Query {
     case FuncBoostedQ(iq, vs) =>
       val i = rewriteOnce(iq)
       if (i == MatchNoneQ) MatchNoneQ else FuncBoostedQ(i, vs)
+    case CustomScoreQ(iq, vss, b) =>
+      val i = rewriteOnce(iq)
+      if (i == MatchNoneQ) MatchNoneQ else CustomScoreQ(i, vss, b)
     case BoostingQ(mq, c, b) =>
       val m = rewriteOnce(mq)
       val c2 = rewriteOnce(c)

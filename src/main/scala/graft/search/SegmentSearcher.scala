@@ -1709,6 +1709,11 @@ final class Searcher(private[search] val spark: SparkSession,
           sim0 == SegmentSearcher.SimBm25,
           "bf scores its subquery under BM25, no paging")
         return searchBoosted(iq, vs, k, additive = true)
+      case CustomScoreQ(iq, vss, b) =>
+        require(after.isEmpty && multiSims.isEmpty &&
+          sim0 == SegmentSearcher.SimBm25,
+          "CustomScoreQuery scores its subquery under BM25, no paging")
+        return searchCustomScore(iq, vss, b, k)
       case FunctionRangeQ(vs, l, u, il, iu) =>
         require(after.isEmpty && multiSims.isEmpty &&
           sim0 == SegmentSearcher.SimBm25,
@@ -2730,6 +2735,160 @@ final class Searcher(private[search] val spark: SparkSession,
       .map(r => (r.getLong(0), r.getLong(1)))
   }
 
+  // ---------- expression sort + rescore (lucene/expressions) ----------
+
+  /** Double-valued docvalues column (the DoubleValuesSource binding for
+    * expressions — `expressions/SimpleBindings.java:50-87` resolves
+    * variables to numeric docvalues); same dense-array cache shape as
+    * [[docValues]].
+    */
+  private val dvdCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long => Double]
+  def docValuesD(field: String): Long => Double =
+    dvdCache.getOrElseUpdate(field, {
+      val rows = docsDf
+        .select(col("docId"), col(field).cast("double")).collect()
+      val maxId = rows.iterator.map(_.getLong(0)).max
+      if (maxId < Int.MaxValue && maxId + 1 <= rows.length.toLong * 4) {
+        val arr = new Array[Double](maxId.toInt + 1)
+        rows.foreach(r => arr(r.getLong(0).toInt) = r.getDouble(1))
+        (d: Long) => arr(d.toInt)
+      } else {
+        val mp = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        (d: Long) => mp(d)
+      }
+    })
+
+  /** Expression sort — `Expression.getSortField` over `SimpleBindings`
+    * (`expressions/ExpressionSortField.java:28`,
+    * `ExpressionComparator.java:30`): matches of `q0` ranked by a
+    * compiled Javascript-dialect expression ([[JsExpr]]) over docvalue
+    * fields, with `_score` bound to the relevance score, ties docId asc.
+    * `asc = false` is `getSortField(bindings, reverse = true)`.
+    *
+    * Scale shape mirrors [[searchByField]]: driver-local typed
+    * evaluation when the postings and every referenced docvalue column
+    * fit `maxLocalBytes`; otherwise shard-task match/score streams plus
+    * an executor-side docvalues join, with the expression compiled to a
+    * whole-stage-codegen'd Column and TakeOrderedAndProject for the
+    * global top-k — nothing match-count-sized reaches the driver.
+    */
+  def searchByExpr(q0: Query, k: Int, exprSrc: String,
+      asc: Boolean = false): Array[(Long, Double)] = {
+    val node = JsExpr.parse(exprSrc)
+    val vars = JsExpr.variables(node)
+    val needScore = vars.contains("_score")
+    val fields = (vars - "_score").toSeq.sorted
+    val missing = fields.filterNot(docsDf.columns.contains)
+    require(missing.isEmpty, s"unbound expression variables: $missing")
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+
+    val localOk = fields.length.toLong * dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
+    if (localOk) {
+      val gets: Map[String, Long => Double] =
+        fields.map(f => f -> docValuesD(f)).toMap
+      // asc rides the (score desc) queue via sign flip, as searchByField
+      val sign = if (asc) -1d else 1d
+      def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+        val queue = new BoundedHitQueue(k)
+        val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
+        var d = scorer.nextDoc()
+        while (d != DocScorer.NO_MORE) {
+          val sc = if (needScore) scorer.score.toDouble else 0d
+          val bindFn = (v: String) => if (v == "_score") sc else gets(v)(d)
+          queue.insert(d, sign * JsExpr.evalD(node, bindFn))
+          d = scorer.nextDoc()
+        }
+        queue.sortedHits
+      }
+      val partials: Seq[Array[Hit]] =
+        if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+        else {
+          val rows = fetchRows(present)
+          if (rows.isEmpty) Nil
+          else if (!plan.sharded)
+            Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+          else (0 until plan.numShards).flatMap { s =>
+            val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+              .map(r => r.term -> r).toMap
+            if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+          }
+        }
+      TopK.merge(partials, k).map(h => (h.docId, sign * h.score))
+    } else {
+      val dv = docsDf.select(
+        col("docId") +: fields.map(f => col(f).cast("double").as(s"_e_$f")): _*)
+      val ms = matchScoresDf(q)
+      val matches = if (needScore) ms else ms.select("docId")
+      val bindFn = (v: String) =>
+        if (v == "_score") col("ms").cast("double") else col(s"_e_$v")
+      matches.join(dv, "docId")
+        .select(col("docId"), JsExpr.toColumn(node, bindFn).as("_exprv"))
+        .orderBy(if (asc) col("_exprv").asc else col("_exprv").desc,
+          col("docId").asc)
+        .limit(k)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    }
+  }
+
+  /** ExpressionRescorer (`expressions/ExpressionRescorer.java:47-57`,
+    * delegating to `search/SortRescorer.java:43-94`): re-order the
+    * first-pass hits by the expression (desc — getSortField reverse=true
+    * — ties docId asc) with `_score` bound to the first-pass score. The
+    * expression value is the SORT value; the hit score stays the
+    * first-pass score (SortRescorer's TopFieldCollector tracks the
+    * FakeScorer, which carries `hit.score`). Returns
+    * (docId, exprValue, firstPassScore) in rank order, top `topN`.
+    *
+    * First-pass hits are k-sized by contract, so this is one driver pass
+    * over k rows plus a single docId-pushdown docvalues read of the
+    * referenced fields for exactly those k docs.
+    */
+  def rescoreExpr(first: Array[Hit], exprSrc: String,
+      topN: Int): Array[(Long, Double, Double)] = {
+    if (first.isEmpty) return Array.empty
+    val node = JsExpr.parse(exprSrc)
+    val fields = (JsExpr.variables(node) - "_score").toSeq.sorted
+    val missing = fields.filterNot(docsDf.columns.contains)
+    require(missing.isEmpty, s"unbound expression variables: $missing")
+    val fv: Map[Long, Array[Double]] =
+      if (fields.isEmpty) Map.empty
+      else docsDf.filter(col("docId").isin(first.map(_.docId): _*))
+        .select(col("docId") +: fields.map(f => col(f).cast("double")): _*)
+        .collect()
+        .map(r => r.getLong(0) ->
+          Array.tabulate(fields.length)(i => r.getDouble(i + 1)))
+        .toMap
+    val idx = fields.zipWithIndex.toMap
+    val scored = first.map { h =>
+      val bindFn = (v: String) =>
+        if (v == "_score") h.score else fv(h.docId)(idx(v))
+      (h.docId, JsExpr.evalD(node, bindFn), h.score)
+    }
+    java.util.Arrays.sort(scored,
+      new java.util.Comparator[(Long, Double, Double)] {
+        def compare(a: (Long, Double, Double), b: (Long, Double, Double)): Int = {
+          val c = java.lang.Double.compare(b._2, a._2)
+          if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+        }
+      })
+    scored.take(topN)
+  }
+
   // ---------- diversified top-k ----------
 
   /** Diversity-controlled top-k under BM25 — the
@@ -3189,6 +3348,93 @@ final class Searcher(private[search] val spark: SparkSession,
         .select(col("docId"),
           (if (additive) col("ms") + col("v") else col("ms") * col("v"))
             .cast(org.apache.spark.sql.types.FloatType).as("s"))
+        .orderBy(col("s").desc, col("docId").asc)
+        .limit(k)
+        .collect()
+        .map(r => Hit(r.getLong(0), r.getFloat(1).toDouble))
+    }
+  }
+
+  /** CustomScoreQuery (`queries/CustomScoreQuery.java:228-237,291-304`
+    * with the default `CustomScoreProvider.customScore`,
+    * `CustomScoreProvider.java:66-88`): matches = `q0`'s matches; score =
+    * `boost * (subScore * v0(doc) * v1(doc) * ...)` — one float multiply
+    * per value source in clause order (the scorer reads
+    * `qWeight * provider.customScore(doc, sub, vScores)`). The query
+    * boost is applied here at score time, never pushed down
+    * (`CustomScoreQuery.java:210-224`). Same scale gate as
+    * [[searchBoosted]]: driver-local typed walk when postings + docvalues
+    * fit `maxLocalBytes`, else shard match/score streams joined with the
+    * codegen'd function columns and TakeOrderedAndProject.
+    */
+  def searchCustomScore(q0: Query, valSrcs: Seq[ValueSrc], boost: Float,
+      k: Int): Array[Hit] = {
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val sharded = weights.values.exists(_.salted)
+    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+
+    val innerQs = valSrcs.flatMap(vs => ValueSources.queriesOf(vs).map(_.q))
+    def fitsLocal(iq: Query): Boolean = {
+      val its = Query.literalTerms(iq)
+      val ist = stats(its)
+      val pr = its.filter(ist.contains)
+      pr.isEmpty || estPostingBytes(ist, pr) <= maxLocalBytes
+    }
+    val localOk = valSrcs.length.toLong * dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) &&
+      innerQs.forall(fitsLocal)
+    if (localOk) {
+      val fvals = valSrcs.map(vs => ValueSources.evalLocal(vs, localVsCtx()))
+      def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+        val queue = new BoundedHitQueue(k)
+        val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
+        var d = scorer.nextDoc()
+        while (d != DocScorer.NO_MORE) {
+          var s = scorer.score
+          var i = 0
+          while (i < fvals.length) { s *= fvals(i)(d); i += 1 }
+          queue.insert(d, (boost * s).toDouble)
+          d = scorer.nextDoc()
+        }
+        queue.sortedHits
+      }
+      val partials: Seq[Array[Hit]] =
+        if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+        else {
+          val rows = fetchRows(present)
+          if (rows.isEmpty) Nil
+          else if (!plan.sharded)
+            Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+          else (0 until plan.numShards).flatMap { s =>
+            val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+              .map(r => r.term -> r).toMap
+            if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+          }
+        }
+      TopK.merge(partials, k)
+    } else {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types.FloatType
+      var df = matchScoresDf(q)
+      // one join per source; each fold step float-casts so the Column
+      // path replays the scorer's sequential float multiplies exactly
+      var sCol = col("ms")
+      valSrcs.zipWithIndex.foreach { case (vs, i) =>
+        df = df.join(functionDf(vs).withColumnRenamed("v", s"_v$i"), "docId")
+        sCol = (sCol * col(s"_v$i")).cast(FloatType)
+      }
+      df.select(col("docId"),
+          (lit(boost) * sCol).cast(FloatType).as("s"))
         .orderBy(col("s").desc, col("docId").asc)
         .limit(k)
         .collect()

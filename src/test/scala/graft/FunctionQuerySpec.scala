@@ -134,6 +134,43 @@ class FunctionQuerySpec extends AnyFunSuite {
     assert(dist.map(h => (h.docId, h.score.toFloat)).toSeq == exp)
   }
 
+  test("CustomScoreQ: default provider fold — boost * ((sub * v0) * v1) in clause order") {
+    val sub = BoolQ(should = Seq(TermQ("merge"), TermQ("score")))
+    val vss = Seq(
+      RecipV(FieldV("nlen"), 0.01f, 5f, 1f),
+      LinearV(SqrtV(FieldV("nlen")), 0.1f, 1f))
+    val all = searcher.search(sub, nlenOf.size)
+    val exp = all.map { h =>
+      val x = nlenOf(h.docId).toFloat
+      val recip = 5f / (0.01f * x + 1f)
+      val lin = math.sqrt(x.toDouble).toFloat * 0.1f + 1f
+      (h.docId, 1.7f * ((h.score.toFloat * recip) * lin))
+    }.sortBy { case (d, s) => (-s.toDouble, d) }.take(10).toSeq
+    val got = searcher.search(CustomScoreQ(sub, vss, 1.7f), 10)
+    assert(got.nonEmpty)
+    assert(got.map(h => (h.docId, h.score.toFloat)).toSeq == exp)
+  }
+
+  test("CustomScoreQ: zero sources degenerate to subScore * 1f (provider law)") {
+    val sub = TermQ("merge")
+    val plain = searcher.search(sub, 10)
+    val got = searcher.search(CustomScoreQ(sub, Nil), 10)
+    assert(got.map(h => (h.docId, h.score)).toSeq ==
+      plain.map(h => (h.docId, h.score)).toSeq)
+  }
+
+  test("CustomScoreQ: local ↔ forced-distributed parity") {
+    val sub = BoolQ(should = Seq(TermQ("merge"), TermQ("score")))
+    val vss = Seq(
+      RecipV(FieldV("nlen"), 0.01f, 5f, 1f),
+      LinearV(SqrtV(FieldV("nlen")), 0.1f, 1f))
+    val local = searcher.search(CustomScoreQ(sub, vss, 1.7f), 10)
+    val dist = distSearcher.search(CustomScoreQ(sub, vss, 1.7f), 10)
+    assert(local.nonEmpty)
+    assert(dist.map(h => (h.docId, h.score)).toSeq ==
+      local.map(h => (h.docId, h.score)).toSeq)
+  }
+
   test("searchFunctionRange: inclusivity flags + value scores") {
     val vs = FieldV("nlen")
     val vals = nlenOf.toSeq.map { case (d, n) => (d, n.toFloat) }
