@@ -2890,7 +2890,7 @@ ORDER BY doc_id, frank"""
     // NormalizationZ (z=0.30f): (float)(tf · (avg/len)^z), pow in double
     val tfnZ = R(s"CAST(t.tf AS DOUBLE) * pow(CAST(${R(s"$avg / dn.qlen")} AS DOUBLE), CAST(CAST(0.30 AS REAL) AS DOUBLE))")
     val tfn = kind match {
-      case SimDFRIneB1 | SimIBLlL1 => tfnH1
+      case SimDFRIneB1 | SimIBLlL1 | SimDFRBeB1 => tfnH1
       case SimDFRIFB3 => tfnH3
       case SimIBSplDZ => tfnZ
       case _ => tfnH2
@@ -2916,6 +2916,27 @@ ORDER BY doc_id, frank"""
       case SimDFRIFB3 => // I(F): tfn·(float)log2(1+(N+1)/(F+0.5)), ·B, H3
         val bm = R(s"$tfn * ${R(s"ln(1 + CAST($n + 1 AS DOUBLE) / (CAST($ttf AS DOUBLE) + 0.5)) / $DfrLn2")}")
         R(s"$bm * $aeB")
+      case SimDFRBeB1 => // Be: limiting Bose-Einstein, all-double, ·B
+        // BasicModelBE.java:39-48: F←F+1+tfn, N←N+F, one float cast
+        val tfnD = s"CAST($tfn AS DOUBLE)"
+        val bigF = s"(CAST($ttf AS DOUBLE) + 1 + $tfnD)"
+        val bigN = s"($bigF + CAST($n AS DOUBLE))"
+        def fHelp(nn: String, mm: String): String =
+          s"(($mm + 0.5) * (ln($nn / $mm) / $DfrLn2) + ($nn - $mm) * (ln($nn) / $DfrLn2))"
+        val bm = R(s"-(ln(($bigN - 1) * exp(1)) / $DfrLn2)" +
+          s" + ${fHelp(s"($bigN + $bigF - 1)", s"($bigN + $bigF - $tfnD - 2)")}" +
+          s" - ${fHelp(bigF, s"($bigF - $tfnD)")}")
+        R(s"$bm * $aeB")
+      case SimDFRDL2 => // D: binomial approximation, all-double, ·L
+        // BasicModelD.java:42-49: φ = tfn/(F+1+tfn) so φ < 1 always
+        val tfnD = s"CAST($tfn AS DOUBLE)"
+        val bigF = s"(CAST($ttf AS DOUBLE) + 1 + $tfnD)"
+        val phi = s"($tfnD / $bigF)"
+        val nphi = s"(1 - $phi)"
+        val p = s"(1.0 / (CAST($n AS DOUBLE) + 1))"
+        val dv = s"($phi * (ln($phi / $p) / $DfrLn2) + $nphi * (ln($nphi / (1 - $p)) / $DfrLn2))"
+        val bm = R(s"$dv * $bigF + 0.5 * (ln(1 + 2 * pi() * $tfnD * $nphi) / $DfrLn2)")
+        R(s"$bm * $aeL")
       case SimIBSplD2 | SimIBSplDZ => // IB SPL: λ_DF, SPL distribution
         val lam0 = R(s"${R(s"CAST($df AS REAL) + $one")} / ${R(s"CAST($n AS REAL) + $one")}")
         val lam = s"(CASE WHEN $lam0 = $one THEN ${R("0.99")} ELSE $lam0 END)"

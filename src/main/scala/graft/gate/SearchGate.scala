@@ -492,6 +492,16 @@ object SearchGate {
     "q_dfr_pl2_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRPL2),
     "q_dfr_pl2_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
       SegmentSearcher.SimDFRPL2),
+    // The deprecated basic models, closing the DFR matrix: Be (limiting
+    // Bose-Einstein, Bernoulli, H1) and D (binomial approximation,
+    // Laplace, H2) — paired with the safe normalizations per the
+    // reference's own deprecation javadoc
+    "q_dfr_beb1_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRBeB1),
+    "q_dfr_beb1_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFRBeB1),
+    "q_dfr_dl2_term" -> segSim(TermQ("spark"), SegmentSearcher.SimDFRDL2),
+    "q_dfr_dl2_or2" -> segSim(Query.or(TermQ("dup"), TermQ("vector")),
+      SegmentSearcher.SimDFRDL2),
     // Information-based similarities: SPL distribution with λ_DF + H2,
     // log-logistic with λ_TTF + H1
     "q_ib_spl_term" -> segSim(TermQ("spark"), SegmentSearcher.SimIBSplD2),
@@ -1126,6 +1136,14 @@ object SearchGate {
       Oracles.simBaseTerm(SegmentSearcher.SimDFRPL2, "spark", K),
     "q_dfr_pl2_or2" ->
       Oracles.simBaseOr(SegmentSearcher.SimDFRPL2, Seq("dup", "vector"), K),
+    "q_dfr_beb1_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRBeB1, "spark", K),
+    "q_dfr_beb1_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFRBeB1, Seq("dup", "vector"), K),
+    "q_dfr_dl2_term" ->
+      Oracles.simBaseTerm(SegmentSearcher.SimDFRDL2, "spark", K),
+    "q_dfr_dl2_or2" ->
+      Oracles.simBaseOr(SegmentSearcher.SimDFRDL2, Seq("dup", "vector"), K),
     "q_ib_spl_term" ->
       Oracles.simBaseTerm(SegmentSearcher.SimIBSplD2, "spark", K),
     "q_ib_spl_or2" ->

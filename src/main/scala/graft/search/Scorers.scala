@@ -325,7 +325,7 @@ final class SimBaseScoreFn(kind: Int, df: Long, ttf: Long,
   private val lamTTF: Float = (ttf + 1f) / (numDocs + 1f) // LambdaTTF
 
   private def tfnOf(tf: Float, docLen: Float): Float = kind match {
-    case SimDFRIneB1 | SimIBLlL1 => (tf * avgdl) / docLen // H1, c=1f
+    case SimDFRIneB1 | SimIBLlL1 | SimDFRBeB1 => (tf * avgdl) / docLen // H1, c=1f
     case SimDFRIFB3 => // H3, μ=800 (Dirichlet-prior smoothing)
       val mu = 800f
       (tf + mu * ((ttf + 1f) / (sumTtf + 1f))) / (docLen + mu) * mu
@@ -365,6 +365,30 @@ final class SimBaseScoreFn(kind: Int, df: Long, ttf: Long,
       val tfn = tfnOf(tf, docLen)
       val d = (-math.log((lamTTF / (tfn + lamTTF)).toDouble)).toFloat
       1f * d
+    case SimDFRBeB1 => // Be (limiting Bose-Einstein) · B
+      // BasicModelBE.java:39-48: all-double, one float cast; the
+      // approximation needs F << N so the reference inflates N by F.
+      val tfn = tfnOf(tf, docLen)
+      val F = ttf.toDouble + 1.0 + tfn.toDouble
+      val nD = F + numDocs.toDouble
+      @inline def f(n: Double, m: Double): Double =
+        (m + 0.5) * (math.log(n / m) / Log2) + (n - m) * (math.log(n) / Log2)
+      val bm = (-(math.log((nD - 1) * math.E) / Log2) +
+        f(nD + F - 1, nD + F - tfn.toDouble - 2) -
+        f(F, F - tfn.toDouble)).toFloat
+      (1f * bm) * (fp1 / (nf * (tfn + 1f)))
+    case SimDFRDL2 => // D (binomial approximation) · L
+      // BasicModelD.java:42-49: φ kept < 1 by folding tfn into F.
+      val tfn = tfnOf(tf, docLen)
+      val F = ttf.toDouble + 1.0 + tfn.toDouble
+      val phi = tfn.toDouble / F
+      val nphi = 1.0 - phi
+      val p = 1.0 / (numDocs.toDouble + 1)
+      val d = phi * (math.log(phi / p) / Log2) +
+        nphi * (math.log(nphi / (1 - p)) / Log2)
+      val bm = (d * F +
+        0.5 * (math.log(1 + 2 * math.Pi * tfn.toDouble * nphi) / Log2)).toFloat
+      (1f * bm) * (1f / (tfn + 1f))
     case SimDFIChi | SimDFISat | SimDFIStd => // DFI: raw freq, no tfn
       val expected = ((ttf + 1L).toFloat * docLen) / (sumTtf + 1L)
       if (tf <= expected) 0f

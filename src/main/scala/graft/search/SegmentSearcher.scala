@@ -122,6 +122,20 @@ object SegmentSearcher {
     * coord and the raw-byte315 decode are Classic's unchanged.
     */
   val SimSweetSpot = 16
+  /** The two reference-deprecated DFR basic models, closing the published
+    * similarity matrix completely: Be — the limiting form of Bose-Einstein
+    * (`similarities/BasicModelBE.java:37-49`: F = F+1+tfn, N += F, score =
+    * −log2((N−1)·e) + f(N+F−1, N+F−tfn−2) − f(F, F−tfn) with
+    * f(n,m) = (m+0.5)·log2(n/m) + (n−m)·log2(n)) under Bernoulli
+    * after-effect + H1; and D — the binomial approximation
+    * (`similarities/BasicModelD.java:42-49`: φ = tfn/F, score =
+    * (φ·log2(φ/p) + (1−φ)·log2((1−φ)/(1−p)))·F + ½·log2(1+2πtfn(1−φ)))
+    * under Laplace + H2. Both deprecated in the reference for numeric
+    * instability at large tfn (their javadoc) — offered for completeness,
+    * paired with the safe normalizations (H1/H2) per that same advice.
+    */
+  val SimDFRBeB1 = 17 // Be basic model, Bernoulli after-effect, H1
+  val SimDFRDL2 = 18 // D basic model, Laplace after-effect, H2
   /** baselineTf factors (setBaselineTfFactors) used by SimSweetSpot. */
   val SSTfBase = 1.5f
   val SSTfMin = 2.0f
@@ -184,7 +198,8 @@ object SegmentSearcher {
 
   @inline def isSimBase(sim: Int): Boolean =
     (sim >= SimDFRInL2 && sim <= SimIBLlL1) ||
-      (sim >= SimDFIChi && sim <= SimIBSplDZ)
+      (sim >= SimDFIChi && sim <= SimIBSplDZ) ||
+      sim == SimDFRBeB1 || sim == SimDFRDL2
 
   /** Build one MultiSimilarity component for a term — the sub-SimScorer
     * construction of `MultiSimilarity.simScorer` with each component's

@@ -111,6 +111,28 @@ class SimBaseSpec extends AnyFunSuite {
         (-math.log(
           (math.pow(lam.toDouble, (tfn / (tfn + 1f)).toDouble) - lam.toDouble) /
             (1f - lam).toDouble)).toFloat
+      case SimDFRBeB1 => // Be (BasicModelBE.java:39-48) · B, H1 tfn
+        val tfn = tfnH1
+        val bigF = F.toDouble + 1.0 + tfn.toDouble
+        val bigN = bigF + n.toDouble
+        def fh(nn: Double, mm: Double): Double =
+          (mm + 0.5) * (math.log(nn / mm) / Ln2) + (nn - mm) * (math.log(nn) / Ln2)
+        val bm = (-(math.log((bigN - 1) * math.E) / Ln2) +
+          fh(bigN + bigF - 1, bigN + bigF - tfn.toDouble - 2) -
+          fh(bigF, bigF - tfn.toDouble)).toFloat
+        val ae = (F + 2L).toFloat / ((d + 1L).toFloat * (tfn + 1f))
+        (1f * bm) * ae
+      case SimDFRDL2 => // D (BasicModelD.java:42-49) · L, H2 tfn
+        val tfn = tfnH2
+        val bigF = F.toDouble + 1.0 + tfn.toDouble
+        val phi = tfn.toDouble / bigF
+        val nphi = 1.0 - phi
+        val p = 1.0 / (n.toDouble + 1)
+        val dv = phi * (math.log(phi / p) / Ln2) +
+          nphi * (math.log(nphi / (1 - p)) / Ln2)
+        val bm = (dv * bigF +
+          0.5 * (math.log(1 + 2 * math.Pi * tfn.toDouble * nphi) / Ln2)).toFloat
+        (1f * bm) * (1f / (tfn + 1f))
       case SimDFIChi | SimDFISat | SimDFIStd =>
         val e = ((F + 1L).toFloat * len) / (sumTtf + 1L)
         if (freq <= e) 0f
@@ -149,7 +171,9 @@ class SimBaseSpec extends AnyFunSuite {
     "DFI Saturated" -> SegmentSearcher.SimDFISat,
     "DFI Standardized" -> SegmentSearcher.SimDFIStd,
     "DFR I(F)B3(800)" -> SegmentSearcher.SimDFRIFB3,
-    "IB SPL-DZ(0.30)" -> SegmentSearcher.SimIBSplDZ)
+    "IB SPL-DZ(0.30)" -> SegmentSearcher.SimIBSplDZ,
+    "DFR BeB1 (deprecated Be)" -> SegmentSearcher.SimDFRBeB1,
+    "DFR DL2 (deprecated D)" -> SegmentSearcher.SimDFRDL2)
 
   test("every SimilarityBase kind matches the independent pipeline: term") {
     for ((name, kind) <- kinds; t <- Seq("def", "index", "merge")) {
