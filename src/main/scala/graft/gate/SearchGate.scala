@@ -59,7 +59,7 @@ object SearchGate {
     (searcherCache.values ++ fieldSearcherCache.values ++
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
       cgSearcherCache.values ++ porterSearcherCache.values ++
-      synSearcherCache.values)
+      synSearcherCache.values ++ reshardSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -69,6 +69,7 @@ object SearchGate {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
+    reshardSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
@@ -81,6 +82,23 @@ object SearchGate {
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     searcherCache.getOrElseUpdate(sfDir,
       new Searcher(spark, segment(spark, sfDir), cacheSegments = true))
+
+  /** Term-hash-resharded copy of the gate index (Reshard.reshard, the
+    * IndexSplitter operation class): 8 → 5 buckets, blobs verbatim. The
+    * q_reshard_* gates pin its results against the UNSHARDED oracles.
+    */
+  private val reshardSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def reshardSearcher(spark: SparkSession, sfDir: String): Searcher =
+    reshardSearcherCache.getOrElseUpdate(sfDir, {
+      val base = segment(spark, sfDir) // ensures the base index exists
+      val dirHash = Integer.toHexString(s"$sfDir#reshard".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-reshard-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.index.Reshard.reshard(spark, base.dir, dir, 5,
+        s"gate-reshard-$dirHash")
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
 
   def logical(spark: SparkSession, sfDir: String): LogicalIndex =
     logicalCache.getOrElseUpdate(sfDir, {
@@ -559,6 +577,15 @@ object SearchGate {
     // phrases run the SEGMENT path: conjunction + positions-sidecar verify
     // (round 1 ran a re-tokenize-the-corpus DataFrame plan here — 10× cost)
     "q_bm25_phrase" -> seg(PhraseQ(Seq("order", "sort"))),
+    // term-hash reshard (IndexSplitter/MultiPassIndexSplitter class): the
+    // same queries over an 8→5-bucket re-cut of the gate index must hit
+    // the UNSHARDED oracles bit-exactly (blobs move verbatim; positions
+    // sidecar — the phrase — survives the re-key)
+    "q_reshard_term" -> ((spark, sfDir) =>
+      hitsDf(spark, reshardSearcher(spark, sfDir).search(TermQ("spark"), K))),
+    "q_reshard_phrase" -> ((spark, sfDir) =>
+      hitsDf(spark,
+        reshardSearcher(spark, sfDir).search(PhraseQ(Seq("order", "sort")), K))),
     "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
     // multi-phrase: "order (sort|merge)" — per-offset union of postings
     "q_span_near" -> seg(SpanNearQ(Seq("order", "sort"), 4)),
@@ -1213,6 +1240,8 @@ object SearchGate {
     "q_payload_avg_near" -> Oracles.payloadAvgNear("order", "sort", 4, K),
     "q_payload_check" -> Oracles.payloadCheckTerm("merge", 0, K),
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
+    "q_reshard_term" -> Oracles.term("spark", K),
+    "q_reshard_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),
     "q_bm25_multiphrase_rpt" ->
