@@ -2987,6 +2987,42 @@ ORDER BY doc_id, frank"""
   /** Disjunction: (float)Σdouble of member scores — SimilarityBase has
     * no coord/queryNorm (`DisjunctionSumScorer.java:43-46`).
     */
+  /** Search-result clustering (ClusteringComponent surface — see
+    * Searcher.clusterFrame): top-n BM25 hits for `term`, each labeled by
+    * its max-weight result-set term under the in-results RSJ odds idf
+    * weight tf·(N−dfr+0.5)/(dfr+0.5) (all-double, exact operands, one
+    * correctly-rounded division — argmax is engine-independent), query
+    * term excluded, dfr<2 and dfr=N terms ineligible, unlabeled docs →
+    * 'other'; csize = cluster size.
+    */
+  def clusterResults(term: String, n: Int): String = {
+    val cnt = "CAST((SELECT count(*) FROM hitsq) AS DOUBLE)"
+    prologue + termCtes("a", term) +
+      s""", hitsq AS (
+  SELECT doc_id FROM sc_a ORDER BY s DESC, doc_id LIMIT $n
+), rt AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM tok t JOIN hitsq h ON t.doc_id = h.doc_id
+  WHERE t.term <> ${lit(term)}
+  GROUP BY t.doc_id, t.term
+), dfres AS (
+  SELECT term, count(*) AS dfr FROM rt GROUP BY term
+  HAVING count(*) >= 2 AND count(*) < (SELECT count(*) FROM hitsq)
+), lab AS (
+  SELECT doc_id, term AS label, row_number() OVER (PARTITION BY doc_id
+    ORDER BY CAST(tf AS DOUBLE) * ($cnt - CAST(dfr AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / (CAST(dfr AS DOUBLE) + CAST(0.5 AS DOUBLE)) DESC,
+      term) AS rn
+  FROM rt JOIN dfres USING (term)
+), labeled AS (
+  SELECT h.doc_id, coalesce(l.label, 'other') AS label
+  FROM hitsq h LEFT JOIN (SELECT doc_id, label FROM lab WHERE rn = 1) l
+    ON h.doc_id = l.doc_id
+)
+SELECT doc_id, label, count(*) OVER (PARTITION BY label) AS csize
+FROM labeled ORDER BY doc_id"""
+  }
+
   def simBaseOr(kind: Int, terms: Seq[String], k: Int): String = {
     val names = terms.indices.map(i => s"t$i")
     val ctes = names.zip(terms).map { case (a, t) =>

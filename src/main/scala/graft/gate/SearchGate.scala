@@ -586,6 +586,16 @@ object SearchGate {
     "q_reshard_phrase" -> ((spark, sfDir) =>
       hitsDf(spark,
         reshardSearcher(spark, sfDir).search(PhraseQ(Seq("order", "sort")), K))),
+    // search-result clustering (ClusteringComponent surface): top-20 hits
+    // labeled by their max in-results RSJ-odds term, singletons to 'other'
+    "q_cluster_results" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val s = searcher(spark, sfDir)
+      val hdf = s.search(TermQ("spark"), 20).map(_.docId).toSeq.toDF("docId")
+      s.clusterFrame(hdf, contentCol = "text", queryTerms = Set("spark"))
+        .select(col("docId").as("doc_id"), col("label"), col("csize"))
+        .orderBy("doc_id")
+    }),
     "q_bm25_phrase_sloppy" -> seg(PhraseQ(Seq("order", "sort"), 2)),
     // multi-phrase: "order (sort|merge)" — per-offset union of postings
     "q_span_near" -> seg(SpanNearQ(Seq("order", "sort"), 4)),
@@ -1242,6 +1252,7 @@ object SearchGate {
     "q_bm25_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_reshard_term" -> Oracles.term("spark", K),
     "q_reshard_phrase" -> Oracles.phrase2("order", "sort", K),
+    "q_cluster_results" -> Oracles.clusterResults("spark", 20),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),
     "q_bm25_multiphrase_rpt" ->

@@ -2198,6 +2198,65 @@ final class Searcher(private[search] val spark: SparkSession,
       .select("docId", "term", "mscore", "rank")
   }
 
+  /** Search-result clustering — the ClusteringComponent surface
+    * (`solr/contrib/clustering/src/java/org/apache/solr/handler/clustering/ClusteringComponent.java:63`,
+    * `SearchClusteringEngine.java:41`): group the top-N hits of a query
+    * into labeled clusters derived from the result set itself. The
+    * reference delegates the algorithm to the Carrot2 library; this
+    * engine substitutes a transparent deterministic label-assignment in
+    * the same spirit (salient result-set terms become cluster labels):
+    * a doc's label is its max-weight term under the Robertson/Spärck
+    * Jones odds idf computed WITHIN the results — weight = tf ·
+    * (N − df_res + 0.5)/(df_res + 0.5), ties to the lexicographically
+    * smaller term — where df_res counts result docs containing the term.
+    * Ineligible as labels: the query's own terms, terms in fewer than 2
+    * result docs (they'd label singletons), and terms in every result
+    * doc (in-results stopwords). Docs with no eligible term fall into
+    * the "other" group — Carrot2's "Other Topics". The odds form (not
+    * log idf) keeps every weight a product/quotient of exact small
+    * integers-plus-halves, so the argmax is bit-reproducible across
+    * engines (the DuckDB oracle replays it exactly).
+    *
+    * Distributed shape: the k-sized hits frame joins the row store
+    * executor-side, tokenize explodes there, then two aggregations and a
+    * window argmax — no driver loops, no collect.
+    */
+  def clusterFrame(hits: DataFrame, contentCol: String = "content",
+      queryTerms: Set[String] = Set.empty): DataFrame = {
+    val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+    val tokU = udf((content: String) => tok(content))
+    val n = hits.count()
+    val rt = hits.select("docId")
+      .join(docsDf.select(col("docId"), col(contentCol)), "docId")
+      .select(col("docId"), explode(tokU(col(contentCol))).as("term"))
+      .filter(if (queryTerms.isEmpty) lit(true)
+        else !col("term").isin(queryTerms.toSeq: _*))
+      .groupBy("docId", "term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tf"))
+    val dfres = rt.groupBy("term")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("dfr"))
+      .filter(col("dfr") >= 2 && col("dfr") < n)
+    val scored = rt.join(broadcast(dfres), "term")
+      // exact-in-double weight: tf·(N−dfr+0.5) is an exact product of a
+      // small int and a small half-integer; the single division is
+      // correctly rounded in both engines — the argmax can't drift
+      .withColumn("lscore",
+        col("tf") * (lit(n.toDouble) - col("dfr") + lit(0.5)) /
+          (col("dfr") + lit(0.5)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("docId").orderBy(col("lscore").desc, col("term").asc)
+    val lab = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("docId"), col("term").as("label"))
+    val labeled = hits.select("docId")
+      .join(lab, Seq("docId"), "left")
+      .withColumn("label", coalesce(col("label"), lit("other")))
+    labeled.withColumn("csize",
+      org.apache.spark.sql.functions.count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("label")))
+      .select("docId", "label", "csize")
+  }
+
   // ---------- second-pass re-ranking (QueryRescorer analog) ----------
 
   /** Re-rank a first-pass hit set with a second query
