@@ -447,4 +447,82 @@ object Analysis {
       case other => sys.error(s"unknown payload policy: $other")
     }
   }
+
+  // ---------- CharFilter stages (text → text, BEFORE the tokenizer) ----------
+  //
+  // The reference's charfilter family (`analysis/common/src/java/org/
+  // apache/lucene/analysis/charfilter/`): HTMLStripCharFilter,
+  // MappingCharFilter, and PatternReplaceCharFilter run on the raw
+  // character stream ahead of tokenization. This engine composes them via
+  // '!'-separated tokenizer specs ("htmlstrip!simple"); offset correction
+  // is NOT maintained (charfiltered chains use the re-tokenize
+  // highlighter path — build such fields with offsets off).
+
+  private val HtmlComment = "(?s)<!--.*?-->".r
+  private val HtmlScript = "(?is)<script\\b[^>]*>.*?</script>".r
+  private val HtmlStyle = "(?is)<style\\b[^>]*>.*?</style>".r
+  private val HtmlTag = "(?s)</?[a-zA-Z!][^>]*>".r
+  private val HtmlEntity = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+  private val HtmlNamedEntities = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ")
+
+  /** HTMLStripCharFilter subset (`charfilter/HTMLStripCharFilter.jflex`
+    * semantics, re-derived): comments, script/style blocks and tags are
+    * replaced by a space (so adjacent words don't merge); the common
+    * named entities and all numeric character references are decoded.
+    * Disclosed subset: no CDATA, no entity decode inside attributes (the
+    * attributes are stripped with their tag anyway).
+    */
+  def htmlStrip(s: String): String = {
+    var t = HtmlComment.replaceAllIn(s, " ")
+    t = HtmlScript.replaceAllIn(t, " ")
+    t = HtmlStyle.replaceAllIn(t, " ")
+    t = HtmlTag.replaceAllIn(t, " ")
+    HtmlEntity.replaceAllIn(t, m => {
+      val body = m.group(1)
+      val rep =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          new String(Character.toChars(Integer.parseInt(body.drop(2), 16)))
+        else if (body.startsWith("#"))
+          new String(Character.toChars(body.drop(1).toInt))
+        else HtmlNamedEntities.getOrElse(body, m.matched)
+      scala.util.matching.Regex.quoteReplacement(rep)
+    })
+  }
+
+  /** MappingCharFilter (`charfilter/MappingCharFilter.java:36`): greedy
+    * longest-match rewrite over an ordered rule set — at each input
+    * position the LONGEST matching source wins (the reference's FST walk
+    * keeps extending while arcs exist); unmatched chars copy through.
+    */
+  def mappingFilter(rules: Seq[(String, String)]): String => String = {
+    require(rules.forall(_._1.nonEmpty), "mapping sources must be non-empty")
+    val byLen = rules.sortBy(-_._1.length)
+    (s: String) => {
+      val out = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        var matched = false
+        var r = 0
+        while (!matched && r < byLen.length) {
+          val (src, dst) = byLen(r)
+          if (s.regionMatches(i, src, 0, src.length)) {
+            out.append(dst); i += src.length; matched = true
+          }
+          r += 1
+        }
+        if (!matched) { out.append(s.charAt(i)); i += 1 }
+      }
+      out.toString
+    }
+  }
+
+  /** PatternReplaceCharFilter (`pattern/PatternReplaceCharFilter.java:43`):
+    * regex replaceAll over the raw text.
+    */
+  def patternReplaceFilter(regex: String, repl: String): String => String = {
+    val p = java.util.regex.Pattern.compile(regex)
+    (s: String) => p.matcher(s).replaceAll(repl)
+  }
 }

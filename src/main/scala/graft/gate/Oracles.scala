@@ -325,6 +325,47 @@ object Oracles {
 )"""
   }
 
+  /** Prologue for the CharFilter-chained field (SearchGate.CharFilterChain
+    * = PatternReplaceCharFilter digits→space, then MappingCharFilter
+    * a→4, then the simple chain): the same two text transforms replayed
+    * in SQL ahead of the standard tokenize law. The single-rule mapping
+    * with a source absent from its own output is exactly SQL replace()'s
+    * left-to-right non-overlapping scan.
+    */
+  def charFilterPrologue: String =
+    s"""WITH cft AS (
+  SELECT doc_id, replace(regexp_replace(text, '[0-9]+', ' ', 'g'), 'a', '4') AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM cft
+), tok AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) <= 255
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
+)"""
+
+  /** BM25 term / or2 over the charfiltered field. */
+  def charFilterTerm(term: String, k: Int): String =
+    charFilterPrologue + termCtes("a", term) + finish("sc_a", k)
+
+  def charFilterOr2(t1: String, t2: String, k: Int): String = {
+    val ctes = termCtes("t0", t1) + termCtes("t1", t2)
+    charFilterPrologue + ctes +
+      s""", un AS (SELECT doc_id, s FROM sc_t0 UNION ALL SELECT doc_id, s FROM sc_t1), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s FROM un GROUP BY doc_id
+)""" + finish("res", k)
+  }
+
   /** BM25 term query over the porter-analyzed corpus. */
   def porterTerm(stem: String, k: Int): String =
     porterPrologue + termCtes("a", stem) + finish("sc_a", k)

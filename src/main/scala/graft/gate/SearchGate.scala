@@ -59,7 +59,8 @@ object SearchGate {
     (searcherCache.values ++ fieldSearcherCache.values ++
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
       cgSearcherCache.values ++ porterSearcherCache.values ++
-      synSearcherCache.values ++ reshardSearcherCache.values)
+      synSearcherCache.values ++ reshardSearcherCache.values ++
+      cfSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -69,7 +70,7 @@ object SearchGate {
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
-    reshardSearcherCache.clear()
+    reshardSearcherCache.clear(); cfSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
@@ -218,6 +219,32 @@ object SearchGate {
         gateConfig.copy(tokenizer = "porter", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-porter-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** CharFilter-chained field (`analysis/common/.../charfilter/`):
+    * digits → space (PatternReplaceCharFilter), then a → 4
+    * (MappingCharFilter), then the simple chain. The query term "b4tch"
+    * can ONLY exist if both stages ran — a broken chain yields zero rows
+    * against the oracle's ten.
+    */
+  val CharFilterChain = "replace=[0-9]+=> !mapping=a=>4!simple"
+  private val cfSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def cfSearcher(spark: SparkSession, sfDir: String): Searcher =
+    cfSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#charfilter".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-cf-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = CharFilterChain, offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-cf-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -586,6 +613,13 @@ object SearchGate {
     "q_reshard_phrase" -> ((spark, sfDir) =>
       hitsDf(spark,
         reshardSearcher(spark, sfDir).search(PhraseQ(Seq("order", "sort")), K))),
+    // CharFilter chain (PatternReplace digits→space, Mapping a→4, simple):
+    // "b4tch"/"sp4rk" exist ONLY post-chain — zero rows if a stage breaks
+    "q_charfilter_term" -> ((spark, sfDir) =>
+      hitsDf(spark, cfSearcher(spark, sfDir).search(TermQ("b4tch"), K))),
+    "q_charfilter_or2" -> ((spark, sfDir) =>
+      hitsDf(spark, cfSearcher(spark, sfDir)
+        .search(Query.or(TermQ("sp4rk"), TermQ("dup")), K))),
     // search-result clustering (ClusteringComponent surface): top-20 hits
     // labeled by their max in-results RSJ-odds term, singletons to 'other'
     "q_cluster_results" -> ((spark, sfDir) => {
@@ -1253,6 +1287,8 @@ object SearchGate {
     "q_reshard_term" -> Oracles.term("spark", K),
     "q_reshard_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_cluster_results" -> Oracles.clusterResults("spark", 20),
+    "q_charfilter_term" -> Oracles.charFilterTerm("b4tch", K),
+    "q_charfilter_or2" -> Oracles.charFilterOr2("sp4rk", "dup", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),
     "q_bm25_multiphrase_rpt" ->

@@ -116,7 +116,40 @@ object IndexBuilder {
   def bucketOf(term: String, numBuckets: Int): Int =
     (scala.util.hashing.MurmurHash3.stringHash(term, 0x12af3de) & Int.MaxValue) % numBuckets
 
-  def tokenizerFn(name: String): String => Array[String] = name match {
+  /** CharFilter stage selector for '!'-composed tokenizer specs
+    * ("htmlstrip!simple", "mapping=ph=>f!simple",
+    * "replace=[0-9]+=> !simple"): stages left of the final tokenizer are
+    * text→text transforms applied in order, the reference's CharFilter
+    * chain (`analysis/common/.../charfilter/`). For `replace=`, the LAST
+    * "=>" splits regex from replacement (regexes may contain "=>" in
+    * classes; replacements may not).
+    */
+  def charFilterFn(spec: String): String => String = spec match {
+    case "htmlstrip" => Analysis.htmlStrip
+    case m if m.startsWith("mapping=") =>
+      val rules = m.stripPrefix("mapping=").split(",").toSeq.map { p =>
+        val i = p.indexOf("=>")
+        require(i > 0, s"mapping rule needs src=>dst: $p")
+        (p.substring(0, i), p.substring(i + 2))
+      }
+      Analysis.mappingFilter(rules)
+    case r if r.startsWith("replace=") =>
+      val body = r.stripPrefix("replace=")
+      val i = body.lastIndexOf("=>")
+      require(i > 0, s"replace needs <regex>=><repl>: $r")
+      Analysis.patternReplaceFilter(body.substring(0, i), body.substring(i + 2))
+    case other => sys.error(s"unknown char filter: $other")
+  }
+
+  def tokenizerFn(name: String): String => Array[String] =
+    if (name.contains("!")) {
+      val stages = name.split("!")
+      val base = tokenizerFn(stages.last)
+      val filters = stages.dropRight(1).map(charFilterFn)
+      (s: String) => base(filters.foldLeft(s)((acc, f) => f(acc)))
+    } else tokenizerFn0(name)
+
+  private def tokenizerFn0(name: String): String => Array[String] = name match {
     case "simple" => Analysis.simpleTokens
     case "code" => Analysis.codeTokens
     case "standard" => Analysis.standardTokens
@@ -160,6 +193,13 @@ object IndexBuilder {
     *   "commongrams:<w;w;…>"  same with an explicit common-word set
     */
   def posTokenizerFn(name: String): Option[String => (Int, Array[(String, Int)])] = {
+    if (name.contains("!")) {
+      val stages = name.split("!")
+      val filters = stages.dropRight(1).map(charFilterFn)
+      return posTokenizerFn(stages.last).map { base =>
+        (s: String) => base(filters.foldLeft(s)((acc, f) => f(acc)))
+      }
+    }
     def cg(common: Set[String]): String => (Int, Array[(String, Int)]) =
       (s: String) => {
         val toks = Analysis.simpleTokens(s)
