@@ -366,6 +366,24 @@ object Oracles {
 )""" + finish("res", k)
   }
 
+  /** Tombstoned deletes (the liveDocs law, `IndexWriter.deleteDocuments`):
+    * full-corpus BM25 stats — deleted docs still count in df/avgdl/N —
+    * with every doc containing `delTerm` excluded from the OUTPUT only.
+    */
+  def deletedTerm(term: String, delTerm: String, k: Int): String =
+    prologue + termCtes("a", term) +
+      s""", res AS (
+  SELECT doc_id, s FROM sc_a WHERE doc_id NOT IN (
+    SELECT DISTINCT doc_id FROM tok WHERE term = ${lit(delTerm)})
+)""" + finish("res", k)
+
+  /** TotalHitCount under tombstones. */
+  def deletedCount(term: String, delTerm: String): String =
+    prologue + s"""
+SELECT CAST(count(DISTINCT t.doc_id) AS BIGINT) AS cnt FROM tok t
+WHERE t.term = ${lit(term)} AND t.doc_id NOT IN (
+  SELECT DISTINCT doc_id FROM tok WHERE term = ${lit(delTerm)})"""
+
   /** BM25 term query over the porter-analyzed corpus. */
   def porterTerm(stem: String, k: Int): String =
     porterPrologue + termCtes("a", stem) + finish("sc_a", k)

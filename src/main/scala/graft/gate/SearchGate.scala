@@ -60,7 +60,7 @@ object SearchGate {
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
       cgSearcherCache.values ++ porterSearcherCache.values ++
       synSearcherCache.values ++ reshardSearcherCache.values ++
-      cfSearcherCache.values)
+      cfSearcherCache.values ++ delSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -71,6 +71,7 @@ object SearchGate {
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
     reshardSearcherCache.clear(); cfSearcherCache.clear()
+    delSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
@@ -248,6 +249,26 @@ object SearchGate {
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Tombstoned copy of the gate index (Deletes, the liveDocs law):
+    * replicated via Replicator.sync, then deleteByTerm("dup") — every
+    * doc containing 'dup' is masked at collection while stats still
+    * count it (Lucene: deletes influence scores until expunge). The
+    * q_deleted_* oracles replay exactly that: full-corpus stats, the
+    * tombstoned docs excluded from output.
+    */
+  private val delSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def delSearcher(spark: SparkSession, sfDir: String): Searcher =
+    delSearcherCache.getOrElseUpdate(sfDir, {
+      val base = segment(spark, sfDir)
+      val dirHash = Integer.toHexString(s"$sfDir#deleted".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-del-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.index.Replicator.sync(base.dir, dir)
+      graft.index.Deletes.deleteByTerm(spark, dir, "dup")
       new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
 
@@ -613,6 +634,15 @@ object SearchGate {
     "q_reshard_phrase" -> ((spark, sfDir) =>
       hitsDf(spark,
         reshardSearcher(spark, sfDir).search(PhraseQ(Seq("order", "sort")), K))),
+    // tombstoned deletes (liveDocs law): docs containing 'dup' deleted —
+    // masked from output, still counted in every stat until expunge
+    "q_deleted_term" -> ((spark, sfDir) =>
+      hitsDf(spark, delSearcher(spark, sfDir).search(TermQ("spark"), K))),
+    "q_deleted_count" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val n = delSearcher(spark, sfDir).count(TermQ("batch"))
+      Seq(n).toDF("cnt")
+    }),
     // CharFilter chain (PatternReplace digits→space, Mapping a→4, simple):
     // "b4tch"/"sp4rk" exist ONLY post-chain — zero rows if a stage breaks
     "q_charfilter_term" -> ((spark, sfDir) =>
@@ -1287,6 +1317,8 @@ object SearchGate {
     "q_reshard_term" -> Oracles.term("spark", K),
     "q_reshard_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_cluster_results" -> Oracles.clusterResults("spark", 20),
+    "q_deleted_term" -> Oracles.deletedTerm("spark", "dup", K),
+    "q_deleted_count" -> Oracles.deletedCount("batch", "dup"),
     "q_charfilter_term" -> Oracles.charFilterTerm("b4tch", K),
     "q_charfilter_or2" -> Oracles.charFilterOr2("sp4rk", "dup", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),

@@ -107,6 +107,9 @@ object MultiField {
       require(fr.sim == SegmentSearcher.SimBm25 || fr.boost == 1f,
         s"qf boost on a non-BM25 field is unsupported (sim=${fr.sim}): " +
           "the folded weight sits inside the sim's log/model terms")
+      require(fr.searcher.deletesArr.isEmpty,
+        "multi-field search over an index with pending deletes is " +
+          "unsupported — expunge first (Deletes.expunge)")
     }
     val weights = (for {
       (fr, i) <- fields.zipWithIndex if i < qfFields.size

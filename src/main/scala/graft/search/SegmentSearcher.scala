@@ -57,7 +57,12 @@ object SegmentSearcher {
       useWand: Boolean = true, sim: Int = 0, avgdl: Float = 1f,
       sumTtf: Long = 0L,
       /** Component sim ids when sim == SimMulti (CombSUM order). */
-      multiSims: Seq[Int] = Nil)
+      multiSims: Seq[Int] = Nil,
+      /** Sorted tombstoned docIds (Deletes.load) — masked at collection
+        * like the reference's liveDocs; stats deliberately still count
+        * them (Lucene's law until expunge). Empty = no deletes.
+        */
+      deletes: Array[Long] = Array.empty)
 
   /** Similarity selector: BM25 (default) or Lucene-6 Classic TF-IDF
     * (`similarities/ClassicSimilarity.java`; idf²·queryNorm weighting,
@@ -327,9 +332,13 @@ object SegmentSearcher {
   private[search] def countShard(shard: Int, blobs: Map[String, SegRow],
       plan: Plan): Long = {
     val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    val del = plan.deletes
     var n = 0L
     var d = scorer.nextDoc()
-    while (d != DocScorer.NO_MORE) { n += 1; d = scorer.nextDoc() }
+    while (d != DocScorer.NO_MORE) {
+      if (!graft.index.Deletes.contains(del, d)) n += 1
+      d = scorer.nextDoc()
+    }
     n
   }
 
@@ -364,7 +373,7 @@ object SegmentSearcher {
           termScorer(t, shard, blobs, plan, boost)
         }.filterNot(_ eq EmptyScorer)
         if (leaves.forall(Wand.leafable)) {
-          Wand.collect(leaves.toArray, queue, plan.after, msm)
+          Wand.collect(leaves.toArray, queue, plan.after, msm, plan.deletes)
           return queue.sortedHits
         }
       case _ => ()
@@ -377,7 +386,8 @@ object SegmentSearcher {
           termScorer(t, shard, blobs, plan, boost)
         }
         if (leaves.forall(s => !(s eq EmptyScorer)) && leaves.forall(Wand.leafable)) {
-          Wand.collectConjunction(leaves.toArray, queue, plan.after)
+          Wand.collectConjunction(leaves.toArray, queue, plan.after,
+            plan.deletes)
           return queue.sortedHits
         }
         if (leaves.exists(_ eq EmptyScorer)) return queue.sortedHits // AND with absent term
@@ -386,12 +396,15 @@ object SegmentSearcher {
     val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
     val afterS = plan.after.map(_._1).getOrElse(Double.PositiveInfinity)
     val afterD = plan.after.map(_._2).getOrElse(-1L)
+    val del = plan.deletes
     var d = scorer.nextDoc()
     while (d != DocScorer.NO_MORE) {
-      val s = scorer.score.toDouble
-      val accept = plan.after.isEmpty ||
-        s < afterS || (s == afterS && d > afterD)
-      if (accept) queue.insert(d, s)
+      if (!graft.index.Deletes.contains(del, d)) {
+        val s = scorer.score.toDouble
+        val accept = plan.after.isEmpty ||
+          s < afterS || (s == afterS && d > afterD)
+        if (accept) queue.insert(d, s)
+      }
       d = scorer.nextDoc()
     }
     queue.sortedHits
@@ -1133,6 +1146,24 @@ final class Searcher(private[search] val spark: SparkSession,
   private[search] val cache = BM25.normCache(params,
     BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount))
 
+  /** Sorted tombstones of this index (Deletes.load), read once per
+    * handle; every Plan built here carries them so both the local and
+    * the distributed (shard-task) execution mask at collection.
+    */
+  private[search] lazy val deletesArr: Array[Long] =
+    graft.index.Deletes.load(spark, index.dir)
+  private def withDeletes(p: Plan): Plan =
+    if (deletesArr.isEmpty) p else p.copy(deletes = deletesArr)
+  /** Tombstone mask for DataFrame-shaped match streams. */
+  private def liveDf(df: DataFrame): DataFrame =
+    if (deletesArr.isEmpty) df
+    else {
+      val del = deletesArr
+      val live = org.apache.spark.sql.functions.udf(
+        (id: Long) => !graft.index.Deletes.contains(del, id))
+      df.filter(live(col("docId")))
+    }
+
   lazy val segmentsDf: DataFrame = {
     val raw = spark.read
       .option("basePath", s"${index.dir}/segments")
@@ -1793,7 +1824,7 @@ final class Searcher(private[search] val spark: SparkSession,
     // score curves non-monotone or unproven under quantization, so the
     // block-max tf bounds don't bound the score). LMDirichlet and LMJM
     // have no coord and are tf-monotone — WAND on.
-    val plan = Plan(q, k, after, weights, simCache,
+    val plan = withDeletes(Plan(q, k, after, weights, simCache,
       m.numDocShards, sharded, m.docCount, params,
       useWand && (sim == SegmentSearcher.SimBm25 ||
         sim == SegmentSearcher.SimLMDirichlet ||
@@ -1804,7 +1835,7 @@ final class Searcher(private[search] val spark: SparkSession,
       avgdl = if (m.sumTotalTermFreq <= 0) 1f
         else m.sumTotalTermFreq.toFloat / m.docCount.toFloat,
       sumTtf = m.sumTotalTermFreq,
-      multiSims = multiSims)
+      multiSims = multiSims))
 
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
@@ -1941,8 +1972,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return 0L
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     if (present.isEmpty) SegmentSearcher.countShard(-1, Map.empty, plan)
     else if (estPostingBytes(st, present) <= maxLocalBytes) {
       val rows = fetchRows(present)
@@ -2281,8 +2312,8 @@ final class Searcher(private[search] val spark: SparkSession,
       return queue.sortedHits
     }
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     if (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) {
       // driver-local: blobs fit the byte budget (first-pass hits are small
       // by contract — it's the rescore QUERY's postings that can be hot)
@@ -2641,8 +2672,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
@@ -2670,8 +2701,10 @@ final class Searcher(private[search] val spark: SparkSession,
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
         var d = scorer.nextDoc()
         while (d != DocScorer.NO_MORE) {
-          pq.enqueue((d, gets.map(_(d)).toArray))
-          if (pq.size > k) pq.dequeue()
+          if (!graft.index.Deletes.contains(plan.deletes, d)) {
+            pq.enqueue((d, gets.map(_(d)).toArray))
+            if (pq.size > k) pq.dequeue()
+          }
           d = scorer.nextDoc()
         }
         pq.dequeueAll.toSeq
@@ -2694,9 +2727,9 @@ final class Searcher(private[search] val spark: SparkSession,
       import org.apache.spark.sql.functions.col
       val dv = docsDf.select(
         col("docId") +: fields.map(f => col(f._1).cast("long").as(s"s_${f._1}")): _*)
-      val matches =
+      val matches = liveDf(
         if (present.isEmpty) dv.select("docId")
-        else matchScoresDf(q).select("docId")
+        else matchScoresDf(q).select("docId"))
       val sortCols = fields.map(f =>
         if (f._2) col(s"s_${f._1}").asc else col(s"s_${f._1}").desc) :+
         col("docId").asc
@@ -2720,8 +2753,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
@@ -2754,8 +2787,10 @@ final class Searcher(private[search] val spark: SparkSession,
       var d = scorer.nextDoc()
       var n = 0
       while (d != DocScorer.NO_MORE && n < earlyK) {
-        queue.insert(d, sign * get(d))
-        n += 1
+        if (!graft.index.Deletes.contains(plan.deletes, d)) {
+          queue.insert(d, sign * get(d))
+          n += 1
+        }
         visited += 1
         d = scorer.nextDoc()
       }
@@ -2781,7 +2816,7 @@ final class Searcher(private[search] val spark: SparkSession,
       field: String, asc: Boolean, k: Int): Array[(Long, Long)] = {
     import spark.implicits._
     val dv = docsDf.select(col("docId"), col(field).cast("long").as("sortv"))
-    val matches: DataFrame =
+    val matches: DataFrame = liveDf(
       if (present.isEmpty) dv.select("docId")
       else {
         val bPlan = spark.sparkContext.broadcast(plan)
@@ -2797,10 +2832,11 @@ final class Searcher(private[search] val spark: SparkSession,
               if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
             Iterator.continually(scorer.nextDoc())
               .takeWhile(_ != DocScorer.NO_MORE)
+              .filterNot(graft.index.Deletes.contains(p.deletes, _))
               .take(earlyK)
           }
           .toDF("docId")
-      }
+      })
     matches.join(dv, "docId")
       .orderBy(if (asc) col("sortv").asc else col("sortv").desc,
         col("docId").asc)
@@ -2864,8 +2900,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
@@ -3002,8 +3038,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val sharded = weights.values.exists(_.salted)
     // WAND off: diversity can promote docs outside the plain top-k, so
     // score-threshold pruning is unsound here
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val localOk = dvBytes <= maxLocalBytes &&
       (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
     if (localOk) diversifiedLocal(plan, present, keyField, maxPerKey, k)
@@ -3235,8 +3271,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, 1, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return emptyDf
     val bPlan = spark.sparkContext.broadcast(plan)
@@ -3263,6 +3299,14 @@ final class Searcher(private[search] val spark: SparkSession,
     import org.apache.spark.sql.functions.{col, lit, coalesce, isnan, min => smin, max => smax}
     val fields = ValueSources.fieldsOf(vs)
     var base = docsDf.select((col("docId") +: fields.toSeq.sorted.map(col)): _*)
+    if (deletesArr.nonEmpty) {
+      // tombstone mask (function queries run over the docs column store,
+      // not the scorer tree — same liveDocs law, applied at the source)
+      val del = deletesArr
+      val live = org.apache.spark.sql.functions.udf(
+        (id: Long) => !graft.index.Deletes.contains(del, id))
+      base = base.filter(live(col("docId")))
+    }
     val qvs = ValueSources.queriesOf(vs).distinct
     val qvCol = qvs.zipWithIndex.map { case (qv, i) => qv -> s"_qv$i" }.toMap
     qvs.foreach { qv =>
@@ -3372,8 +3416,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
@@ -3394,7 +3438,7 @@ final class Searcher(private[search] val spark: SparkSession,
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
         var d = scorer.nextDoc()
         while (d != DocScorer.NO_MORE) {
-          queue.insert(d,
+          if (!graft.index.Deletes.contains(plan.deletes, d)) queue.insert(d,
             (if (additive) scorer.score + fval(d)
              else scorer.score * fval(d)).toDouble)
           d = scorer.nextDoc()
@@ -3452,8 +3496,8 @@ final class Searcher(private[search] val spark: SparkSession,
     val st = stats(terms)
     val weights = mkWeights(st)
     val sharded = weights.values.exists(_.salted)
-    val plan = Plan(q, k, None, weights, cache, m.numDocShards, sharded,
-      m.docCount, params, useWand = false)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards, sharded,
+      m.docCount, params, useWand = false))
     val present = terms.filter(st.contains)
     if (present.isEmpty && !hasAll) return Array.empty
 
@@ -3474,10 +3518,12 @@ final class Searcher(private[search] val spark: SparkSession,
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
         var d = scorer.nextDoc()
         while (d != DocScorer.NO_MORE) {
-          var s = scorer.score
-          var i = 0
-          while (i < fvals.length) { s *= fvals(i)(d); i += 1 }
-          queue.insert(d, (boost * s).toDouble)
+          if (!graft.index.Deletes.contains(plan.deletes, d)) {
+            var s = scorer.score
+            var i = 0
+            while (i < fvals.length) { s *= fvals(i)(d); i += 1 }
+            queue.insert(d, (boost * s).toDouble)
+          }
           d = scorer.nextDoc()
         }
         queue.sortedHits

@@ -58,7 +58,8 @@ object Wand {
     * on it.
     */
   def collect(scorers0: Array[DocScorer], queue: BoundedHitQueue,
-      after: Option[(Double, Long)], msm: Int = 1): Int = {
+      after: Option[(Double, Long)], msm: Int = 1,
+      deletes: Array[Long] = Array.empty): Int = {
     var scored = 0
     val scorers = scorers0.filterNot(_ eq EmptyScorer)
     if (scorers.isEmpty || scorers.length < msm) return 0
@@ -160,7 +161,11 @@ object Wand {
           i += 1
         }
         val score = s.toFloat.toDouble
-        val accept = cnt >= msm && (after.isEmpty ||
+        // tombstone mask at collection (liveDocs law): a deleted doc is
+        // never inserted — it also never ramps the threshold, which only
+        // weakens pruning, never the result
+        val accept = cnt >= msm &&
+          !graft.index.Deletes.contains(deletes, pivotDoc) && (after.isEmpty ||
           score < afterS.get || (score == afterS.get && pivotDoc > afterD))
         if (accept) queue.insert(pivotDoc, score)
         // advance all scorers at pivotDoc
@@ -197,7 +202,8 @@ object Wand {
     * Scores sum in cost-sorted order, matching ConjunctionScorer.
     */
   def collectConjunction(scorers0: Array[DocScorer], queue: BoundedHitQueue,
-      after: Option[(Double, Long)]): Int = {
+      after: Option[(Double, Long)],
+      deletes: Array[Long] = Array.empty): Int = {
     var scored = 0
     if (scorers0.isEmpty || scorers0.exists(_ eq EmptyScorer)) return 0
     val scorers = scorers0.sortBy(_.cost)
@@ -246,8 +252,9 @@ object Wand {
           i = 0
           while (i < n) { s += scorers(i).score; i += 1 }
           val score = s.toFloat.toDouble
-          val accept = after.isEmpty ||
-            score < afterS.get || (score == afterS.get && target > afterD)
+          val accept = !graft.index.Deletes.contains(deletes, target) &&
+            (after.isEmpty ||
+            score < afterS.get || (score == afterS.get && target > afterD))
           if (accept) queue.insert(target, score)
           target += 1
         }
