@@ -3269,6 +3269,27 @@ SELECT doc_id, sort_val,
 FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
   }
 
+  /** Sort-by-field under a numeric doc-values overlay
+    * (DvUpdates/updateNumericDocValue): the same sort with the update
+    * set replayed as a CASE over the raw column.
+    */
+  def sortByFieldUpdated(term: String, field: String, k: Int, asc: Boolean,
+      overrides: Seq[(Long, Long)]): String = {
+    val dir = if (asc) "ASC" else "DESC"
+    val cases = overrides.map { case (id, v) => s"WHEN $id THEN $v" }
+      .mkString(" ")
+    prologue +
+      s""", res AS (
+  SELECT d.doc_id,
+    (CASE d.doc_id $cases ELSE d.$field END) AS sort_val
+  FROM documents d
+  WHERE EXISTS (SELECT 1 FROM tok WHERE tok.doc_id = d.doc_id AND term = ${lit(term)})
+)
+SELECT doc_id, sort_val,
+  CAST(row_number() OVER (ORDER BY sort_val $dir, doc_id) AS INT) AS rnk
+FROM res ORDER BY sort_val $dir, doc_id LIMIT $k"""
+  }
+
   /** MoreLikeThis: source doc's terms with tf ≥ minTf, df ≥ minDf ranked
     * by float tf × idf (ties term asc), top `maxTerms` → BM25 disjunction.
     */

@@ -60,7 +60,8 @@ object SearchGate {
       sweetSearcherCache.values ++ shingleSearcherCache.values ++
       cgSearcherCache.values ++ porterSearcherCache.values ++
       synSearcherCache.values ++ reshardSearcherCache.values ++
-      cfSearcherCache.values ++ delSearcherCache.values)
+      cfSearcherCache.values ++ delSearcherCache.values ++
+      updSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -71,7 +72,7 @@ object SearchGate {
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
     reshardSearcherCache.clear(); cfSearcherCache.clear()
-    delSearcherCache.clear()
+    delSearcherCache.clear(); updSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
@@ -269,6 +270,26 @@ object SearchGate {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       graft.index.Replicator.sync(base.dir, dir)
       graft.index.Deletes.deleteByTerm(spark, dir, "dup")
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** DV-updated copy of the gate index (DvUpdates, the
+    * updateNumericDocValue law): replicated, then n_chars overridden to 1
+    * for doc_ids 5/6/7 — the q_dvupdate_sort oracle replays the same
+    * override with a CASE over the raw column.
+    */
+  val DvUpdatedIds = Seq(5L, 6L, 7L)
+  private val updSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def updSearcher(spark: SparkSession, sfDir: String): Searcher =
+    updSearcherCache.getOrElseUpdate(sfDir, {
+      val base = segment(spark, sfDir)
+      val dirHash = Integer.toHexString(s"$sfDir#dvupd".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-dvu-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      graft.index.Replicator.sync(base.dir, dir)
+      graft.index.DvUpdates.updateNumeric(spark, dir, "n_chars",
+        DvUpdatedIds.map(_ -> 1L))
       new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
 
@@ -634,6 +655,17 @@ object SearchGate {
     "q_reshard_phrase" -> ((spark, sfDir) =>
       hitsDf(spark,
         reshardSearcher(spark, sfDir).search(PhraseQ(Seq("order", "sort")), K))),
+    // numeric doc-values update (updateNumericDocValue law): n_chars of
+    // docs 5/6/7 overridden to 1 — sort-by-field reads the overlay
+    "q_dvupdate_sort" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val hits = updSearcher(spark, sfDir)
+        .searchByField(BoolQ(filter = Seq(TermQ("batch"))), K, "n_chars",
+          asc = true)
+      hits.zipWithIndex.toSeq
+        .map { case ((d, v), i) => (d, v, i + 1) }
+        .toDF("doc_id", "sort_val", "rnk")
+    }),
     // tombstoned deletes (liveDocs law): docs containing 'dup' deleted —
     // masked from output, still counted in every stat until expunge
     "q_deleted_term" -> ((spark, sfDir) =>
@@ -1317,6 +1349,9 @@ object SearchGate {
     "q_reshard_term" -> Oracles.term("spark", K),
     "q_reshard_phrase" -> Oracles.phrase2("order", "sort", K),
     "q_cluster_results" -> Oracles.clusterResults("spark", 20),
+    "q_dvupdate_sort" ->
+      Oracles.sortByFieldUpdated("batch", "n_chars", K, asc = true,
+        DvUpdatedIds.map(_ -> 1L)),
     "q_deleted_term" -> Oracles.deletedTerm("spark", "dup", K),
     "q_deleted_count" -> Oracles.deletedCount("batch", "dup"),
     "q_charfilter_term" -> Oracles.charFilterTerm("b4tch", K),

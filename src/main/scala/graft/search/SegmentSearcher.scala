@@ -2362,6 +2362,25 @@ final class Searcher(private[search] val spark: SparkSession,
     */
   lazy val docsDf: DataFrame = spark.read.parquet(s"${index.dir}/docs")
 
+  /** Numeric doc-values updates overlay (DvUpdates.load, the
+    * `IndexWriter.updateNumericDocValue` law): every NUMERIC doc-values
+    * consumer reads this view — the row store with per-field latest-wins
+    * overrides applied — while content consumers (highlight, MLT, term
+    * vectors) keep reading docsDf (updates are numeric-only, as in the
+    * reference). Identity when no updates exist.
+    */
+  private[search] lazy val dvUpdatesMap: Map[String, Map[Long, Long]] =
+    graft.index.DvUpdates.load(spark, index.dir)
+  private[search] lazy val dvDocsDf: DataFrame =
+    if (dvUpdatesMap.isEmpty) docsDf
+    else {
+      val b = spark.sparkContext.broadcast(dvUpdatesMap)
+      dvUpdatesMap.keys.foldLeft(docsDf) { (df, f) =>
+        val upd = udf((id: Long, cur: Long) => b.value(f).getOrElse(id, cur))
+        df.withColumn(f, upd(col("docId"), col(f).cast("long")))
+      }
+    }
+
   /** ~bytes a driver-side docvalues array for this index would take. */
   private def dvBytes: Long = m.docCount * 16L
 
@@ -2376,7 +2395,7 @@ final class Searcher(private[search] val spark: SparkSession,
     scala.collection.concurrent.TrieMap.empty[String, Long => Long]
   def docValues(field: String): Long => Long =
     dvCache.getOrElseUpdate(field, {
-      val rows = docsDf
+      val rows = dvDocsDf
         .select(col("docId"), col(field).cast("long")).collect()
       val maxId = rows.iterator.map(_.getLong(0)).max
       if (maxId < Int.MaxValue && maxId + 1 <= rows.length.toLong * 4) {
@@ -2725,7 +2744,7 @@ final class Searcher(private[search] val spark: SparkSession,
       partials.sorted(ord).take(k).toArray
     } else {
       import org.apache.spark.sql.functions.col
-      val dv = docsDf.select(
+      val dv = dvDocsDf.select(
         col("docId") +: fields.map(f => col(f._1).cast("long").as(s"s_${f._1}")): _*)
       val matches = liveDf(
         if (present.isEmpty) dv.select("docId")
@@ -2815,7 +2834,7 @@ final class Searcher(private[search] val spark: SparkSession,
   private def searchByFieldDistributed(plan: Plan, present: Set[String],
       field: String, asc: Boolean, k: Int): Array[(Long, Long)] = {
     import spark.implicits._
-    val dv = docsDf.select(col("docId"), col(field).cast("long").as("sortv"))
+    val dv = dvDocsDf.select(col("docId"), col(field).cast("long").as("sortv"))
     val matches: DataFrame = liveDf(
       if (present.isEmpty) dv.select("docId")
       else {
@@ -2856,7 +2875,7 @@ final class Searcher(private[search] val spark: SparkSession,
     scala.collection.concurrent.TrieMap.empty[String, Long => Double]
   def docValuesD(field: String): Long => Double =
     dvdCache.getOrElseUpdate(field, {
-      val rows = docsDf
+      val rows = dvDocsDf
         .select(col("docId"), col(field).cast("double")).collect()
       val maxId = rows.iterator.map(_.getLong(0)).max
       if (maxId < Int.MaxValue && maxId + 1 <= rows.length.toLong * 4) {
@@ -2939,7 +2958,7 @@ final class Searcher(private[search] val spark: SparkSession,
         }
       TopK.merge(partials, k).map(h => (h.docId, sign * h.score))
     } else {
-      val dv = docsDf.select(
+      val dv = dvDocsDf.select(
         col("docId") +: fields.map(f => col(f).cast("double").as(s"_e_$f")): _*)
       val ms = matchScoresDf(q)
       val matches = if (needScore) ms else ms.select("docId")
@@ -2977,7 +2996,7 @@ final class Searcher(private[search] val spark: SparkSession,
     require(missing.isEmpty, s"unbound expression variables: $missing")
     val fv: Map[Long, Array[Double]] =
       if (fields.isEmpty) Map.empty
-      else docsDf.filter(col("docId").isin(first.map(_.docId): _*))
+      else dvDocsDf.filter(col("docId").isin(first.map(_.docId): _*))
         .select(col("docId") +: fields.map(f => col(f).cast("double")): _*)
         .collect()
         .map(r => r.getLong(0) ->
@@ -3298,7 +3317,7 @@ final class Searcher(private[search] val spark: SparkSession,
   def functionDf(vs: ValueSrc): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, coalesce, isnan, min => smin, max => smax}
     val fields = ValueSources.fieldsOf(vs)
-    var base = docsDf.select((col("docId") +: fields.toSeq.sorted.map(col)): _*)
+    var base = dvDocsDf.select((col("docId") +: fields.toSeq.sorted.map(col)): _*)
     if (deletesArr.nonEmpty) {
       // tombstone mask (function queries run over the docs column store,
       // not the scorer tree — same liveDocs law, applied at the source)
