@@ -3171,6 +3171,137 @@ SELECT term AS suggestion, count(DISTINCT doc_id) AS df
 FROM tok WHERE term LIKE ${lit(prefix + "%")}
 GROUP BY term ORDER BY df DESC, suggestion LIMIT $k"""
 
+  /** DirectSpellChecker with a pluggable StringDistance
+    * (`DirectSpellChecker.java:316-381` — candidates from the maxEdits
+    * plain-Levenshtein neighborhood with the first character pinned,
+    * re-scored by the swapped-in distance, culled `score < accuracy`,
+    * ranked score desc / df desc / term asc). `distance` selects the
+    * score expression; each transcribes its reference law in REAL-cast
+    * float arithmetic:
+    *  - "levenshtein": 1 − d/max(len) (`LevensteinDistance.java:46-99`)
+    *  - "lucene": 1 − OSA/min(len) over code points
+    *    (`LuceneLevenshteinDistance.java:41-77`). DuckDB's
+    *    damerau_levenshtein is sound here: within a plain-Lev ≤ 2
+    *    candidate set OSA == unrestricted Damerau (they first diverge
+    *    at OSA 3 / DL 2, e.g. ca→abc).
+    *  - "jarowinkler": Jaro via the builtin, then the REFERENCE's
+    *    Winkler bonus (`JaroWinklerDistance.java:36-105`): prefix NOT
+    *    capped at 4, bonus only when j ≥ threshold 0.7, factor
+    *    min(0.1, 1/maxLen) — common prefix computed by longest-first
+    *    literal-prefix CASE (inherently ≤ min length, so no cap issue).
+    */
+  def suggestDistance(term: String, maxEdits: Int, k: Int,
+      distance: String, accuracy: Double = 0.5): String = {
+    val qLen = Character.codePointCount(term, 0, term.length)
+    val maxLen = s"greatest($qLen, length(term))"
+    val minLen = s"least($qLen, length(term))"
+    val score = distance match {
+      case "levenshtein" =>
+        R(s"${R("1.0")} - ${R(s"CAST(levenshtein(term, ${lit(term)}) AS REAL)" +
+          s" / CAST($maxLen AS REAL)")}")
+      case "lucene" =>
+        R(s"${R("1.0")} - ${R(s"CAST(damerau_levenshtein(term, ${lit(term)}) AS REAL)" +
+          s" / CAST($minLen AS REAL)")}")
+      case "jarowinkler" =>
+        // prefix length vs the literal query term, longest first
+        val prefCases = (term.length to 1 by -1).map { n =>
+          s"WHEN substr(term, 1, $n) = ${lit(term.substring(0, n))} THEN $n"
+        }.mkString(" ")
+        val j = R(s"jaro_similarity(term, ${lit(term)})")
+        val pref = s"(CASE $prefCases ELSE 0 END)"
+        val bonus = R(s"${R(s"${R(s"least(${R("0.1")}, ${R(s"1.0 / $maxLen")})")}" +
+          s" * $pref")} * ${R(s"1.0 - $j")}")
+        s"(CASE WHEN $j < ${R("0.7")} THEN $j ELSE ${R(s"$j + $bonus")} END)"
+      case other => sys.error(s"no oracle for distance '$other'")
+    }
+    prologue +
+      s""", vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), cand AS (
+  SELECT term, df FROM vocab
+  WHERE term <> ${lit(term)} AND substr(term, 1, 1) = ${lit(term.substring(0, 1))}
+    AND abs(length(term) - $qLen) <= $maxEdits
+    AND levenshtein(term, ${lit(term)}) <= $maxEdits
+)
+SELECT term AS suggestion, CAST($score AS DOUBLE) AS score, df
+FROM cand WHERE $score >= ${R(accuracy.toString)}
+ORDER BY score DESC, df DESC, suggestion LIMIT $k"""
+  }
+
+  /** WordBreakSpellChecker.suggestWordBreaks
+    * (`WordBreakSpellChecker.java:94-130,257-315`) to recursion depth
+    * maxChanges ≤ 2 over a literal query term: level-1 splits where both
+    * pieces clear the df floor emit 2-word suggestions; a level-1 left
+    * that clears the floor recurses on the right piece for 3-word
+    * suggestions. Ranking = LengthThenMaxFreq (words asc, max component
+    * df desc), full ties pinned suggestion-asc. The evaluation budget
+    * (1000) is not binding at gate sizes — asserted engine-side.
+    */
+  def wordBreaks(term: String, k: Int, maxChanges: Int): String = {
+    require(maxChanges >= 1 && maxChanges <= 2, "oracle covers depth 1-2")
+    val q = lit(term)
+    val n = term.length
+    val emit3 =
+      if (maxChanges < 2) ""
+      else s""", s2 AS (
+  SELECT lv.l AS w1, lv.ldf AS d1, substr(lv.r, 1, j) AS l2, substr(lv.r, j + 1) AS r2
+  FROM lv JOIN generate_series(1, ${n - 2}) t2(j) ON j <= length(lv.r) - 1
+), emit3 AS (
+  SELECT w1 || ' ' || l2 || ' ' || r2 AS suggestion, 3 AS n_words,
+         greatest(d1, v2.df, v3.df) AS freq
+  FROM s2 JOIN vocab v2 ON s2.l2 = v2.term JOIN vocab v3 ON s2.r2 = v3.term
+)"""
+    val union =
+      if (maxChanges < 2) "SELECT * FROM emit2"
+      else "SELECT * FROM emit2 UNION ALL SELECT * FROM emit3"
+    prologue +
+      s""", vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), s1 AS (
+  SELECT i, substr($q, 1, i) AS l, substr($q, i + 1) AS r
+  FROM generate_series(1, ${n - 1}) t(i)
+), lv AS (
+  SELECT s1.i, s1.l, s1.r, v.df AS ldf FROM s1 JOIN vocab v ON s1.l = v.term
+), emit2 AS (
+  SELECT lv.l || ' ' || lv.r AS suggestion, 2 AS n_words,
+         greatest(lv.ldf, v.df) AS freq
+  FROM lv JOIN vocab v ON lv.r = v.term
+)$emit3
+SELECT suggestion, n_words, freq FROM ($union)
+ORDER BY n_words, freq DESC, suggestion LIMIT $k"""
+  }
+
+  /** WordBreakSpellChecker.suggestWordCombinations
+    * (`WordBreakSpellChecker.java:160-253`): windows of up to maxChanges
+    * adjacent query terms concatenated; kept when some original in the
+    * window is absent from the index (SUGGEST_WHEN_NOT_IN_INDEX) and the
+    * combined word's df clears the floor. Ranking =
+    * CombinationsThenFreq (window size asc, df desc), ties pinned
+    * suggestion-asc.
+    */
+  def wordCombinations(terms: Seq[String], k: Int, maxChanges: Int,
+      maxCombineLen: Int = 20): String = {
+    val vals = terms.zipWithIndex
+      .map { case (t, i) => s"($i, ${lit(t)})" }.mkString(", ")
+    prologue +
+      s""", vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), qt(idx, t) AS (
+  SELECT * FROM (VALUES $vals)
+), qdf AS (
+  SELECT idx, t, coalesce(v.df, 0) AS df FROM qt LEFT JOIN vocab v ON qt.t = v.term
+), win AS (
+  SELECT a.idx AS i, b.idx AS j,
+    (SELECT string_agg(t, '' ORDER BY idx) FROM qt WHERE idx BETWEEN a.idx AND b.idx) AS comb,
+    (SELECT min(df) FROM qdf WHERE idx BETWEEN a.idx AND b.idx) AS minfreq
+  FROM qt a JOIN qt b ON b.idx > a.idx AND b.idx - a.idx <= $maxChanges
+)
+SELECT w.comb AS suggestion, v.df AS df, w.i AS first_idx, w.j AS last_idx
+FROM win w JOIN vocab v ON w.comb = v.term
+WHERE w.minfreq = 0 AND v.df >= 1 AND length(w.comb) <= $maxCombineLen
+ORDER BY (w.j - w.i), v.df DESC, suggestion LIMIT $k"""
+  }
+
   /** TopTermsScoringBooleanQueryRewrite over a prefix
     * (`TopTermsRewrite.java:40`): the first maxExp matching terms in
     * term order (the PQ keeps the lexicographically smallest when all

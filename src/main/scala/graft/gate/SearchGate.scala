@@ -373,6 +373,25 @@ object SearchGate {
       .toDF("doc_id", "score", "rnk")
   }
 
+  /** suggestDistance runner → (suggestion, score, df) rows. */
+  private def suggestDist(term: String,
+      distance: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestDistance(term, 5, distance).toSeq
+        .map { case (t, s, df) => (t, s.toDouble, df) }
+        .toDF("suggestion", "score", "df")
+    }
+
+  /** Word-break suggestions → (joined words, word count, max df) rows. */
+  private def breaksDf(spark: SparkSession,
+      breaks: Array[Array[(String, Long)]]): DataFrame = {
+    import spark.implicits._
+    breaks.toSeq
+      .map(arr => (arr.map(_._1).mkString(" "), arr.length, arr.map(_._2).max))
+      .toDF("suggestion", "n_words", "freq")
+  }
+
   /** Run a query through the segment engine → gate-shaped DataFrame. */
   def seg(q: Query, k: Int = K): (SparkSession, String) => DataFrame =
     (spark, sfDir) =>
@@ -637,6 +656,37 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir).suggestPrefix("s", 4).toSeq
         .toDF("suggestion", "df")
+    }),
+    // DirectSpellChecker.setDistance surface: the same candidate set
+    // ("smal" → {small, scan}) re-scored under each pluggable distance —
+    // Jaro-Winkler takes the ≥0.7 bonus branch on "small" (prefix 4) and
+    // the no-bonus branch on "scan"; the lucene distance's min-length
+    // divisor and the plain-Levenshtein max-length divisor rank them
+    // identically but with different score values (all bit-checked)
+    "q_suggest_dist_jw" -> suggestDist("smal", "jarowinkler"),
+    "q_suggest_dist_lev" -> suggestDist("smal", "levenshtein"),
+    "q_suggest_dist_lucene" -> suggestDist("smal", "lucene"),
+    // WordBreakSpellChecker: breaks at maxChanges=1 (one split:
+    // sortmerge → sort merge) and the 2-change recursion
+    // (sortmergekey → sort merge key, found only through a right piece
+    // that is NOT in the index); combinations re-join adjacent query
+    // fragments (val+ue → value at 1 change, str+ea+m → stream at 2)
+    "q_wordbreak1" -> ((spark, sfDir) => {
+      import spark.implicits._
+      breaksDf(spark, searcher(spark, sfDir)
+        .suggestWordBreaks("sortmerge", 5, maxChanges = 1))
+    }),
+    "q_wordbreak2" -> ((spark, sfDir) => {
+      import spark.implicits._
+      breaksDf(spark, searcher(spark, sfDir)
+        .suggestWordBreaks("sortmergekey", 5, maxChanges = 2))
+    }),
+    "q_wordcombine" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .suggestWordCombinations(Seq("val", "ue", "str", "ea", "m"), 5,
+          maxChanges = 2).toSeq
+        .toDF("suggestion", "df", "first_idx", "last_idx")
     }),
     // scored prefix rewrites (TopTermsRewrite.java:40): cap 4 < the 6
     // matching terms, so the PQ's keep-smallest selection is exercised
@@ -1311,6 +1361,13 @@ object SearchGate {
         SegmentSearcher.SimDFR), "spark", K),
     "q_suggest" -> Oracles.suggest("sprk", 2, 5),
     "q_suggest_prefix" -> Oracles.suggestPrefix("s", 4),
+    "q_suggest_dist_jw" -> Oracles.suggestDistance("smal", 2, 5, "jarowinkler"),
+    "q_suggest_dist_lev" -> Oracles.suggestDistance("smal", 2, 5, "levenshtein"),
+    "q_suggest_dist_lucene" -> Oracles.suggestDistance("smal", 2, 5, "lucene"),
+    "q_wordbreak1" -> Oracles.wordBreaks("sortmerge", 5, 1),
+    "q_wordbreak2" -> Oracles.wordBreaks("sortmergekey", 5, 2),
+    "q_wordcombine" -> Oracles.wordCombinations(
+      Seq("val", "ue", "str", "ea", "m"), 5, 2),
     "q_bm25_prefix_scored" -> Oracles.prefixScored("s", 4, K),
     "q_bm25_prefix_blended" -> Oracles.prefixBlended("s", 4, K),
     "q_term_automaton" -> Oracles.termAutomaton(

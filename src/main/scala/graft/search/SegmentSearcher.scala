@@ -2465,6 +2465,210 @@ final class Searcher(private[search] val spark: SparkSession,
     }.take(k)
   }
 
+  /** DirectSpellChecker with a PLUGGABLE StringDistance — the
+    * `setDistance` surface (`DirectSpellChecker.java:264-281,316-381`):
+    * when the distance is not the internal one, each candidate is
+    * re-scored `distance.getDistance(term, candidate)` and kept only
+    * when `score >= accuracy` (the reference culls `score < accuracy`,
+    * DirectSpellChecker.java:362; default accuracy 0.5f). Candidates
+    * come from the `maxEdits` fuzzy neighborhood with the FIRST
+    * character exact — FuzzyTermsEnum is built with
+    * prefix = max(minPrefix=1, editDistance−1), so ed ≤ 2 always pins
+    * char 0 (DirectSpellChecker.java:394) — which makes the distributed
+    * scan a single first-char termdict partition. Ranking is
+    * SuggestWordScoreComparator reversed: score desc, df desc, term asc
+    * (`SuggestWordScoreComparator.java:30-46`), trimmed to k.
+    *
+    * Deviation (same class as `suggest`): the reference's
+    * boost-competitive enum truncation binds only past
+    * numSug×maxInspections candidates; we keep the full
+    * accuracy-passing set, bounded by `candidateCap` in dictionary
+    * order — identical whenever the neighborhood fits the cap.
+    */
+  def suggestDistance(term: String, k: Int, distance: String,
+      maxEdits: Int = 2, accuracy: Float = 0.5f,
+      candidateCap: Int = 4096): Array[(String, Float, Long)] = {
+    require(term.nonEmpty, "empty term")
+    val dist = StringDistances.byName(distance)
+    val cands = (Query.literalTerms(
+      expandMultiTerm(FuzzyQ(term, maxEdits), candidateCap)) - term)
+      .filter(t => t.nonEmpty && t.charAt(0) == term.charAt(0))
+    if (cands.isEmpty) return Array.empty
+    val st = stats(cands)
+    val scored = st.toArray.flatMap { case (t, (df, _)) =>
+      val s = dist(term, t)
+      if (s >= accuracy) Some((t, s, df)) else None
+    }
+    scored.sortWith { case ((ta, sa, dfa), (tb, sb, dfb)) =>
+      if (sa != sb) sa > sb
+      else if (dfa != dfb) dfa > dfb
+      else ta < tb
+    }.take(k)
+  }
+
+  /** WordBreakSpellChecker.suggestWordBreaks
+    * (`lucene/suggest/.../spell/WordBreakSpellChecker.java:94-130,
+    * 257-315`): suggestions formed by BREAKING `term` into in-index
+    * words. SUGGEST_WHEN_NOT_IN_INDEX law: an indexed term yields
+    * nothing. The recursion splits at every code-point boundary i ∈
+    * [minBreakWordLength, len−minBreakWordLength]; when the LEFT piece
+    * clears the frequency floor it (a) emits a suggestion if the right
+    * piece also clears it and (b) recurses on the right piece while
+    * numberBreaks ≤ maxChanges — including through right pieces that
+    * are NOT in the index (only the left gate guards recursion).
+    * The evaluation budget transcribes the reference exactly, down to
+    * its quirk of accumulating only the DIRECT child's split count.
+    *
+    * Ranking (LengthThenMaxFreq/LengthThenSumFreqComparator,
+    * WordBreakSpellChecker.java:444-470): fewer words first, then
+    * max (or sum) of component df descending. The reference's heap
+    * leaves full ties in insertion order; we pin them joined-words-asc.
+    *
+    * All df lookups for every substring of `term` batch into ONE
+    * `stats` call (one pruned termstats read — the distributed shape;
+    * the reference pays one TermsEnum seek per split).
+    */
+  def suggestWordBreaks(term: String, maxSuggestions: Int,
+      minSuggestionFrequency: Long = 1L, minBreakWordLength: Int = 1,
+      maxChanges: Int = 1, maxEvaluations: Int = 1000,
+      sumFreqSort: Boolean = false,
+      morePopular: Boolean = false): Array[Array[(String, Long)]] = {
+    if (maxSuggestions < 1) return Array.empty
+    val subs = (for {
+      a <- 0 until term.length
+      b <- (a + 1) to term.length
+    } yield term.substring(a, b)).toSet
+    val df = stats(subs).map { case (t, (d, _)) => (t, d) }
+      .withDefaultValue(0L)
+    val origFreq = df(term)
+    if (origFreq > 0 && !morePopular) return Array.empty
+    val useMinFreq =
+      if (morePopular) { if (origFreq == 0) 1L else origFreq }
+      else minSuggestionFrequency
+    val minLen = math.max(1, minBreakWordLength)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Vector[(String, Long)]]
+    // transcription of generateBreakUpSuggestions
+    // (WordBreakSpellChecker.java:257-315): totalEvaluations is a local
+    // copy per frame; a child returns only ITS OWN split count
+    def gen(text: String, numberBreaks: Int,
+        prefix: Vector[(String, Long)], totalIn: Int): Int = {
+      val termLength = text.codePointCount(0, text.length)
+      if (termLength < minLen * 2) return 0
+      var thisTime = 0
+      var total = totalIn
+      var i = minLen
+      var stop = false
+      while (i <= termLength - minLen && !stop) {
+        val end = text.offsetByCodePoints(0, i)
+        val left = text.substring(0, end)
+        val right = text.substring(end)
+        if (df(left) >= useMinFreq) {
+          if (df(right) >= useMinFreq)
+            out += prefix :+ (left, df(left)) :+ (right, df(right))
+          val newBreaks = numberBreaks + 1
+          if (newBreaks <= maxChanges)
+            total += gen(right, newBreaks, prefix :+ (left, df(left)), total)
+        }
+        thisTime += 1
+        total += 1
+        if (total >= maxEvaluations) stop = true
+        i += 1
+      }
+      thisTime
+    }
+    gen(term, 1, Vector.empty, 0)
+    out.toArray
+      .sortWith { (a, b) =>
+        if (a.length != b.length) a.length < b.length
+        else {
+          val (fa, fb) =
+            if (sumFreqSort) (a.map(_._2).sum, b.map(_._2).sum)
+            else (a.map(_._2).max, b.map(_._2).max)
+          if (fa != fb) fa > fb
+          else a.map(_._1).mkString(" ") < b.map(_._1).mkString(" ")
+        }
+      }
+      .take(maxSuggestions).map(_.toArray)
+  }
+
+  /** WordBreakSpellChecker.suggestWordCombinations
+    * (`WordBreakSpellChecker.java:160-253`): suggestions formed by
+    * COMBINING runs of adjacent query terms into one in-index word.
+    * For each start index i, windows of up to `maxChanges` further
+    * terms are concatenated (stopping at the empty SEPARATOR term or
+    * past `maxCombineWordLength` code points); a window is kept when —
+    * SUGGEST_WHEN_NOT_IN_INDEX — at least one original in it is absent
+    * from the index (minFreq == 0) and the combined word's df clears
+    * `minSuggestionFrequency`. Returns (combined, df, firstIdx,
+    * lastIdx); score = window size − 1. Ranking
+    * (CombinationsThenFreqComparator): fewer combinations first, then
+    * df desc; full ties pinned term asc (the reference's heap leaves
+    * them in insertion order). The evaluation cap transcribes the
+    * reference's `== maxEvaluations` check. One batched `stats` call
+    * covers originals and all window concatenations.
+    */
+  def suggestWordCombinations(terms: Seq[String], maxSuggestions: Int,
+      maxChanges: Int = 1, maxCombineWordLength: Int = 20,
+      minSuggestionFrequency: Long = 1L, maxEvaluations: Int = 1000,
+      suggestAlways: Boolean = false): Array[(String, Long, Int, Int)] = {
+    if (maxSuggestions < 1) return Array.empty
+    val lookups = scala.collection.mutable.Set.empty[String]
+    lookups ++= terms.filter(_.nonEmpty)
+    for (i <- terms.indices; j <- (i + 1) until math.min(terms.length, i + 1 + maxChanges))
+      lookups += terms.slice(i, j + 1).mkString
+    val df = stats(lookups.toSet).map { case (t, (d, _)) => (t, d) }
+      .withDefaultValue(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Int, Int)]
+    var evals = 0
+    var capped = false
+    var i = 0
+    while (i < terms.length - 1 && !capped) {
+      if (terms(i).nonEmpty) { // SEPARATOR_TERM = empty text
+        val leftLen = terms(i).codePointCount(0, terms(i).length)
+        if (leftLen <= maxCombineWordLength) {
+          var maxFreq = if (suggestAlways) 0L else df(terms(i))
+          var minFreq = if (suggestAlways) Long.MaxValue else df(terms(i))
+          var combined = terms(i)
+          var combinedLen = leftLen
+          var j = i + 1
+          var stop = false
+          while (j < terms.length && j - i <= maxChanges && !stop) {
+            if (terms(j).isEmpty) stop = true
+            else {
+              combined += terms(j)
+              combinedLen += terms(j).codePointCount(0, terms(j).length)
+              if (combinedLen > maxCombineWordLength) stop = true
+              else {
+                if (!suggestAlways) {
+                  maxFreq = math.max(maxFreq, df(terms(j)))
+                  minFreq = math.min(minFreq, df(terms(j)))
+                }
+                val cdf = df(combined)
+                if ((suggestAlways || minFreq == 0) &&
+                    cdf >= minSuggestionFrequency)
+                  out += ((combined, cdf, i, j))
+                evals += 1
+                // the reference checks == (not >=): transcribed as-is
+                if (evals == maxEvaluations) { stop = true; capped = true }
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      if (capped) { /* reference only breaks the inner loop */ capped = false }
+      i += 1
+    }
+    out.toArray
+      .sortWith { case ((ta, da, ia, ja), (tb, db, ib, jb)) =>
+        val (ca, cb) = (ja - ia, jb - ib)
+        if (ca != cb) ca < cb
+        else if (da != db) da > db
+        else ta < tb
+      }
+      .take(maxSuggestions)
+  }
+
   /** Prefix-completion suggest — the AnalyzingSuggester surface
     * (`lucene/suggest/.../analyzing/AnalyzingSuggester.java:121`, with
     * weight = document frequency): the top-k completions of `prefix`,
