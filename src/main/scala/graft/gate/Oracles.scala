@@ -460,6 +460,25 @@ FROM $rel ORDER BY s DESC, doc_id LIMIT $k OFFSET $offset"""
 )""" + finish("res", k)
   }
 
+  /** OR (msm) top-k PLUS the exact total hit count on every row — the
+    * fused MultiCollector(TopScoreDoc, TotalHitCount) / Solr numFound
+    * shape (Searcher.searchWithCount).
+    */
+  def orWithCount(terms: Seq[String], msm: Int, k: Int): String = {
+    val names = terms.indices.map(i => s"t$i")
+    val ctes = names.zip(terms).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n").mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), res AS (
+  SELECT doc_id, ${R("SUM(CAST(s AS DOUBLE))")} AS s
+  FROM un GROUP BY doc_id HAVING count(*) >= $msm
+)
+SELECT doc_id, CAST(s AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rnk,
+  (SELECT count(*) FROM res) AS total_hits
+FROM res ORDER BY s DESC, doc_id LIMIT $k"""
+  }
+
   /** OR with minShouldMatch: union, group, count gate. */
   def or(terms: Seq[String], msm: Int, k: Int,
       boosts: Map[String, Float] = Map.empty): String = {

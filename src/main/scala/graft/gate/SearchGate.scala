@@ -468,6 +468,16 @@ object SearchGate {
     "q_bm25_and2" -> seg(Query.and(TermQ("dup"), TermQ("batch"))),
     "q_bm25_and3" -> seg(Query.and(TermQ("spark"), TermQ("key"), TermQ("fast"))),
     "q_bm25_or2" -> seg(Query.or(TermQ("dup"), TermQ("vector"))),
+    // fused top-k + exact total count in ONE postings pass — the
+    // MultiCollector(TopScoreDoc, TotalHitCount) / Solr numFound shape
+    "q_multicollect" -> ((spark, sfDir) => {
+      import spark.implicits._
+      val (hits, total) = searcher(spark, sfDir)
+        .searchWithCount(Query.or(TermQ("dup"), TermQ("vector")), K)
+      hits.zipWithIndex.toSeq
+        .map { case (h, i) => (h.docId, h.score, i + 1, total) }
+        .toDF("doc_id", "score", "rnk", "total_hits")
+    }),
     "q_bm25_or3_msm2" -> seg(Query.orMin(2, TermQ("dup"), TermQ("spark"), TermQ("key"))),
     "q_bm25_not" -> seg(Query.not(TermQ("batch"), TermQ("spark"))),
     // CommonTermsQuery: df-driven high/low split (0.5 × maxDoc cutoff:
@@ -1276,6 +1286,7 @@ object SearchGate {
     "q_bm25_and2" -> Oracles.and(Seq("dup", "batch"), K),
     "q_bm25_and3" -> Oracles.and(Seq("spark", "key", "fast"), K),
     "q_bm25_or2" -> Oracles.or(Seq("dup", "vector"), 1, K),
+    "q_multicollect" -> Oracles.orWithCount(Seq("dup", "vector"), 1, K),
     "q_bm25_or3_msm2" -> Oracles.or(Seq("dup", "spark", "key"), 2, K),
     "q_bm25_not" -> Oracles.not("batch", "spark", K),
     "q_bm25_must_should" -> Oracles.mustShould("dup", Seq("spark", "key"), 0, K),

@@ -342,6 +342,47 @@ object SegmentSearcher {
     n
   }
 
+  /** Exhaustively walk one shard's matches into a LeafCollector — the
+    * `Weight.scorer → LeafCollector.collect` loop of
+    * `IndexSearcher.java` with WAND off (a collector that needs every
+    * hit forces COMPLETE score mode in the reference too). Tombstones
+    * (liveDocs) are applied before the collector sees the doc.
+    */
+  private[search] def collectShard(shard: Int, blobs: Map[String, SegRow],
+      plan: Plan, leaf: Collectors.LeafCollector): Unit = {
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    val del = plan.deletes
+    var d = scorer.nextDoc()
+    while (d != DocScorer.NO_MORE) {
+      if (!graft.index.Deletes.contains(del, d))
+        leaf.collect(d, scorer.score.toDouble)
+      d = scorer.nextDoc()
+    }
+  }
+
+  /** One exhaustive walk producing top-k AND the exact total hit count —
+    * the Solr numFound shape, i.e.
+    * MultiCollector(TopScoreDocCollector, TotalHitCountCollector) fused
+    * into a single scorer pass. Static so the distributed shard tasks
+    * ship a Searcher-free closure.
+    */
+  private[search] def topkCountShard(shard: Int, blobs: Map[String, SegRow],
+      plan: Plan): (Array[Hit], Long) = {
+    val queue = new BoundedHitQueue(plan.k)
+    val scorer = buildScorer(plan.query, shard, blobs, plan, 1f)
+    val del = plan.deletes
+    var n = 0L
+    var d = scorer.nextDoc()
+    while (d != DocScorer.NO_MORE) {
+      if (!graft.index.Deletes.contains(del, d)) {
+        n += 1
+        queue.insert(d, scorer.score.toDouble)
+      }
+      d = scorer.nextDoc()
+    }
+    (queue.sortedHits, n)
+  }
+
   /** Rescore one shard's first-pass hits in docId order
     * (`search/QueryRescorer.java:40-70` combine): combined =
     * float(first + weight × second) when the rescore query matches, else
@@ -1767,6 +1808,28 @@ final class Searcher(private[search] val spark: SparkSession,
         return searchFunctionRange(vs, l, u, il, iu, k)
       case _ =>
     }
+    planFor(q0, k, after, useWand, sim0, multiSims) match {
+      case None => Array.empty
+      case Some((plan, present, st)) =>
+        val hasAll = Query.containsMatchAll(plan.query)
+        if (present.isEmpty && !hasAll) return Array.empty
+        val partials: Seq[Array[Hit]] =
+          if (present.isEmpty) Seq(execShard(-1, Map.empty, plan))
+          else if (estPostingBytes(st, present) <= maxLocalBytes)
+            execLocal(present, plan)
+          else execDistributed(present, plan)
+        TopK.merge(partials, k)
+    }
+  }
+
+  /** Compile a (rewritten, expanded) query + similarity selection into an
+    * executable Plan — the IndexSearcher.createWeight phase, shared by
+    * search(), collect() and searchWithCount(). None ⇔ the query can
+    * match nothing (MatchNone, or no present terms and no MatchAll).
+    */
+  private[search] def planFor(q0: Query, k: Int, after: Option[(Double, Long)],
+      useWand: Boolean, sim0: Int, multiSims: Seq[Int])
+      : Option[(Plan, Set[String], Map[String, (Long, Long)])] = {
     // a non-empty component list selects MultiSimilarity (CombSUM)
     val sim = if (multiSims.nonEmpty) SegmentSearcher.SimMulti else sim0
     if (multiSims.nonEmpty) {
@@ -1786,7 +1849,7 @@ final class Searcher(private[search] val spark: SparkSession,
     var q = Query.rewrite(q0)
     q = expandMultiTerm(q)
     q = Query.rewrite(q)
-    if (q == MatchNoneQ) return Array.empty
+    if (q == MatchNoneQ) return None
     if (sim != SegmentSearcher.SimBm25)
       require(classicSupported(q),
         s"non-BM25 similarities support term/bool query trees only: $q")
@@ -1796,7 +1859,7 @@ final class Searcher(private[search] val spark: SparkSession,
     // MatchAll clause) — only bail out when neither terms nor MatchAll can
     // produce hits; the scorer tree handles absent terms as EmptyScorer.
     val hasAll = Query.containsMatchAll(q)
-    if (terms.isEmpty && !hasAll) return Array.empty
+    if (terms.isEmpty && !hasAll) return None
 
     val st = stats(terms)
     val weights = sim match {
@@ -1837,15 +1900,7 @@ final class Searcher(private[search] val spark: SparkSession,
       sumTtf = m.sumTotalTermFreq,
       multiSims = multiSims))
 
-    val present = terms.filter(st.contains)
-    if (present.isEmpty && !hasAll) return Array.empty
-
-    val partials: Seq[Array[Hit]] =
-      if (present.isEmpty) Seq(execShard(-1, Map.empty, plan))
-      else if (estPostingBytes(st, present) <= maxLocalBytes)
-        execLocal(present, plan)
-      else execDistributed(present, plan)
-    TopK.merge(partials, k)
+    Some((plan, terms.filter(st.contains), st))
   }
 
   /** Pruned read of the query terms' blobs, through the driver cache. */
@@ -1996,6 +2051,117 @@ final class Searcher(private[search] val spark: SparkSession,
             SegmentSearcher.blobsOf(it), p)
         }
         .collect().sum
+    }
+  }
+
+  // ---------- collector protocol ----------
+
+  /** Run a query through an arbitrary [[Collectors.Collector]] — the
+    * `IndexSearcher.search(Query, Collector)` entry point. Each shard
+    * plays a Lucene leaf: `collector.leaf(shard)` may throw
+    * CollectionTerminated to skip it (caught here, like
+    * `IndexSearcher.java`'s per-leaf catch); any other exception —
+    * notably [[Collectors.TimeExceeded]] — propagates to the caller,
+    * exactly as the reference lets TimeExceededException escape for the
+    * app (Solr's timeAllowed) to turn into partial results.
+    *
+    * Collectors are driver-local by nature (a stateful per-leaf
+    * protocol); the walk therefore requires the query's postings to fit
+    * `maxLocalBytes`. At cluster scale, fuse the outcome into the shard
+    * task instead — `searchWithCount` is the canonical fused form, and
+    * Spark job-group cancellation replaces the per-doc clock check.
+    * WAND is off: a collector sees EVERY live match (COMPLETE score
+    * mode), which is also what makes TotalHits exact.
+    */
+  def collect(q0: Query, collector: Collectors.Collector,
+      sim0: Int = SegmentSearcher.SimBm25): Unit = {
+    q0 match {
+      case _: FunctionQ | _: FuncBoostedQ | _: FuncAddedQ |
+          _: FunctionRangeQ | _: CustomScoreQ =>
+        throw new IllegalArgumentException(
+          "function queries evaluate over the docs column store, not the " +
+            "postings collector protocol")
+      case _ =>
+    }
+    planFor(q0, 1, None, useWand = false, sim0, Nil) match {
+      case None => ()
+      case Some((plan, present, st)) =>
+        val hasAll = Query.containsMatchAll(plan.query)
+        if (present.isEmpty && !hasAll) return
+        val shards: Seq[(Int, Map[String, SegRow])] =
+          if (present.isEmpty) Seq((-1, Map.empty))
+          else {
+            require(estPostingBytes(st, present) <= maxLocalBytes,
+              "collector protocol is driver-local: postings exceed " +
+                "maxLocalBytes — use searchWithCount (fused shard " +
+                "partials) or raise maxLocalBytes")
+            val rows = fetchRows(present)
+            if (rows.isEmpty) Nil
+            else if (!plan.sharded) Seq((-1, rows.map(r => r.term -> r).toMap))
+            else (0 until plan.numShards).map { s =>
+              s -> rows.filter(r => r.salt == s || r.salt < 0)
+                .map(r => r.term -> r).toMap
+            }.filter(_._2.nonEmpty)
+          }
+        // sequential, shard-ascending: collectors are stateful and the
+        // reference's leaf order is likewise deterministic
+        shards.foreach { case (s, blobs) =>
+          try {
+            val leaf = collector.leaf(math.max(s, 0))
+            SegmentSearcher.collectShard(s, blobs, plan, leaf)
+          } catch { case _: Collectors.CollectionTerminated => () }
+        }
+    }
+  }
+
+  /** Top-k and the EXACT total hit count from one pass over the postings
+    * — MultiCollector(TopScoreDocCollector, TotalHitCountCollector)
+    * fused, the Solr numFound response shape. Unlike `collect`, this
+    * scales: the fused walk runs inside the distributed shard tasks and
+    * ships back one (top-k, count) pair per shard.
+    */
+  def searchWithCount(q0: Query, k: Int): (Array[Hit], Long) = {
+    planFor(q0, k, None, useWand = false, SegmentSearcher.SimBm25, Nil) match {
+      case None => (Array.empty, 0L)
+      case Some((plan, present, st)) =>
+        val hasAll = Query.containsMatchAll(plan.query)
+        if (present.isEmpty && !hasAll) return (Array.empty, 0L)
+        val partials: Seq[(Array[Hit], Long)] =
+          if (present.isEmpty)
+            Seq(SegmentSearcher.topkCountShard(-1, Map.empty, plan))
+          else if (estPostingBytes(st, present) <= maxLocalBytes) {
+            val rows = fetchRows(present)
+            if (rows.isEmpty) Nil
+            else if (!plan.sharded)
+              Seq(SegmentSearcher.topkCountShard(-1,
+                rows.map(r => r.term -> r).toMap, plan))
+            else {
+              val byShard = (0 until plan.numShards).map { s =>
+                s -> rows.filter(r => r.salt == s || r.salt < 0)
+                  .map(r => r.term -> r).toMap
+              }.filter(_._2.nonEmpty)
+              val futs = byShard.map { case (s, blobs) =>
+                SegmentSearcher.localPool.submit(
+                  new java.util.concurrent.Callable[(Array[Hit], Long)] {
+                    def call(): (Array[Hit], Long) =
+                      SegmentSearcher.topkCountShard(s, blobs, plan)
+                  })
+              }
+              futs.map(_.get())
+            }
+          } else {
+            import spark.implicits._
+            val bPlan = spark.sparkContext.broadcast(plan)
+            shardRows(present, plan, forceAllShards = false)
+              .groupByKey(_._1)
+              .mapGroups { (shard, it) =>
+                val p = bPlan.value
+                SegmentSearcher.topkCountShard(if (p.sharded) shard else -1,
+                  SegmentSearcher.blobsOf(it), p)
+              }
+              .collect().toSeq
+          }
+        (TopK.merge(partials.map(_._1), k), partials.map(_._2).sum)
     }
   }
 
