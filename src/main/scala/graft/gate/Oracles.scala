@@ -325,6 +325,125 @@ object Oracles {
 )"""
   }
 
+  // ---- Phonetic (Soundex) field ----
+
+  /** Planted sound-alike docs for the phonetic gates — identical
+    * literals on the engine side (SearchGate.phoneticSearcher).
+    */
+  val phoneticPlanted: Seq[(Long, String)] = Seq(
+    910001L -> "mirage sord kwery table",
+    910002L -> "murge streem badge the",
+    910003L -> "sorte windoe mirage value")
+
+  /** American Soundex letter→digit map (the NARA coding rules /
+    * commons-codec US_ENGLISH mapping string), a-z.
+    */
+  private val soundexMapping = "01230120022455012623010202"
+  private def sxCodeOf(chExpr: String): String = {
+    val cases = ('a' to 'z').zip(soundexMapping)
+      .map { case (c, d) => s"WHEN '$c' THEN '$d'" }.mkString(" ")
+    s"(CASE $chExpr $cases END)"
+  }
+
+  /** Prologue over documents ∪ planted sound-alike docs with every token
+    * Soundex-coded by an INDEPENDENT recursive-CTE transcription of the
+    * published American Soundex algorithm (NARA rules as implemented by
+    * commons-codec, the encoder the reference's PhoneticFilterFactory
+    * instantiates): first letter kept; subsequent letters mapped through
+    * the digit table; a letter is silent when it repeats the previous
+    * letter's code; vowels (code 0) separate; H/W are transparent — a
+    * letter following H/W whose code equals the letter BEFORE the H/W
+    * (or where that letter is itself H/W) is skipped without touching
+    * the run state; 3 digits, zero-padded. Letters-only cleanup first;
+    * all-digit tokens have no code and pass through.
+    *
+    * inject=false (replace): a token becomes its code when the code
+    * differs from the token (`PhoneticFilter.java:45-55`). inject=true:
+    * the code joins the token at the same position — norm length counts
+    * originals only (discountOverlaps), avgdl counts everything.
+    */
+  def soundexPrologue(inject: Boolean): String = {
+    val plantedRows = phoneticPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val tokSelect =
+      if (!inject)
+        """  SELECT r.doc_id,
+    CASE WHEN c.code IS NOT NULL AND c.code <> r.rt THEN c.code ELSE r.rt END AS term
+  FROM rt2 r LEFT JOIN sxcode c ON r.rt = c.w"""
+      else
+        """  SELECT doc_id, rt AS term FROM rt2
+  UNION ALL
+  SELECT r.doc_id, c.code AS term
+  FROM rt2 r JOIN sxcode c ON r.rt = c.w WHERE c.code <> r.rt"""
+    s"""WITH RECURSIVE d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM d2
+), rt2 AS (
+  SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255
+), lets AS (
+  SELECT w, regexp_replace(w, '[^a-z]', '', 'g') AS ls
+  FROM (SELECT DISTINCT rt AS w FROM rt2)
+), sxr(w, ls, i, cnt, last, out) AS (
+  SELECT w, ls, 2, 1, ${sxCodeOf("substr(ls, 1, 1)")}, upper(substr(ls, 1, 1))
+  FROM lets WHERE ls <> ''
+  UNION ALL
+  SELECT w, ls, i + 1,
+    cnt + CASE WHEN mc IS NOT NULL AND mc <> '0' AND mc <> last THEN 1 ELSE 0 END,
+    coalesce(mc, last),
+    out || CASE WHEN mc IS NOT NULL AND mc <> '0' AND mc <> last THEN mc ELSE '' END
+  FROM (
+    SELECT w, ls, i, cnt, last, out,
+      CASE WHEN i > 2 AND substr(ls, i - 1, 1) IN ('h', 'w')
+             AND (${sxCodeOf("substr(ls, i, 1)")} = ${sxCodeOf("substr(ls, i - 2, 1)")}
+                  OR substr(ls, i - 2, 1) IN ('h', 'w'))
+        THEN NULL ELSE ${sxCodeOf("substr(ls, i, 1)")} END AS mc
+    FROM sxr WHERE i <= length(ls) AND cnt < 4
+  )
+), sxcode AS (
+  SELECT w, rpad(out, 4, '0') AS code
+  FROM (SELECT w, out, row_number() OVER (PARTITION BY w ORDER BY i DESC) AS rn
+        FROM sxr)
+  WHERE rn = 1
+), tok AS (
+$tokSelect
+), dlen AS (
+  SELECT d.doc_id, count(t.rt) AS len
+  FROM d2 d LEFT JOIN rt2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)"""
+  }
+
+  /** Single-term BM25 over a Soundex-analyzed field; the query word is
+    * coded by the SAME independent CTE (one extra sxcode lookup), so the
+    * oracle never sees an engine-computed code.
+    */
+  def phoneticTerm(queryWord: String, inject: Boolean, k: Int): String = {
+    // the query word rides the distinct-term list via a planted vocab row
+    soundexPrologue(inject) +
+      s""", qcode AS (
+  SELECT coalesce(
+    (SELECT code FROM sxcode WHERE w = ${lit(queryWord)}),
+    ${lit(queryWord)}) AS qt
+), tf_a AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = (SELECT qt FROM qcode)
+  GROUP BY doc_id
+), sc_a AS (
+  SELECT t.doc_id,
+    ${scoreExpr("t.tf", "dn.qlen", "(SELECT count(*) FROM tf_a)")} AS s
+  FROM tf_a t JOIN dn ON t.doc_id = dn.doc_id
+)""" + finish("sc_a", k)
+  }
+
   /** Prologue for the CharFilter-chained field (SearchGate.CharFilterChain
     * = PatternReplaceCharFilter digits→space, then MappingCharFilter
     * a→4, then the simple chain): the same two text transforms replayed

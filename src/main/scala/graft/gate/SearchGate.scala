@@ -61,7 +61,7 @@ object SearchGate {
       cgSearcherCache.values ++ porterSearcherCache.values ++
       synSearcherCache.values ++ reshardSearcherCache.values ++
       cfSearcherCache.values ++ delSearcherCache.values ++
-      updSearcherCache.values)
+      updSearcherCache.values ++ phoneticSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -74,6 +74,7 @@ object SearchGate {
     reshardSearcherCache.clear(); cfSearcherCache.clear()
     delSearcherCache.clear(); updSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
+    phoneticSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -247,6 +248,35 @@ object SearchGate {
         gateConfig.copy(tokenizer = CharFilterChain, offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-cf-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Soundex-analyzed fields (PhoneticFilter over commons-codec Soundex,
+    * exactly the reference factory's delegation): replace mode
+    * (inject=false) and inject mode (original + code at the same
+    * position). Corpus ∪ planted sound-alike docs, so the codes
+    * conflate real variant groups (merge/mirage/murge, sort/sord/sorte).
+    */
+  private val phoneticSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Boolean), Searcher]
+  def phoneticSearcher(spark: SparkSession, sfDir: String,
+      inject: Boolean): Searcher =
+    phoneticSearcherCache.getOrElseUpdate((sfDir, inject), {
+      import spark.implicits._
+      val mode = if (inject) "phonetic_inject" else "phonetic"
+      val dirHash = Integer.toHexString(s"$sfDir#$mode".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-ph-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .unionByName(Oracles.phoneticPlanted.toDF("doc_id", "text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = s"$mode:soundex", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-ph-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -953,6 +983,24 @@ object SearchGate {
     // the conflated df; the OR adds the tabl stem (table/tables)
     "q_bm25_porter" -> ((spark, sfDir) => hitsDf(spark,
       porterSearcher(spark, sfDir).search(TermQ("queri"), K))),
+    // PhoneticFilter/Soundex fields (the factory's commons-codec
+    // delegation): replace mode conflates merge/mirage/murge and
+    // sort/sord/sorte under one code; inject mode keeps originals at
+    // the same positions (overlay norms law) alongside the codes. Query
+    // terms are analyzed engine-side; the oracle codes its query word
+    // through its own recursive-CTE Soundex, never an engine value.
+    "q_phonetic_term" -> ((spark, sfDir) => hitsDf(spark,
+      phoneticSearcher(spark, sfDir, inject = false)
+        .search(TermQ(graft.core.Phonetic.replaced("soundex", "merge")), K))),
+    "q_phonetic_sort" -> ((spark, sfDir) => hitsDf(spark,
+      phoneticSearcher(spark, sfDir, inject = false)
+        .search(TermQ(graft.core.Phonetic.replaced("soundex", "sort")), K))),
+    "q_phonetic_inject_orig" -> ((spark, sfDir) => hitsDf(spark,
+      phoneticSearcher(spark, sfDir, inject = true)
+        .search(TermQ("merge"), K))),
+    "q_phonetic_inject_code" -> ((spark, sfDir) => hitsDf(spark,
+      phoneticSearcher(spark, sfDir, inject = true)
+        .search(TermQ(graft.core.Phonetic.replaced("soundex", "sort")), K))),
     "q_bm25_porter_or2" -> ((spark, sfDir) => hitsDf(spark,
       porterSearcher(spark, sfDir).search(
         BoolQ(should = Seq(TermQ("queri"), TermQ("tabl"))), K))),
@@ -1422,6 +1470,11 @@ object SearchGate {
         DvUpdatedIds.map(_ -> 1L)),
     "q_deleted_term" -> Oracles.deletedTerm("spark", "dup", K),
     "q_deleted_count" -> Oracles.deletedCount("batch", "dup"),
+    "q_phonetic_term" -> Oracles.phoneticTerm("merge", inject = false, K),
+    "q_phonetic_sort" -> Oracles.phoneticTerm("sort", inject = false, K),
+    "q_phonetic_inject_orig" -> (Oracles.soundexPrologue(inject = true) +
+      Oracles.termCtes("a", "merge") + Oracles.finish("sc_a", K)),
+    "q_phonetic_inject_code" -> Oracles.phoneticTerm("sort", inject = true, K),
     "q_charfilter_term" -> Oracles.charFilterTerm("b4tch", K),
     "q_charfilter_or2" -> Oracles.charFilterOr2("sp4rk", "dup", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),

@@ -177,6 +177,14 @@ object IndexBuilder {
     // tokenization so accented letters join their ASCII runs
     case "asciifold" =>
       (s: String) => Analysis.simpleTokens(graft.core.AsciiFold.fold(s))
+    // "phonetic:<encoder>[:<maxCodeLen>]" — PhoneticFilter inject=false
+    // (replace) over the simple chain; encoders resolve per-JVM so the
+    // closure ships to executors carrying only the spec string
+    case ph if ph.startsWith("phonetic:") =>
+      val spec = ph.stripPrefix("phonetic:")
+      graft.core.Phonetic.encoderFor(spec) // validate eagerly on the driver
+      (s: String) =>
+        Analysis.simpleTokens(s).map(graft.core.Phonetic.replaced(spec, _))
     case other => sys.error(s"unknown tokenizer: $other")
   }
 
@@ -217,6 +225,24 @@ object IndexBuilder {
       Some((s: String) => {
         val toks = Analysis.simpleTokens(s)
         (toks.length, Analysis.synonymTokens(toks, rules))
+      })
+    }
+    else if (name.startsWith("phonetic_inject:")) {
+      // PhoneticFilter inject=true (`PhoneticFilter.java:57-70`): the
+      // phonetic form is emitted first at the original position, then
+      // the original at position-increment 0. Norm length counts real
+      // positions only (discountOverlaps); Σtf counts both.
+      val spec = name.stripPrefix("phonetic_inject:")
+      graft.core.Phonetic.encoderFor(spec)
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        val out = toks.zipWithIndex.flatMap { case (t, i) =>
+          graft.core.Phonetic.injectCode(spec, t) match {
+            case Some(c) => Seq((c, i), (t, i))
+            case None => Seq((t, i))
+          }
+        }
+        (toks.length, out)
       })
     }
     else None
