@@ -325,6 +325,78 @@ object Oracles {
 )"""
   }
 
+  /** Prologue for the KeywordRepeatFilter + PorterStemFilter +
+    * RemoveDuplicates recipe (stem-plus-original field): tok = every
+    * original token PLUS its dictionary stem where the stem differs
+    * (the RemoveDuplicates law). Norm length counts originals only
+    * (the stem is a posInc-0 overlay); avgdl counts both.
+    */
+  def porterInjectPrologue: String = {
+    val plantedRows = porterPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val dictRows = porterDict
+      .map { case (w, s) => s"(${lit(w)}, ${lit(s)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), stemmap(w, st) AS (
+  SELECT * FROM (VALUES $dictRows)
+), rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM d2
+), rt2 AS (
+  SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255
+), tok AS (
+  SELECT doc_id, rt AS term FROM rt2
+  UNION ALL
+  SELECT r.doc_id, m.st AS term
+  FROM rt2 r JOIN stemmap m ON r.rt = m.w WHERE m.st <> r.rt
+), dlen AS (
+  SELECT d.doc_id, count(t.rt) AS len
+  FROM d2 d LEFT JOIN rt2 t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)"""
+  }
+
+  /** Prologue for an NGramTokenFilter field (`analysis/common/.../ngram/
+    * NGramTokenFilter.java:44-84`): tok = every substring of length
+    * lo..hi of each raw token; tokens shorter than lo are removed
+    * (CodepointCountFilter), so norm length counts surviving tokens.
+    */
+  def ngramPrologue(lo: Int, hi: Int): String =
+    s"""WITH rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM documents
+), rt2 AS (
+  SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255
+), tok AS (
+  SELECT doc_id, substr(rt, p, g) AS term
+  FROM rt2
+  JOIN generate_series(1, 255) t(p) ON p <= length(rt)
+  JOIN generate_series($lo, $hi) t2(g) ON p + g - 1 <= length(rt)
+), dlen AS (
+  SELECT d.doc_id, count(t.rt) AS len
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, rt FROM rt2 WHERE length(rt) >= $lo) t
+    ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
+)"""
+
   // ---- Phonetic (Soundex) field ----
 
   /** Planted sound-alike docs for the phonetic gates — identical

@@ -61,7 +61,8 @@ object SearchGate {
       cgSearcherCache.values ++ porterSearcherCache.values ++
       synSearcherCache.values ++ reshardSearcherCache.values ++
       cfSearcherCache.values ++ delSearcherCache.values ++
-      updSearcherCache.values ++ phoneticSearcherCache.values)
+      updSearcherCache.values ++ phoneticSearcherCache.values ++
+      porterInjSearcherCache.values ++ ngramSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -75,6 +76,7 @@ object SearchGate {
     delSearcherCache.clear(); updSearcherCache.clear()
     porterSearcherCache.clear(); synSearcherCache.clear()
     phoneticSearcherCache.clear()
+    porterInjSearcherCache.clear(); ngramSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -277,6 +279,50 @@ object SearchGate {
         gateConfig.copy(tokenizer = s"$mode:soundex", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-ph-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** KeywordRepeat + Porter + RemoveDuplicates field (stem overlays the
+    * original at posInc 0) over corpus ∪ planted inflections.
+    */
+  private val porterInjSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def porterInjSearcher(spark: SparkSession, sfDir: String): Searcher =
+    porterInjSearcherCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dirHash = Integer.toHexString(s"$sfDir#porterinj".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-pinj-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .unionByName(Oracles.porterPlanted.toDF("doc_id", "text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "porter_inject", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-pinj-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** NGramTokenFilter(2, 3) field — every 2- and 3-gram of each token. */
+  private val ngramSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def ngramSearcher(spark: SparkSession, sfDir: String): Searcher =
+    ngramSearcherCache.getOrElseUpdate(sfDir, {
+      val dirHash = Integer.toHexString(s"$sfDir#ngram23".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-ng-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "ngram:2:3", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-ng-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -989,6 +1035,18 @@ object SearchGate {
     // the same positions (overlay norms law) alongside the codes. Query
     // terms are analyzed engine-side; the oracle codes its query word
     // through its own recursive-CTE Soundex, never an engine value.
+    // KeywordRepeat + Porter recipe: the stem OVERLAYS the original —
+    // "queri" reaches every inflected doc, while the exact original
+    // "queries" still matches (a pure-porter field would lose it)
+    "q_porter_inject_stem" -> ((spark, sfDir) => hitsDf(spark,
+      porterInjSearcher(spark, sfDir).search(TermQ("queri"), K))),
+    "q_porter_inject_orig" -> ((spark, sfDir) => hitsDf(spark,
+      porterInjSearcher(spark, sfDir).search(TermQ("queries"), K))),
+    // NGramTokenFilter(2,3) field: partial-match grams
+    "q_ngram_term" -> ((spark, sfDir) => hitsDf(spark,
+      ngramSearcher(spark, sfDir).search(TermQ("rge"), K))),
+    "q_ngram_short" -> ((spark, sfDir) => hitsDf(spark,
+      ngramSearcher(spark, sfDir).search(TermQ("so"), K))),
     "q_phonetic_term" -> ((spark, sfDir) => hitsDf(spark,
       phoneticSearcher(spark, sfDir, inject = false)
         .search(TermQ(graft.core.Phonetic.replaced("soundex", "merge")), K))),
@@ -1470,6 +1528,14 @@ object SearchGate {
         DvUpdatedIds.map(_ -> 1L)),
     "q_deleted_term" -> Oracles.deletedTerm("spark", "dup", K),
     "q_deleted_count" -> Oracles.deletedCount("batch", "dup"),
+    "q_porter_inject_stem" -> (Oracles.porterInjectPrologue +
+      Oracles.termCtes("a", "queri") + Oracles.finish("sc_a", K)),
+    "q_porter_inject_orig" -> (Oracles.porterInjectPrologue +
+      Oracles.termCtes("a", "queries") + Oracles.finish("sc_a", K)),
+    "q_ngram_term" -> (Oracles.ngramPrologue(2, 3) +
+      Oracles.termCtes("a", "rge") + Oracles.finish("sc_a", K)),
+    "q_ngram_short" -> (Oracles.ngramPrologue(2, 3) +
+      Oracles.termCtes("a", "so") + Oracles.finish("sc_a", K)),
     "q_phonetic_term" -> Oracles.phoneticTerm("merge", inject = false, K),
     "q_phonetic_sort" -> Oracles.phoneticTerm("sort", inject = false, K),
     "q_phonetic_inject_orig" -> (Oracles.soundexPrologue(inject = true) +

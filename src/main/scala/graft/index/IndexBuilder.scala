@@ -227,6 +227,49 @@ object IndexBuilder {
         (toks.length, Analysis.synonymTokens(toks, rules))
       })
     }
+    else if (name == "porter_inject") {
+      // KeywordRepeatFilter → PorterStemFilter → RemoveDuplicates — the
+      // reference's stem-plus-original recipe (`miscellaneous/
+      // KeywordRepeatFilter.java:28`, `en/PorterStemFilter.java`): the
+      // original token, then its stem at posInc 0 when it differs
+      // (RemoveDuplicatesTokenFilter collapses the equal case).
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        val out = toks.zipWithIndex.flatMap { case (t, i) =>
+          val st = graft.core.Porter.stem(t)
+          if (st != t) Seq((t, i), (st, i)) else Seq((t, i))
+        }
+        (toks.length, out)
+      })
+    }
+    else if (name.startsWith("ngram:")) {
+      // NGramTokenFilter (`analysis/common/.../ngram/NGramTokenFilter
+      // .java:44-84`): every code-point n-gram of each token for
+      // n ∈ [min, max], position-start-major then size (all at the
+      // source token's position — first gram keeps its posInc, the rest
+      // are 0); tokens shorter than min are REMOVED by the wrapping
+      // CodepointCountFilter, so norms count surviving tokens only.
+      val Array(_, lo0, hi0) = name.split(":", 3)
+      val (lo, hi) = (lo0.toInt, hi0.toInt)
+      require(lo >= 1 && lo <= hi, s"bad ngram bounds in '$name'")
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        val kept = toks.zipWithIndex
+          .filter { case (t, _) => t.codePointCount(0, t.length) >= lo }
+        val out = kept.flatMap { case (t, i) =>
+          val n = t.codePointCount(0, t.length)
+          for {
+            p <- 0 to n - lo
+            g <- lo to math.min(hi, n - p)
+          } yield {
+            val a = t.offsetByCodePoints(0, p)
+            val b = t.offsetByCodePoints(a, g)
+            (t.substring(a, b), i)
+          }
+        }
+        (kept.length, out)
+      })
+    }
     else if (name.startsWith("phonetic_inject:")) {
       // PhoneticFilter inject=true (`PhoneticFilter.java:57-70`): the
       // phonetic form is emitted first at the original position, then
