@@ -12,6 +12,22 @@ object OpsGate {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** Planted PII docs — identical literals ride the oracle SQL. */
+  val piiPlanted: Seq[(Long, String)] = Seq(
+    920001L -> ("contact me at alice.smith+spam@example.com or bob@test.org" +
+      " thanks"),
+    920002L -> "server at 192.168.0.1 and 10.0.0.255 responded slowly",
+    920003L -> "call +1 555-123-4567 or 555 987 6543 before five",
+    920004L -> "ssn 123-45-6789 leaked with ip 8.8.8.8 and mail x@y.io",
+    920005L -> "a clean line with no identifiers at all")
+
+  /** Planted repetitive docs for the Gopher-rule signals. */
+  val repPlanted: Seq[(Long, String)] = Seq(
+    930001L -> "spam line\nspam line\nspam line\nunique closing line",
+    930002L -> "buy now buy now buy now buy now",
+    930003L -> "normal text about sort merge join ### ### # ...",
+    930004L -> "one\ntwo\nthree\nfour")
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
@@ -285,6 +301,30 @@ object OpsGate {
         .select("doc_id", "fingerprint")
         .orderBy("doc_id")),
 
+    // PII scrubbing over corpus ∪ planted PII docs (the corpus itself
+    // carries none — the plant keeps the gate non-vacuous)
+    "q_text_pii" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withPiiScrub(
+        docs(s, d).select("doc_id", "text")
+          .unionByName(piiPlanted.toDF("doc_id", "text")), "text")
+        .select("doc_id", "scrubbed", "n_emails", "n_ips", "n_ssns",
+          "n_phones")
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals over corpus ∪ planted repetitive
+    // docs (dup lines, dominant bigram, symbol runs)
+    "q_text_repetition" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.withRepetition(
+        docs(s, d).select("doc_id", "text")
+          .unionByName(repPlanted.toDF("doc_id", "text")), "text")
+        .select("doc_id", "dup_line_frac", "top_bigram_frac",
+          "symbol_word_ratio", "repetition_ok")
+        .orderBy("doc_id")
+    }),
+
     // batch NB classification of the whole corpus (CachingNaiveBayes's
     // Spark-first form): one distributed pass, ordered per-occurrence
     // log-likelihood fold, argmax class per doc
@@ -435,6 +475,90 @@ LIMIT $k"""
     * corpora happened to contain none of the 4 extra words (drift masked
     * by fixture luck; flagged by the round-3 judge).
     */
+  private def sqlText(t: String): String = "'" + t.replace("'", "''") + "'"
+
+  /** PII-scrub oracle: the four patterns replayed in the SAME fixed
+    * order on progressively scrubbed text (counts with
+    * regexp_extract_all — non-overlapping leftmost, like Java's find()
+    * loop); RE2 and Java parse these patterns identically.
+    */
+  private def piiOracle: String = {
+    val planted = piiPlanted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    // single-backslash escapes survive DuckDB standard strings verbatim
+    def stage(n: Int, src: String, re: String, tag: String,
+        cnt: String): String =
+      s"""s$n AS (
+  SELECT * EXCLUDE (t), len(regexp_extract_all(t, '$re')) AS $cnt,
+    regexp_replace(t, '$re', '$tag', 'g') AS t
+  FROM $src
+)"""
+    val email = TextAnalysis.EmailRe
+    val ip = TextAnalysis.Ipv4Re
+    val ssn = TextAnalysis.SsnRe
+    val phone = TextAnalysis.PhoneRe
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), s0 AS (SELECT doc_id, text AS t FROM d2),
+${stage(1, "s0", email, "<EMAIL>", "n_emails")},
+${stage(2, "s1", ip, "<IP>", "n_ips")},
+${stage(3, "s2", ssn, "<SSN>", "n_ssns")},
+${stage(4, "s3", phone, "<PHONE>", "n_phones")}
+SELECT doc_id, t AS scrubbed,
+  CAST(n_emails AS INT) AS n_emails, CAST(n_ips AS INT) AS n_ips,
+  CAST(n_ssns AS INT) AS n_ssns, CAST(n_phones AS INT) AS n_phones
+FROM s4 ORDER BY doc_id"""
+  }
+
+  /** Gopher-rule repetition oracle: duplicate-line fraction, dominant
+    * word-bigram character share (count desc, bigram asc tie), symbol
+    * per-word ratio — integer counts, one double division each.
+    */
+  private def repetitionOracle: String = {
+    val planted = repPlanted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), base AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS ls,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> x <> '') AS toks
+  FROM d2
+), sig AS (
+  SELECT doc_id, text,
+    (len(ls) - len(list_distinct(ls))) * 1.0 / GREATEST(len(ls), 1)
+      AS dup_line_frac,
+    ((length(text) - length(replace(text, '#', '')))
+      + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+      / GREATEST(len(toks), 1) AS symbol_word_ratio
+  FROM base
+), bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+    i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM base WHERE len(toks) >= 2
+), bgc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, c * length(b) AS topchars
+  FROM (SELECT doc_id, b, c,
+          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, b) AS rn
+        FROM bgc WHERE c >= 2)
+  WHERE rn = 1
+)
+SELECT s.doc_id, s.dup_line_frac,
+  COALESCE(t.topchars * 1.0 / GREATEST(length(s.text), 1), 0.0)
+    AS top_bigram_frac,
+  s.symbol_word_ratio,
+  (s.dup_line_frac <= 0.30
+   AND COALESCE(t.topchars * 1.0 / GREATEST(length(s.text), 1), 0.0) <= 0.20
+   AND s.symbol_word_ratio <= 0.10) AS repetition_ok
+FROM sig s LEFT JOIN top t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id"""
+  }
+
   private def qualityOracle: String = {
     def sqlLit(w: String): String = "'" + w.replace("'", "''") + "'"
     val en = TextAnalysis.LangMarkers("en").map(sqlLit).mkString(",")
@@ -788,6 +912,9 @@ FROM documents ORDER BY doc_id""",
     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
     ' ')) AS fingerprint
 FROM documents ORDER BY doc_id""",
+
+    "q_text_pii" -> piiOracle,
+    "q_text_repetition" -> repetitionOracle,
 
     "q_multimodal_decode" ->
       """SELECT doc_id,

@@ -242,6 +242,97 @@ object TextAnalysis {
       .withColumn("natural_ok", col("lm_logprob") >= NaturalLmThreshold)
   }
 
+  // ---------- PII scrubbing ----------
+
+  /** Training-pipeline PII scrubbing patterns — emails, IPv4 literals,
+    * SSN-form ids, phone-form numbers. Restricted to regex syntax that
+    * parses identically under Java regex (Spark, codegen'd
+    * regexp_replace/regexp_count) and RE2 (the DuckDB oracle): no
+    * lookaround, no backreferences; both engines match leftmost-first.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val PhoneRe = "(\\+\\d{1,2}[-. ])?\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** (count column, pattern, replacement tag) in scrub order. Counts are
+    * taken on the PROGRESSIVELY scrubbed text: an IPv4 already replaced
+    * by &lt;IP&gt; can never be re-counted as a phone, and the order is
+    * part of the operator's contract (replayed by the oracle).
+    */
+  val PiiStages: Seq[(String, String, String)] = Seq(
+    ("n_emails", EmailRe, "<EMAIL>"),
+    ("n_ips", Ipv4Re, "<IP>"),
+    ("n_ssns", SsnRe, "<SSN>"),
+    ("n_phones", PhoneRe, "<PHONE>"))
+
+  /** Adds `scrubbed` plus per-category counts — entirely codegen'd
+    * functions (no UDF), so the scrub runs at scan speed at 100 TB.
+    */
+  def withPiiScrub(df: DataFrame, textCol: String): DataFrame =
+    PiiStages.foldLeft(df.withColumn("scrubbed", col(textCol))) {
+      case (acc, (cnt, re, tag)) =>
+        acc.withColumn(cnt, regexp_count(col("scrubbed"), lit(re)))
+          .withColumn("scrubbed", regexp_replace(col("scrubbed"), re, tag))
+    }
+
+  // ---------- repetition signals (Gopher-style quality rules) ----------
+
+  /** Published repetition-filter thresholds (Rae et al. 2021, Gopher
+    * Table A1 class of rules): documents dominated by duplicate lines,
+    * one repeated word bigram, or symbol runs are filtered.
+    */
+  val DupLineFracMax = 0.30
+  val TopBigramFracMax = 0.20
+  val SymbolWordRatioMax = 0.10
+
+  /** Repetition signals per doc:
+    *  - dup_line_frac: fraction of '\n'-lines that repeat an earlier one
+    *  - top_bigram_frac: character share of the most frequent REPEATED
+    *    word bigram (count ≥ 2; count desc, bigram asc tie),
+    *    count × len(bigram) / chars — a bigram seen once is not
+    *    repetition, and counting it would trivially flag short docs
+    *  - symbol_word_ratio: ('#' chars + '...' occurrences) per token
+    * All integer counts + one double division each — bit-identical
+    * across engines, no rounding. The bigram argmax is an
+    * explode → groupBy → window top-1, joined back (distributed shape:
+    * nothing per-doc ever centralizes).
+    */
+  def withRepetition(df: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val toks = toksCol(textCol)
+    val base = df
+      .withColumn("dup_line_frac",
+        (size(lines) - size(array_distinct(lines))).cast("double") /
+          greatest(size(lines), lit(1)))
+      .withColumn("symbol_word_ratio",
+        ((length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", ""))) +
+          regexp_count(col(textCol), lit("\\.\\.\\."))).cast("double") /
+          greatest(size(toks), lit(1)))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bg = df.select(col(idCol),
+        explode(zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col(idCol), col("bg")).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("count").desc, col("bg"))
+    val top = bg.filter(col("count") >= 2)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), (col("count") * length(col("bg"))).as("_topchars"))
+    base.join(top, Seq(idCol), "left")
+      .withColumn("top_bigram_frac",
+        coalesce(col("_topchars").cast("double") /
+          greatest(length(col(textCol)), lit(1)), lit(0.0)))
+      .drop("_topchars")
+      .withColumn("repetition_ok",
+        col("dup_line_frac") <= DupLineFracMax &&
+          col("top_bigram_frac") <= TopBigramFracMax &&
+          col("symbol_word_ratio") <= SymbolWordRatioMax)
+  }
+
   /** Canonical-form fingerprint: sha256 over the normalized token stream —
     * equal fingerprints ⟺ equal token sequences (whitespace/punct/case
     * insensitive duplicate detection).
