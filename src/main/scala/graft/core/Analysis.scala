@@ -408,6 +408,110 @@ object Analysis {
     out.toArray
   }
 
+  /** One multi-word synonym rule: `matchSeq` consumes that many
+    * consecutive input tokens; each output is a word sequence stacked
+    * into the sausage.
+    */
+  final case class SynRule(matchSeq: Vector[String],
+      outputs: Seq[Vector[String]], keepOrig: Boolean)
+
+  /** Multi-word synonym rules — the FULL SynonymFilter surface
+    * (`analysis/common/.../synonym/SynonymFilter.java:33-96`): spaces
+    * inside rule sides are word separators (SynonymMap.WORD_SEPARATOR).
+    * Identical left-hand sides merge (the FST unions their outputs and
+    * ORs keepOrig).
+    */
+  def parseSynGraphRules(spec: String): Seq[SynRule] = {
+    def words(s: String): Vector[String] =
+      s.trim.split("\\s+").toVector.filter(_.nonEmpty)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[SynRule]
+    spec.split(";").map(_.trim).filter(_.nonEmpty).foreach { rule =>
+      if (rule.contains("=>")) {
+        val Array(lhs, rhs) = rule.split("=>", 2)
+        val m = words(lhs)
+        val outs = rhs.split(",").map(words).filter(_.nonEmpty).toSeq
+        require(m.nonEmpty && outs.nonEmpty, s"bad rule '$rule'")
+        rules += SynRule(m, outs, keepOrig = false)
+      } else {
+        val members = rule.split(",").map(words).filter(_.nonEmpty).toSeq
+        require(members.length >= 2, s"expansion group needs >= 2: '$rule'")
+        members.foreach { m =>
+          rules += SynRule(m, members.filterNot(_ == m), keepOrig = true)
+        }
+      }
+    }
+    rules.groupBy(_.matchSeq).map { case (m, rs) =>
+      SynRule(m, rs.flatMap(_.outputs).distinct.toSeq, rs.exists(_.keepOrig))
+    }.toSeq
+  }
+
+  /** The SynonymFilter "sausage" flattening
+    * (`SynonymFilter.java:66-84` NOTE, `addOutput:...`, emit loop):
+    *
+    *  - greedy longest match starting at each unconsumed position;
+    *    after a match of input length L, parsing resumes AFTER the span
+    *  - output word j of a match at position p is stacked on slot p+j —
+    *    slots may run past the match span (overlapping later input
+    *    tokens) and past the end of the stream
+    *  - assembly walks slots in order: a slot emits its original token
+    *    (when unmatched, or matched with keepOrig — keepOrig marks the
+    *    WHOLE span) at a fresh position with its stacked outputs at
+    *    position-increment 0; a slot with only outputs emits them all at
+    *    one fresh position; a consumed slot with no outputs VANISHES
+    *    (replace compaction — "a b => x" leaves no position hole)
+    *
+    * Returns (position count = norm length, (term, position) pairs).
+    */
+  def synonymSausage(tokens: Array[String],
+      rules: Seq[SynRule]): (Int, Array[(String, Int)]) = {
+    val byFirst = rules.groupBy(_.matchSeq.head)
+    val n = tokens.length
+    val slotOut = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+    val consumed = new Array[Boolean](n)
+    val keepO = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      val cands = byFirst.getOrElse(tokens(i), Nil).filter { r =>
+        r.matchSeq.length <= n - i &&
+          r.matchSeq.indices.forall(j => tokens(i + j) == r.matchSeq(j))
+      }
+      if (cands.nonEmpty) {
+        val r = cands.maxBy(_.matchSeq.length) // greedy; LHS are merged
+        val L = r.matchSeq.length
+        for (o <- r.outputs; j <- o.indices)
+          slotOut.getOrElseUpdate(i + j,
+            scala.collection.mutable.ArrayBuffer.empty[String]) += o(j)
+        var j = 0
+        while (j < L) {
+          consumed(i + j) = true
+          if (r.keepOrig) keepO(i + j) = true
+          j += 1
+        }
+        i += L
+      } else i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](n + 8)
+    var q = -1
+    val maxSlot = math.max(n - 1,
+      if (slotOut.isEmpty) -1 else slotOut.keys.max)
+    var s = 0
+    while (s <= maxSlot) {
+      val orig = s < n && (!consumed(s) || keepO(s))
+      val outs = slotOut.getOrElse(s, null)
+      if (orig) {
+        q += 1
+        out += ((tokens(s), q))
+        if (outs != null) outs.foreach(w => out += ((w, q)))
+      } else if (outs != null && outs.nonEmpty) {
+        q += 1
+        outs.foreach(w => out += ((w, q)))
+      }
+      s += 1
+    }
+    (q + 1, out.toArray)
+  }
+
   /** Payload-producing token filters (the reference's payload filter
     * family, `lucene/analysis/common/.../payloads/`): each policy maps an
     * occurrence (token, position) to the possibly-rewritten term plus a

@@ -397,6 +397,82 @@ object Oracles {
          ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM documents) AS DOUBLE)")} AS avgdl
 )"""
 
+  // ---- Multi-word synonym (sausage) fields ----
+
+  /** Closed-form oracle for the `syngraph:sort merge=>sortmerge` field
+    * (SynonymFilter sausage, replace rule): the pattern cannot overlap
+    * itself (it starts with 'sort' but continues with 'merge'), so the
+    * greedy non-overlapping match count equals the adjacent-pair count;
+    * each match removes one POSITION (compaction) and contributes one
+    * 'sortmerge' posting. tf = pairs, norm length = n − pairs, total
+    * postings = n − pairs.
+    */
+  def syngraphReplace(k: Int): String = {
+    val avgdl = R(s"(SELECT sum(n - pairs) FROM st) / " +
+      "CAST((SELECT count(*) FROM st) AS DOUBLE)")
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), st AS (
+  SELECT doc_id, len(a) AS n,
+    len(list_filter(generate_series(1, len(a) - 1),
+      i -> a[i] = 'sort' AND a[i + 1] = 'merge')) AS pairs
+  FROM arr
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT st.doc_id, ${R("normq.qlen")} AS qlen
+  FROM st JOIN normq ON (st.n - st.pairs) BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM st) AS n, $avgdl AS avgdl
+), tf_a AS (
+  SELECT doc_id, pairs AS tf FROM st WHERE pairs > 0
+), sc_a AS (
+  SELECT t.doc_id,
+    ${scoreExpr("t.tf", "dn.qlen", "(SELECT count(*) FROM tf_a)")} AS s
+  FROM tf_a t JOIN dn ON t.doc_id = dn.doc_id
+)""" + finish("sc_a", k)
+  }
+
+  /** Closed-form oracle for the `syngraph:key,primary key` field: the
+    * two-word member never occurs in the corpus (no 'primary' token),
+    * so only 'key' matches — each match keeps the original and stacks
+    * primary@p, key@p+1. tf(primary) = nkey, tf(key) = 2·nkey; the
+    * stacked words land on EXISTING positions except when the key is
+    * the last token (one end-case position): norm length =
+    * n + (last == 'key'), total postings = n + 2·nkey.
+    */
+  def syngraphExpand(queryTerm: String, k: Int): String = {
+    require(queryTerm == "primary" || queryTerm == "key")
+    val tfExpr = if (queryTerm == "primary") "nkey" else "2 * nkey"
+    val avgdl = R(s"(SELECT sum(n + 2 * nkey) FROM st) / " +
+      "CAST((SELECT count(*) FROM st) AS DOUBLE)")
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), st AS (
+  SELECT doc_id, len(a) AS n,
+    len(list_filter(a, x -> x = 'key')) AS nkey,
+    CASE WHEN len(a) > 0 AND a[len(a)] = 'key' THEN 1 ELSE 0 END AS endspill
+  FROM arr
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT st.doc_id, ${R("normq.qlen")} AS qlen
+  FROM st JOIN normq ON (st.n + st.endspill) BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM st) AS n, $avgdl AS avgdl
+), tf_a AS (
+  SELECT doc_id, $tfExpr AS tf FROM st WHERE nkey > 0
+), sc_a AS (
+  SELECT t.doc_id,
+    ${scoreExpr("t.tf", "dn.qlen", "(SELECT count(*) FROM tf_a)")} AS s
+  FROM tf_a t JOIN dn ON t.doc_id = dn.doc_id
+)""" + finish("sc_a", k)
+  }
+
   // ---- Phonetic (Soundex) field ----
 
   /** Planted sound-alike docs for the phonetic gates — identical

@@ -62,7 +62,8 @@ object SearchGate {
       synSearcherCache.values ++ reshardSearcherCache.values ++
       cfSearcherCache.values ++ delSearcherCache.values ++
       updSearcherCache.values ++ phoneticSearcherCache.values ++
-      porterInjSearcherCache.values ++ ngramSearcherCache.values)
+      porterInjSearcherCache.values ++ ngramSearcherCache.values ++
+      synGraphSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -77,6 +78,7 @@ object SearchGate {
     porterSearcherCache.clear(); synSearcherCache.clear()
     phoneticSearcherCache.clear()
     porterInjSearcherCache.clear(); ngramSearcherCache.clear()
+    synGraphSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -323,6 +325,31 @@ object SearchGate {
         gateConfig.copy(tokenizer = "ngram:2:3", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-ng-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Multi-word synonym (sausage) fields — one per rule set, over the
+    * plain corpus: a replace rule ("sort merge=>sortmerge", positions
+    * compact) and an expansion group ("key,primary key", output spills
+    * onto the following slot / past the end).
+    */
+  private val synGraphSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
+  def synGraphSearcher(spark: SparkSession, sfDir: String,
+      rules: String): Searcher =
+    synGraphSearcherCache.getOrElseUpdate((sfDir, rules), {
+      val dirHash = Integer.toHexString(s"$sfDir#syngraph#$rules".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-sg-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = s"syngraph:$rules", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-sg-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -1047,6 +1074,19 @@ object SearchGate {
       ngramSearcher(spark, sfDir).search(TermQ("rge"), K))),
     "q_ngram_short" -> ((spark, sfDir) => hitsDf(spark,
       ngramSearcher(spark, sfDir).search(TermQ("so"), K))),
+    // multi-word SynonymFilter sausage: the replace rule fuses adjacent
+    // "sort merge" into one token (and one POSITION — compaction shifts
+    // every later norm); the expansion group stacks "primary key" onto
+    // a "key" match, spilling onto the next slot (or a new end slot)
+    "q_syngraph_replace" -> ((spark, sfDir) => hitsDf(spark,
+      synGraphSearcher(spark, sfDir, "sort merge=>sortmerge")
+        .search(TermQ("sortmerge"), K))),
+    "q_syngraph_expand" -> ((spark, sfDir) => hitsDf(spark,
+      synGraphSearcher(spark, sfDir, "key,primary key")
+        .search(TermQ("primary"), K))),
+    "q_syngraph_expand_key" -> ((spark, sfDir) => hitsDf(spark,
+      synGraphSearcher(spark, sfDir, "key,primary key")
+        .search(TermQ("key"), K))),
     "q_phonetic_term" -> ((spark, sfDir) => hitsDf(spark,
       phoneticSearcher(spark, sfDir, inject = false)
         .search(TermQ(graft.core.Phonetic.replaced("soundex", "merge")), K))),
@@ -1528,6 +1568,9 @@ object SearchGate {
         DvUpdatedIds.map(_ -> 1L)),
     "q_deleted_term" -> Oracles.deletedTerm("spark", "dup", K),
     "q_deleted_count" -> Oracles.deletedCount("batch", "dup"),
+    "q_syngraph_replace" -> Oracles.syngraphReplace(K),
+    "q_syngraph_expand" -> Oracles.syngraphExpand("primary", K),
+    "q_syngraph_expand_key" -> Oracles.syngraphExpand("key", K),
     "q_porter_inject_stem" -> (Oracles.porterInjectPrologue +
       Oracles.termCtes("a", "queri") + Oracles.finish("sc_a", K)),
     "q_porter_inject_orig" -> (Oracles.porterInjectPrologue +

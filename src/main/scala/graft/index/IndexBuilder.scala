@@ -227,6 +227,15 @@ object IndexBuilder {
         (toks.length, Analysis.synonymTokens(toks, rules))
       })
     }
+    else if (name.startsWith("syngraph:")) {
+      // full multi-word SynonymFilter sausage (greedy FST match,
+      // stacked outputs, replace compaction) — norm length is the
+      // POSITION count, which replace rules shrink and past-the-end
+      // outputs grow, unlike the single-word "synonym:" overlay
+      val rules = Analysis.parseSynGraphRules(name.stripPrefix("syngraph:"))
+      Some((s: String) =>
+        Analysis.synonymSausage(Analysis.simpleTokens(s), rules))
+    }
     else if (name == "porter_inject") {
       // KeywordRepeatFilter → PorterStemFilter → RemoveDuplicates — the
       // reference's stem-plus-original recipe (`miscellaneous/
