@@ -28,6 +28,55 @@ object OpsGate {
     930002L -> "buy now buy now buy now buy now",
     930003L -> "normal text about sort merge join ### ### # ...",
     930004L -> "one\ntwo\nthree\nfour")
+
+  /** Benchmark eval snippets for the decontamination gate (each ≥ 5
+    * tokens). The third is deliberately built from common corpus
+    * vocabulary so REAL corpus docs can also trip the overlap — both
+    * engines compute over the same data, so data-dependent hits are
+    * gate-safe.
+    */
+  val benchPlanted: Seq[(Long, String)] = Seq(
+    940001L -> "What is the capital of France? Paris is the capital.",
+    940002L -> "def quicksort(arr): return sorted(arr) # python eval snippet",
+    940003L -> "the fast key order sort merge join")
+
+  /** Planted training docs for decontamination: two embed a benchmark
+    * sentence verbatim (leaks), two are clean — one sharing individual
+    * words but no full 5-gram.
+    */
+  val contamPlanted: Seq[(Long, String)] = Seq(
+    950001L -> ("intro text before the eval leak. What is the capital of " +
+      "France? Paris is the capital. trailing words"),
+    950002L -> "def quicksort(arr): return sorted(arr) # python eval snippet",
+    950003L -> "a completely clean document about window aggregation",
+    950004L -> "capital of France is mentioned but the full gram differs")
+
+  /** Planted boilerplate docs: three share a navigation-header trigram
+    * run ("subscribe to our newsletter today"); one is wholly original.
+    */
+  val boilerPlanted: Seq[(Long, String)] = Seq(
+    970001L -> "subscribe to our newsletter today for updates on merges",
+    970002L -> "subscribe to our newsletter today and read about joins",
+    970003L -> "footer text subscribe to our newsletter today bye",
+    970004L -> "wholly original content that no other page repeats")
+
+  /** Planted pages for the C4 rule gate: clean multi-sentence page, a
+    * punctuation-free page, a code page ('{'), a lorem-ipsum page, and a
+    * page whose only bad LINE mentions javascript (line dropped, page
+    * kept — the line-vs-page distinction).
+    */
+  val c4Planted: Seq[(Long, String)] = Seq(
+    960001L -> ("This is a clean first sentence with plenty of words.\n" +
+      "Here is another complete sentence that also ends properly.\n" +
+      "And a third sentence long enough to keep as well."),
+    960002L -> "short line\nno punctuation here\ntiny",
+    960003L -> ("A page with code is dropped. if (x) { return y; } " +
+      "Second sentence here. And a third one."),
+    960004L -> ("Lorem ipsum dolor sit amet sentence one. Another full " +
+      "sentence follows right here. And then a third sentence."),
+    960005L -> ("Enable javascript to view this page properly please.\n" +
+      "This other sentence is perfectly fine and long enough.\n" +
+      "A third good sentence closes out the page nicely."))
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
@@ -365,6 +414,48 @@ object OpsGate {
           testRatio = 0.2, cvRatio = 0.1)
         .orderBy("doc_id")),
 
+    // benchmark decontamination: 5-gram overlap vs a broadcast bench set
+    // over corpus ∪ planted leak/clean docs
+    "q_text_decontam" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.flagContaminated(
+        docs(s, d).select("doc_id", "text")
+          .unionByName(contamPlanted.toDF("doc_id", "text")),
+        benchPlanted.toDF("b_id", "text"), "text", n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // cross-doc boilerplate trigrams (df >= 3) over corpus ∪ planted
+    // shared-header docs
+    "q_text_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.boilerplateNgrams(
+        docs(s, d).select("doc_id", "text")
+          .unionByName(boilerPlanted.toDF("doc_id", "text")),
+        "text", n = 3, minDocs = 3)
+        .orderBy("doc_id")
+    }),
+
+    // C4 line+page cleaning rules over corpus ∪ planted pages
+    "q_text_c4" -> ((s, d) => {
+      import s.implicits._
+      Pipeline.withC4Rules(
+        docs(s, d).select("doc_id", "text")
+          .unionByName(c4Planted.toDF("doc_id", "text")), "text")
+        .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+          "has_brace", "has_lorem", "c4_ok")
+        .orderBy("doc_id")
+    }),
+
+    // whole-corpus token statistics (exact vocabulary)
+    "q_corpus_stats" -> ((s, d) =>
+      Pipeline.corpusStats(docs(s, d), "text")),
+
+    // temperature-based (α = 0.5) source mixing weights
+    "q_source_mix" -> ((s, d) =>
+      Pipeline.sourceMixWeights(docs(s, d), "text")
+        .orderBy("source")),
+
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.asMedia(docs(s, d), "doc_id", "text", "text/fake")
       Multimodal.decode(media).toDF()
@@ -510,6 +601,139 @@ SELECT doc_id, t AS scrubbed,
   CAST(n_ssns AS INT) AS n_ssns, CAST(n_phones AS INT) AS n_phones
 FROM s4 ORDER BY doc_id"""
   }
+
+  /** Decontamination oracle: the same 5-gram overlap recomputed from
+    * scratch — per-doc-DISTINCT grams (a gram repeated inside one doc
+    * counts once), DISTINCT bench grams, inner join, per-doc count.
+    */
+  private def decontamOracle: String = {
+    val bench = benchPlanted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    val planted = contamPlanted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    val toks = "list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH bench(b_id, text) AS (VALUES $bench),
+d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), bt AS (SELECT $toks AS toks FROM bench),
+bg AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, len(toks) - 4),
+    i -> array_to_string(toks[i:i+4], ' '))) AS g
+  FROM bt WHERE len(toks) >= 5
+), dt AS (SELECT doc_id, $toks AS toks FROM d2),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(toks) - 4),
+    i -> array_to_string(toks[i:i+4], ' ')))) AS g
+  FROM dt WHERE len(toks) >= 5
+), hits AS (
+  SELECT dg.doc_id, count(*) AS c FROM dg JOIN bg USING (g) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS INT) AS n_overlap,
+  COALESCE(h.c, 0) > 0 AS contaminated
+FROM d2 d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  /** Boilerplate oracle: the trigram document-frequency recomputed from
+    * scratch (per-doc-distinct grams, HAVING df >= minDocs, join back).
+    */
+  private def boilerplateOracle: String = {
+    val planted = boilerPlanted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    val toks = "list_filter(regexp_split_to_array(lower(text), " +
+      "'[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), dt AS (SELECT doc_id, $toks AS toks FROM d2),
+dg AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(toks) - 2),
+    i -> array_to_string(toks[i:i+2], ' ')))) AS g
+  FROM dt WHERE len(toks) >= 3
+), b AS (SELECT g FROM dg GROUP BY g HAVING count(*) >= 3),
+hits AS (
+  SELECT dg.doc_id, count(*) AS c FROM dg JOIN b USING (g) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(h.c, 0) AS INT) AS n_boiler,
+  COALESCE(h.c, 0) >= 1 AS boilerplate
+FROM d2 d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id"""
+  }
+
+  /** C4 rule oracle: line list filtered by the same three line rules
+    * (terminal punct, ≥ 5 words, no javascript), page signals recomputed
+    * with RE2 — the rule regexes avoid every Java/RE2 divergence.
+    */
+  private def c4Oracle: String = {
+    val planted = c4Planted
+      .map { case (id, t) => s"($id, ${sqlText(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), sig AS (
+  SELECT doc_id,
+    len(string_split(text, chr(10))) AS n_lines,
+    len(list_filter(string_split(text, chr(10)), l ->
+      regexp_matches(l, '[.!?"]\\s*$$')
+      AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+        w -> w <> '')) >= 5
+      AND NOT contains(lower(l), 'javascript'))) AS n_kept_lines,
+    len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+    contains(text, '{') AS has_brace,
+    contains(lower(text), 'lorem ipsum') AS has_lorem
+  FROM d2)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+  CAST(n_kept_lines AS INT) AS n_kept_lines,
+  CAST(n_sentences AS INT) AS n_sentences, has_brace, has_lorem,
+  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem
+   AND n_kept_lines >= 1) AS c4_ok
+FROM sig ORDER BY doc_id"""
+  }
+
+  /** Corpus statistics oracle — exact counts, two double divisions. */
+  private val corpusStatsOracle: String =
+    """WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '') AS toks FROM documents
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(len(toks)), 0) AS BIGINT) AS total_tokens
+  FROM t
+), v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+  FROM (SELECT unnest(toks) AS tok FROM t)
+)
+SELECT n_docs, total_tokens, vocab_size,
+  CAST(total_tokens AS DOUBLE) / GREATEST(n_docs, 1) AS avg_doc_tokens,
+  CAST(vocab_size AS DOUBLE) / GREATEST(total_tokens, 1) AS type_token_ratio
+FROM base, v"""
+
+  /** Source-mix oracle: integer token counts, p by one double division,
+    * normalizer = source-asc ordered left fold of sqrt(p) (list_reduce
+    * seeds with the first element; the engine seeds 0.0 — identical bits
+    * since 0.0 + x = x), q and weight by single divisions.
+    */
+  private val sourceMixOracle: String =
+    """WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(len(list_filter(regexp_split_to_array(lower(text),
+      '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM c),
+p AS (
+  SELECT source, n_docs, n_tokens, CAST(n_tokens AS DOUBLE) / tot AS p
+  FROM c, t
+), z AS (
+  SELECT list_reduce(list(sqrt(p) ORDER BY source), (a, b) -> a + b) AS z
+  FROM p
+)
+SELECT source, n_docs, n_tokens, p, sqrt(p) / z AS q,
+  (sqrt(p) / z) / p AS weight
+FROM p, z ORDER BY source"""
 
   /** Gopher-rule repetition oracle: duplicate-line fraction, dominant
     * word-bigram character share (count desc, bigram asc tie), symbol
@@ -915,6 +1139,11 @@ FROM documents ORDER BY doc_id""",
 
     "q_text_pii" -> piiOracle,
     "q_text_repetition" -> repetitionOracle,
+    "q_text_decontam" -> decontamOracle,
+    "q_text_boilerplate" -> boilerplateOracle,
+    "q_text_c4" -> c4Oracle,
+    "q_corpus_stats" -> corpusStatsOracle,
+    "q_source_mix" -> sourceMixOracle,
 
     "q_multimodal_decode" ->
       """SELECT doc_id,

@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import graft.ops.Pipeline
+
+/** Corpus-preparation pipeline ops — hand-checked laws on crafted docs
+  * (the DuckDB gates sweep corpus ∪ fixtures; this pins the per-op
+  * semantics: n-gram edges, distinct-count law, line-vs-page rules,
+  * exact stats, mix-weight algebra).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("decontam: leak flagged, near-miss clean, within-doc grams count once") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("b_id", "text")
+    val docs = Seq(
+      // embeds bench 5-grams "alpha beta gamma delta epsilon" and
+      // "beta gamma delta epsilon zeta" — and REPEATS the first one;
+      // distinct-per-doc law says n_overlap = 2, not 3
+      (10L, "x alpha beta gamma delta epsilon zeta y " +
+        "alpha beta gamma delta epsilon"),
+      // shares 4 consecutive tokens only — below n, clean
+      (11L, "alpha beta gamma delta unrelated tail words here"),
+      (12L, "entirely different content with no shared tokens at all"),
+      // shorter than n tokens — must not blow up, clean
+      (13L, "tiny doc")).toDF("doc_id", "text")
+    val got = Pipeline.flagContaminated(docs, bench, "text", n = 5)
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(10L, 2, true))
+    assert(got(1) === Row(11L, 0, false))
+    assert(got(2) === Row(12L, 0, false))
+    assert(got(3) === Row(13L, 0, false))
+  }
+
+  test("decontam: ngramsCol guards the short-doc descending-sequence trap") {
+    import spark.implicits._
+    val df = Seq(("a b c", 1)).toDF("text", "i")
+    val grams = df.select(Pipeline.ngramsCol("text", 5).as("g"))
+      .head().getSeq[String](0)
+    assert(grams.isEmpty)
+    val tri = df.select(Pipeline.ngramsCol("text", 3).as("g"))
+      .head().getSeq[String](0)
+    assert(tri === Seq("a b c"))
+  }
+
+  test("boilerplate: df >= minDocs trigrams flag sharers, not originals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "click here to subscribe now unique tail one"),
+      (2L, "click here to subscribe now unique tail two"),
+      (3L, "prefix words click here to subscribe now"),
+      (4L, "original text that shares nothing with the others"),
+      // shares the PAIR "click here" only — below trigram df
+      (5L, "click here once but never the full trigram run"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.boilerplateNgrams(docs, "text", n = 3, minDocs = 3)
+      .orderBy("doc_id").collect()
+    // "click here to", "here to subscribe", "to subscribe now" are in
+    // docs 1-3 (df = 3); no other trigram reaches df 3
+    assert(got(0) === Row(1L, 3, true))
+    assert(got(1) === Row(2L, 3, true))
+    assert(got(2) === Row(3L, 3, true))
+    assert(got(3) === Row(4L, 0, false))
+    assert(got(4) === Row(5L, 0, false))
+  }
+
+  test("c4: line rules (punct, >=5 words, javascript) and page rules") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "One full sentence that ends with a period here.\n" +
+        "Second proper sentence keeps the page alive today.\n" +
+        "Third sentence rounds out the three-sentence minimum."),
+      (2L, "no terminal punctuation on this line\nshort."),
+      (3L, "Code page sentence one is fine. var x = { a: 1 }. " +
+        "Third sentence present."),
+      (4L, "Contains lorem ipsum filler. Second sentence. Third one."),
+      (5L, "Please enable javascript to continue browsing now.\n" +
+        "This perfectly ordinary sentence has enough words.\n" +
+        "Closing sentence also has the required word count."))
+      .toDF("doc_id", "text")
+    val got = Pipeline.withC4Rules(docs, "text")
+      .select("doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_brace", "has_lorem", "c4_ok")
+      .orderBy("doc_id").collect()
+    assert(got(0) === Row(1L, 3, 3, 3, false, false, true))
+    // line 1: no punct; line 2 "short.": < 5 words — nothing kept
+    assert(got(1) === Row(2L, 2, 0, 1, false, false, false))
+    assert(got(2).getBoolean(4) === true)  // has_brace
+    assert(got(2).getBoolean(6) === false) // c4_ok
+    assert(got(3).getBoolean(5) === true)  // has_lorem
+    assert(got(3).getBoolean(6) === false)
+    // javascript kills its LINE, not the page
+    assert(got(4) === Row(5L, 3, 2, 3, false, false, true))
+  }
+
+  test("corpus stats: exact counts on a hand-counted corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat ran far"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = Pipeline.corpusStats(docs, "text").head()
+    assert(got.getLong(0) === 3L)            // n_docs
+    assert(got.getLong(1) === 7L)            // total tokens
+    assert(got.getLong(2) === 5L)            // vocab: the cat sat ran far
+    assert(got.getDouble(3) === 7.0 / 3)     // avg_doc_tokens
+    assert(got.getDouble(4) === 5.0 / 7)     // type_token_ratio
+  }
+
+  test("source mix: α=0.5 algebra — q sums to ~1, rare source upweighted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i", "big"),   // 9 tokens
+      (2L, "j", "small"))                 // 1 token
+      .toDF("doc_id", "text", "source")
+    val rows = Pipeline.sourceMixWeights(docs, "text")
+      .orderBy("source").collect()
+    val big = rows.find(_.getString(0) == "big").get
+    val small = rows.find(_.getString(0) == "small").get
+    assert(big.getLong(2) === 9L && small.getLong(2) === 1L)
+    val pB = 0.9
+    val pS = 0.1
+    val z = math.sqrt(pB) + math.sqrt(pS) // source-asc: big, small
+    assert(big.getDouble(3) === pB)
+    assert(small.getDouble(3) === pS)
+    assert(big.getDouble(4) === math.sqrt(pB) / z)
+    assert(small.getDouble(4) === math.sqrt(pS) / z)
+    // weight = q / p: the rare source is upsampled, the big one damped
+    assert(small.getDouble(5) > 1.0 && big.getDouble(5) < 1.0)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-12)
+  }
+}
