@@ -451,6 +451,12 @@ object OpsGate {
     "q_corpus_stats" -> ((s, d) =>
       Pipeline.corpusStats(docs(s, d), "text")),
 
+    // pretraining sequence packing: concat-then-chunk 512-token windows,
+    // two-level distributed prefix sum
+    "q_pack_sequences" -> ((s, d) =>
+      Pipeline.packSequences(docs(s, d), "text", budget = 512)
+        .orderBy("doc_id")),
+
     // temperature-based (α = 0.5) source mixing weights
     "q_source_mix" -> ((s, d) =>
       Pipeline.sourceMixWeights(docs(s, d), "text")
@@ -711,6 +717,27 @@ SELECT n_docs, total_tokens, vocab_size,
   CAST(total_tokens AS DOUBLE) / GREATEST(n_docs, 1) AS avg_doc_tokens,
   CAST(vocab_size AS DOUBLE) / GREATEST(total_tokens, 1) AS type_token_ratio
 FROM base, v"""
+
+  /** Packing oracle: one sequential window cumsum (exclusive), integer
+    * chunk arithmetic — the single-stream law the engine's two-level
+    * prefix sum must reproduce exactly.
+    */
+  private val packOracle: String =
+    """WITH t AS (
+  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+    COALESCE(SUM(n) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+  CAST(cum // 512 AS BIGINT) AS pack_id,
+  CAST(cum % 512 AS INT) AS pack_offset,
+  n > 512 AS oversize
+FROM c ORDER BY doc_id"""
 
   /** Source-mix oracle: integer token counts, p by one double division,
     * normalizer = source-asc ordered left fold of sqrt(p) (list_reduce
@@ -1143,6 +1170,7 @@ FROM documents ORDER BY doc_id""",
     "q_text_boilerplate" -> boilerplateOracle,
     "q_text_c4" -> c4Oracle,
     "q_corpus_stats" -> corpusStatsOracle,
+    "q_pack_sequences" -> packOracle,
     "q_source_mix" -> sourceMixOracle,
 
     "q_multimodal_decode" ->

@@ -145,6 +145,56 @@ object Pipeline {
           greatest(col("total_tokens"), lit(1L)))
   }
 
+  /** Sequence packing for pretraining (the standard concat-then-chunk
+    * batching): documents are laid out in id order as one token stream
+    * and cut into fixed `budget`-token windows; each doc reports the
+    * pack (window) its FIRST token falls in and its offset within that
+    * pack. Unlike greedy bin packing, the chunk law is a pure function
+    * of the exclusive running token sum — which is what makes it
+    * distributable.
+    *
+    * Scale shape — a two-level distributed prefix sum (same
+    * broadcast-offsets trick as [[Split.datasetSplit]]): ids bucket into
+    * contiguous ranges by `floor(id / span)` (monotone in id, so bucket
+    * order IS id order); per-bucket token totals are a `parts`-row
+    * collect whose prefix offsets broadcast back; the within-bucket
+    * exclusive cumsum is a DISTRIBUTED window (partitioned by bucket).
+    * No single-partition global window anywhere.
+    */
+  def packSequences(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", budget: Int = 512,
+      parts: Int = 32): DataFrame = {
+    require(budget >= 1, s"pack budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    val withN = docs.select(col(idCol).as("id"),
+      size(toksCol(textCol)).cast("long").as("n_tokens"))
+    val maxRow = withN.agg(max(col("id"))).head()
+    if (maxRow.isNullAt(0))
+      return withN.select(col("id").as(idCol),
+        col("n_tokens").cast("int").as("n_tokens"),
+        lit(0L).as("pack_id"), lit(0).as("pack_offset"),
+        lit(false).as("oversize")).limit(0)
+    val maxId = maxRow.getLong(0)
+    val span = math.max(1L, maxId / parts + 1)
+    val bucketed = withN.withColumn("_b", floor(col("id") / span).cast("long"))
+    // bucket totals: ≤ parts+1 rows to the driver → exclusive prefix
+    val totals = bucketed.groupBy(col("_b"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prefixes = totals.map(_._1)
+      .zip(totals.scanLeft(0L)(_ + _._2).init)
+    val pdf = spark.createDataFrame(prefixes.toSeq).toDF("_b", "_pre")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_b")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(pdf), Seq("_b"))
+      .withColumn("_cum", col("_pre") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("id").as(idCol), col("n_tokens").cast("int").as("n_tokens"),
+        expr(s"_cum div ${budget.toLong}").as("pack_id"),
+        pmod(col("_cum"), lit(budget.toLong)).cast("int").as("pack_offset"),
+        (col("n_tokens") > budget).as("oversize"))
+  }
+
   /** Temperature-based source mixing weights — the multilingual sampling
     * rule (Lample & Conneau 2019 §3.1, reused by mT5/CC-mix pipelines):
     * with p_s = tokens_s / Σ tokens, sample q_s ∝ p_s^α (α = 0.5 here,

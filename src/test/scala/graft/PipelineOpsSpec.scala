@@ -112,6 +112,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.getDouble(4) === 5.0 / 7)     // type_token_ratio
   }
 
+  test("packing: chunk law matches the sequential cumsum, any bucketing") {
+    import spark.implicits._
+    // sparse ids force uneven buckets at parts=3; token counts chosen so
+    // a doc straddles a 10-token window boundary
+    val docs = Seq(
+      (1L, "a b c d"),                // cum 0,  pack 0, off 0
+      (5L, "e f g"),                  // cum 4,  pack 0, off 4
+      (90L, "h i j k l"),             // cum 7,  pack 0, off 7 (straddles)
+      (91L, "m n"),                   // cum 12, pack 1, off 2
+      (200L, "o p q r s t u v w x y z a1 b1"), // cum 14, pack 1; 14 toks
+      (201L, "tail doc"))             // cum 28, pack 2, off 8
+      .toDF("doc_id", "text")
+    val got = Pipeline.packSequences(docs, "text", budget = 10, parts = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getInt(3), r.getBoolean(4))).toSeq === Seq(
+      (1L, 4, 0L, 0, false),
+      (5L, 3, 0L, 4, false),
+      (90L, 5, 0L, 7, false),
+      (91L, 2, 1L, 2, false),
+      (200L, 14, 1L, 4, true),
+      (201L, 2, 2L, 8, false)))
+    // single-bucket run must agree with the multi-bucket run exactly
+    val one = Pipeline.packSequences(docs, "text", budget = 10, parts = 1)
+      .orderBy("doc_id").collect()
+    assert(one.toSeq === got.toSeq)
+  }
+
   test("source mix: α=0.5 algebra — q sums to ~1, rare source upweighted") {
     import spark.implicits._
     val docs = Seq(
