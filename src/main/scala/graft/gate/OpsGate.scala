@@ -457,6 +457,12 @@ object OpsGate {
       Pipeline.packSequences(docs(s, d), "text", budget = 512)
         .orderBy("doc_id")),
 
+    // EXACTSUBSTR span dedup (Lee et al. 2021): 8-token windows occurring
+    // >= 2 times corpus-wide; per-doc starts + union-covered tokens
+    "q_dedup_substring" -> ((s, d) =>
+      Pipeline.dedupSubstrings(docs(s, d), "text", k = 8)
+        .orderBy("doc_id")),
+
     // temperature-based (α = 0.5) source mixing weights
     "q_source_mix" -> ((s, d) =>
       Pipeline.sourceMixWeights(docs(s, d), "text")
@@ -738,6 +744,37 @@ SELECT doc_id, CAST(n AS INT) AS n_tokens,
   CAST(cum % 512 AS INT) AS pack_offset,
   n > 512 AS oversize
 FROM c ORDER BY doc_id"""
+
+  /** Substring-dedup oracle: the same window law sequentially — k=8
+    * windows by exact token sequence, occurrence count >= 2 (multiplicity,
+    * not document frequency), union coverage via an explicit token-index
+    * explode (the engine folds interval gaps instead; same union).
+    */
+  private val substrOracle: String =
+    """WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    array_to_string(toks[i+1:i+8], ' ') AS gram
+  FROM t, UNNEST(range(0, greatest(len(toks)-8+1, 0))) u(i)
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+), s AS (
+  SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+), cov AS (
+  SELECT doc_id, count(DISTINCT pos) AS n_dup_starts,
+    count(DISTINCT pos + o.off) AS dup_tokens
+  FROM s, UNNEST(range(0, 8)) o(off)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
+  CAST(COALESCE(cov.n_dup_starts, 0) AS INT) AS n_dup_starts,
+  CAST(COALESCE(cov.dup_tokens, 0) AS INT) AS dup_tokens,
+  CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / GREATEST(len(t.toks), 1)
+    AS dup_ratio
+FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id"""
 
   /** Source-mix oracle: integer token counts, p by one double division,
     * normalizer = source-asc ordered left fold of sqrt(p) (list_reduce
@@ -1171,6 +1208,7 @@ FROM documents ORDER BY doc_id""",
     "q_text_c4" -> c4Oracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_pack_sequences" -> packOracle,
+    "q_dedup_substring" -> substrOracle,
     "q_source_mix" -> sourceMixOracle,
 
     "q_multimodal_decode" ->

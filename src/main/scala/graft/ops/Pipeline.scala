@@ -195,6 +195,64 @@ object Pipeline {
         (col("n_tokens") > budget).as("oversize"))
   }
 
+  /** Exact duplicated-substring spans (the EXACTSUBSTR rule of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better"): any k-token window whose token sequence occurs at least
+    * `minCount` times in the WHOLE corpus (across documents or repeated
+    * inside one — multiplicity counts, unlike the document-frequency law
+    * of [[boilerplateNgrams]]) marks its k tokens as duplicated. Per doc
+    * we report the number of duplicate window starts, the number of
+    * tokens covered by the UNION of those windows, and the covered
+    * fraction. The paper builds a suffix array over the concatenated
+    * corpus; the distributed equivalent keys fixed-width windows by
+    * their token sequence — the same dup law at window granularity.
+    *
+    * Scale shape: the window explode is map-side (size-k slices); the
+    * global occurrence count is one partial-aggregated `groupBy(gram)`;
+    * dup windows join back on the gram key (both shuffles key on the
+    * high-cardinality gram — at 100 TB swap the string key for
+    * `xxhash64(gram)` to cut shuffle bytes, at the usual collision
+    * odds). The span-union length per doc folds over the SORTED start
+    * list WITHOUT a token-level explode: all intervals have width k, so
+    * union = Σ min(k, next_start - start) — per-doc state only.
+    */
+  def dedupSubstrings(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", k: Int = 8, minCount: Int = 2): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = toksCol(textCol)
+    val starts = when(size(toks) >= k, sequence(lit(0), size(toks) - k))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs.select(col(idCol), explode(starts).as("pos"),
+        toks.as("_toks"))
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", slice(col("_toks"), col("pos") + 1, lit(k))).as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .select(col("g"))
+    val perDoc = grams.join(dup, "g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_ss"))
+      .select(col(idCol), size(col("_ss")).as("_starts"),
+        // union of width-k intervals over sorted starts: the interval at
+        // ss[i] contributes min(k, ss[i+1]-ss[i]); the last contributes k
+        aggregate(
+          transform(sequence(lit(1), size(col("_ss"))), i =>
+            least(lit(k),
+              when(i < size(col("_ss")),
+                element_at(col("_ss"), i + 1) - element_at(col("_ss"), i))
+                .otherwise(lit(k)))),
+          lit(0), (acc, x) => acc + x).as("_cov"))
+    docs.select(col(idCol), size(toks).as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("_starts"), lit(0)).cast("int").as("n_dup_starts"),
+        coalesce(col("_cov"), lit(0)).cast("int").as("dup_tokens"),
+        (coalesce(col("_cov"), lit(0)).cast("double") /
+          greatest(col("n_tokens"), lit(1))).as("dup_ratio"))
+  }
+
   /** Temperature-based source mixing weights — the multilingual sampling
     * rule (Lample & Conneau 2019 §3.1, reused by mT5/CC-mix pipelines):
     * with p_s = tokens_s / Σ tokens, sample q_s ∝ p_s^α (α = 0.5 here,

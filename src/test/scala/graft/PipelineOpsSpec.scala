@@ -140,6 +140,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(one.toSeq === got.toSeq)
   }
 
+  test("substring dedup: multiplicity law, span union, within-doc repeats") {
+    import spark.implicits._
+    // k=3. "a b c d" appears in docs 1 and 2 → windows "a b c" and
+    // "b c d" are corpus-dups; doc 3 repeats "x y z" INSIDE itself
+    // (multiplicity counts, df would not); doc 4 is clean; doc 5 too
+    // short for any window.
+    val docs = Seq(
+      (1L, "a b c d q"),
+      (2L, "p a b c d"),
+      (3L, "x y z w x y z"),
+      (4L, "one two three four"),
+      (5L, "hi"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.dedupSubstrings(docs, "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4)))
+    // doc 1: starts 0,1 ("a b c","b c d") → union covers toks 0..3 = 4
+    assert(got(0) === ((1L, 5, 2, 4, 4.0 / 5)))
+    // doc 2: starts 1,2 → covers toks 1..4 = 4
+    assert(got(1) === ((2L, 5, 2, 4, 4.0 / 5)))
+    // doc 3: "x y z" at 0 and 4 (count 2 within ONE doc) → covers 6
+    assert(got(2) === ((3L, 7, 2, 6, 6.0 / 7)))
+    assert(got(3) === ((4L, 4, 0, 0, 0.0)))
+    assert(got(4) === ((5L, 1, 0, 0, 0.0)))
+  }
+
+  test("substring dedup: overlapping dup windows merge into one span") {
+    import spark.implicits._
+    // both docs share the full 5-token run → k=3 starts 0,1,2 overlap;
+    // union must be 5 tokens, not 9
+    val docs = Seq((1L, "v w x y z"), (2L, "v w x y z"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.dedupSubstrings(docs, "text", k = 3)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getInt(2) === 3)   // starts
+      assert(r.getInt(3) === 5)   // union-covered, overlaps merged
+      assert(r.getDouble(4) === 1.0)
+    }
+  }
+
   test("source mix: α=0.5 algebra — q sums to ~1, rare source upweighted") {
     import spark.implicits._
     val docs = Seq(
