@@ -13,6 +13,18 @@ object OpsGate {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** Planted docs for the TextProfileSignature gate: a word-permuted
+    * pair (same token multiset → same profile), a one-token edit (no
+    * collision), and a sub-quant-noise pair whose profiles both collapse
+    * to "foo 2" (maxFreq > 1 forces quant = 2, frequency-1 tokens drop).
+    */
+  val tpsPlanted: Seq[(Long, String)] = Seq(
+    930001L -> "alpha beta gamma delta epsilon",
+    930002L -> "epsilon delta gamma beta alpha",
+    930003L -> "alpha beta gamma delta zeta",
+    930004L -> "foo bar foo baz foo qux",
+    930005L -> "foo one two foo three foo")
+
   /** Planted PII docs — identical literals ride the oracle SQL. */
   val piiPlanted: Seq[(Long, String)] = Seq(
     920001L -> ("contact me at alice.smith+spam@example.com or bob@test.org" +
@@ -463,6 +475,17 @@ object OpsGate {
       Pipeline.dedupSubstrings(docs(s, d), "text", k = 8)
         .orderBy("doc_id")),
 
+    // Solr SignatureUpdateProcessor's TextProfileSignature: word order
+    // and sub-quant noise vanish, so the planted permuted / noise pairs
+    // collide while the edited doc does not
+    "q_dedup_textprofile" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val planted = s.createDataset(tpsPlanted).toDF("doc_id", "text")
+      Dedup.textProfileSignature(base.unionByName(planted), "text")
+        .orderBy("doc_id")
+    }),
+
     // temperature-based (α = 0.5) source mixing weights
     "q_source_mix" -> ((s, d) =>
       Pipeline.sourceMixWeights(docs(s, d), "text")
@@ -775,6 +798,53 @@ SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
   CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / GREATEST(len(t.toks), 1)
     AS dup_ratio
 FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id"""
+
+  /** TextProfileSignature oracle — the Nutch/Solr profile law replayed
+    * sequentially (`update/processor/TextProfileSignature.java:60-135`):
+    * keep tokens STRICTLY longer than 2, quant = Math.round(maxFreq ×
+    * 0.01f) clamped (maxFreq > 1 → at least 2, else 1), counts rounded
+    * down to quant multiples and sub-quant counts dropped, "token count"
+    * lines sorted count-desc (tie: token asc, the engine's documented
+    * determinization of the reference's HashMap tie order), MD5 of the
+    * newline-joined profile.
+    */
+  private def textProfileOracle: String = {
+    val planted = tpsPlanted
+      .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $planted) pl(doc_id, text)
+), tok AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+    '[^\\p{L}\\p{Nd}]+')) AS t FROM d2)
+  WHERE length(t) > 2
+), cnt AS (
+  SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t
+), q AS (
+  SELECT doc_id,
+    CASE WHEN floor(CAST(max(c) AS REAL) * CAST(0.01 AS REAL)
+           + CAST(0.5 AS REAL)) < 2
+         THEN CASE WHEN max(c) > 1 THEN 2 ELSE 1 END
+         ELSE CAST(floor(CAST(max(c) AS REAL) * CAST(0.01 AS REAL)
+           + CAST(0.5 AS REAL)) AS BIGINT) END AS quant
+  FROM cnt GROUP BY doc_id
+), p AS (
+  SELECT cnt.doc_id, t, (c // quant) * quant AS qc, quant
+  FROM cnt JOIN q USING (doc_id)
+  WHERE (c // quant) * quant >= quant
+), prof AS (
+  SELECT doc_id, string_agg(t || ' ' || qc, chr(10)
+    ORDER BY qc DESC, t ASC) AS profile
+  FROM p GROUP BY doc_id
+), sig AS (
+  SELECT d2.doc_id, md5(COALESCE(prof.profile, '')) AS signature
+  FROM d2 LEFT JOIN prof USING (doc_id)
+)
+SELECT doc_id, signature,
+  (count(*) OVER (PARTITION BY signature)) > 1 AS is_dup
+FROM sig ORDER BY doc_id"""
+  }
 
   /** Source-mix oracle: integer token counts, p by one double division,
     * normalizer = source-asc ordered left fold of sqrt(p) (list_reduce
@@ -1209,6 +1279,7 @@ FROM documents ORDER BY doc_id""",
     "q_corpus_stats" -> corpusStatsOracle,
     "q_pack_sequences" -> packOracle,
     "q_dedup_substring" -> substrOracle,
+    "q_dedup_textprofile" -> textProfileOracle,
     "q_source_mix" -> sourceMixOracle,
 
     "q_multimodal_decode" ->

@@ -2838,6 +2838,37 @@ ORDER BY doc_id, frank"""
   FROM tok WHERE regexp_matches(term, ${lit(regex)})
 )""" + finish("res", k)
 
+  /** Planted suffix-family docs for the reversed-wildcard gate —
+    * identical literals on the engine side (SearchGate.revwildSearcher).
+    */
+  val revwildPlanted: Seq[(Long, String)] = Seq(
+    910001L -> "aardvark landmark in the network",
+    910002L -> "benchmark postmark artwork",
+    910003L -> "cart dart chart spark",
+    910004L -> "okra in the pot")
+
+  /** Wildcard over a ReversedWildcardFilter field: the reversal is pure
+    * machinery — hit membership and const scores equal a plain
+    * whole-term wildcard over the ORIGINAL tokens of corpus ∪ planted.
+    * An engine that leaked marker terms into an unreversed pattern (the
+    * `minus(falsePositives)` law, `parser/SolrQueryParserBase
+    * .java:786-791`) would over-match here.
+    */
+  def revwildWildcard(regex: String, k: Int): String = {
+    val plantedRows = revwildPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM d2
+), res AS (
+  SELECT DISTINCT doc_id, CAST(1.0 AS REAL) AS s
+  FROM tok WHERE term <> '' AND regexp_matches(term, ${lit(regex)})
+)""" + finish("res", k)
+  }
+
   /** Regexp with WHOLE-term semantics (`RegexpQuery.java:48`: the
     * automaton consumes the entire term — no substring mode), const-score
     * like the reference's default rewrite.

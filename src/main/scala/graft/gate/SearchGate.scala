@@ -63,7 +63,7 @@ object SearchGate {
       cfSearcherCache.values ++ delSearcherCache.values ++
       updSearcherCache.values ++ phoneticSearcherCache.values ++
       porterInjSearcherCache.values ++ ngramSearcherCache.values ++
-      synGraphSearcherCache.values)
+      synGraphSearcherCache.values ++ revwildSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -78,7 +78,7 @@ object SearchGate {
     porterSearcherCache.clear(); synSearcherCache.clear()
     phoneticSearcherCache.clear()
     porterInjSearcherCache.clear(); ngramSearcherCache.clear()
-    synGraphSearcherCache.clear()
+    synGraphSearcherCache.clear(); revwildSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -325,6 +325,32 @@ object SearchGate {
         gateConfig.copy(tokenizer = "ngram:2:3", offsets = false,
           payloads = None))
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-ng-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** ReversedWildcardFilter field (withOriginal=true) over corpus ∪
+    * planted suffix-family docs: reversed marker-prefixed terms ride the
+    * same dictionary, leading wildcards reverse into prefix scans, and
+    * unreversed patterns must subtract the marker terms.
+    */
+  private val revwildSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  def revwildSearcher(spark: SparkSession, sfDir: String): Searcher =
+    revwildSearcherCache.getOrElseUpdate(sfDir, {
+      import spark.implicits._
+      val dirHash = Integer.toHexString(s"$sfDir#revwild".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-rw-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .unionByName(Oracles.revwildPlanted.toDF("doc_id", "text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = "revwild", offsets = false,
+          payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-rw-$dirHash",
         numGroups = 1)
       ix.unpersistCached()
       ix.postings.unpersist()
@@ -1102,6 +1128,19 @@ object SearchGate {
     "q_bm25_porter_or2" -> ((spark, sfDir) => hitsDf(spark,
       porterSearcher(spark, sfDir).search(
         BoolQ(should = Seq(TermQ("queri"), TermQ("tabl"))), K))),
+    // ReversedWildcardFilter field: a leading '*' reverses into a
+    // marker-prefixed prefix scan ("*ark" → "kra*")
+    "q_wild_leading" -> ((spark, sfDir) => hitsDf(spark,
+      revwildSearcher(spark, sfDir).search(WildcardQ("*ark"), K))),
+    // leading '?' (posQ = 0 < maxPosQuestion) also reverses
+    "q_wild_leading_q" -> ((spark, sfDir) => hitsDf(spark,
+      revwildSearcher(spark, sfDir).search(WildcardQ("?art"), K))),
+    // "*kra*" ends in a wildcard (len - lastPos = 1 < minTrailing 2)
+    // -> NOT reversed; the marker-exclusion must keep it from matching
+    // reversed terms (reverse("spark") = "kraps" contains "kra" - only
+    // the planted "okra" doc may hit)
+    "q_wild_noreverse" -> ((spark, sfDir) => hitsDf(spark,
+      revwildSearcher(spark, sfDir).search(WildcardQ("*kra*"), K))),
     // distributed phrase statistics: count-sorted bigram enumeration
     "q_shingle_terms" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -1585,6 +1624,12 @@ object SearchGate {
       Oracles.termCtes("a", "merge") + Oracles.finish("sc_a", K)),
     "q_phonetic_inject_code" -> Oracles.phoneticTerm("sort", inject = true, K),
     "q_charfilter_term" -> Oracles.charFilterTerm("b4tch", K),
+    // reversed-wildcard semantics are INVISIBLE in the results: each
+    // oracle is a plain whole-term wildcard over ORIGINAL tokens of
+    // corpus ∪ planted suffix docs
+    "q_wild_leading" -> Oracles.revwildWildcard("^.*ark$", K),
+    "q_wild_leading_q" -> Oracles.revwildWildcard("^.art$", K),
+    "q_wild_noreverse" -> Oracles.revwildWildcard("^.*kra.*$", K),
     "q_charfilter_or2" -> Oracles.charFilterOr2("sp4rk", "dup", K),
     "q_bm25_phrase_sloppy" -> Oracles.phraseSloppy2("order", "sort", 2, K),
     "q_bm25_multiphrase" -> Oracles.multiPhrase2("order", Seq("sort", "merge"), K),

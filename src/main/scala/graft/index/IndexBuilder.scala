@@ -279,6 +279,26 @@ object IndexBuilder {
         (kept.length, out)
       })
     }
+    else if (name == "revwild" || name == "revwild_noorig") {
+      // ReversedWildcardFilter (`solr/core/.../analysis/
+      // ReversedWildcardFilter.java:53-79`): every token re-emitted
+      // reversed with the U+0001 marker landing first; withOriginal=true
+      // ("revwild", the factory default) keeps the original at the same
+      // position (the reversed form carries the real posInc, the saved
+      // original replays at posInc 0). Norm length counts real positions
+      // (discountOverlaps); Σtf and the dictionary double — exactly the
+      // reference's documented cost ("this filter doubles the number of
+      // tokens", ReversedWildcardFilter.java:33-35).
+      val withOriginal = name == "revwild"
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        val out = toks.zipWithIndex.flatMap { case (t, i) =>
+          val rev = graft.core.ReversedWildcard.reverseToken(t)
+          if (withOriginal) Seq((rev, i), (t, i)) else Seq((rev, i))
+        }
+        (toks.length, out)
+      })
+    }
     else if (name.startsWith("phonetic_inject:")) {
       // PhoneticFilter inject=true (`PhoneticFilter.java:57-70`): the
       // phonetic form is emitted first at the original position, then

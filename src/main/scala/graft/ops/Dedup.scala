@@ -33,6 +33,61 @@ object Dedup {
       .select("id", "canonicalId")
   }
 
+  /** TextProfileSignature fuzzy dedup (`solr/core/.../update/processor/
+    * TextProfileSignature.java:60-135` — Solr's SignatureUpdateProcessor
+    * signature, itself lifted from Apache Nutch): per doc, lowercase and
+    * split on non-letter-or-digit, DISCARD tokens of length <=
+    * `minTokenLen` (strictly-greater keep, the reference's
+    * `curToken.length() > minTokenLen`), count frequencies, compute
+    * `quant = round(maxFreq * quantRate)` clamped to 2 when maxFreq > 1
+    * (else 1), round every count DOWN to a multiple of quant, drop
+    * counts below quant, list "token count" lines sorted by count
+    * descending, and MD5 the profile. Word order and sub-quant noise
+    * vanish, so reordered / lightly-edited copies collide — the fuzzy
+    * tier between exact and MinHash dedup.
+    *
+    * One documented deviation: the reference breaks count ties in
+    * HashMap-iteration order (unspecified across JVMs); here ties break
+    * by token ascending so the signature is deterministic and
+    * oracle-replayable.
+    *
+    * Scale shape: one (id, token) count groupBy, one per-doc reduce —
+    * both partial-aggregated; the profile sort is per-doc-vocabulary
+    * sized, inside `array_sort`. No driver work, no token-level join.
+    */
+  def textProfileSignature(df: DataFrame, textCol: String,
+      idCol: String = "doc_id", quantRate: Float = 0.01f,
+      minTokenLen: Int = 2): DataFrame = {
+    val toks = filter(
+      split(lower(col(textCol)), "[^\\p{L}\\p{Nd}]+"),
+      t => length(t) > minTokenLen)
+    val cnt = df.select(col(idCol).as("id"), explode(toks).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+    // quant: float multiply then Math.round (floor(x + 0.5f)), clamped
+    val mx = cnt.groupBy(col("id")).agg(max(col("c")).as("mf"))
+    val rawQ = floor(col("mf").cast("float") * lit(quantRate) + lit(0.5f))
+      .cast("long")
+    val withQ = mx.withColumn("quant",
+      when(rawQ < 2, when(col("mf") > 1, lit(2L)).otherwise(lit(1L)))
+        .otherwise(rawQ))
+    val prof = cnt.join(withQ, "id")
+      .withColumn("qc", expr("c div quant") * col("quant"))
+      .filter(col("qc") >= col("quant"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(
+        struct((-col("qc")).as("nq"), col("t"), col("qc")))).as("ps"))
+      .select(col("id"), concat_ws("\n",
+        transform(col("ps"), x =>
+          concat(x.getField("t"), lit(" "), x.getField("qc")))).as("profile"))
+    val sigs = df.select(col(idCol).as("id"))
+      .join(prof, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        md5(coalesce(col("profile"), lit(""))).as("signature"))
+    sigs.withColumn("is_dup",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("signature"))) > 1)
+  }
+
   /** Tokenize + n-token shingles, one row per DISTINCT (id, shingle). */
   def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val mk = udf { (s: String) =>

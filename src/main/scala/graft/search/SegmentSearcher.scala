@@ -1631,13 +1631,36 @@ final class Searcher(private[search] val spark: SparkSession,
           else col("term").rlike(anchored)
         ConstScoreQ(BoolQ(should = Query.terms(
           scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
-      case WildcardQ(p) =>
+      case WildcardQ(p0) =>
+        // ReversedWildcardFilter query side (`parser/SolrQueryParserBase
+        // .java:775-793`): on a revwild-analyzed field, an eligible
+        // pattern (leading wildcard) is reversed and run against the
+        // marker-prefixed reversed terms — the marker + reversed trailing
+        // literal become a prunable prefix, so the leading wildcard stops
+        // costing a full vocabulary scan. A NON-eligible pattern on such
+        // a field subtracts the marker terms (the parser's
+        // `minus(falsePositives)`) so e.g. `*k` cannot match the reversed
+        // form of "key".
+        val revField = graft.core.ReversedWildcard.isRevWildSpec(m.tokenizer)
+        val reversed = revField && graft.core.ReversedWildcard.shouldReverse(p0)
+        val p = if (reversed) graft.core.ReversedWildcard.reversePattern(p0) else p0
         val re = java.util.regex.Pattern.compile(WildcardQ.toRegex(p))
         val lp = wildcardPrefix(p)
-        val rx = col("term").rlike(WildcardQ.toRegex(p))
+        val excludeMarker = revField && !reversed
+        val rx0 = col("term").rlike(WildcardQ.toRegex(p))
+        val rx =
+          if (excludeMarker)
+            rx0 && !col("term").startsWith(
+              graft.core.ReversedWildcard.Marker.toString)
+          else rx0
+        val pred: String => Boolean =
+          if (excludeMarker)
+            t => (t.isEmpty || t.charAt(0) != graft.core.ReversedWildcard.Marker) &&
+              re.matcher(t).matches()
+          else t => re.matcher(t).matches()
         val dfPred = if (lp.nonEmpty) col("term").startsWith(lp) && rx else rx
         ConstScoreQ(BoolQ(should = Query.terms(
-          scan(t => re.matcher(t).matches(), dfPred, pfxEq(lp)): _*)))
+          scan(pred, dfPred, pfxEq(lp)): _*)))
       case FuzzyQ(t, e) =>
         // const-score form (ConstantScoreWrapper analog); pool = the
         // prefix-skip dict DP driver-side, the Levenshtein-automaton

@@ -485,6 +485,36 @@ class OpsSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("ia", "ib"), "ia", "ib").isEmpty)
   }
 
+  test("textProfileSignature: Nutch profile law, bit-exact md5") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "epsilon delta gamma beta alpha"),  // permutation → collides
+      (3L, "alpha beta gamma delta zeta"),     // one-token edit → differs
+      (4L, "foo bar foo baz foo qux"),         // maxFreq 3 → quant 2
+      (5L, "foo one two foo three foo"),       // same profile "foo 2"
+      (6L, "a an of"))                         // all tokens <= 2 chars → ""
+      .toDF("doc_id", "text")
+    val got = Dedup.textProfileSignature(docs, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1/2: all counts 1 (maxFreq 1 → quant 1), count-desc then
+    // token-asc tie order
+    val p12 = md5hex("alpha 1\nbeta 1\ndelta 1\nepsilon 1\ngamma 1")
+    assert(got(0) === ((1L, p12, true)))
+    assert(got(1) === ((2L, p12, true)))
+    assert(got(2)._2 !== p12)
+    assert(!got(2)._3)
+    // docs 4/5: quant clamps to 2, frequency-1 tokens vanish → "foo 2"
+    val p45 = md5hex("foo 2")
+    assert(got(3) === ((4L, p45, true)))
+    assert(got(4) === ((5L, p45, true)))
+    // doc 6: nothing survives the minTokenLen filter → md5 of ""
+    assert(got(5) === ((6L, md5hex(""), false)))
+  }
+
   test("canonicalize drops the cluster roots (survivors)") {
     val got = Dedup.canonicalize(
       Seq((5L, 2L), (5L, 9L), (1L, 4L)).toDF("ia", "ib"), "ia", "ib")
