@@ -2216,6 +2216,58 @@ SELECT term AS suggestion, df FROM dfs
 WHERE contains(term, ${lit(frag)})
 ORDER BY df DESC, term LIMIT $k"""
 
+  /** BlendedInfixSuggester (`suggest/analyzing/BlendedInfixSuggester
+    * .java:190-321`): whole texts as suggestions, weight = length(text),
+    * candidates = top num×numFactor by weight desc (doc asc tie),
+    * coefficient 1 when the raw text starts with the raw key else the
+    * position blend of the FIRST matching token, score = trunc(weight ×
+    * coefficient) toward zero, final top num by score desc / text desc
+    * (the reference's LOOKUP_COMP descendingSet order).
+    */
+  def suggestBlended(key: String, matched: Seq[String],
+      prefix: Option[String], blender: String, num: Int,
+      numFactor: Int): String = {
+    val tokMatch = (t: String) => {
+      val eqs = matched.map(m => s"$t = ${lit(m)}")
+      val pfx = prefix.map(p => s"$t LIKE ${lit(p + "%")}")
+      (eqs ++ pfx).mkString("(", " OR ", ")")
+    }
+    val mustPred = (matched.map(m =>
+      s"list_contains(toks, ${lit(m)})") ++
+      prefix.map(p =>
+        s"len(list_filter(toks, x -> x LIKE ${lit(p + "%")})) > 0"))
+      .mkString(" AND ")
+    val coefExpr = blender match {
+      case "linear" => "1.0 - 0.10 * fp"
+      case "reciprocal" => "1.0 / (fp + 1.0)"
+      case "exp_reciprocal" => "1.0 / pow(fp + 1.0, 2.0)"
+      case other => sys.error(s"unknown blender: $other")
+    }
+    s"""WITH t AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS w,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, text, w, toks,
+    row_number() OVER (ORDER BY w DESC, doc_id) AS rn
+  FROM t WHERE $mustPred
+), b AS (
+  SELECT text, w,
+    CAST(list_position(list_transform(toks, x -> ${tokMatch("x")}), true)
+      AS DOUBLE) - 1.0 AS fp
+  FROM c WHERE rn <= ${num * numFactor}
+), s AS (
+  SELECT text AS suggestion,
+    CAST(trunc(CAST(w AS DOUBLE) *
+      (CASE WHEN text LIKE ${lit(key + "%")} THEN 1.0
+            ELSE $coefExpr END)) AS BIGINT) AS score
+  FROM b
+)
+SELECT suggestion, score FROM s
+ORDER BY score DESC, suggestion DESC LIMIT $num"""
+  }
+
   /** ComplexPhraseQueryParser mixed-sign phrase
     * (`complexPhrase/ComplexPhraseQueryParser.java:326-352`), 3 slots
     * `"t0 -neg t1"~slop`: include = near(t0, t1, slop + 1), exclude =

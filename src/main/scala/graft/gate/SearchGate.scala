@@ -1222,6 +1222,21 @@ object SearchGate {
       searcher(spark, sfDir).suggestInfix("ort", 5).toSeq
         .toDF("suggestion", "df")
     }),
+    // BlendedInfixSuggester: whole-text suggestions weighted by length,
+    // position-LINEAR blend; "sor" is a lone mid-token key → pure prefix
+    "q_suggest_blended" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestBlendedInfix("sor", 10).toSeq
+        .toDF("suggestion", "score")
+    }),
+    // reciprocal blend, two-token key: "key" is a MUST term, "val" an
+    // unfinished prefix (the end-offset law)
+    "q_suggest_blended_recip" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir)
+        .suggestBlendedInfix("key val", 10, blender = "reciprocal").toSeq
+        .toDF("suggestion", "score")
+    }),
     // FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
     // 2-gram stupid-backoff LM — "order s" completes via the bigram
     // model first, unigram completions back off at ALPHA = 0.4
@@ -1707,6 +1722,11 @@ object SearchGate {
     "q_spell_collate" -> Oracles.collate2("sprk", "btch", 4, 8, 3),
     "q_suggest_fuzzy" -> Oracles.suggestFuzzy("sprk", 5),
     "q_suggest_infix" -> Oracles.suggestInfix("ort", 5),
+    "q_suggest_blended" ->
+      Oracles.suggestBlended("sor", Nil, Some("sor"), "linear", 10, 10),
+    "q_suggest_blended_recip" ->
+      Oracles.suggestBlended("key val", Seq("key"), Some("val"),
+        "reciprocal", 10, 10),
     "q_suggest_freetext" -> Oracles.freeText("order", "s", 6),
     "q_percolate" -> Oracles.percolate(2),
     "q_termvectors" -> Oracles.termVectors(Seq(40L, 41L, 42L)),

@@ -2967,6 +2967,81 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** BlendedInfixSuggester (`suggest/analyzing/BlendedInfixSuggester
+    * .java:190-321` over the AnalyzingInfixSuggester query law,
+    * `AnalyzingInfixSuggester.java:505-549`): suggestions are WHOLE
+    * stored texts ranked by a weight, then re-blended by the position of
+    * the first query-token match. Key analysis follows the reference: a
+    * key ending mid-token makes its last token a PREFIX query; a key
+    * ending in a separator makes it an exact term (the end-offset test);
+    * every earlier token is a MUST term (allTermsRequired default).
+    * Candidates = top `num × numFactor` matches by weight desc
+    * (docId-asc tie, the index-order tie of the reference's sort);
+    * coefficient = 1 when the raw text startsWith the raw key, else
+    * linear `1 − 0.10·p` / reciprocal `1/(p+1)` / exponential
+    * `1/(p+1)^e` of the FIRST matching analyzed-token position;
+    * score = `(long)(weight × coefficient)` (truncation toward zero);
+    * final top `num` ordered score desc then text desc (LOOKUP_COMP's
+    * descendingSet).
+    *
+    * Scale shape: the match filter and the weight top-N run distributed
+    * over the row store (tokenize executor-side, TakeOrderedAndProject);
+    * only num×numFactor candidate rows reach the blend, which is itself
+    * a DataFrame projection — the driver sees `num` rows.
+    */
+  def suggestBlendedInfix(key: String, num: Int,
+      blender: String = "linear", numFactor: Int = 10,
+      exponent: Double = 2.0, contentCol: String = "text",
+      weightExpr: Option[org.apache.spark.sql.Column] = None): Array[(String, Long)] = {
+    require(num >= 1 && numFactor >= 1, "num and numFactor must be >= 1")
+    val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+    val keyToks = tok(key)
+    require(keyToks.nonEmpty, "key analyzes to no tokens")
+    // end-offset test: trailing separator chars ⇒ the last token is
+    // complete (exact term); otherwise it is a prefix
+    val endsMidToken = Character.isLetterOrDigit(key.charAt(key.length - 1))
+    val (matched, prefixTok) =
+      if (endsMidToken) (keyToks.dropRight(1).toSet, Some(keyToks.last))
+      else (keyToks.toSet, None)
+    val w = weightExpr.getOrElse(length(col(contentCol)).cast("long"))
+    val toksU = udf((s: String) => tok(s))
+    val base = docsDf
+      .select(col("docId"), col(contentCol).as("_text"), w.cast("long").as("_w"))
+      .withColumn("_toks", toksU(col("_text")))
+    val mustAll = matched.toSeq.sorted
+      .map(t => array_contains(col("_toks"), t))
+      .foldLeft(lit(true))(_ && _)
+    val hasPfx = prefixTok
+      .map(p => exists(col("_toks"), t => t.startsWith(p)))
+      .getOrElse(lit(true))
+    val cands = base.filter(mustAll && hasPfx)
+      .orderBy(col("_w").desc, col("docId"))
+      .limit(num * numFactor)
+    // first matching analyzed position (MUST semantics ⇒ one exists)
+    val isMatch = (t: org.apache.spark.sql.Column) => {
+      val inMatched =
+        if (matched.isEmpty) lit(false)
+        else matched.toSeq.sorted.map(mt => t === mt).reduce(_ || _)
+      prefixTok.map(p => inMatched || t.startsWith(p)).getOrElse(inMatched)
+    }
+    val firstPos = array_position(transform(col("_toks"), isMatch), true) - 1
+    val coef = when(col("_text").startsWith(key), lit(1.0d))
+      .otherwise(blender match {
+        case "linear" => lit(1.0d) - lit(0.10d) * firstPos.cast("double")
+        case "reciprocal" => lit(1.0d) / (firstPos.cast("double") + 1.0d)
+        case "exp_reciprocal" =>
+          lit(1.0d) / pow(firstPos.cast("double") + 1.0d, lit(exponent))
+        case other => sys.error(s"unknown blender: $other")
+      })
+    cands
+      .select(col("_text"),
+        (col("_w").cast("double") * coef).cast("long").as("_score"))
+      .orderBy(col("_score").desc, col("_text").desc)
+      .limit(num)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+  }
+
   /** FuzzyLikeThisQuery (`lucene/sandbox/.../queries/FuzzyLikeThisQuery
     * .java:183-330`): per DISTINCT analyzed input word, fuzzy variants
     * within maxEdits = min(2, ⌊(1−minSim)·len⌋) whose scaled similarity
