@@ -475,6 +475,11 @@ object OpsGate {
       Pipeline.dedupSubstrings(docs(s, d), "text", k = 8)
         .orderBy("doc_id")),
 
+    // sliding-window chunking: 16-token windows, 4-token overlap
+    "q_chunk_documents" -> ((s, d) =>
+      Pipeline.chunkDocuments(docs(s, d), "text", maxTokens = 16,
+        overlap = 4).orderBy("doc_id", "chunk_idx")),
+
     // Solr SignatureUpdateProcessor's TextProfileSignature: word order
     // and sub-quant noise vanish, so the planted permuted / noise pairs
     // collide while the edited doc does not
@@ -798,6 +803,30 @@ SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tokens,
   CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / GREATEST(len(t.toks), 1)
     AS dup_ratio
 FROM t LEFT JOIN cov USING (doc_id) ORDER BY t.doc_id"""
+
+  /** Chunking oracle: the same integer window law sequentially —
+    * step = 16 − 4 = 12, count = (max(n−4,1)+11) // 12.
+    */
+  private val chunkOracle: String =
+    """WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+    '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) = 0 THEN 0
+         ELSE (greatest(len(toks) - 4, 1) + 11) // 12 END AS nc
+  FROM t
+), e AS (
+  SELECT doc_id, toks, n, CAST(k AS INT) AS chunk_idx
+  FROM c, UNNEST(range(0, nc)) u(k)
+)
+SELECT doc_id, chunk_idx,
+  CAST(chunk_idx * 12 AS INT) AS start_tok,
+  CAST(least(16, n - chunk_idx * 12) AS INT) AS n_chunk_tokens,
+  array_to_string(toks[chunk_idx*12 + 1 : chunk_idx*12 + 16], ' ')
+    AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx"""
 
   /** TextProfileSignature oracle — the Nutch/Solr profile law replayed
     * sequentially (`update/processor/TextProfileSignature.java:60-135`):
@@ -1280,6 +1309,7 @@ FROM documents ORDER BY doc_id""",
     "q_pack_sequences" -> packOracle,
     "q_dedup_substring" -> substrOracle,
     "q_dedup_textprofile" -> textProfileOracle,
+    "q_chunk_documents" -> chunkOracle,
     "q_source_mix" -> sourceMixOracle,
 
     "q_multimodal_decode" ->

@@ -27,7 +27,8 @@ object SearchGate {
   // payloads sidecar while the oracle recomputes it from the text
   def gateConfig: BuildConfig = BuildConfig(
     numBuckets = 8, numDocShards = 4, saltThreshold = 200L,
-    tokenizer = "simple", offsets = true, payloads = Some("pos"))
+    tokenizer = "simple", offsets = true, payloads = Some("pos"),
+    bloom = true)
 
   // ---- cached per-sfDir indexes (the gate runs ~20 queries per dir) ----
 

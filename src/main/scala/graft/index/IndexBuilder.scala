@@ -64,6 +64,14 @@ object IndexBuilder {
         * "len", "delimited:<c>"). Requires positions = true.
         */
       payloads: Option[String] = None,
+      /** Per-bucket bloom filter over the segment's terms
+        * (BloomFilteringPostingsFormat analog, `lucene/codecs/.../bloom/
+        * BloomFilteringPostingsFormat.java:83-120`): term-stat lookups
+        * answer "definitely absent" from a few KB of bits without
+        * touching the stats relation — the reference's fail-fast for
+        * primary-key-style lookups.
+        */
+      bloom: Boolean = false,
       /** Index-time norm encoder — the Similarity that determines the
         * stored norm byte, as in Lucene. "default" = byte315(1/√length)
         * (serves BM25's quantized length AND Classic's fieldNorm);
@@ -809,6 +817,8 @@ object IndexBuilder {
         * (BuildConfig.payloads); None = no payloads.
         */
       payloads: Option[String] = None,
+      /** Index carries a per-bucket bloom sidecar (BuildConfig.bloom). */
+      bloom: Boolean = false,
       /** Index-time norm encoder (BuildConfig.normSim). */
       normSim: String = "default")
 
@@ -821,6 +831,7 @@ object IndexBuilder {
         s""""positions":${m.positions},"offsets":${m.offsets},""" +
         m.indexSort.map(f => s""""indexSort":"$f",""").getOrElse("") +
         m.payloads.map(p => s""""payloads":"$p",""").getOrElse("") +
+        (if (m.bloom) """"bloom":true,""" else "") +
         (if (m.normSim == "default") ""
          else s""""normSim":"${m.normSim}",""") +
         s""""completedGroups":[${m.completedGroups.mkString(",")}],"numGroups":${m.numGroups}}"""
@@ -838,6 +849,8 @@ object IndexBuilder {
         .findFirstMatchIn(s).map(_.group(1))
       val payloads = """"payloads":"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1))
+      val bloom = """"bloom":(true|false)""".r
+        .findFirstMatchIn(s).exists(_.group(1) == "true")
       val normSim = """"normSim":"([^"]*)"""".r
         .findFirstMatchIn(s).map(_.group(1)).getOrElse("default")
       Manifest(str("snapshotId"), num("docCount").toLong,
@@ -846,7 +859,7 @@ object IndexBuilder {
         str("tokenizer"), num("k1").toFloat, num("b").toFloat,
         if (groups.isEmpty) Nil else groups.split(",").map(_.toInt).toSeq,
         num("numGroups").toInt, positions, indexSort, offsets, payloads,
-        normSim)
+        bloom, normSim)
     }
   }
 
@@ -925,6 +938,9 @@ object IndexBuilder {
         .repartitionByRange(math.max(cfg.numBuckets, 1), col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("pfx").parquet(s"$dir/termdict"))
+      if (cfg.bloom)
+        timed("bloom.write")(writeBloomSidecar(spark, ix.termStats,
+          dir, cfg.numBuckets, ix.collStats.docCount))
       })
     }
     def awaitSideJobs(): Unit = if (sideJobs.nonEmpty) {
@@ -994,13 +1010,41 @@ object IndexBuilder {
     readManifest(dir).get
   }
 
+  /** Per-bucket bloom sidecar write (shared by writeIndex and merge):
+    * bucket-partitioned streaming build — no per-bucket term list ever
+    * materializes; the output is numBuckets rows of (bucket, bloomSize,
+    * bit words), each right-sized to the factory's 0.1 saturation.
+    */
+  private[index] def writeBloomSidecar(spark: SparkSession, terms: DataFrame,
+      dir: String, numBuckets: Int, docCount: Long): Unit = {
+    import spark.implicits._
+    val bucketUdf = udf((t: String) => bucketOf(t, numBuckets))
+    terms.select(col("term"))
+      .withColumn("bucket", bucketUdf(col("term")))
+      .select(col("bucket"), col("term")).as[(Int, String)]
+      .repartition(math.max(numBuckets, 1), col("bucket"))
+      .mapPartitions { it =>
+        val sets = scala.collection.mutable.LinkedHashMap
+          .empty[Int, BloomCodec.FuzzySet]
+        it.foreach { case (b, t) =>
+          sets.getOrElseUpdate(b, BloomCodec.FuzzySet.forDocCount(docCount))
+            .add(t)
+        }
+        sets.iterator.map { case (b, s0) =>
+          val s = s0.downsize(0.1f)
+          (b, s.bloomSize, s.bits)
+        }
+      }.toDF("bucket", "bloomSize", "bits")
+      .write.mode("overwrite").parquet(s"$dir/bloom")
+  }
+
   private def mkManifest(ix: LogicalIndex, snapshotId: String,
       done: Seq[Int], numGroups: Int): Manifest =
     Manifest(snapshotId, ix.collStats.docCount, ix.collStats.sumTotalTermFreq,
       ix.cfg.numBuckets, ix.cfg.numDocShards, ix.cfg.saltThreshold,
       ix.cfg.tokenizer, ix.cfg.bm25.k1, ix.cfg.bm25.b, done, numGroups,
       ix.cfg.positions, ix.cfg.indexSort, ix.cfg.offsets, ix.cfg.payloads,
-      ix.cfg.normSim)
+      ix.cfg.bloom, ix.cfg.normSim)
 
   /** Two-phase commit: write tmp, atomic rename over manifest.json. */
   def commitManifest(dir: String, m: Manifest): Unit = {

@@ -80,6 +80,14 @@ object Merge {
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$outDir/termdict")
 
+    // the bloom sidecar must survive compaction too: REBUILT from the
+    // merged vocabulary (bitsets of different sizes cannot be unioned),
+    // sized against the merged doc count like the original build
+    if (manifests.exists(_.bloom))
+      IndexBuilder.writeBloomSidecar(spark,
+        spark.read.parquet(s"$outDir/termstats"), outDir, nb,
+        manifests.map(_.docCount).sum)
+
     // Salting must be re-decided against the MERGED stats: a term cold in
     // every snapshot can cross the threshold once dfs sum (and a term
     // salted in one snapshot but not another would otherwise leave the
@@ -173,7 +181,8 @@ object Merge {
       head.tokenizer, head.k1, head.b, Seq(0), 1, head.positions,
       // merged indexes keep offsets (docs union carries the column) but
       // drop indexSort like mkManifest's merge convention
-      indexSort = None, offsets = head.offsets, payloads = head.payloads)
+      indexSort = None, offsets = head.offsets, payloads = head.payloads,
+      bloom = manifests.exists(_.bloom))
     IndexBuilder.commitManifest(outDir, manifest)
     manifest
   }

@@ -69,6 +69,13 @@ object Reshard {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$outDir/termstats")
 
+    // the bloom sidecar keys bits by bucketOf(term, numBuckets) — a
+    // re-cut bucket count invalidates every filter, so REBUILD from the
+    // re-keyed vocabulary (unlike the blobs, which are bucket-agnostic)
+    if (m.bloom)
+      IndexBuilder.writeBloomSidecar(spark,
+        spark.read.parquet(s"$outDir/termstats"), outDir, nb, m.docCount)
+
     // bucket-independent artifacts are SHARED, not rewritten
     linkOrCopy(s"$dir/docs", s"$outDir/docs")
     if (new java.io.File(s"$dir/termdict").isDirectory)

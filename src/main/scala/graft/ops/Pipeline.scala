@@ -195,6 +195,44 @@ object Pipeline {
         (col("n_tokens") > budget).as("oversize"))
   }
 
+  /** Sliding-window document chunking — the context-window splitter
+    * every RAG / pretraining prep pipeline runs (the tokenizer-stride
+    * convention, e.g. HuggingFace `return_overflowing_tokens`): chunk k
+    * covers tokens [k·step, k·step + maxTokens) with step = maxTokens −
+    * overlap; the chunk count `ceil(max(n − overlap, 1) / step)` places
+    * the last window over the tail exactly once (a doc shorter than one
+    * window yields one chunk; an empty doc yields none). All integer
+    * arithmetic, so the oracle replays it bit-free.
+    *
+    * Scale shape: one projection + one bounded explode (≈ n/step rows
+    * per doc) — no shuffle at all; the chunk text is a map-side
+    * `slice`+`array_join` of the already-tokenized array.
+    */
+  def chunkDocuments(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id", maxTokens: Int = 512,
+      overlap: Int = 0): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val toks = toksCol(textCol)
+    val n = size(toks)
+    val nChunks = when(n === 0, lit(0)).otherwise(
+      floor((greatest(n - overlap, lit(1)) + lit(step - 1))
+        .cast("long") / lit(step.toLong)).cast("int"))
+    docs.select(col(idCol), toks.as("_toks"), n.as("_n"),
+        nChunks.as("_c"))
+      .withColumn("chunk_idx",
+        explode(when(col("_c") >= 1, sequence(lit(0), col("_c") - 1))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * step).as("start_tok"),
+        least(lit(maxTokens), col("_n") - col("chunk_idx") * step)
+          .cast("int").as("n_chunk_tokens"),
+        array_join(slice(col("_toks"), col("chunk_idx") * step + 1,
+          lit(maxTokens)), " ").as("chunk_text"))
+  }
+
   /** Exact duplicated-substring spans (the EXACTSUBSTR rule of Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models
     * Better"): any k-token window whose token sequence occurs at least

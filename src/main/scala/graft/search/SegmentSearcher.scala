@@ -1187,6 +1187,21 @@ final class Searcher(private[search] val spark: SparkSession,
   private[search] val cache = BM25.normCache(params,
     BM25.avgFieldLength(m.sumTotalTermFreq, m.docCount))
 
+  /** Per-bucket term blooms (BloomFilteringPostingsFormat analog) when
+    * the manifest declares the sidecar: numBuckets rows of a few KB
+    * each, loaded once per handle. A bucket with NO row indexed no
+    * terms — also a definitive NO.
+    */
+  private lazy val blooms: Map[Int, graft.index.BloomCodec.FuzzySet] =
+    if (!m.bloom) Map.empty
+    else spark.read.parquet(s"${index.dir}/bloom").collect().map { r =>
+      r.getInt(0) -> new graft.index.BloomCodec.FuzzySet(
+        r.getInt(1), r.getSeq[Long](2).toArray)
+    }.toMap
+
+  /** Observability: term-stat lookups short-circuited by a bloom NO. */
+  @volatile var bloomSkipped: Long = 0L
+
   /** Sorted tombstones of this index (Deletes.load), read once per
     * handle; every Plan built here carries them so both the local and
     * the distributed (shard-task) execution mask at collection.
@@ -1383,7 +1398,20 @@ final class Searcher(private[search] val spark: SparkSession,
     present.toSeq.map(t => st(t)._1 * 4L + 64L).sum
 
   def stats(terms: Set[String]): Map[String, (Long, Long)] = {
-    val missing = terms.filterNot(statsCache.contains)
+    val missing0 = terms.filterNot(statsCache.contains)
+    // bloom fail-fast (`BloomFilteringPostingsFormat.java:83-120`
+    // BloomFilteredTermsEnum.seekExact): a definitive NO settles the
+    // term as absent without touching the stats relation; MAYBE falls
+    // through to the real lookup
+    val missing =
+      if (!m.bloom || missing0.isEmpty) missing0
+      else missing0.filter { t =>
+        val maybe = blooms
+          .get(IndexBuilder.bucketOf(t, m.numBuckets))
+          .exists(_.mightContain(t))
+        if (!maybe) { bloomSkipped += 1; statsCache.put(t, None) }
+        maybe
+      }
     if (missing.nonEmpty) {
       val buckets = missing.map(t => IndexBuilder.bucketOf(t, m.numBuckets)).toSeq
       val got = termStatsDf

@@ -140,6 +140,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(one.toSeq === got.toSeq)
   }
 
+  test("chunking: window law, tail coverage, short/empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // n=10: [0,4) [3,7) [6,10)
+      (2L, "a b c"),                           // n=3 < max → one chunk
+      (3L, "x y z w q"),                       // n=5: [0,4) [3,5)
+      (4L, ""))                                // empty → no chunks
+      .toDF("doc_id", "text")
+    val got = Pipeline.chunkDocuments(docs, "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, 0, 4, "t0 t1 t2 t3"),
+      (1L, 1, 3, 4, "t3 t4 t5 t6"),
+      (1L, 2, 6, 4, "t6 t7 t8 t9"),
+      (2L, 0, 0, 3, "a b c"),
+      (3L, 0, 0, 4, "x y z w"),
+      (3L, 1, 3, 2, "w q")))
+    // every token of doc 1 is covered by at least one window
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 10).toSet)
+    intercept[IllegalArgumentException](
+      Pipeline.chunkDocuments(docs, "text", maxTokens = 4, overlap = 4))
+  }
+
   test("substring dedup: multiplicity law, span union, within-doc repeats") {
     import spark.implicits._
     // k=3. "a b c d" appears in docs 1 and 2 → windows "a b c" and
