@@ -703,6 +703,161 @@ res AS (
 )"""
   }
 
+  /** Parametric token-stream prologue for FilteringTokenFilter-class
+    * fields: px = every simple token with its ORIGINAL 1-based subscript,
+    * keptx = rows passing `where` with `termExpr` applied (positions
+    * preserved — FilteringTokenFilter accumulates position increments
+    * over dropped tokens, `analysis/util/FilteringTokenFilter.java:60-75`,
+    * so removals leave HOLES), tok/dlen/dn/av over the surviving stream
+    * (norm length counts survivors — FieldInvertState sees only emitted
+    * tokens).
+    */
+  private def tokStreamPrologue(where: String,
+      termExpr: String = "term"): String =
+    s"""WITH arr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+    x -> x <> '' AND length(x) <= 255) AS a
+  FROM documents
+), px AS (
+  SELECT doc_id, unnest(a) AS term, generate_subscripts(a, 1) AS pos FROM arr
+), keptx AS (
+  SELECT doc_id, $termExpr AS term, pos FROM px WHERE ($where)
+), tok AS (
+  SELECT doc_id, term FROM keptx
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM documents d LEFT JOIN keptx t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+)""" + normAvSuffix
+
+  /** BM25 term over a KeepWordFilter field
+    * (`miscellaneous/KeepWordFilter.java:33-44`).
+    */
+  def keepwordTerm(term: String, keep: Seq[String], k: Int): String = {
+    val lst = "[" + keep.map(lit).mkString(", ") + "]"
+    tokStreamPrologue(s"list_contains($lst, term)") +
+      termCtes("a", term) + finish("sc_a", k)
+  }
+
+  /** Exact 2-term phrase over a KeepWordFilter field: consecutive
+    * ORIGINAL positions — a dropped word between the pair leaves a hole
+    * the exact phrase does NOT match across (the FilteringTokenFilter
+    * position-increment law).
+    */
+  def keepwordPhrase2(a: String, b: String, keep: Seq[String],
+      k: Int): String = {
+    val lst = "[" + keep.map(lit).mkString(", ") + "]"
+    val idfSum = R(s"${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(a)})")} + ${idfExpr(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(b)})")}")
+    val w = R(s"$idfSum * ($K1 + ${R("1")})")
+    val tfR = R("p.tf")
+    val score = R(s"${R(s"$w * $tfR")} / ${R(s"$tfR + ${cacheExpr("dn.qlen")}")}")
+    tokStreamPrologue(s"list_contains($lst, term)") +
+      s""", ph AS (
+  SELECT p1.doc_id, count(*) AS tf
+  FROM keptx p1 JOIN keptx p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+  WHERE p1.term = ${lit(a)} AND p2.term = ${lit(b)}
+  GROUP BY p1.doc_id
+), res AS (
+  SELECT p.doc_id, $score AS s FROM ph p JOIN dn ON p.doc_id = dn.doc_id
+)""" + finish("res", k)
+  }
+
+  /** BM25 term over a LengthFilter field
+    * (`miscellaneous/LengthFilter.java:39-49`; char length in UTF-16
+    * units = DuckDB length() on this ASCII gate vocabulary).
+    */
+  def lengthFilterTerm(term: String, lo: Int, hi: Int, k: Int): String =
+    tokStreamPrologue(s"length(term) BETWEEN $lo AND $hi") +
+      termCtes("a", term) + finish("sc_a", k)
+
+  /** BM25 term over a TruncateTokenFilter field
+    * (`miscellaneous/TruncateTokenFilter.java:38-44`): every token cut
+    * to its first n chars; positions and counts unchanged.
+    */
+  def truncateTerm(term: String, n: Int, k: Int): String =
+    tokStreamPrologue("TRUE", s"substr(term, 1, $n)") +
+      termCtes("a", term) + finish("sc_a", k)
+
+  /** BM25 term over a LimitTokenCountFilter field
+    * (`miscellaneous/LimitTokenCountFilter.java:32-60`,
+    * consumeAllTokens=false): only the first n tokens index; norm length
+    * = the surviving count.
+    */
+  def limitTokTerm(term: String, n: Int, k: Int): String =
+    tokStreamPrologue(s"pos <= $n") +
+      termCtes("a", term) + finish("sc_a", k)
+
+  /** Prologue for a StemmerOverrideFilter → PorterStemFilter chain
+    * (`miscellaneous/StemmerOverrideFilter.java:55-75`: a dictionary hit
+    * replaces the term and sets KeywordAttribute, so the downstream
+    * stemmer skips it — `en/PorterStemFilter.java:48`). Token map:
+    * override first, else the embedded Porter dictionary (the gate
+    * vocabulary is fully enumerated — see [[porterPrologue]]). Over
+    * documents ∪ the porter planted docs.
+    */
+  def stemOverridePrologue(overrides: Seq[(String, String)]): String = {
+    val plantedRows = porterPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val dictRows = porterDict
+      .map { case (w, s) => s"(${lit(w)}, ${lit(s)})" }.mkString(", ")
+    val ovRows = overrides
+      .map { case (w, s) => s"(${lit(w)}, ${lit(s)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), stemmap(w, st) AS (
+  SELECT * FROM (VALUES $dictRows)
+), ovmap(w, st) AS (
+  SELECT * FROM (VALUES $ovRows)
+), rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM d2
+), tok AS (
+  SELECT r.doc_id, coalesce(o.st, m.st, r.rt) AS term
+  FROM (SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255) r
+  LEFT JOIN ovmap o ON r.rt = o.w
+  LEFT JOIN stemmap m ON r.rt = m.w
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)"""
+  }
+
+  /** BM25 term over the stemoverride→porter field. */
+  def stemOverrideTerm(term: String, overrides: Seq[(String, String)],
+      k: Int): String =
+    stemOverridePrologue(overrides) + termCtes("a", term) + finish("sc_a", k)
+
+  /** Constant-score docvalues query (`lucene/sandbox/.../search/
+    * DocValuesNumbersQuery.java:46`, `DocValuesTermsQuery.java:92`,
+    * `DocValuesRangeQuery.java:60`): every doc satisfying the stored-value
+    * predicate scores the constant 1.0 — ranking degenerates to docId asc.
+    */
+  def dvConst(where: String, k: Int): String =
+    s"""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS rnk
+FROM documents WHERE $where ORDER BY doc_id LIMIT $k"""
+
+  /** BM25 term query with a docvalues-range FILTER clause
+    * (DocValuesRangeQuery as a BooleanQuery FILTER occur): scores are the
+    * plain term query's; membership additionally requires the doc's
+    * stored `field` value in [lo, hi].
+    */
+  def termDvRange(term: String, field: String, lo: Long, hi: Long,
+      k: Int): String =
+    prologue + termCtes("a", term) +
+      s""", res AS (
+  SELECT s.doc_id, s.s FROM sc_a s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.$field >= $lo AND d.$field <= $hi
+)""" + finish("res", k)
+
   /** Final SELECT: rank + double score under the tie-break law. */
   def finish(rel: String, k: Int, offset: Int = 0): String =
     s"""

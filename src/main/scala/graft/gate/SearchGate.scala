@@ -64,7 +64,8 @@ object SearchGate {
       cfSearcherCache.values ++ delSearcherCache.values ++
       updSearcherCache.values ++ phoneticSearcherCache.values ++
       porterInjSearcherCache.values ++ ngramSearcherCache.values ++
-      synGraphSearcherCache.values ++ revwildSearcherCache.values)
+      synGraphSearcherCache.values ++ revwildSearcherCache.values ++
+      specSearcherCache.values)
       .foreach(s => quietly(s.close()))
     freeTextCache.values.foreach(m => quietly(m.unpersist()))
     freeTextCache.clear()
@@ -80,6 +81,7 @@ object SearchGate {
     phoneticSearcherCache.clear()
     porterInjSearcherCache.clear(); ngramSearcherCache.clear()
     synGraphSearcherCache.clear(); revwildSearcherCache.clear()
+    specSearcherCache.clear()
     // the rtg fixture dir is deleted below with the other tracked dirs —
     // a surviving path cache would dangle into the next gate run
     rtgCache.clear()
@@ -239,6 +241,44 @@ object SearchGate {
     * can ONLY exist if both stages ran — a broken chain yields zero rows
     * against the oracle's ten.
     */
+  /** Generic analyzed-field fixture: one index per (sfDir, tokenizer
+    * spec) over `documents` (∪ `planted` rows when non-empty) — the
+    * shared shape of every single-filter gate family (keepword / length /
+    * truncate / limittok / stemoverride / …).
+    */
+  private val specSearcherCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
+  def specSearcher(spark: SparkSession, sfDir: String, spec: String,
+      planted: Seq[(Long, String)] = Nil): Searcher =
+    specSearcherCache.getOrElseUpdate((sfDir, spec), {
+      import spark.implicits._
+      val dirHash = Integer.toHexString(s"$sfDir#$spec".hashCode)
+      val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-spec-$dirHash")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val docs = if (planted.isEmpty) base
+        else base.unionByName(planted.toDF("doc_id", "text"))
+      val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+        gateConfig.copy(tokenizer = spec, offsets = false, payloads = None))
+      IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-spec-$dirHash",
+        numGroups = 1)
+      ix.unpersistCached()
+      ix.postings.unpersist()
+      new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
+    })
+
+  /** Keep set for the KeepWordFilter gate field. */
+  val KeepWords: Seq[String] =
+    Seq("spark", "data", "query", "table", "row", "key", "filter", "join")
+  val KeepwordSpec: String = "keepword:" + KeepWords.mkString(";")
+
+  /** StemmerOverride rules for the gate field (ahead of Porter). */
+  val StemOverrides: Seq[(String, String)] =
+    Seq("querying" -> "interrogation", "tables" -> "tabulation")
+  val StemOverrideSpec: String = "stemoverride:" +
+    StemOverrides.map { case (w, s) => s"$w=>$s" }.mkString(";")
+
   val CharFilterChain = "replace=[0-9]+=> !mapping=a=>4!simple"
   private val cfSearcherCache =
     scala.collection.concurrent.TrieMap.empty[String, Searcher]
@@ -1069,6 +1109,57 @@ object SearchGate {
     // of other langs' best
     "q_diversified" -> ((spark, sfDir) => hitsDf(spark,
       searcher(spark, sfDir).searchDiversified(TermQ("data"), K, "lang", 2))),
+    // sandbox docvalues queries (DocValuesNumbersQuery / TermsQuery /
+    // RangeQuery): constant-score match BY STORED VALUE — one pushed
+    // predicate scan of the docs column store, ties docId asc
+    "q_dv_numbers" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDocValues("n_chars",
+        DvPred.Numbers((100L to 199L).toSet), K))),
+    "q_dv_terms" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDocValues("lang",
+        DvPred.Terms(Set("en", "fr")), K))),
+    "q_dv_range" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDocValues("n_chars",
+        DvPred.Range(Some(200L), Some(400L), inclLower = true,
+          inclUpper = false), K))),
+    // open lower bound (the reference's null lowerVal)
+    "q_dv_range_open" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDocValues("n_chars",
+        DvPred.Range(None, Some(150L)), K))),
+    // the dominant composed form: BM25 MUST + docvalues FILTER —
+    // scores identical to the plain term query, membership intersected
+    "q_dv_filtered" -> ((spark, sfDir) => hitsDf(spark,
+      searcher(spark, sfDir).searchDvFiltered(TermQ("spark"), K,
+        "n_chars", DvPred.Range(Some(100L), Some(400L))))),
+    // FilteringTokenFilter family fields — survivors keep their ORIGINAL
+    // positions (holes), norms count survivors only
+    "q_keepword_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, KeepwordSpec).search(TermQ("spark"), K))),
+    // exact phrase across a hole does NOT match: only raw adjacencies
+    "q_keepword_phrase" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, KeepwordSpec)
+        .search(PhraseQ(Seq("spark", "data")), K))),
+    "q_lengthfilter_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "lengthfilter:4:6")
+        .search(TermQ("filter"), K))),
+    // TruncateTokenFilter: the query term "batc" exists ONLY if the
+    // filter ran
+    "q_truncate_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "truncate:4").search(TermQ("batc"), K))),
+    // LimitTokenCountFilter: only each doc's first 20 tokens index —
+    // df, tf and norms all shift vs the plain field
+    "q_limittok_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "limittok:20").search(TermQ("spark"), K))),
+    // StemmerOverrideFilter ahead of Porter: the override output exists
+    // only if the dictionary hit replaced the term (and kept Porter away)
+    "q_stemover_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, StemOverrideSpec, Oracles.porterPlanted)
+        .search(TermQ("interrogation"), K))),
+    // the override CARVES "querying" out of the queri stem group — df
+    // and scores shift vs the plain porter field
+    "q_stemover_carve" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, StemOverrideSpec, Oracles.porterPlanted)
+        .search(TermQ("queri"), K))),
     // SynonymFilter field: 'rapid' is an overlay on every 'fast'
     // occurrence (expansion group), 'col' replaces 'column' (directed),
     // and the overlay shares its source position so the exact phrase
@@ -1478,6 +1569,21 @@ object SearchGate {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    "q_dv_numbers" -> Oracles.dvConst(
+      "n_chars IN (" + (100 to 199).mkString(", ") + ")", K),
+    "q_dv_terms" -> Oracles.dvConst("lang IN ('en', 'fr')", K),
+    "q_dv_range" -> Oracles.dvConst("n_chars >= 200 AND n_chars < 400", K),
+    "q_dv_range_open" -> Oracles.dvConst("n_chars <= 150", K),
+    "q_dv_filtered" -> Oracles.termDvRange("spark", "n_chars", 100, 400, K),
+    "q_keepword_term" -> Oracles.keepwordTerm("spark", KeepWords, K),
+    "q_keepword_phrase" ->
+      Oracles.keepwordPhrase2("spark", "data", KeepWords, K),
+    "q_lengthfilter_term" -> Oracles.lengthFilterTerm("filter", 4, 6, K),
+    "q_truncate_term" -> Oracles.truncateTerm("batc", 4, K),
+    "q_limittok_term" -> Oracles.limitTokTerm("spark", 20, K),
+    "q_stemover_term" ->
+      Oracles.stemOverrideTerm("interrogation", StemOverrides, K),
+    "q_stemover_carve" -> Oracles.stemOverrideTerm("queri", StemOverrides, K),
     "q_bm25_term_common" -> Oracles.term("batch", K),
     "q_bm25_term_mid" -> Oracles.term("spark", K),
     "q_bm25_term_rare" -> Oracles.term("dup", K),

@@ -193,6 +193,39 @@ object IndexBuilder {
       graft.core.Phonetic.encoderFor(spec) // validate eagerly on the driver
       (s: String) =>
         Analysis.simpleTokens(s).map(graft.core.Phonetic.replaced(spec, _))
+    // "stemoverride:<w=>repl;…>" — StemmerOverrideFilter ahead of
+    // PorterStemFilter (`analysis/common/.../miscellaneous/
+    // StemmerOverrideFilter.java:55-75`): a dictionary hit replaces the
+    // term AND sets KeywordAttribute, so the downstream stemmer skips it
+    // (`en/PorterStemFilter.java:48` stems only non-keyword tokens) —
+    // in a flat chain that is exactly "override wins, else Porter".
+    case so if so.startsWith("stemoverride:") =>
+      val rules: Map[String, String] = so.stripPrefix("stemoverride:")
+        .split(";").filter(_.nonEmpty).map { r =>
+          val i = r.indexOf("=>")
+          require(i > 0, s"stemoverride rule needs w=>repl: $r")
+          (r.substring(0, i), r.substring(i + 2))
+        }.toMap
+      (s: String) => Analysis.simpleTokens(s)
+        .map(t => rules.getOrElse(t, graft.core.Porter.stem(t)))
+    // "truncate:<n>" — TruncateTokenFilter (`miscellaneous/
+    // TruncateTokenFilter.java:38-44`: non-keyword tokens longer than n
+    // are cut to their first n chars; UTF-16 units like the reference's
+    // setLength). Conflates terms, so df/norms shift.
+    case tr if tr.startsWith("truncate:") =>
+      val n = tr.stripPrefix("truncate:").toInt
+      require(n >= 1, s"truncate length must be >= 1: $tr")
+      (s: String) => Analysis.simpleTokens(s)
+        .map(t => if (t.length > n) t.substring(0, n) else t)
+    // "limittok:<n>" — LimitTokenCountFilter (`miscellaneous/
+    // LimitTokenCountFilter.java:32-60`, factory default
+    // consumeAllTokens=false): only the first n tokens are indexed; the
+    // norm length is the SURVIVING count (FieldInvertState sees only
+    // emitted tokens).
+    case lt if lt.startsWith("limittok:") =>
+      val n = lt.stripPrefix("limittok:").toInt
+      require(n >= 1, s"limittok count must be >= 1: $lt")
+      (s: String) => Analysis.simpleTokens(s).take(n)
     case other => sys.error(s"unknown tokenizer: $other")
   }
 
@@ -323,6 +356,36 @@ object IndexBuilder {
           }
         }
         (toks.length, out)
+      })
+    }
+    else if (name.startsWith("keepword:")) {
+      // KeepWordFilter (`miscellaneous/KeepWordFilter.java:33-44` via
+      // FilteringTokenFilter): only listed words survive; position
+      // increments accumulate over dropped tokens (`util/
+      // FilteringTokenFilter.java:60-75`), so surviving tokens keep
+      // their ORIGINAL positions and removals leave HOLES — an exact
+      // phrase does not match across a removed word. Norm length counts
+      // survivors only (FieldInvertState sees emitted tokens).
+      val keep = name.stripPrefix("keepword:")
+        .split(";").filter(_.nonEmpty).toSet
+      require(keep.nonEmpty, s"keepword needs a word list: $name")
+      Some((s: String) => {
+        val kept = Analysis.simpleTokens(s).zipWithIndex
+          .filter { case (t, _) => keep(t) }
+        (kept.length, kept)
+      })
+    }
+    else if (name.startsWith("lengthfilter:")) {
+      // LengthFilter (`miscellaneous/LengthFilter.java:39-49`): keep
+      // tokens whose char length (UTF-16 units, termAtt.length) lands in
+      // [min, max]; same FilteringTokenFilter hole law as keepword.
+      val Array(_, lo0, hi0) = name.split(":", 3)
+      val (lo, hi) = (lo0.toInt, hi0.toInt)
+      require(lo >= 0 && lo <= hi, s"bad lengthfilter bounds: $name")
+      Some((s: String) => {
+        val kept = Analysis.simpleTokens(s).zipWithIndex
+          .filter { case (t, _) => t.length >= lo && t.length <= hi }
+        (kept.length, kept)
       })
     }
     else None

@@ -421,6 +421,36 @@ final case class SpanPayloadCheckQ(root: Span,
 case object MatchAllQ extends Query     // MatchAllDocsQuery.java:29
 case object MatchNoneQ extends Query    // MatchNoDocsQuery
 
+/** Predicates of the sandbox docvalues queries — matching BY STORED VALUE
+  * instead of through the inverted index:
+  *
+  *  - [[DvPred.Numbers]]: `DocValuesNumbersQuery`
+  *    (`lucene/sandbox/.../search/DocValuesNumbersQuery.java:46`) — the
+  *    doc's numeric value is one of the given longs.
+  *  - [[DvPred.Terms]]: `DocValuesTermsQuery` (`DocValuesTermsQuery
+  *    .java:92`) — the doc's string value is one of the given terms.
+  *  - [[DvPred.Range]]: `DocValuesRangeQuery.newLongRange`
+  *    (`DocValuesRangeQuery.java:60`) — the value lands in
+  *    [lower, upper] with per-bound inclusivity; a `None` bound is open
+  *    (the reference's null). BOTH bounds `None` rewrites to the
+  *    match-every-doc-with-a-value form (`DocValuesRangeQuery.java:
+  *    134-139` returns `new FieldValueQuery(field)`).
+  *
+  * All three are constant-score (the reference wraps a docvalues
+  * iterator in a ConstantScoreWeight); a doc with a NULL column value
+  * never matches (no docvalues entry). Evaluated by
+  * `Searcher.searchDocValues` (standalone) and `Searcher.searchDvFiltered`
+  * (as the FILTER side of a scored query — the reference's dominant use,
+  * a BooleanQuery FILTER clause).
+  */
+sealed trait DvPred extends Serializable
+object DvPred {
+  final case class Numbers(values: Set[Long]) extends DvPred
+  final case class Terms(values: Set[String]) extends DvPred
+  final case class Range(lower: Option[Long], upper: Option[Long],
+      inclLower: Boolean = true, inclUpper: Boolean = true) extends DvPred
+}
+
 /** TermAutomatonQuery (`sandbox/.../search/TermAutomatonQuery.java:68`):
   * a determinized term automaton run over each candidate doc's merged
   * positions; freq = accept-landing count, scored BM25 like a phrase.

@@ -3651,6 +3651,165 @@ final class Searcher(private[search] val spark: SparkSession,
       .map(r => Hit(r.getLong(0), r.getDouble(1)))
   }
 
+  // ---------- sandbox docvalues queries ----------
+
+  /** DataFrame predicate of a [[DvPred]] over the docs column store —
+    * NULL column values never match (the reference's docvalues iterators
+    * skip docs without a value; SQL three-valued logic gives the same
+    * exclusion for free through `filter`).
+    */
+  private def dvPredCol(field: String, pred: DvPred)
+      : org.apache.spark.sql.Column = pred match {
+    case DvPred.Numbers(vs) => col(field).cast("long").isin(vs.toSeq: _*)
+    case DvPred.Terms(vs) => col(field).cast("string").isin(vs.toSeq: _*)
+    case DvPred.Range(lo, up, il, iu) =>
+      val c = col(field).cast("long")
+      val loP = lo.map(v => if (il) c >= v else c > v)
+      val upP = up.map(v => if (iu) c <= v else c < v)
+      (loP, upP) match {
+        case (Some(a), Some(b)) => a && b
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        // both bounds open: FieldValueQuery rewrite
+        // (`DocValuesRangeQuery.java:134-139`)
+        case (None, None) => c.isNotNull
+      }
+  }
+
+  /** Standalone docvalues query (`DocValuesNumbersQuery.java:46`,
+    * `DocValuesTermsQuery.java:92`, `DocValuesRangeQuery.java:60`):
+    * constant-score matches by stored value, ranked by the (score desc,
+    * docId asc) law — all scores equal ⇒ docId asc.
+    *
+    * Scale shape: ONE pushed-down predicate scan of the docs column
+    * store + TakeOrderedAndProject — value and docId are the only
+    * columns read, the filter reaches the parquet scan, and only k rows
+    * reach the driver. (The reference walks docvalues for EVERY doc —
+    * its own javadoc warns these are linear scans; the columnar scan is
+    * the same complexity with pruning the reference can't do.)
+    */
+  def searchDocValues(field: String, pred: DvPred, k: Int,
+      constScore: Float = 1f): Array[Hit] =
+    liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
+      .orderBy(col("docId").asc).limit(k)
+      .collect().map(r => Hit(r.getLong(0), constScore.toDouble))
+
+  /** Exact match count of a standalone docvalues predicate (the
+    * TotalHitCount form): one pushed-filter count, nothing collected.
+    */
+  def countDocValues(field: String, pred: DvPred): Long =
+    liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
+      .count()
+
+  /** Scored query with a docvalues FILTER clause — the reference's
+    * dominant use of the sandbox docvalues queries (a BooleanQuery
+    * FILTER occur: matches must ALSO satisfy the predicate, which
+    * contributes no score — `BooleanQuery.java:41` Occur.FILTER over a
+    * ConstantScoreWeight). Hit scores are identical to `search(q)`;
+    * membership is intersected with the predicate.
+    *
+    * WAND stays off like [[searchDiversified]]: the block-max heap
+    * threshold may only rise through ACCEPTED (filtered) docs, and the
+    * leaf collector has no docvalues access — the exhaustive walk keeps
+    * both paths bit-identical.
+    *
+    * Scale shape: local path = one docvalues accessor lookup per match
+    * inside the shard walk (gated on `dvBytes <= maxLocalBytes`);
+    * distributed path = shard-task match streams (docId, score) joined
+    * against the predicate-filtered docs column store (pushed filter),
+    * then TakeOrderedAndProject — nothing match-count-sized reaches the
+    * driver.
+    */
+  def searchDvFiltered(q0: Query, k: Int, field: String,
+      pred: DvPred): Array[Hit] = {
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    if (q == MatchNoneQ) return Array.empty
+    val terms = Query.literalTerms(q)
+    val hasAll = Query.containsMatchAll(q)
+    if (terms.isEmpty && !hasAll) return Array.empty
+    val st = stats(terms)
+    val weights = mkWeights(st)
+    val present = terms.filter(st.contains)
+    if (present.isEmpty && !hasAll) return Array.empty
+    val sharded = weights.values.exists(_.salted)
+    val plan = withDeletes(Plan(q, k, None, weights, cache, m.numDocShards,
+      sharded, m.docCount, params, useWand = false))
+    val localOk = dvBytes <= maxLocalBytes &&
+      (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes)
+    if (localOk) dvFilteredLocal(plan, present, field, pred, k)
+    else dvFilteredDistributed(plan, present, field, pred, k)
+  }
+
+  private def dvFilteredLocal(plan: Plan, present: Set[String],
+      field: String, pred: DvPred, k: Int): Array[Hit] = {
+    // string membership keys via the string accessor; numeric predicates
+    // via the long accessor — both driver-dense under the dvBytes gate
+    val accept: Long => Boolean = pred match {
+      case DvPred.Terms(vs) =>
+        val get = docKeys(field); d => vs.contains(get(d))
+      case DvPred.Numbers(vs) =>
+        val get = docValues(field); d => vs.contains(get(d))
+      case DvPred.Range(lo, up, il, iu) =>
+        val get = docValues(field)
+        d => {
+          val v = get(d)
+          lo.forall(l => if (il) v >= l else v > l) &&
+            up.forall(u => if (iu) v <= u else v < u)
+        }
+    }
+    def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
+      val queue = new BoundedHitQueue(k)
+      val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs,
+        plan, 1f)
+      var d = scorer.nextDoc()
+      while (d != DocScorer.NO_MORE) {
+        if (!graft.index.Deletes.contains(plan.deletes, d) && accept(d))
+          queue.insert(d, scorer.score.toDouble)
+        d = scorer.nextDoc()
+      }
+      queue.sortedHits
+    }
+    val partials: Seq[Array[Hit]] =
+      if (present.isEmpty) Seq(collectShard(-1, Map.empty))
+      else {
+        val rows = fetchRows(present)
+        if (rows.isEmpty) Nil
+        else if (!plan.sharded)
+          Seq(collectShard(-1, rows.map(r => r.term -> r).toMap))
+        else (0 until plan.numShards).flatMap { s =>
+          val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+            .map(r => r.term -> r).toMap
+          if (blobs.isEmpty) None else Some(collectShard(s, blobs))
+        }
+      }
+    TopK.merge(partials, k)
+  }
+
+  private def dvFilteredDistributed(plan: Plan, present: Set[String],
+      field: String, pred: DvPred, k: Int): Array[Hit] = {
+    import spark.implicits._
+    val bPlan = spark.sparkContext.broadcast(plan)
+    val matches = shardRows(present, plan, forceAllShards = false)
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val p = bPlan.value
+        val scorer = SegmentSearcher.buildScorer(p.query,
+          if (p.sharded) shard else -1, SegmentSearcher.blobsOf(it), p, 1f)
+        Iterator.continually(scorer.nextDoc())
+          .takeWhile(_ != DocScorer.NO_MORE)
+          .filterNot(graft.index.Deletes.contains(p.deletes, _))
+          .map(d => (d, scorer.score.toDouble))
+      }
+      .toDF("docId", "score")
+    val dv = dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId"))
+    matches.join(dv, "docId")
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+      .collect()
+      .map(r => Hit(r.getLong(0), r.getDouble(1)))
+  }
+
   // ---------- terms enumeration (Solr TermsComponent) ----------
 
   /** Terms enumeration with bounds/prefix/regexp/df-range filters — the

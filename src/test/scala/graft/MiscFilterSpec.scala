@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.index.IndexBuilder
+import graft.index.IndexBuilder.BuildConfig
+import graft.search._
+
+/** Miscellaneous analysis filters (`lucene/analysis/common/.../
+  * miscellaneous/`): StemmerOverrideFilter (override wins, Porter skipped
+  * on keyword hits), TruncateTokenFilter, LimitTokenCountFilter, and the
+  * FilteringTokenFilter pair KeepWordFilter / LengthFilter whose dropped
+  * tokens leave position HOLES (`util/FilteringTokenFilter.java:60-75`
+  * accumulates skipped position increments).
+  */
+class MiscFilterSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("stemoverride: dictionary hit replaces and skips Porter") {
+    val f = IndexBuilder.tokenizerFn(
+      "stemoverride:querying=>interrogation;running=>sprint")
+    // overridden tokens take the dictionary output verbatim (keyword set,
+    // PorterStemFilter.java:48 skips); the rest porter-stem
+    assert(f("querying tables running queries").toSeq ==
+      Seq("interrogation", "tabl", "sprint", "queri"))
+    // without the override the same tokens porter-stem
+    assert(Porter.stem("querying") == "queri")
+    assert(Porter.stem("running") == "run")
+  }
+
+  test("truncate: prefix cut at n UTF-16 units, shorter tokens intact") {
+    val f = IndexBuilder.tokenizerFn("truncate:4")
+    assert(f("batch big stream a").toSeq == Seq("batc", "big", "stre", "a"))
+  }
+
+  test("limittok: first n tokens only") {
+    val f = IndexBuilder.tokenizerFn("limittok:3")
+    assert(f("a b c d e").toSeq == Seq("a", "b", "c"))
+    assert(f("a b").toSeq == Seq("a", "b"))
+  }
+
+  test("keepword: survivors keep ORIGINAL positions; norm counts kept") {
+    val f = IndexBuilder.posTokenizerFn("keepword:spark;data").get
+    val (norm, toks) = f("spark the big data")
+    assert(norm == 2)
+    assert(toks.toSeq == Seq(("spark", 0), ("data", 3))) // hole at 1-2
+  }
+
+  test("lengthfilter: char-length band with the same hole law") {
+    val f = IndexBuilder.posTokenizerFn("lengthfilter:4:6").get
+    val (norm, toks) = f("a spark to stream xy filter")
+    assert(norm == 3)
+    assert(toks.toSeq == Seq(("spark", 1), ("stream", 3), ("filter", 5)))
+  }
+
+  test("end-to-end: exact phrase does not match across a keepword hole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark data fast"),     // adjacent: phrase matches
+      (2L, "spark the data fast"), // hole at pos 1: exact must NOT match
+      (3L, "data spark")           // transposed: needs slop >= 2
+    ).toDF("doc_id", "text")
+    val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
+      BuildConfig(numBuckets = 2, numDocShards = 1,
+        saltThreshold = 1000000L, tokenizer = "keepword:spark;data;fast"))
+    val d = java.nio.file.Files.createTempDirectory("graft-keepw").toString
+    IndexBuilder.writeIndex(ix, d, "snap", 1)
+    ix.unpersistCached(); ix.postings.unpersist()
+    val s = new Searcher(spark, SegmentSearcher.load(d))
+    assert(s.search(PhraseQ(Seq("spark", "data")), 10)
+      .map(_.docId).toSet == Set(1L))
+    // slop 1 bridges exactly one dropped token's hole
+    assert(s.search(PhraseQ(Seq("spark", "data"), slop = 1), 10)
+      .map(_.docId).toSet == Set(1L, 2L))
+    // norms counted survivors: doc 2 indexed 3 tokens, not 4 — its
+    // "spark" norm equals doc 1's ("the" never reached the stream)
+    val h1 = s.search(TermQ("fast"), 10).map(h => h.docId -> h.score).toMap
+    assert(h1(1L) == h1(2L))
+    s.close()
+  }
+}
