@@ -1131,9 +1131,57 @@ ORDER BY doc_id LIMIT $k"""
       case SqrtV(x) => R(s"sqrt(${go(x)})")
       case AbsV(x) => R(s"abs(${go(x)})")
       case qv: QueryV => queryRef(qv)
+      // ---- index-stat sources (need the `tok` prologue in scope; for
+      // NormV also `dlen` + the normv decode table) ----
+      case TermFreqV(t) =>
+        R(s"COALESCE((SELECT count(*) FROM tok WHERE tok.doc_id = $alias.doc_id AND term = ${lit(t)}), 0)")
+      case TfV(t) =>
+        // ClassicSimilarity.tf = (float)sqrt(freq)
+        R(s"sqrt(CAST(${go(TermFreqV(t))} AS DOUBLE))")
+      case DocFreqV(t) =>
+        R(s"(SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)})")
+      case IdfV(t) =>
+        // (float)(log(maxDoc/(double)(df+1)) + 1.0)
+        R(s"ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / ((SELECT count(DISTINCT doc_id) FROM tok WHERE term = ${lit(t)}) + 1)) + 1.0")
+      case MaxDocV => R("(SELECT count(*) FROM documents)")
+      // the gate fixtures carry no tombstones: numDocs = maxDoc
+      case NumDocsV => R("(SELECT count(*) FROM documents)")
+      case TotalTermFreqV(t) =>
+        R(s"(SELECT count(*) FROM tok WHERE term = ${lit(t)})")
+      case SumTotalTermFreqV => R("(SELECT count(*) FROM tok)")
+      case NormV =>
+        // byte315 decode of the stored norm: len → decoded float via the
+        // embedded (lo, hi, nv) table (generated from the same encoder)
+        R(s"(SELECT v.nv FROM dlen, normv v WHERE dlen.doc_id = $alias.doc_id AND dlen.len BETWEEN v.lo AND v.hi)")
     }
     go(vs)
   }
+
+  /** Whether the tree contains index-stat sources (they pull the token
+    * prologue — and for NormV the decode table — into the oracle).
+    */
+  def usesIndexStats(vs: graft.search.ValueSrc): Boolean = {
+    import graft.search._
+    (vs match {
+      case TermFreqV(_) | TfV(_) | DocFreqV(_) | IdfV(_) | MaxDocV |
+          NumDocsV | TotalTermFreqV(_) | SumTotalTermFreqV | NormV => true
+      case _ => false
+    }) || ValueSources.childrenOf(vs).exists(usesIndexStats)
+  }
+
+  private def usesNorm(vs: graft.search.ValueSrc): Boolean =
+    vs == graft.search.NormV ||
+      graft.search.ValueSources.childrenOf(vs).exists(usesNorm)
+
+  /** (lo, hi, decoded) rows for the byte315 norm decode — generated from
+    * the engine's own encoder so the oracle is exact by construction.
+    */
+  private lazy val normDecodeRows: String =
+    Norms.lengthRanges().map { case (lo, hi, _) =>
+      val nv = graft.core.SmallFloat.byte315ToFloat(
+        Norms.normByte(lo.toInt))
+      s"($lo, ${if (hi == Long.MaxValue) "9223372036854775807" else hi}, CAST('$nv' AS REAL))"
+    }.mkString(", ")
 
   /** FunctionQuery (`function/FunctionQuery.java:46-120`): every doc,
     * score = the value. No tokenization needed unless the tree embeds
@@ -1145,9 +1193,13 @@ ORDER BY doc_id LIMIT $k"""
     import graft.search._
     val names = termVs.distinct.sorted.zipWithIndex
       .map { case (t, i) => t -> s"qv$i" }.toMap
+    val statCtes =
+      if (!usesIndexStats(vs)) ""
+      else if (!usesNorm(vs)) ""
+      else s", normv(lo, hi, nv) AS (SELECT * FROM (VALUES $normDecodeRows))"
     val pro =
-      if (termVs.isEmpty) ""
-      else prologue + names.toSeq.sortBy(_._2)
+      if (termVs.isEmpty && !usesIndexStats(vs)) ""
+      else prologue + statCtes + names.toSeq.sortBy(_._2)
         .map { case (t, n) => termCtes(n, t) }.mkString + " "
     val ref: QueryV => String = {
       case QueryV(TermQ(t), d) if names.contains(t) =>

@@ -715,6 +715,19 @@ object SearchGate {
     "q_func_query_vs" -> seg(FunctionQ(SumV(Seq(
       QueryV(TermQ("spark"), 0f),
       RecipV(FieldV("n_chars"), 1f, 500f, 1f))))),
+    // index-stat value sources: classic tf×idf assembled from the
+    // tf()/idf() functions (TFValueSource × IDFValueSource) — per-doc
+    // sqrt(freq) times the per-searcher idf constant
+    "q_func_tfidf" -> seg(FunctionQ(ProductV(Seq(
+      TfV("spark"), IdfV("spark"))))),
+    // NormValueSource: the decoded byte315 index-time norm per doc
+    "q_func_norm" -> seg(FunctionQ(NormV)),
+    // the Solr function-parser surface over the stat zoo: docfreq +
+    // 0.5·termfreq + sumtotaltermfreq/maxdoc (constants resolved once
+    // per searcher, tf joined per doc)
+    "q_func_stats_parsed" -> seg(FunctionQ(ValueSources.parseFunc(
+      "sum(docfreq(text, spark), linear(termfreq(text, spark), 0.5, 0), " +
+        "div(sumtotaltermfreq(text), maxdoc()))"))),
     "q_bm25_must_should" -> seg(BoolQ(must = Seq(TermQ("dup")),
       should = Seq(TermQ("spark"), TermQ("key")))),
     "q_bm25_must_should_msm" -> seg(BoolQ(must = Seq(TermQ("batch")),
@@ -1771,6 +1784,12 @@ object SearchGate {
       upper = Some("p"), regexp = Some("[a-z]+[0-9]*"), sortByCount = false),
     "q_elevate" -> Oracles.elevatedOr(Seq("spark", "key"),
       Seq(42L, 7L), Set(3L), K),
+    "q_func_tfidf" -> Oracles.functionQuery(
+      ProductV(Seq(TfV("spark"), IdfV("spark"))), K),
+    "q_func_norm" -> Oracles.functionQuery(NormV, K),
+    "q_func_stats_parsed" -> Oracles.functionQuery(
+      SumV(Seq(DocFreqV("spark"), LinearV(TermFreqV("spark"), 0.5f, 0f),
+        DivV(SumTotalTermFreqV, MaxDocV))), K),
     "q_func_recip" -> Oracles.functionQuery(
       RecipV(FieldV("n_chars"), 1f, 1000f, 1f), K),
     "q_func_scale" -> Oracles.functionQuery(

@@ -3969,10 +3969,14 @@ final class Searcher(private[search] val spark: SparkSession,
     * match-score streams in (left join + defVal coalesce,
     * `QueryValueSource.java:82-104`).
     */
-  def functionDf(vs: ValueSrc): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit, coalesce, isnan, min => smin, max => smax}
+  def functionDf(vs0: ValueSrc): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, coalesce, isnan, min => smin, max => smax, typedlit, element_at}
+    val vs = resolveStatVs(vs0)
     val fields = ValueSources.fieldsOf(vs)
-    var base = dvDocsDf.select((col("docId") +: fields.toSeq.sorted.map(col)): _*)
+    val wantNorm = ValueSources.needsNorm(vs)
+    var base = dvDocsDf.select((col("docId") +:
+      (fields.toSeq.sorted.map(col) ++
+        (if (wantNorm) Seq(col("normByte")) else Nil))): _*)
     if (deletesArr.nonEmpty) {
       // tombstone mask (function queries run over the docs column store,
       // not the scorer tree — same liveDocs law, applied at the source)
@@ -3988,11 +3992,26 @@ final class Searcher(private[search] val spark: SparkSession,
       base = base.join(
         matchScoresDf(qv.q).withColumnRenamed("ms", name), Seq("docId"), "left")
     }
+    // per-doc tf streams for TermFreqV/TfV (`TermFreqValueSource.java:
+    // 40-125`): one pruned postings decode per distinct term, left-joined
+    // (absent → 0 like the reference's empty PostingsEnum)
+    val stTerms = ValueSources.statTermsOf(vs).distinct
+    val stCol = stTerms.zipWithIndex.map { case (t, i) => t -> s"_tf$i" }.toMap
+    stTerms.foreach { t =>
+      base = base.join(
+        termTfDf(t).withColumnRenamed("tfv", stCol(t)), Seq("docId"), "left")
+    }
     lazy val ctx: ValueSources.ColCtx = ValueSources.ColCtx(
       field = f => col(f),
       queryScore = qv => coalesce(col(qvCol(qv)), lit(qv.defVal))
         .cast(org.apache.spark.sql.types.FloatType),
-      scaleStats = scaleFor)
+      scaleStats = scaleFor,
+      termFreq = t => coalesce(col(stCol(t)), lit(0f)),
+      // NormValueSource: decode the stored byte through the classic
+      // byte315 table (`NormValueSource.java:55-62` decodeNormValue)
+      norm = () => element_at(
+        typedlit(SegmentSearcher.classicNormTable.toSeq),
+        col("normByte").cast("int").bitwiseAND(lit(255)) + lit(1)))
     def scaleFor(sc: ScaleV): (Float, Float) =
       scaleStatsCache.getOrElseUpdate(sc, {
         val xc = ValueSources.toColumn(sc.x, ctx)
@@ -4106,7 +4125,7 @@ final class Searcher(private[search] val spark: SparkSession,
       (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) &&
       innerQs.forall(fitsLocal)
     if (localOk) {
-      val fval = ValueSources.evalLocal(vs, localVsCtx())
+      val fval = ValueSources.evalLocal(resolveStatVs(vs), localVsCtx())
       def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
         val queue = new BoundedHitQueue(k)
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
@@ -4186,7 +4205,8 @@ final class Searcher(private[search] val spark: SparkSession,
       (present.isEmpty || estPostingBytes(st, present) <= maxLocalBytes) &&
       innerQs.forall(fitsLocal)
     if (localOk) {
-      val fvals = valSrcs.map(vs => ValueSources.evalLocal(vs, localVsCtx()))
+      val fvals = valSrcs.map(vs =>
+        ValueSources.evalLocal(resolveStatVs(vs), localVsCtx()))
       def collectShard(shard: Int, blobs: Map[String, SegRow]): Array[Hit] = {
         val queue = new BoundedHitQueue(k)
         val scorer = SegmentSearcher.buildScorer(plan.query, shard, blobs, plan, 1f)
@@ -4254,7 +4274,67 @@ final class Searcher(private[search] val spark: SparkSession,
     scaleStats = sc => scaleStatsCache.getOrElseUpdate(sc, {
       // route through functionDf's aggregate so both paths share numbers
       functionDf(sc); scaleStatsCache(sc)
-    }))
+    }),
+    termFreq = t => {
+      // TermFreqValueSource local form: one decoded postings walk into a
+      // doc→tf map (df-sized, under the same maxLocalBytes regime as the
+      // caller's postings)
+      val tfs = new scala.collection.mutable.LongMap[Float]()
+      fetchRows(Set(t)).foreach { r =>
+        val it = PostingsCodec.iterator(r.docBlocks, r.skipData)
+        while (it.nextDoc()) tfs(it.doc) = it.tf.toFloat
+      }
+      d => tfs.getOrElse(d, 0f)
+    },
+    norm = () => {
+      val tbl = SegmentSearcher.classicNormTable
+      val rows = docsDf.select(col("docId"), col("normByte")).collect()
+      val nm = new scala.collection.mutable.LongMap[Float](rows.length)
+      rows.foreach(r => nm(r.getLong(0)) = tbl(r.getByte(1) & 0xff))
+      d => nm.getOrElse(d, 0f)
+    })
+
+  /** Bind the per-searcher-constant stat sources to ConstV — the
+    * reference resolves them once at weight creation
+    * (`DocFreqValueSource.java:33-60` ConstIntDocValues,
+    * `IDFValueSource.java:39-57` ConstDoubleDocValues,
+    * `MaxDocValueSource.java:38`, `NumDocsValueSource.java:39` =
+    * maxDoc − numDeletedDocs, `TotalTermFreqValueSource.java:36-75`,
+    * `SumTotalTermFreqValueSource.java:35-77`). df/ttf come from the
+    * termstats store (the ExactStatsCache analog), counts from the
+    * committed manifest.
+    */
+  private[graft] def resolveStatVs(vs: ValueSrc): ValueSrc =
+    ValueSources.transform(vs) {
+      case DocFreqV(t) =>
+        ConstV(stats(Set(t)).get(t).map(_._1).getOrElse(0L).toFloat)
+      case IdfV(t) =>
+        val df = stats(Set(t)).get(t).map(_._1).getOrElse(0L)
+        // ClassicSimilarity.idf = (float)(log(maxDoc/(double)(df+1)) + 1)
+        ConstV((math.log(m.docCount / (df + 1).toDouble) + 1.0).toFloat)
+      case TotalTermFreqV(t) =>
+        ConstV(stats(Set(t)).get(t).map(_._2).getOrElse(0L).toFloat)
+      case MaxDocV => ConstV(m.docCount.toFloat)
+      case NumDocsV => ConstV((m.docCount - deletesArr.length).toFloat)
+      case SumTotalTermFreqV => ConstV(m.sumTotalTermFreq.toFloat)
+      case other => other
+    }
+
+  /** (docId, tfv float) stream of one term's postings, decoded inside
+    * the (executor-side) tasks from the pruned segment rows — the
+    * distributed TermFreqValueSource walk. Salted rows hold disjoint doc
+    * shards, so the union is exact.
+    */
+  private[search] def termTfDf(term: String): DataFrame = {
+    import spark.implicits._
+    prunedRows(Set(term))
+      .flatMap { r =>
+        val it = PostingsCodec.iterator(r.docBlocks, r.skipData)
+        Iterator.continually(()).takeWhile(_ => it.nextDoc())
+          .map(_ => (it.doc, it.tf.toFloat))
+      }
+      .toDF("docId", "tfv")
+  }
 
   def close(): Unit = {
     if (cacheSegments) {

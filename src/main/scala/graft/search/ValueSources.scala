@@ -94,6 +94,61 @@ final case class AbsV(x: ValueSrc) extends ValueSrc
   */
 final case class QueryV(q: Query, defVal: Float = 0f) extends ValueSrc
 
+// ---- index-stat value sources (`queries/function/valuesource/`) ----
+// The per-searcher CONSTANT ones (DocFreqV/IdfV/MaxDocV/NumDocsV/
+// TotalTermFreqV/SumTotalTermFreqV) are rewritten to ConstV by
+// `Searcher.resolveStatVs` before evaluation — the reference binds them
+// once in createWeight the same way (ConstIntDocValues/
+// ConstDoubleDocValues). The per-doc ones (TermFreqV/TfV/NormV) evaluate
+// through the context's termFreq/norm resolvers.
+
+/** DocFreqValueSource (`DocFreqValueSource.java:33-60`): the term's
+  * docFreq as a constant, int → float.
+  */
+final case class DocFreqV(term: String) extends ValueSrc
+
+/** IDFValueSource (`IDFValueSource.java:39-57`): constant
+  * `TFIDFSimilarity.idf(df, maxDoc)` — ClassicSimilarity's
+  * `(float)(log(maxDoc/(double)(df+1)) + 1.0)`. The reference throws
+  * unless the searcher similarity is TF-IDF; this engine's classic idf
+  * law is fixed, so the value is always the classic one.
+  */
+final case class IdfV(term: String) extends ValueSrc
+
+/** MaxDocValueSource (`MaxDocValueSource.java:38-50`). */
+case object MaxDocV extends ValueSrc
+
+/** NumDocsValueSource (`NumDocsValueSource.java:39-51`):
+  * maxDoc − numDeletedDocs.
+  */
+case object NumDocsV extends ValueSrc
+
+/** TotalTermFreqValueSource (`TotalTermFreqValueSource.java:36-75`):
+  * corpus-wide Σtf of the term, long → float.
+  */
+final case class TotalTermFreqV(term: String) extends ValueSrc
+
+/** SumTotalTermFreqValueSource (`SumTotalTermFreqValueSource.java:
+  * 35-77`): Σ totalTermFreq over every term of the field.
+  */
+case object SumTotalTermFreqV extends ValueSrc
+
+/** TermFreqValueSource (`TermFreqValueSource.java:40-125`): the doc's
+  * RAW term frequency for the term, 0 for non-matching docs.
+  */
+final case class TermFreqV(term: String) extends ValueSrc
+
+/** TFValueSource (`TFValueSource.java:55-140`): `sim.tf(freq)` —
+  * ClassicSimilarity's `(float)Math.sqrt(freq)` — 0 → 0.
+  */
+final case class TfV(term: String) extends ValueSrc
+
+/** NormValueSource (`NormValueSource.java:39-72`): the decoded
+  * index-time norm — ClassicSimilarity.decodeNormValue =
+  * byte315ToFloat(normByte) of the content field.
+  */
+case object NormV extends ValueSrc
+
 object ValueSources {
 
   /** Solr's function-query string syntax
@@ -143,6 +198,26 @@ object ValueSources {
       while ({ skipWs(); !eof && peek == ',' }) { pos += 1; out += parseV() }
       expect(')')
       out.result()
+    }
+
+    /** "(field, term)" or "(term)" → the term (identifiers parse as
+      * FieldV through parseV).
+      */
+    private def termArg(a: Seq[ValueSrc]): String = {
+      require(a.size == 1 || a.size == 2, "expected ([field,] term)")
+      a.last match {
+        case FieldV(t) => t
+        case other => throw new IllegalArgumentException(
+          s"expected a term identifier, got $other")
+      }
+    }
+
+    /** "()" or "(field)" — consumed and discarded (single-field engine). */
+    private def optFieldArgs(): Unit = {
+      expect('(')
+      skipWs()
+      if (!eof && peek != ')') { ident(); () }
+      expect(')')
     }
 
     private def num(v: ValueSrc): Float = v match {
@@ -198,6 +273,20 @@ object ValueSources {
           val a = args(); require(a.size == 1 && a.head.isInstanceOf[QueryV],
             "query($param)")
           a.head
+        // index-stat functions (Solr ValueSourceParser "docfreq"/"idf"/
+        // "termfreq"/"tf"/"norm"/"maxdoc"/"numdocs"/"totaltermfreq"/
+        // "sumtotaltermfreq"): the reference signatures lead with a field
+        // argument; this engine indexes one content field, so a leading
+        // field identifier is accepted and the LAST identifier is the term
+        case "docfreq" => DocFreqV(termArg(args()))
+        case "idf" => IdfV(termArg(args()))
+        case "termfreq" => TermFreqV(termArg(args()))
+        case "tf" => TfV(termArg(args()))
+        case "totaltermfreq" | "ttf" => TotalTermFreqV(termArg(args()))
+        case "maxdoc" => optFieldArgs(); MaxDocV
+        case "numdocs" => optFieldArgs(); NumDocsV
+        case "sumtotaltermfreq" | "sttf" => optFieldArgs(); SumTotalTermFreqV
+        case "norm" => optFieldArgs(); NormV
         case other => throw new IllegalArgumentException(
           s"unknown function '$other'")
       }
@@ -253,7 +342,11 @@ object ValueSources {
     */
   final case class ColCtx(field: String => Column,
       queryScore: QueryV => Column,
-      scaleStats: ScaleV => (Float, Float))
+      scaleStats: ScaleV => (Float, Float),
+      termFreq: String => Column =
+        t => sys.error(s"termfreq('$t') unavailable in this context"),
+      norm: () => Column =
+        () => sys.error("norm() unavailable in this context"))
 
   private def f32(c: Column): Column = c.cast(FloatType)
 
@@ -304,6 +397,15 @@ object ValueSources {
     case SqrtV(x) => f32(sqrt(toColumn(x, ctx).cast(DoubleType)))
     case AbsV(x) => f32(abs(toColumn(x, ctx)))
     case q: QueryV => ctx.queryScore(q)
+    case TermFreqV(t) => f32(ctx.termFreq(t))
+    // ClassicSimilarity.tf = (float)Math.sqrt(freq) (`TFValueSource
+    // .java:118`): sqrt in double of a float, rounded — exact
+    case TfV(t) => f32(sqrt(ctx.termFreq(t).cast(DoubleType)))
+    case NormV => f32(ctx.norm())
+    case DocFreqV(_) | IdfV(_) | MaxDocV | NumDocsV | TotalTermFreqV(_) |
+        SumTotalTermFreqV =>
+      sys.error(s"index-stat constant $vs must be resolved by the " +
+        "searcher (resolveStatVs) before evaluation")
   }
 
   /** Evaluation context for the driver-local form (small-index fast
@@ -312,7 +414,11 @@ object ValueSources {
     */
   final case class LocalCtx(field: String => (Long => Float),
       queryScore: QueryV => (Long => Float),
-      scaleStats: ScaleV => (Float, Float))
+      scaleStats: ScaleV => (Float, Float),
+      termFreq: String => (Long => Float) =
+        t => sys.error(s"termfreq('$t') unavailable in this context"),
+      norm: () => (Long => Float) =
+        () => sys.error("norm() unavailable in this context"))
 
   /** Driver-local evaluator — same float law as toColumn; the spec pins
     * the two equal on every node type.
@@ -359,5 +465,66 @@ object ValueSources {
     case AbsV(x) =>
       val fx = evalLocal(x, ctx); d => math.abs(fx(d))
     case q: QueryV => ctx.queryScore(q)
+    case TermFreqV(t) => ctx.termFreq(t)
+    case TfV(t) =>
+      val fx = ctx.termFreq(t); d => math.sqrt(fx(d)).toFloat
+    case NormV => ctx.norm()
+    case DocFreqV(_) | IdfV(_) | MaxDocV | NumDocsV | TotalTermFreqV(_) |
+        SumTotalTermFreqV =>
+      sys.error(s"index-stat constant $vs must be resolved by the " +
+        "searcher (resolveStatVs) before evaluation")
   }
+
+  /** Direct children of a node (leaves → empty) — shared walker base. */
+  def childrenOf(vs: ValueSrc): Seq[ValueSrc] = vs match {
+    case SumV(xs) => xs
+    case ProductV(xs) => xs
+    case MaxV(xs) => xs
+    case MinV(xs) => xs
+    case DivV(a, b) => Seq(a, b)
+    case PowV(a, b) => Seq(a, b)
+    case LinearV(x, _, _) => Seq(x)
+    case RecipV(x, _, _, _) => Seq(x)
+    case RangeMapV(x, _, _, _, _) => Seq(x)
+    case ScaleV(x, _, _) => Seq(x)
+    case Log10V(x) => Seq(x)
+    case LnV(x) => Seq(x)
+    case SqrtV(x) => Seq(x)
+    case AbsV(x) => Seq(x)
+    case _ => Nil
+  }
+
+  /** Bottom-up structural rewrite (children first, then the node). */
+  def transform(vs: ValueSrc)(f: ValueSrc => ValueSrc): ValueSrc = {
+    val t = vs match {
+      case SumV(xs) => SumV(xs.map(transform(_)(f)))
+      case ProductV(xs) => ProductV(xs.map(transform(_)(f)))
+      case MaxV(xs) => MaxV(xs.map(transform(_)(f)))
+      case MinV(xs) => MinV(xs.map(transform(_)(f)))
+      case DivV(a, b) => DivV(transform(a)(f), transform(b)(f))
+      case PowV(a, b) => PowV(transform(a)(f), transform(b)(f))
+      case LinearV(x, s, i) => LinearV(transform(x)(f), s, i)
+      case RecipV(x, m, a, b) => RecipV(transform(x)(f), m, a, b)
+      case RangeMapV(x, mn, mx, t2, d) =>
+        RangeMapV(transform(x)(f), mn, mx, t2, d)
+      case ScaleV(x, mn, mx) => ScaleV(transform(x)(f), mn, mx)
+      case Log10V(x) => Log10V(transform(x)(f))
+      case LnV(x) => LnV(transform(x)(f))
+      case SqrtV(x) => SqrtV(transform(x)(f))
+      case AbsV(x) => AbsV(transform(x)(f))
+      case leaf => leaf
+    }
+    f(t)
+  }
+
+  /** Terms needing a per-doc tf resolver (TermFreqV/TfV), pre-order. */
+  def statTermsOf(vs: ValueSrc): Seq[String] = (vs match {
+    case TermFreqV(t) => Seq(t)
+    case TfV(t) => Seq(t)
+    case _ => Nil
+  }) ++ childrenOf(vs).flatMap(statTermsOf)
+
+  /** Whether the tree reads the decoded index-time norm. */
+  def needsNorm(vs: ValueSrc): Boolean =
+    vs == NormV || childrenOf(vs).exists(needsNorm)
 }

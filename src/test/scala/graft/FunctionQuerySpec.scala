@@ -234,6 +234,63 @@ class FunctionQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseFunc("sum(a,b) trailing"))
   }
 
+  test("index-stat sources: constants + per-doc tf vs from-scratch recompute") {
+    import org.apache.spark.sql.functions.col
+    val term = "index"
+    // independent ground truth: re-tokenize the stored content
+    val tokfn = IndexBuilder.tokenizerFn(BuildConfig().tokenizer)
+    val contents = searcher.docsDf.select(col("docId"), col("content"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tfm = contents.map { case (d, c) =>
+      d -> tokfn(c).count(_ == term).toFloat }
+    val dfT = tfm.count(_._2 > 0f)
+    val n = contents.size
+    val idfF = (math.log(n / (dfT + 1).toDouble) + 1.0).toFloat
+    val got = searcher.functionDf(
+      ProductV(Seq(TfV(term), IdfV(term)))).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(got.size == n)
+    contents.keys.foreach { d =>
+      val expect = math.sqrt(tfm(d).toDouble).toFloat * idfF
+      assert(got(d) == expect, s"doc $d")
+    }
+    // per-searcher constants resolve before evaluation
+    assert(searcher.resolveStatVs(DocFreqV(term)) == ConstV(dfT.toFloat))
+    assert(searcher.resolveStatVs(MaxDocV) == ConstV(n.toFloat))
+    assert(searcher.resolveStatVs(IdfV(term)) == ConstV(idfF))
+    assert(searcher.resolveStatVs(DocFreqV("zz_absent")) == ConstV(0f))
+  }
+
+  test("NormV decodes the stored byte315 norm per doc") {
+    import org.apache.spark.sql.functions.col
+    val bytes = searcher.docsDf.select(col("docId"), col("normByte"))
+      .collect().map(r => r.getLong(0) -> r.getByte(1)).toMap
+    val got = searcher.functionDf(NormV).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    assert(got.size == bytes.size)
+    bytes.foreach { case (d, b) =>
+      assert(got(d) == graft.core.SmallFloat.byte315ToFloat(b), s"doc $d")
+    }
+  }
+
+  test("TermFreqV: local ↔ forced-distributed parity through searchBoosted") {
+    val vs = LinearV(TermFreqV("merge"), 0.25f, 1f)
+    val l = searcher.search(FuncBoostedQ(TermQ("index"), vs), 15).toSeq
+    val d = distSearcher.search(FuncBoostedQ(TermQ("index"), vs), 15).toSeq
+    assert(l == d)
+    assert(l.nonEmpty)
+  }
+
+  test("parseFunc: index-stat function names") {
+    import ValueSources.parseFunc
+    assert(parseFunc(
+      "sum(docfreq(f, abc), tf(f, abc), idf(abc), termfreq(abc), norm(f), " +
+        "maxdoc(), numdocs(), sumtotaltermfreq(), ttf(f, abc))") ==
+      SumV(Seq(DocFreqV("abc"), TfV("abc"), IdfV("abc"), TermFreqV("abc"),
+        NormV, MaxDocV, NumDocsV, SumTotalTermFreqV, TotalTermFreqV("abc"))))
+    intercept[IllegalArgumentException](parseFunc("docfreq(1.5)"))
+  }
+
   test("realTimeGet: last-write-wins across batches; tier merges oldest") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
