@@ -835,6 +835,99 @@ res AS (
       k: Int): String =
     stemOverridePrologue(overrides) + termCtes("a", term) + finish("sc_a", k)
 
+  /** Planted docs for the ScandinavianFoldingFilter gate, ENGINE side
+    * (raw national spellings — SearchGate plants these literals).
+    */
+  val scandPlanted: Seq[(Long, String)] = Seq(
+    910001L -> "blåbærsyltetøj på smörgås",
+    910002L -> "blaabaersyltetoej paa smoergaas",
+    910003L -> "blabarsyltetoj pa smorgas",
+    910004L -> "räksmörgås med ost",
+    910005L -> "raeksmoergaas med ost")
+
+  /** The same docs PRE-FOLDED to ASCII, ORACLE side — derived by hand
+    * from the reference javadoc's documented equivalence classes
+    * (`ScandinavianFoldingFilter.java:33-35`: "blåbærsyltetøj ==
+    * blaabaarsyltetoej == blabarsyltetoj", "räksmörgås == raeksmoergaas
+    * == raksmorgas"), NOT by running the engine's fold. The corpus
+    * vocabulary contains no å/ä/ö/æ/ø and no aa/ae/ao/oe/oo digraph
+    * (checked at authoring), so folding is the identity there.
+    */
+  private val scandPlantedFolded: Seq[(Long, String)] = Seq(
+    910001L -> "blabarsyltetoj pa smorgas",
+    910002L -> "blabarsyltetoj pa smorgas",
+    910003L -> "blabarsyltetoj pa smorgas",
+    910004L -> "raksmorgas med ost",
+    910005L -> "raksmorgas med ost")
+
+  /** BM25 term over the scandfold field: documents ∪ the pre-folded
+    * planted docs, plain tokenization.
+    */
+  def scandFoldTerm(term: String, k: Int): String = {
+    val plantedRows = scandPlantedFolded
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM d2
+), tok AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) <= 255
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
+  /** Prologue for the PatternKeywordMarker→Porter chain
+    * (`miscellaneous/PatternKeywordMarkerFilter.java:31-55` sets
+    * KeywordAttribute on a whole-term `matches()`, `en/PorterStemFilter
+    * .java:48` skips keywords): tokens matching `regex` pass through
+    * raw, the rest map through the embedded Porter dictionary. Over
+    * documents ∪ the porter planted docs.
+    */
+  def porterExceptTerm(term: String, regex: String, k: Int): String = {
+    val plantedRows = porterPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val dictRows = porterDict
+      .map { case (w, s) => s"(${lit(w)}, ${lit(s)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), stemmap(w, st) AS (
+  SELECT * FROM (VALUES $dictRows)
+), rawtok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS rt
+  FROM d2
+), tok AS (
+  SELECT r.doc_id,
+    CASE WHEN regexp_full_match(r.rt, ${lit(regex)}) THEN r.rt
+         ELSE coalesce(m.st, r.rt) END AS term
+  FROM (SELECT doc_id, rt FROM rawtok WHERE rt <> '' AND length(rt) <= 255) r
+  LEFT JOIN stemmap m ON r.rt = m.w
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
   /** Constant-score docvalues query (`lucene/sandbox/.../search/
     * DocValuesNumbersQuery.java:46`, `DocValuesTermsQuery.java:92`,
     * `DocValuesRangeQuery.java:60`): every doc satisfying the stored-value

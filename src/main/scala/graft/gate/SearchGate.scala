@@ -1173,6 +1173,24 @@ object SearchGate {
     "q_stemover_carve" -> ((spark, sfDir) => hitsDf(spark,
       specSearcher(spark, sfDir, StemOverrideSpec, Oracles.porterPlanted)
         .search(TermQ("queri"), K))),
+    // ScandinavianFoldingFilter: the three documented national spellings
+    // of one word conflate to one term — the query term exists only if
+    // the one-pass fold ran (oracle plants javadoc-derived folded forms)
+    "q_scandfold_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "scandfold", Oracles.scandPlanted)
+        .search(TermQ("blabarsyltetoj"), K))),
+    "q_scandfold_term2" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "scandfold", Oracles.scandPlanted)
+        .search(TermQ("raksmorgas"), K))),
+    // PatternKeywordMarker + Porter: quer.* tokens are keyword-marked and
+    // skip the stemmer — "querying" survives raw…
+    "q_porterexcept_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "porterexcept:quer.*",
+        Oracles.porterPlanted).search(TermQ("querying"), K))),
+    // …while non-matching tokens still stem normally
+    "q_porterexcept_stem" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "porterexcept:quer.*",
+        Oracles.porterPlanted).search(TermQ("merg"), K))),
     // SynonymFilter field: 'rapid' is an overlay on every 'fast'
     // occurrence (expansion group), 'col' replaces 'column' (directed),
     // and the overlay shares its source position so the exact phrase
@@ -1597,6 +1615,10 @@ object SearchGate {
     "q_stemover_term" ->
       Oracles.stemOverrideTerm("interrogation", StemOverrides, K),
     "q_stemover_carve" -> Oracles.stemOverrideTerm("queri", StemOverrides, K),
+    "q_scandfold_term" -> Oracles.scandFoldTerm("blabarsyltetoj", K),
+    "q_scandfold_term2" -> Oracles.scandFoldTerm("raksmorgas", K),
+    "q_porterexcept_term" -> Oracles.porterExceptTerm("querying", "quer.*", K),
+    "q_porterexcept_stem" -> Oracles.porterExceptTerm("merg", "quer.*", K),
     "q_bm25_term_common" -> Oracles.term("batch", K),
     "q_bm25_term_mid" -> Oracles.term("spark", K),
     "q_bm25_term_rare" -> Oracles.term("dup", K),

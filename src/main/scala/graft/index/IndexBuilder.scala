@@ -185,6 +185,25 @@ object IndexBuilder {
     // tokenization so accented letters join their ASCII runs
     case "asciifold" =>
       (s: String) => Analysis.simpleTokens(graft.core.AsciiFold.fold(s))
+    // ScandinavianFoldingFilter (åÅäæÄÆ→a, öÖøØ→o, double-vowel
+    // collapse) ahead of the simple chain — see
+    // graft.core.Scandinavian.fold for the transcribed one-pass law
+    case "scandfold" =>
+      (s: String) => Analysis.simpleTokens(graft.core.Scandinavian.fold(s))
+    // ScandinavianNormalizationFilter (ä→æ, ö→ø, aa/ao→å, ae→æ,
+    // oe/oo→ø): output keeps national letters, so it rides the unicode
+    // tokenizer
+    case "scandnorm" =>
+      (s: String) =>
+        Analysis.unicodeTokens(graft.core.Scandinavian.normalize(s))
+    // PatternKeywordMarkerFilter + PorterStemFilter (`miscellaneous/
+    // PatternKeywordMarkerFilter.java:31-55`: a whole-term pattern match
+    // sets KeywordAttribute, and `en/PorterStemFilter.java:48` skips
+    // keyword tokens) — "porterexcept:<regex>"
+    case pe if pe.startsWith("porterexcept:") =>
+      val re = pe.stripPrefix("porterexcept:").r.pattern
+      (s: String) => Analysis.simpleTokens(s).map(t =>
+        if (re.matcher(t).matches()) t else graft.core.Porter.stem(t))
     // "phonetic:<encoder>[:<maxCodeLen>]" — PhoneticFilter inject=false
     // (replace) over the simple chain; encoders resolve per-JVM so the
     // closure ships to executors carrying only the spec string

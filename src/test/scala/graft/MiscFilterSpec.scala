@@ -54,6 +54,39 @@ class MiscFilterSpec extends AnyFunSuite {
     assert(toks.toSeq == Seq(("spark", 1), ("stream", 3), ("filter", 5)))
   }
 
+  test("scandinavian fold: the javadoc equivalence classes conflate") {
+    import graft.core.Scandinavian.fold
+    // ScandinavianFoldingFilter.java:33-35 documented equalities
+    Seq("blåbærsyltetøj", "blåbärsyltetöj", "blaabaarsyltetoej",
+      "blaabaersyltetoej", "blabarsyltetoj")
+      .foreach(w => assert(fold(w) == "blabarsyltetoj", w))
+    Seq("räksmörgås", "ræksmørgås", "ræksmörgaos", "raeksmoergaas",
+      "raksmorgas")
+      .foreach(w => assert(fold(w) == "raksmorgas", w))
+    // one-pass overlap law: "aae" deletes the second 'a' and moves PAST
+    // the produced "ae" (a replace-chain would collapse it again)
+    assert(fold("aae") == "ae")
+    assert(fold("aaaa") == "aa")
+    // a mapped å does NOT re-check the digraph rule at the same slot
+    assert(fold("åa") == "aa")
+  }
+
+  test("scandinavian normalize: digraphs become national letters") {
+    import graft.core.Scandinavian.normalize
+    Seq("blåbærsyltetøj", "blåbärsyltetöj", "blaabaersyltetoej")
+      .foreach(w => assert(normalize(w) == "blåbærsyltetøj", w))
+    Seq("räksmörgås", "ræksmørgås", "raeksmoergaas")
+      .foreach(w => assert(normalize(w) == "ræksmørgås", w))
+    assert(normalize("ao") == "å")
+    assert(normalize("oo") == "ø")
+  }
+
+  test("porterexcept: pattern-matched tokens skip the stemmer") {
+    val f = IndexBuilder.tokenizerFn("porterexcept:quer.*")
+    assert(f("querying merged queries").toSeq ==
+      Seq("querying", "merg", "queries"))
+  }
+
   test("end-to-end: exact phrase does not match across a keepword hole") {
     import spark.implicits._
     val docs = Seq(
