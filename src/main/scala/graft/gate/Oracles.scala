@@ -888,6 +888,95 @@ res AS (
 )""" + termCtes("a", term) + finish("sc_a", k)
   }
 
+  /** Planted path docs for the PathHierarchyTokenizer gate (identical
+    * literals on both sides — the tokenizer transforms, nothing else).
+    */
+  val pathPlanted: Seq[(Long, String)] = Seq(
+    930001L -> "src/main/scala/App.scala",
+    930002L -> "src/main/resources/log.conf",
+    930003L -> "src/test/scala/AppSpec.scala",
+    930004L -> "docs/readme.md")
+
+  /** BM25 term over a PathHierarchyTokenizer field (`analysis/common/
+    * .../path/PathHierarchyTokenizer.java:110-170`): the whole field is
+    * one path; tokens = every prefix ending before a delimiter plus the
+    * full value, ALL at one position — norm length is 1 (discountOverlaps
+    * over posInc-0 overlays) while avgdl counts every prefix. No
+    * lowercasing, no length cap.
+    */
+  def pathHierTerm(term: String, k: Int): String = {
+    val plantedRows = pathPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), tok AS (
+  SELECT doc_id, substr(text, 1, i - 1) AS term
+  FROM (SELECT doc_id, text,
+          unnest(list_filter(generate_series(2, length(text)),
+            i -> substr(text, i, 1) = '/')) AS i
+        FROM d2)
+  UNION ALL SELECT doc_id, text AS term FROM d2 WHERE length(text) > 0
+), dlen AS (
+  SELECT doc_id, CASE WHEN length(text) > 0 THEN 1 ELSE 0 END AS len
+  FROM d2
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
+  /** Planted docs for the PatternCaptureGroup gate. */
+  val capturePlanted: Seq[(Long, String)] = Seq(
+    940001L -> "v2engine spark file123 alpha",
+    940002L -> "data 123 file123x beta",
+    940003L -> "x9y8 merge sort")
+
+  /** BM25 term over a PatternCaptureGroupTokenFilter field
+    * (`analysis/common/.../pattern/PatternCaptureGroupTokenFilter
+    * .java:107-175`, preserveOriginal=true, pattern
+    * `([a-z]+)|([0-9]+)`): tok = every original token plus its letter
+    * runs and digit runs as posInc-0 overlays, skipping a capture equal
+    * to the whole token (the preserveOriginal guard, :119-121). Norm
+    * counts originals; avgdl counts overlays too.
+    */
+  def captureTerm(term: String, k: Int): String = {
+    val plantedRows = capturePlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM d2
+), uni AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) <= 255
+), cap AS (
+  SELECT doc_id, unnest(list_filter(
+      regexp_extract_all(term, '[a-z]+') || regexp_extract_all(term, '[0-9]+'),
+      x -> x <> term)) AS term
+  FROM uni
+), tok AS (
+  SELECT doc_id, term FROM uni UNION ALL SELECT doc_id, term FROM cap
+), dlen AS (
+  SELECT d.doc_id, count(u.term) AS len
+  FROM d2 d LEFT JOIN uni u ON d.doc_id = u.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
   /** Prologue for the PatternKeywordMarker→Porter chain
     * (`miscellaneous/PatternKeywordMarkerFilter.java:31-55` sets
     * KeywordAttribute on a whole-term `matches()`, `en/PorterStemFilter

@@ -1191,6 +1191,24 @@ object SearchGate {
     "q_porterexcept_stem" -> ((spark, sfDir) => hitsDf(spark,
       specSearcher(spark, sfDir, "porterexcept:quer.*",
         Oracles.porterPlanted).search(TermQ("merg"), K))),
+    // PathHierarchyTokenizer: the field is ONE path, every prefix is a
+    // term at one shared position (norm length 1) — ancestor lookup is
+    // a single term probe
+    "q_pathhier_prefix" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "pathhier", Oracles.pathPlanted)
+        .search(TermQ("src/main"), K))),
+    "q_pathhier_leaf" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "pathhier", Oracles.pathPlanted)
+        .search(TermQ("src/main/scala/App.scala"), K))),
+    // PatternCaptureGroupTokenFilter (preserveOriginal): letter/digit
+    // runs overlay mixed tokens — "123" matches both the standalone
+    // token and the runs captured out of file123/file123x
+    "q_capture_num" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "capture:([a-z]+)|([0-9]+)",
+        Oracles.capturePlanted).search(TermQ("123"), K))),
+    "q_capture_alpha" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "capture:([a-z]+)|([0-9]+)",
+        Oracles.capturePlanted).search(TermQ("file"), K))),
     // SynonymFilter field: 'rapid' is an overlay on every 'fast'
     // occurrence (expansion group), 'col' replaces 'column' (directed),
     // and the overlay shares its source position so the exact phrase
@@ -1619,6 +1637,10 @@ object SearchGate {
     "q_scandfold_term2" -> Oracles.scandFoldTerm("raksmorgas", K),
     "q_porterexcept_term" -> Oracles.porterExceptTerm("querying", "quer.*", K),
     "q_porterexcept_stem" -> Oracles.porterExceptTerm("merg", "quer.*", K),
+    "q_pathhier_prefix" -> Oracles.pathHierTerm("src/main", K),
+    "q_pathhier_leaf" -> Oracles.pathHierTerm("src/main/scala/App.scala", K),
+    "q_capture_num" -> Oracles.captureTerm("123", K),
+    "q_capture_alpha" -> Oracles.captureTerm("file", K),
     "q_bm25_term_common" -> Oracles.term("batch", K),
     "q_bm25_term_mid" -> Oracles.term("spark", K),
     "q_bm25_term_rare" -> Oracles.term("dup", K),

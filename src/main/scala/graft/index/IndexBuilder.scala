@@ -377,6 +377,64 @@ object IndexBuilder {
         (toks.length, out)
       })
     }
+    else if (name.startsWith("pathhier")) {
+      // PathHierarchyTokenizer (`analysis/common/.../path/
+      // PathHierarchyTokenizer.java:110-170`, skip = 0): the WHOLE field
+      // is one path; emitted tokens are every prefix ending just before
+      // each delimiter plus the full value ("/a/b/c" → "/a", "/a/b",
+      // "/a/b/c"; a doubled or trailing delimiter yields the "a/" form —
+      // traced from the endDelimiter/resultToken loop). First token
+      // posInc 1, the rest 0 (:115-118) — ALL prefixes share one
+      // position, so the norm length is 1 (discountOverlaps) while Σtf
+      // counts every prefix. No lowercasing, no length cap — the
+      // reference tokenizer touches neither.
+      val delim =
+        if (name == "pathhier") '/'
+        else {
+          val d = name.stripPrefix("pathhier:")
+          require(d.length == 1, s"pathhier wants one delimiter char: $name")
+          d.charAt(0)
+        }
+      Some((s: String) => {
+        if (s.isEmpty) (0, Array.empty[(String, Int)])
+        else {
+          val cuts = (1 until s.length).filter(i => s.charAt(i) == delim)
+          val toks = (cuts.map(i => s.substring(0, i)) :+ s).toArray
+          (1, toks.map(t => (t, 0)))
+        }
+      })
+    }
+    else if (name.startsWith("capture:")) {
+      // PatternCaptureGroupTokenFilter, preserveOriginal = true
+      // (`analysis/common/.../pattern/PatternCaptureGroupTokenFilter
+      // .java:107-175`): the original token first, then per find() region
+      // each capture group in order as a posInc-0 overlay; empty groups
+      // and a group equal to the WHOLE original are skipped (:119-121 —
+      // the preserveOriginal whole-token guard). Norm counts originals.
+      val re = name.stripPrefix("capture:").r.pattern
+      Some((s: String) => {
+        val toks = Analysis.simpleTokens(s)
+        val out = Array.newBuilder[(String, Int)]
+        var i = 0
+        while (i < toks.length) {
+          val t = toks(i)
+          out += ((t, i))
+          val m = re.matcher(t)
+          while (m.find()) {
+            var g = 1
+            while (g <= m.groupCount()) {
+              val st = m.start(g)
+              val en = m.end(g)
+              if (st != en && !(st == 0 && en == t.length))
+                out += ((t.substring(st, en), i))
+              g += 1
+            }
+          }
+          i += 1
+        }
+        (toks.length, out.result())
+      })
+    }
     else if (name.startsWith("keepword:")) {
       // KeepWordFilter (`miscellaneous/KeepWordFilter.java:33-44` via
       // FilteringTokenFilter): only listed words survive; position

@@ -87,6 +87,33 @@ class MiscFilterSpec extends AnyFunSuite {
       Seq("querying", "merg", "queries"))
   }
 
+  test("pathhier: prefixes at one shared position, norm length 1") {
+    val f = IndexBuilder.posTokenizerFn("pathhier").get
+    val (n1, t1) = f("/a/b/c")
+    assert(n1 == 1)
+    assert(t1.toSeq == Seq(("/a", 0), ("/a/b", 0), ("/a/b/c", 0)))
+    // no leading delimiter; doubled and trailing delimiters keep the
+    // reference's endDelimiter forms
+    assert(f("a/b")._2.map(_._1).toSeq == Seq("a", "a/b"))
+    assert(f("a//b")._2.map(_._1).toSeq == Seq("a", "a/", "a//b"))
+    assert(f("a/b/")._2.map(_._1).toSeq == Seq("a", "a/b", "a/b/"))
+    val (n0, t0) = f("")
+    assert(n0 == 0 && t0.isEmpty)
+    // custom delimiter
+    assert(IndexBuilder.posTokenizerFn("pathhier:.").get("a.b.c")
+      ._2.map(_._1).toSeq == Seq("a", "a.b", "a.b.c"))
+  }
+
+  test("capture: groups overlay at the source position, whole-token skip") {
+    val f = IndexBuilder.posTokenizerFn("capture:([a-z]+)|([0-9]+)").get
+    val (n, toks) = f("file123 spark 99")
+    assert(n == 3)
+    // originals first, then per-region groups; "spark" and "99" capture
+    // only their whole selves — skipped by the preserveOriginal guard
+    assert(toks.toSeq == Seq(("file123", 0), ("file", 0), ("123", 0),
+      ("spark", 1), ("99", 2)))
+  }
+
   test("end-to-end: exact phrase does not match across a keepword hole") {
     import spark.implicits._
     val docs = Seq(
