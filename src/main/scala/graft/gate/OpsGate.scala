@@ -249,6 +249,28 @@ object OpsGate {
         .orderBy("id")
     }),
 
+    // SignatureUpdateProcessor MD5Signature: md5-of-concatenated-values
+    // signatures, duplicate clusters by signature — the hex itself is
+    // oracle-checked bit-exact (DuckDB md5)
+    "q_dedup_md5" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.filter(col("doc_id").isin(3L, 7L, 11L))
+        .withColumn("doc_id", col("doc_id") + 900000L)
+      Dedup.signatureDuplicates(base.unionByName(planted), Seq("text"),
+        "doc_id", algo = "md5").orderBy("id")
+    }),
+    // Lookup3Signature (lookup3ycs64 chained per field): cluster
+    // structure oracle-checked via text equality; the hash bits are
+    // pinned in SolrHashSpec against the reference's C-derived goldens
+    "q_dedup_lookup3" -> ((s, d) => {
+      val base = docs(s, d)
+      val planted = base.filter(col("doc_id").isin(3L, 7L, 11L))
+        .withColumn("doc_id", col("doc_id") + 900000L)
+      Dedup.signatureDuplicates(base.unionByName(planted), Seq("text"),
+        "doc_id", algo = "lookup3")
+        .select("id", "groupSize").orderBy("id")
+    }),
+
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(docs(s, d), "text", "doc_id", n = 3, threshold = 0.7)
         .withColumn("jaccard", round(col("jaccard"), 4))
@@ -1228,6 +1250,29 @@ FROM d2 a JOIN (
   SELECT text, MIN(doc_id) AS canon, COUNT(*) AS c FROM d2 GROUP BY text
 ) m ON a.text = m.text
 WHERE m.c > 1 AND a.doc_id <> m.canon ORDER BY 1""",
+
+    "q_dedup_md5" ->
+      """WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 900000, text FROM documents WHERE doc_id IN (3, 7, 11)
+)
+SELECT a.doc_id AS id, md5(a.text) AS signature,
+  CAST(m.c AS BIGINT) AS groupSize
+FROM d2 a JOIN (
+  SELECT text, COUNT(*) AS c FROM d2 GROUP BY text
+) m ON a.text = m.text
+WHERE m.c >= 2 ORDER BY 1""",
+
+    "q_dedup_lookup3" ->
+      """WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 900000, text FROM documents WHERE doc_id IN (3, 7, 11)
+)
+SELECT a.doc_id AS id, CAST(m.c AS BIGINT) AS groupSize
+FROM d2 a JOIN (
+  SELECT text, COUNT(*) AS c FROM d2 GROUP BY text
+) m ON a.text = m.text
+WHERE m.c >= 2 ORDER BY 1""",
 
     "q_dedup_ngram" -> (shingleCte +
       "\nSELECT ia, ib, jaccard FROM pairs ORDER BY ia, ib"),

@@ -33,6 +33,52 @@ object Dedup {
       .select("id", "canonicalId")
   }
 
+  /** Solr SignatureUpdateProcessor signatures
+    * (`solr/core/.../update/processor/SignatureUpdateProcessorFactory
+    * .java:150-180` iterates the configured sigFields in order, calling
+    * `Signature.add(value)` per present value, then hex-encodes the
+    * bytes): `algo = "md5"` is MD5Signature (`MD5Signature.java:30-55` —
+    * one digester updated with each value's UTF-8 bytes, i.e. the MD5 of
+    * the concatenation; evaluated CODEGEN'D as Spark's `md5(concat_ws)`,
+    * null fields skipped like the reference's absent values);
+    * `algo = "lookup3"` is Lookup3Signature (`Lookup3Signature.java:
+    * 24-40` — the 64-bit hash CHAINED value-by-value,
+    * `hash = lookup3ycs64(v, 0, len, hash)`, big-endian hex; NOT the
+    * hash of the concatenation — each add restarts the triple cycle from
+    * the chained seed).
+    */
+  def withSignature(df: DataFrame, fields: Seq[String],
+      algo: String = "md5", out: String = "signature"): DataFrame =
+    algo match {
+      case "md5" =>
+        df.withColumn(out, md5(concat_ws("", fields.map(col): _*)))
+      case "lookup3" =>
+        val f = udf((vals: Seq[String]) => {
+          var h = 0L
+          vals.foreach { v =>
+            if (v != null)
+              h = graft.core.SolrHash.lookup3ycs64(v, 0, v.length, h)
+          }
+          f"$h%016x"
+        })
+        df.withColumn(out, f(array(fields.map(col): _*)))
+      case other => sys.error(s"unknown signature algo: $other")
+    }
+
+  /** Signature-keyed duplicate clusters: (id, signature, groupSize) for
+    * every row whose signature collides — the SignatureUpdateProcessor
+    * overwrite-dupes view (equal signatures land on one id).
+    */
+  def signatureDuplicates(df: DataFrame, fields: Seq[String],
+      idCol: String, algo: String = "md5"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
+    withSignature(df, fields, algo)
+      .select(col(idCol).as("id"), col("signature"))
+      .withColumn("groupSize", count(lit(1)).over(w))
+      .filter(col("groupSize") >= 2)
+      .select("id", "signature", "groupSize")
+  }
+
   /** TextProfileSignature fuzzy dedup (`solr/core/.../update/processor/
     * TextProfileSignature.java:60-135` — Solr's SignatureUpdateProcessor
     * signature, itself lifted from Apache Nutch): per doc, lowercase and
