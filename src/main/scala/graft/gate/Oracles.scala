@@ -1539,6 +1539,33 @@ FROM (
 )""" + finish("res", k)
   }
 
+  /** MUST m + ONE DisjunctionMax SHOULD group over `shoulds` — the
+    * MaxScoreQParser shape (`solr/core/.../search/MaxScoreQParser.java:
+    * 56-95`): score = float(must + dismax-if-matched), matching driven
+    * by the MUST clause alone.
+    */
+  def mustDismax(m: String, shoulds: Seq[String], tie: Float,
+      k: Int): String = {
+    val names = shoulds.indices.map(i => s"s$i")
+    val ctes = termCtes("m", m) +
+      names.zip(shoulds).map { case (n, t) => termCtes(n, t) }.mkString
+    val union = names.map(n => s"SELECT doc_id, s FROM sc_$n")
+      .mkString(" UNION ALL ")
+    prologue + ctes +
+      s""", un AS ($union), ag AS (
+  SELECT doc_id, MAX(s) AS mx, SUM(CAST(s AS DOUBLE)) AS sm
+  FROM un GROUP BY doc_id
+), dm AS (
+  SELECT doc_id,
+    ${R(s"mx + ${R(s"${R(tie.toString)} * ${R(s"${R("sm")} - mx")}")}")} AS s
+  FROM ag
+), res AS (
+  SELECT sc_m.doc_id,
+    ${R("CAST(sc_m.s AS DOUBLE) + COALESCE(CAST(dm.s AS DOUBLE), 0)")} AS s
+  FROM sc_m LEFT JOIN dm ON sc_m.doc_id = dm.doc_id
+)""" + finish("res", k)
+  }
+
   /** edismax qf: per term a dismax over per-FIELD BM25 scores — each field
     * (a documents-table column) has its own token stream, df, avgdl and
     * norms, scaled by its qf boost — then SHOULD across terms with mm

@@ -19,6 +19,24 @@ object RelationalGate {
     spark.read.parquet(s"$sfDir/$name.parquet")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CompositeIdRouter.partitionRange (`solr/solrj/.../cloud/
+    // CompositeIdRouter.java:128-168`): shard-splitting arithmetic with
+    // the round-to-hash-domain rule (full range, 6 shards → rounding ON)
+    "q_router_ranges" -> ((s, d) => {
+      import s.implicits._
+      graft.index.CompositeId.partitionRange(6).zipWithIndex
+        .map { case (r, i) => (i + 1, r.min.toLong, r.max.toLong) }
+        .toDF("rnk", "minv", "maxv")
+    }),
+    // small range → rangeStep below the 16-domain threshold, rounding OFF
+    "q_router_ranges_small" -> ((s, d) => {
+      import s.implicits._
+      graft.index.CompositeId
+        .partitionRange(4, graft.index.CompositeId.HashRange(0, 1000))
+        .zipWithIndex
+        .map { case (r, i) => (i + 1, r.min.toLong, r.max.toLong) }
+        .toDF("rnk", "minv", "maxv")
+    }),
 
     // RollupStream + Sum/Min/Max/Mean/CountMetric
     // (solr/solrj/.../io/stream/RollupStream.java:43, metrics/)
@@ -404,7 +422,39 @@ object RelationalGate {
         "c_102", "p_1784", maxDepth = 3)
     }))
 
+  /** `CompositeIdRouter.partitionRange` replayed as a recursive CTE —
+    * the even-step walk with the round-to-16-bit-domain rule when the
+    * step spans ≥ 16 whole domains, last range pinned to max.
+    */
+  private def routerRangesOracle(partitions: Int, min: Long,
+      max: Long): String = {
+    val step = math.max(1L, (max - min) / partitions)
+    val round = step >= (1L << 16) * 16
+    def rnd(e: String, start: String): String =
+      if (!round) s"($e)"
+      else s"""CASE WHEN (($e) & 65535) <> 65535
+    THEN CASE WHEN ($e) - ((($e) | 65535) - 65536) < ((($e) | 65535) + 65536) - ($e) AND ((($e) | 65535) - 65536) > ($start)
+      THEN (($e) | 65535) - 65536 ELSE (($e) | 65535) + 65536 END
+    ELSE ($e) END"""
+    val e0 = s"CAST($min AS BIGINT) + $step"
+    val eN = s"ts + $step + 1"
+    s"""WITH RECURSIVE gen(n, st, ts, en) AS (
+  SELECT 1, CAST($min AS BIGINT), $e0,
+    CASE WHEN 1 = $partitions THEN CAST($max AS BIGINT)
+      ELSE ${rnd(e0, s"CAST($min AS BIGINT)")} END
+  UNION ALL
+  SELECT n + 1, en + 1, ts + $step + 1,
+    CASE WHEN n + 1 = $partitions THEN CAST($max AS BIGINT)
+      ELSE ${rnd(eN, "en + 1")} END
+  FROM gen WHERE en < $max
+)
+SELECT n AS rnk, st AS minv, en AS maxv FROM gen ORDER BY n"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_router_ranges" ->
+      routerRangesOracle(6, Int.MinValue.toLong, Int.MaxValue.toLong),
+    "q_router_ranges_small" -> routerRangesOracle(4, 0L, 1000L),
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

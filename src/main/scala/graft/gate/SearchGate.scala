@@ -1044,6 +1044,12 @@ object SearchGate {
     "q_bm25_notall" -> seg(Query.not(MatchAllQ, TermQ("spark"))),
     // string-syntax surface (§2.13): parsed query ≡ programmatic ADT
     "q_bm25_parsed" -> seg(QueryParser.parse("+dup spark key^1.5 -window")),
+    // MaxScoreQParser: pure-should parse regroups under ONE dismax (tie
+    // 0 = only the best clause scores)…
+    "q_maxscore" -> seg(QueryParser.parseMaxScore("dup spark key")),
+    // …must clauses pass through and still sum with the should dismax
+    "q_maxscore_must" ->
+      seg(QueryParser.parseMaxScore("+batch dup spark", tie = 0.2f)),
     // XML query parser (queryparser/xml/CoreParser.java surface): the
     // same trees as existing gated queries, built from XML — proves the
     // element/attribute/occurs mapping end-to-end
@@ -1848,6 +1854,9 @@ object SearchGate {
     "q_func_query_vs" -> Oracles.functionQuery(SumV(Seq(
       QueryV(TermQ("spark"), 0f),
       RecipV(FieldV("n_chars"), 1f, 500f, 1f))), K, termVs = Seq("spark")),
+    "q_maxscore" -> Oracles.dismax(Seq("dup", "spark", "key"), 0f, K),
+    "q_maxscore_must" ->
+      Oracles.mustDismax("batch", Seq("dup", "spark"), 0.2f, K),
     "q_bm25_parsed" -> Oracles.mustShouldNot("dup",
       Seq("spark" -> 1f, "key" -> 1.5f), "window", K),
     "q_bm25_wildcard" -> Oracles.wildcard("^sp.rk$", K),

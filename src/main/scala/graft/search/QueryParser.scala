@@ -66,6 +66,27 @@ object QueryParser {
     Query.rewrite(q)
   }
 
+  /** MaxScoreQParser (`solr/core/src/java/org/apache/solr/search/
+    * MaxScoreQParser.java:56-95`, Solr's `{!maxscore tie=x}`): parse
+    * with the classic parser, then regroup a top-level BooleanQuery's
+    * SHOULD clauses under ONE DisjunctionMaxQuery(tie) SHOULD clause —
+    * "only the clause with the max score will contribute" at tie 0 —
+    * while required/prohibited clauses pass through unchanged and a
+    * top-level boost is preserved around the rebuilt tree. The
+    * reference's rebuilt BooleanQuery carries no
+    * minimumNumberShouldMatch (the original mm is dropped — transcribed
+    * as-is); non-boolean parses return untouched.
+    */
+  def parseMaxScore(input: String, tie: Float = 0f): Query = {
+    def mk(q: Query): Query = q match {
+      case BoostQ(inner, b) => BoostQ(mk(inner), b)
+      case BoolQ(must, should, mustNot, filter, _) if should.nonEmpty =>
+        BoolQ(must, Seq(DisMaxQ(should, tie)), mustNot, filter, 0)
+      case other => other
+    }
+    Query.rewrite(mk(parse(input)))
+  }
+
   /** ComplexPhraseQueryParser surface (`queryparser/complexPhrase/
     * ComplexPhraseQueryParser.java:91,254-352`): ONE quoted phrase whose
     * slots may be plain terms, wildcard/prefix/fuzzy terms, or `(a b)`
