@@ -931,6 +931,45 @@ res AS (
 )""" + termCtes("a", term) + finish("sc_a", k)
   }
 
+  /** Generic BM25 term oracle over documents ∪ planted docs with the
+    * token stream given as an arbitrary SQL ARRAY expression of `text` —
+    * the shared shape of the core-tokenizer gates (keyword / whitespace /
+    * letter).
+    */
+  def customTokTerm(term: String, planted: Seq[(Long, String)],
+      arrExpr: String, k: Int): String = {
+    val plantedRows = planted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), arr AS (
+  SELECT doc_id, $arrExpr AS a FROM d2
+), tok AS (
+  SELECT doc_id, unnest(a) AS term FROM arr
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
+  /** Planted docs for the core-tokenizer gates. */
+  val keywordPlanted: Seq[(Long, String)] = Seq(
+    950001L -> "status-ok", 950002L -> "status-ok", 950003L -> "Status-OK")
+  val whitespacePlanted: Seq[(Long, String)] = Seq(
+    951001L -> "Spark SPARK spark", 951002L -> "spark fast",
+    951003L -> "SPARK! yes")
+  val letterPlanted: Seq[(Long, String)] = Seq(
+    952001L -> "file123x data9base", 952002L -> "base camp")
+
   /** Planted docs for the PatternCaptureGroup gate. */
   val capturePlanted: Seq[(Long, String)] = Seq(
     940001L -> "v2engine spark file123 alpha",

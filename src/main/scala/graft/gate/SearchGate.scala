@@ -1206,6 +1206,21 @@ object SearchGate {
     "q_pathhier_leaf" -> ((spark, sfDir) => hitsDf(spark,
       specSearcher(spark, sfDir, "pathhier", Oracles.pathPlanted)
         .search(TermQ("src/main/scala/App.scala"), K))),
+    // Core tokenizers: KeywordTokenizer (whole value = ONE verbatim
+    // term — case and punctuation significant)…
+    "q_keyword_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "keyword", Oracles.keywordPlanted)
+        .search(TermQ("status-ok"), K))),
+    // …WhitespaceTokenizer (case preserved, punctuation kept — "SPARK"
+    // does not match the "SPARK!" token)…
+    "q_whitespace_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "whitespace", Oracles.whitespacePlanted)
+        .search(TermQ("SPARK"), K))),
+    // …LowerCaseTokenizer (LETTER runs only — digits split tokens, so
+    // "base" falls out of data9base)
+    "q_letter_term" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "letter", Oracles.letterPlanted)
+        .search(TermQ("base"), K))),
     // PatternCaptureGroupTokenFilter (preserveOriginal): letter/digit
     // runs overlay mixed tokens — "123" matches both the standalone
     // token and the runs captured out of file123/file123x
@@ -1645,6 +1660,16 @@ object SearchGate {
     "q_porterexcept_stem" -> Oracles.porterExceptTerm("merg", "quer.*", K),
     "q_pathhier_prefix" -> Oracles.pathHierTerm("src/main", K),
     "q_pathhier_leaf" -> Oracles.pathHierTerm("src/main/scala/App.scala", K),
+    "q_keyword_term" -> Oracles.customTokTerm("status-ok",
+      Oracles.keywordPlanted,
+      "CASE WHEN length(text) > 0 THEN [text] ELSE [] END", K),
+    "q_whitespace_term" -> Oracles.customTokTerm("SPARK",
+      Oracles.whitespacePlanted,
+      raw"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')", K),
+    "q_letter_term" -> Oracles.customTokTerm("base",
+      Oracles.letterPlanted,
+      "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')",
+      K),
     "q_capture_num" -> Oracles.captureTerm("123", K),
     "q_capture_alpha" -> Oracles.captureTerm("file", K),
     "q_bm25_term_common" -> Oracles.term("batch", K),

@@ -212,6 +212,32 @@ object IndexBuilder {
       graft.core.Phonetic.encoderFor(spec) // validate eagerly on the driver
       (s: String) =>
         Analysis.simpleTokens(s).map(graft.core.Phonetic.replaced(spec, _))
+    // KeywordTokenizer (`analysis/core/KeywordTokenizer.java:28`): the
+    // whole field value is ONE token, verbatim — string/id fields
+    case "keyword" =>
+      (s: String) => if (s.isEmpty) Array.empty[String] else Array(s)
+    // WhitespaceTokenizer (`analysis/core/WhitespaceTokenizer.java:29`
+    // via CharTokenizer: token chars = !isWhitespace): case and
+    // punctuation PRESERVED, split on java whitespace
+    case "whitespace" =>
+      (s: String) => s.split("\\s+").filter(_.nonEmpty)
+    // LowerCaseTokenizer (`analysis/core/LowerCaseTokenizer.java:31` =
+    // LetterTokenizer + lowercase): LETTER runs only — digits split,
+    // unlike the engine's alnum "simple" chain
+    case "letter" =>
+      (s: String) => {
+        val out = Array.newBuilder[String]
+        val sb = new StringBuilder
+        var i = 0
+        while (i < s.length) {
+          val ch = s.charAt(i)
+          if (Character.isLetter(ch)) sb.append(Character.toLowerCase(ch))
+          else if (sb.nonEmpty) { out += sb.toString; sb.clear() }
+          i += 1
+        }
+        if (sb.nonEmpty) out += sb.toString
+        out.result()
+      }
     // "stemoverride:<w=>repl;…>" — StemmerOverrideFilter ahead of
     // PorterStemFilter (`analysis/common/.../miscellaneous/
     // StemmerOverrideFilter.java:55-75`): a dictionary hit replaces the

@@ -114,6 +114,16 @@ class MiscFilterSpec extends AnyFunSuite {
       ("spark", 1), ("99", 2)))
   }
 
+  test("core tokenizers: keyword / whitespace / letter laws") {
+    assert(IndexBuilder.tokenizerFn("keyword")("Status-OK x").toSeq ==
+      Seq("Status-OK x"))
+    assert(IndexBuilder.tokenizerFn("keyword")("").isEmpty)
+    assert(IndexBuilder.tokenizerFn("whitespace")("Spark  SPARK! y\tz")
+      .toSeq == Seq("Spark", "SPARK!", "y", "z"))
+    assert(IndexBuilder.tokenizerFn("letter")("file123x Data9Base").toSeq ==
+      Seq("file", "x", "data", "base"))
+  }
+
   test("end-to-end: exact phrase does not match across a keepword hole") {
     import spark.implicits._
     val docs = Seq(
