@@ -1318,9 +1318,37 @@ ORDER BY doc_id LIMIT $k"""
     */
   def vsSql(vs: graft.search.ValueSrc, alias: String,
       queryRef: graft.search.QueryV => String =
-        qv => sys.error(s"no oracle ref for $qv")): String = {
+        qv => sys.error(s"no oracle ref for $qv"),
+      queryExistsRef: graft.search.QueryV => String =
+        qv => sys.error(s"no oracle exists-ref for $qv")): String = {
     import graft.search._
+    // the reference's default boolVal: (int) floatVal != 0 — DuckDB
+    // trunc() reproduces Java's toward-zero (int) cast (a plain INTEGER
+    // cast would round)
+    def boolSql(x: ValueSrc): String = x match {
+      case ExistsV(_) | NotV(_) | AndV(_) | OrV(_) =>
+        s"(${go(x)} <> CAST(0 AS REAL))"
+      case _ => s"(CAST(trunc(${go(x)}) AS INTEGER) <> 0)"
+    }
+    def existsSql(x: ValueSrc): String = x match {
+      case FieldV(f) => s"($alias.$f IS NOT NULL)"
+      case qv: QueryV => queryExistsRef(qv)
+      case _ => "TRUE"
+    }
     def go(v: ValueSrc): String = v match {
+      case IfV(c, t, f) =>
+        s"(CASE WHEN ${boolSql(c)} THEN ${go(t)} ELSE ${go(f)} END)"
+      case ExistsV(x) =>
+        s"(CASE WHEN ${existsSql(x)} THEN ${R("1")} ELSE ${R("0")} END)"
+      case NotV(x) =>
+        s"(CASE WHEN ${boolSql(x)} THEN ${R("0")} ELSE ${R("1")} END)"
+      case AndV(xs) =>
+        s"(CASE WHEN ${xs.map(boolSql).mkString(" AND ")} THEN ${R("1")} ELSE ${R("0")} END)"
+      case OrV(xs) =>
+        s"(CASE WHEN ${xs.map(boolSql).mkString(" OR ")} THEN ${R("1")} ELSE ${R("0")} END)"
+      case DefV(xs) =>
+        xs.dropRight(1).foldRight(go(xs.last))((x, acc) =>
+          s"(CASE WHEN ${existsSql(x)} THEN ${go(x)} ELSE $acc END)")
       case ConstV(c) => R(c.toString)
       case FieldV(f) => R(s"$alias.$f")
       case SumV(xs) => xs.map(go).reduceLeft((a, b) => R(s"$a + $b"))
@@ -1427,8 +1455,13 @@ ORDER BY doc_id LIMIT $k"""
         R(s"COALESCE((SELECT s FROM sc_${names(t)} WHERE sc_${names(t)}.doc_id = d.doc_id), ${R(d.toString)})")
       case qv => sys.error(s"oracle supports QueryV(TermQ) only, got $qv")
     }
-    s"""${pro}SELECT d.doc_id AS doc_id, CAST(${vsSql(vs, "d", ref)} AS DOUBLE) AS score,
-  CAST(row_number() OVER (ORDER BY ${vsSql(vs, "d", ref)} DESC, d.doc_id) AS INT) AS rnk
+    val existsRef: QueryV => String = {
+      case QueryV(TermQ(t), _) if names.contains(t) =>
+        s"EXISTS (SELECT 1 FROM sc_${names(t)} WHERE sc_${names(t)}.doc_id = d.doc_id)"
+      case qv => sys.error(s"oracle supports QueryV(TermQ) only, got $qv")
+    }
+    s"""${pro}SELECT d.doc_id AS doc_id, CAST(${vsSql(vs, "d", ref, existsRef)} AS DOUBLE) AS score,
+  CAST(row_number() OVER (ORDER BY ${vsSql(vs, "d", ref, existsRef)} DESC, d.doc_id) AS INT) AS rnk
 FROM documents d ORDER BY score DESC, doc_id LIMIT $k"""
   }
 

@@ -268,6 +268,16 @@ object SearchGate {
       new Searcher(spark, SegmentSearcher.load(dir), cacheSegments = true)
     })
 
+  /** Boolean function-family value trees, shared by gate and oracle. */
+  private val IfExistsVs = ValueSources.parseFunc(
+    "if(exists(query($q)), 100, recip(n_chars, 1, 1000, 1))",
+    Map("q" -> TermQ("spark")))
+  private val BoolVs = ValueSources.parseFunc(
+    "if(and(or(query($q), not(query($r))), true), sum(1, query($q)), 0.25)",
+    Map("q" -> TermQ("spark"), "r" -> TermQ("batch")))
+  private val DefVs = ValueSources.parseFunc(
+    "def(query($q), 7)", Map("q" -> TermQ("spark")))
+
   /** Keep set for the KeepWordFilter gate field. */
   val KeepWords: Seq[String] =
     Seq("spark", "data", "query", "table", "row", "key", "filter", "join")
@@ -715,6 +725,12 @@ object SearchGate {
     "q_func_query_vs" -> seg(FunctionQ(SumV(Seq(
       QueryV(TermQ("spark"), 0f),
       RecipV(FieldV("n_chars"), 1f, 500f, 1f))))),
+    // boolean function family (if/exists/not/and/or/def,
+    // ValueSourceParser.java:719-833): exists = matched for query
+    // sources; truth = the reference's (int)floatVal != 0 law
+    "q_func_if_exists" -> seg(FunctionQ(IfExistsVs)),
+    "q_func_bool" -> seg(FunctionQ(BoolVs)),
+    "q_func_def" -> seg(FunctionQ(DefVs)),
     // index-stat value sources: classic tf×idf assembled from the
     // tf()/idf() functions (TFValueSource × IDFValueSource) — per-doc
     // sqrt(freq) times the per-searcher idf constant
@@ -1859,6 +1875,11 @@ object SearchGate {
       upper = Some("p"), regexp = Some("[a-z]+[0-9]*"), sortByCount = false),
     "q_elevate" -> Oracles.elevatedOr(Seq("spark", "key"),
       Seq(42L, 7L), Set(3L), K),
+    "q_func_if_exists" ->
+      Oracles.functionQuery(IfExistsVs, K, Seq("spark")),
+    "q_func_bool" ->
+      Oracles.functionQuery(BoolVs, K, Seq("spark", "batch")),
+    "q_func_def" -> Oracles.functionQuery(DefVs, K, Seq("spark")),
     "q_func_tfidf" -> Oracles.functionQuery(
       ProductV(Seq(TfV("spark"), IdfV("spark"))), K),
     "q_func_norm" -> Oracles.functionQuery(NormV, K),

@@ -4011,7 +4011,10 @@ final class Searcher(private[search] val spark: SparkSession,
       // byte315 table (`NormValueSource.java:55-62` decodeNormValue)
       norm = () => element_at(
         typedlit(SegmentSearcher.classicNormTable.toSeq),
-        col("normByte").cast("int").bitwiseAND(lit(255)) + lit(1)))
+        col("normByte").cast("int").bitwiseAND(lit(255)) + lit(1)),
+      // exists = matched: the pre-coalesce join column is NULL exactly
+      // for non-matching docs (QueryDocValues.exists)
+      queryMatched = qv => col(qvCol(qv)).isNotNull)
     def scaleFor(sc: ScaleV): (Float, Float) =
       scaleStatsCache.getOrElseUpdate(sc, {
         val xc = ValueSources.toColumn(sc.x, ctx)
@@ -4022,23 +4025,11 @@ final class Searcher(private[search] val spark: SparkSession,
         if (finite.isNullAt(0)) (0f, 0f)
         else (finite.getFloat(0), finite.getFloat(1))
       })
-    // post-order fill so nested ScaleV stats exist before parents need them
-    def fill(v: ValueSrc): Unit = v match {
-      case sc: ScaleV => fill(sc.x); scaleFor(sc); ()
-      case SumV(xs) => xs.foreach(fill)
-      case ProductV(xs) => xs.foreach(fill)
-      case MaxV(xs) => xs.foreach(fill)
-      case MinV(xs) => xs.foreach(fill)
-      case DivV(a, b) => fill(a); fill(b)
-      case PowV(a, b) => fill(a); fill(b)
-      case LinearV(x, _, _) => fill(x)
-      case RecipV(x, _, _, _) => fill(x)
-      case RangeMapV(x, _, _, _, _) => fill(x)
-      case Log10V(x) => fill(x)
-      case LnV(x) => fill(x)
-      case SqrtV(x) => fill(x)
-      case AbsV(x) => fill(x)
-      case _ => ()
+    // post-order fill so nested ScaleV stats exist before parents need
+    // them — generic walk over every node shape
+    def fill(v: ValueSrc): Unit = {
+      ValueSources.childrenOf(v).foreach(fill)
+      v match { case sc: ScaleV => scaleFor(sc); () case _ => () }
     }
     fill(vs)
     base.select(col("docId"), ValueSources.toColumn(vs, ctx).as("v"))
@@ -4292,6 +4283,12 @@ final class Searcher(private[search] val spark: SparkSession,
       val nm = new scala.collection.mutable.LongMap[Float](rows.length)
       rows.foreach(r => nm(r.getLong(0)) = tbl(r.getByte(1) & 0xff))
       d => nm.getOrElse(d, 0f)
+    },
+    queryMatched = qv => {
+      val ids = new java.util.HashSet[Long]()
+      matchScoresDf(qv.q).select(col("docId")).collect()
+        .foreach(r => ids.add(r.getLong(0)))
+      d => ids.contains(d)
     })
 
   /** Bind the per-searcher-constant stat sources to ConstV — the

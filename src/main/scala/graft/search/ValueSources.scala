@@ -94,6 +94,40 @@ final case class AbsV(x: ValueSrc) extends ValueSrc
   */
 final case class QueryV(q: Query, defVal: Float = 0f) extends ValueSrc
 
+// ---- boolean function sources (Solr ValueSourceParser "if"/"exists"/
+// "not"/"and"/"or"/"def", `queries/function/valuesource/IfFunction.java`,
+// `SimpleBoolFunction.java`, `MultiBoolFunction.java`,
+// `DefFunction.java`) ----
+// Truth of a general source is the reference's default boolVal law —
+// `(int) floatVal != 0` (`FunctionValues.java:51` intVal != 0 over the
+// float-truncating intVal) — NOT floatVal != 0: a 0.5 value is FALSE.
+// Bool nodes themselves value as 1f/0f (BoolFunction floatVal).
+
+/** IfFunction (`IfFunction.java:50-95`): cond's boolVal picks t or f. */
+final case class IfV(cond: ValueSrc, t: ValueSrc, f: ValueSrc)
+  extends ValueSrc
+
+/** Solr `exists(x)` (`ValueSourceParser.java:719-733`): whether the doc
+  * HAS a value — a FieldV exists when its column is non-NULL, a QueryV
+  * when the subquery MATCHED (regardless of defVal), anything else
+  * always (the FunctionValues default).
+  */
+final case class ExistsV(x: ValueSrc) extends ValueSrc
+
+/** Solr `not(x)` (`ValueSourceParser.java:736-751`). */
+final case class NotV(x: ValueSrc) extends ValueSrc
+
+/** Solr `and(…)` / `or(…)` (`ValueSourceParser.java:754-793`,
+  * MultiBoolFunction): conjunction/disjunction of the members' boolVals.
+  */
+final case class AndV(xs: Seq[ValueSrc]) extends ValueSrc
+final case class OrV(xs: Seq[ValueSrc]) extends ValueSrc
+
+/** DefFunction (`DefFunction.java:35-90`, Solr `def(a, b, …)`): the
+  * FIRST source whose value exists, the last as fallback.
+  */
+final case class DefV(xs: Seq[ValueSrc]) extends ValueSrc
+
 // ---- index-stat value sources (`queries/function/valuesource/`) ----
 // The per-searcher CONSTANT ones (DocFreqV/IdfV/MaxDocV/NumDocsV/
 // TotalTermFreqV/SumTotalTermFreqV) are rewritten to ConstV by
@@ -239,9 +273,14 @@ object ValueSources {
       skipWs()
       val isCall = !eof && peek == '('
       if (!isCall) {
-        return word.toFloatOption match {
-          case Some(f) => ConstV(f)
-          case None => FieldV(word)
+        return word match {
+          // BoolConstValueSource (`ValueSourceParser.java:703-717`)
+          case "true" => ConstV(1f)
+          case "false" => ConstV(0f)
+          case _ => word.toFloatOption match {
+            case Some(f) => ConstV(f)
+            case None => FieldV(word)
+          }
         }
       }
       word match {
@@ -283,6 +322,18 @@ object ValueSources {
         case "termfreq" => TermFreqV(termArg(args()))
         case "tf" => TfV(termArg(args()))
         case "totaltermfreq" | "ttf" => TotalTermFreqV(termArg(args()))
+        // boolean function family (ValueSourceParser.java:719-833)
+        case "if" =>
+          val a = args(); require(a.size == 3, "if(cond,t,f)")
+          IfV(a(0), a(1), a(2))
+        case "exists" =>
+          val a = args(); require(a.size == 1, "exists(x)"); ExistsV(a.head)
+        case "not" =>
+          val a = args(); require(a.size == 1, "not(x)"); NotV(a.head)
+        case "and" => AndV(args())
+        case "or" => OrV(args())
+        case "def" =>
+          val a = args(); require(a.size >= 2, "def(a,b,…)"); DefV(a)
         case "maxdoc" => optFieldArgs(); MaxDocV
         case "numdocs" => optFieldArgs(); NumDocsV
         case "sumtotaltermfreq" | "sttf" => optFieldArgs(); SumTotalTermFreqV
@@ -298,6 +349,9 @@ object ValueSources {
     */
   def fieldsOf(vs: ValueSrc): Set[String] = vs match {
     case FieldV(f) => Set(f)
+    // bool/def composites ride the generic walker
+    case IfV(_, _, _) | ExistsV(_) | NotV(_) | AndV(_) | OrV(_) | DefV(_) =>
+      childrenOf(vs).flatMap(fieldsOf).toSet
     case SumV(xs) => xs.flatMap(fieldsOf).toSet
     case ProductV(xs) => xs.flatMap(fieldsOf).toSet
     case MaxV(xs) => xs.flatMap(fieldsOf).toSet
@@ -332,6 +386,8 @@ object ValueSources {
     case LnV(x) => queriesOf(x)
     case SqrtV(x) => queriesOf(x)
     case AbsV(x) => queriesOf(x)
+    case IfV(_, _, _) | ExistsV(_) | NotV(_) | AndV(_) | OrV(_) | DefV(_) =>
+      childrenOf(vs).flatMap(queriesOf)
     case _ => Nil
   }
 
@@ -346,9 +402,35 @@ object ValueSources {
       termFreq: String => Column =
         t => sys.error(s"termfreq('$t') unavailable in this context"),
       norm: () => Column =
-        () => sys.error("norm() unavailable in this context"))
+        () => sys.error("norm() unavailable in this context"),
+      /** Whether the subquery MATCHED (pre-defVal) — the QueryDocValues
+        * exists() notion backing ExistsV/DefV.
+        */
+      queryMatched: QueryV => Column =
+        qv => sys.error(s"exists($qv) unavailable in this context"))
 
   private def f32(c: Column): Column = c.cast(FloatType)
+
+  /** The reference's default boolVal — `(int) floatVal != 0`
+    * (`FunctionValues.java:51`, truncating intVal): 0.5 is FALSE. Bool
+    * nodes emit exactly 0f/1f and test directly.
+    */
+  private def boolCol(x: ValueSrc, ctx: ColCtx): Column = x match {
+    case ExistsV(_) | NotV(_) | AndV(_) | OrV(_) =>
+      toColumn(x, ctx) =!= lit(0f)
+    case _ =>
+      coalesce(toColumn(x, ctx).cast(org.apache.spark.sql.types.IntegerType)
+        =!= lit(0), lit(false))
+  }
+
+  /** exists(doc): FieldV ⇔ non-NULL column, QueryV ⇔ matched, anything
+    * else always (the FunctionValues default).
+    */
+  private def existsCol(x: ValueSrc, ctx: ColCtx): Column = x match {
+    case FieldV(f) => ctx.field(f).isNotNull
+    case qv: QueryV => ctx.queryMatched(qv)
+    case _ => lit(true)
+  }
 
   /** The ValueSrc as a FloatType Catalyst Column — every node is one
     * float32-rounded step, matching the reference law cited on the case
@@ -402,6 +484,20 @@ object ValueSources {
     // .java:118`): sqrt in double of a float, rounded — exact
     case TfV(t) => f32(sqrt(ctx.termFreq(t).cast(DoubleType)))
     case NormV => f32(ctx.norm())
+    case IfV(c, t, f) =>
+      f32(when(boolCol(c, ctx), toColumn(t, ctx)).otherwise(toColumn(f, ctx)))
+    case ExistsV(x) => f32(when(existsCol(x, ctx), lit(1f)).otherwise(lit(0f)))
+    case NotV(x) => f32(when(boolCol(x, ctx), lit(0f)).otherwise(lit(1f)))
+    case AndV(xs) =>
+      f32(when(xs.map(boolCol(_, ctx)).reduceLeft(_ && _), lit(1f))
+        .otherwise(lit(0f)))
+    case OrV(xs) =>
+      f32(when(xs.map(boolCol(_, ctx)).reduceLeft(_ || _), lit(1f))
+        .otherwise(lit(0f)))
+    case DefV(xs) =>
+      val fallback = toColumn(xs.last, ctx)
+      f32(xs.dropRight(1).foldRight(fallback)((x, acc) =>
+        when(existsCol(x, ctx), toColumn(x, ctx)).otherwise(acc)))
     case DocFreqV(_) | IdfV(_) | MaxDocV | NumDocsV | TotalTermFreqV(_) |
         SumTotalTermFreqV =>
       sys.error(s"index-stat constant $vs must be resolved by the " +
@@ -418,7 +514,9 @@ object ValueSources {
       termFreq: String => (Long => Float) =
         t => sys.error(s"termfreq('$t') unavailable in this context"),
       norm: () => (Long => Float) =
-        () => sys.error("norm() unavailable in this context"))
+        () => sys.error("norm() unavailable in this context"),
+      queryMatched: QueryV => (Long => Boolean) =
+        qv => sys.error(s"exists($qv) unavailable in this context"))
 
   /** Driver-local evaluator — same float law as toColumn; the spec pins
     * the two equal on every node type.
@@ -469,11 +567,47 @@ object ValueSources {
     case TfV(t) =>
       val fx = ctx.termFreq(t); d => math.sqrt(fx(d)).toFloat
     case NormV => ctx.norm()
+    case IfV(c, t, f) =>
+      val (fc, ft, ff) = (boolLocal(c, ctx), evalLocal(t, ctx),
+        evalLocal(f, ctx))
+      d => if (fc(d)) ft(d) else ff(d)
+    case ExistsV(x) =>
+      val e = existsLocal(x, ctx); d => if (e(d)) 1f else 0f
+    case NotV(x) =>
+      val fx = boolLocal(x, ctx); d => if (fx(d)) 0f else 1f
+    case AndV(xs) =>
+      val fs = xs.map(boolLocal(_, ctx)); d => if (fs.forall(_(d))) 1f else 0f
+    case OrV(xs) =>
+      val fs = xs.map(boolLocal(_, ctx)); d => if (fs.exists(_(d))) 1f else 0f
+    case DefV(xs) =>
+      val pairs = xs.dropRight(1).map(x =>
+        (existsLocal(x, ctx), evalLocal(x, ctx)))
+      val fallback = evalLocal(xs.last, ctx)
+      d => pairs.find(_._1(d)).map(_._2(d)).getOrElse(fallback(d))
     case DocFreqV(_) | IdfV(_) | MaxDocV | NumDocsV | TotalTermFreqV(_) |
         SumTotalTermFreqV =>
       sys.error(s"index-stat constant $vs must be resolved by the " +
         "searcher (resolveStatVs) before evaluation")
   }
+
+  private def boolLocal(x: ValueSrc, ctx: LocalCtx): Long => Boolean =
+    x match {
+      case ExistsV(_) | NotV(_) | AndV(_) | OrV(_) =>
+        val f = evalLocal(x, ctx); d => f(d) != 0f
+      case _ =>
+        val f = evalLocal(x, ctx); d => f(d).toInt != 0
+    }
+
+  /** Local exists: the engine's local row store is DENSE (every doc has
+    * every column), so FieldV always exists on this path — identical to
+    * the Column path whenever the corpus carries no NULLs, which the
+    * dvBytes-gated local accessor already assumes.
+    */
+  private def existsLocal(x: ValueSrc, ctx: LocalCtx): Long => Boolean =
+    x match {
+      case qv: QueryV => ctx.queryMatched(qv)
+      case _ => _ => true
+    }
 
   /** Direct children of a node (leaves → empty) — shared walker base. */
   def childrenOf(vs: ValueSrc): Seq[ValueSrc] = vs match {
@@ -491,6 +625,12 @@ object ValueSources {
     case LnV(x) => Seq(x)
     case SqrtV(x) => Seq(x)
     case AbsV(x) => Seq(x)
+    case IfV(c, t, f) => Seq(c, t, f)
+    case ExistsV(x) => Seq(x)
+    case NotV(x) => Seq(x)
+    case AndV(xs) => xs
+    case OrV(xs) => xs
+    case DefV(xs) => xs
     case _ => Nil
   }
 
@@ -512,6 +652,13 @@ object ValueSources {
       case LnV(x) => LnV(transform(x)(f))
       case SqrtV(x) => SqrtV(transform(x)(f))
       case AbsV(x) => AbsV(transform(x)(f))
+      case IfV(c, t2, f2) =>
+        IfV(transform(c)(f), transform(t2)(f), transform(f2)(f))
+      case ExistsV(x) => ExistsV(transform(x)(f))
+      case NotV(x) => NotV(transform(x)(f))
+      case AndV(xs) => AndV(xs.map(transform(_)(f)))
+      case OrV(xs) => OrV(xs.map(transform(_)(f)))
+      case DefV(xs) => DefV(xs.map(transform(_)(f)))
       case leaf => leaf
     }
     f(t)

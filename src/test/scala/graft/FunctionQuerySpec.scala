@@ -291,6 +291,32 @@ class FunctionQuerySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parseFunc("docfreq(1.5)"))
   }
 
+  test("bool functions: truncating truth law, exists, def — both paths") {
+    // truth = (int) floatVal != 0 (FunctionValues.java:51): 0.5 is FALSE
+    val halfTrue = IfV(ConstV(0.5f), ConstV(1f), ConstV(2f))
+    assert(searcher.functionDf(halfTrue).head().getFloat(1) == 2f)
+    assert(searcher.functionDf(
+      IfV(ConstV(1.5f), ConstV(1f), ConstV(2f))).head().getFloat(1) == 1f)
+    // exists(query) = matched; def falls back for non-matches
+    val defVs = DefV(Seq(QueryV(TermQ("index"), 0f), ConstV(7f)))
+    val got = searcher.functionDf(defVs).collect()
+      .map(r => r.getLong(0) -> r.getFloat(1)).toMap
+    val scores = searcher.search(TermQ("index"), 10000,
+      useWand = false).map(h => h.docId -> h.score.toFloat).toMap
+    got.foreach { case (d, v) =>
+      scores.get(d) match {
+        case Some(s) => assert(v == s, s"doc $d: matched → its score")
+        case None => assert(v == 7f, s"doc $d: unmatched → fallback")
+      }
+    }
+    assert(scores.nonEmpty)
+    // local ↔ forced-distributed parity through searchBoosted
+    val vs = IfV(ExistsV(QueryV(TermQ("merge"), 0f)), ConstV(3f), ConstV(1f))
+    val l = searcher.search(FuncBoostedQ(TermQ("index"), vs), 12).toSeq
+    val dd = distSearcher.search(FuncBoostedQ(TermQ("index"), vs), 12).toSeq
+    assert(l == dd && l.nonEmpty)
+  }
+
   test("realTimeGet: last-write-wins across batches; tier merges oldest") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
