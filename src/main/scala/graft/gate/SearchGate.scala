@@ -1415,6 +1415,23 @@ object SearchGate {
         .suggestBlendedInfix("key val", 10, blender = "reciprocal").toSeq
         .toDF("suggestion", "score")
     }),
+    // SuggestStopFilter on the blended suggester's query analyzer
+    // (`suggest/analyzing/SuggestStopFilter.java:28-120`): a TRAILING
+    // mid-typing stopword is kept as the prefix ("data the" still
+    // requires a the-prefixed token)…
+    "q_suggest_blended_stop_mid" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestBlendedInfix("data the", 10,
+        stopWords = graft.core.Analysis.EnglishStopWords).toSeq
+        .toDF("suggestion", "score")
+    }),
+    // …while the same stopword FOLLOWED by a separator drops entirely
+    "q_suggest_blended_stop_sep" -> ((spark, sfDir) => {
+      import spark.implicits._
+      searcher(spark, sfDir).suggestBlendedInfix("data the ", 10,
+        stopWords = graft.core.Analysis.EnglishStopWords).toSeq
+        .toDF("suggestion", "score")
+    }),
     // FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
     // 2-gram stupid-backoff LM — "order s" completes via the bigram
     // model first, unigram completions back off at ALPHA = 0.4
@@ -1952,6 +1969,15 @@ object SearchGate {
     "q_suggest_blended_recip" ->
       Oracles.suggestBlended("key val", Seq("key"), Some("val"),
         "reciprocal", 10, 10),
+    // post-SuggestStopFilter plans, transcribed BY HAND from the
+    // reference law: trailing mid-typing 'the' stays as the prefix…
+    "q_suggest_blended_stop_mid" ->
+      Oracles.suggestBlended("data the", Seq("data"), Some("the"),
+        "linear", 10, 10),
+    // …a separator-terminated 'the' drops, leaving the bare MUST term
+    "q_suggest_blended_stop_sep" ->
+      Oracles.suggestBlended("data the ", Seq("data"), None,
+        "linear", 10, 10),
     "q_suggest_freetext" -> Oracles.freeText("order", "s", 6),
     "q_percolate" -> Oracles.percolate(2),
     "q_termvectors" -> Oracles.termVectors(Seq(40L, 41L, 42L)),

@@ -3020,14 +3020,28 @@ final class Searcher(private[search] val spark: SparkSession,
   def suggestBlendedInfix(key: String, num: Int,
       blender: String = "linear", numFactor: Int = 10,
       exponent: Double = 2.0, contentCol: String = "text",
-      weightExpr: Option[org.apache.spark.sql.Column] = None): Array[(String, Long)] = {
+      weightExpr: Option[org.apache.spark.sql.Column] = None,
+      stopWords: Set[String] = Set.empty): Array[(String, Long)] = {
     require(num >= 1 && numFactor >= 1, "num and numFactor must be >= 1")
     val tok = IndexBuilder.tokenizerFn(m.tokenizer)
-    val keyToks = tok(key)
-    require(keyToks.nonEmpty, "key analyzes to no tokens")
+    val keyToks0 = tok(key)
+    require(keyToks0.nonEmpty, "key analyzes to no tokens")
     // end-offset test: trailing separator chars ⇒ the last token is
     // complete (exact term); otherwise it is a prefix
     val endsMidToken = Character.isLetterOrDigit(key.charAt(key.length - 1))
+    // SuggestStopFilter (`suggest/analyzing/SuggestStopFilter.java:
+    // 28-120`, the analyzing suggesters' query-side stop filter):
+    // stopwords drop EXCEPT the FINAL token when the key ends exactly at
+    // its end (no trailing separator) — "find the" keeps 'the' (marked
+    // keyword, queried as a prefix like any mid-token tail), "find the "
+    // drops it
+    val keyToks =
+      if (stopWords.isEmpty) keyToks0
+      else keyToks0.zipWithIndex.collect {
+        case (t, i) if !stopWords(t) ||
+          (endsMidToken && i == keyToks0.length - 1) => t
+      }
+    require(keyToks.nonEmpty, "key analyzes to stopwords only")
     val (matched, prefixTok) =
       if (endsMidToken) (keyToks.dropRight(1).toSet, Some(keyToks.last))
       else (keyToks.toSet, None)
