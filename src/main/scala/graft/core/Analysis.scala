@@ -220,6 +220,65 @@ object Analysis {
     out.toArray
   }
 
+  /** CJKBigramFilter over the standard chain (`analysis/common/.../cjk/
+    * CJKBigramFilter.java:40-230`, all four script flags, the
+    * CJKAnalyzer default outputUnigrams = false): every maximal run of
+    * ADJACENT CJK codepoints (Han / Hiragana / Katakana / Hangul — the
+    * filter buffers aligned-offset codepoints regardless of how the
+    * upstream tokenizer grouped them, so katakana runs bigram
+    * per-codepoint too) emits its consecutive codepoint bigrams
+    * (`<DOUBLE>`), a LONE CJK codepoint emits its unigram (`<SINGLE>`),
+    * and non-CJK text follows the lowercase-alnum word law. Every
+    * emitted token advances one position (posInc 1), so the flat form is
+    * exact.
+    */
+  def cjkBigramTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val word = new java.lang.StringBuilder(16)
+    val run = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def flushWord(): Unit = {
+      if (word.length > 0 && word.length <= MaxTokenLength)
+        out += word.toString.toLowerCase(Locale.ROOT)
+      word.setLength(0)
+    }
+    def flushRun(): Unit = {
+      if (run.length == 1) out += new String(Character.toChars(run(0)))
+      else {
+        var i = 0
+        while (i < run.length - 1) {
+          out += new String(Character.toChars(run(i))) +
+            new String(Character.toChars(run(i + 1)))
+          i += 1
+        }
+      }
+      run.clear()
+    }
+    def isCjk(cp: Int): Boolean = {
+      val s =
+        try Character.UnicodeScript.of(cp)
+        catch { case _: IllegalArgumentException => Character.UnicodeScript.UNKNOWN }
+      s == Character.UnicodeScript.HAN ||
+        s == Character.UnicodeScript.HIRAGANA ||
+        s == Character.UnicodeScript.KATAKANA ||
+        s == Character.UnicodeScript.HANGUL
+    }
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (isCjk(cp)) { flushWord(); run += cp }
+      else if (Character.isLetterOrDigit(cp)) {
+        if (run.nonEmpty) flushRun()
+        word.appendCodePoint(cp)
+      } else {
+        flushWord(); if (run.nonEmpty) flushRun()
+      }
+      i += Character.charCount(cp)
+    }
+    flushWord(); if (run.nonEmpty) flushRun()
+    out.toArray
+  }
+
   /** PatternTokenizer (`lucene/analysis/common/.../pattern/
     * PatternTokenizer.java:43`, group = -1 split semantics): tokens are
     * the runs BETWEEN regex matches, lowercased, length-capped.

@@ -970,6 +970,59 @@ res AS (
   val letterPlanted: Seq[(Long, String)] = Seq(
     952001L -> "file123x data9base", 952002L -> "base camp")
 
+  /** Planted docs for the CJKBigram gate (engine side — raw mixed
+    * text).
+    */
+  val cjkPlanted: Seq[(Long, String)] = Seq(
+    960001L -> "spark 数据库",
+    960002L -> "数据 analysis",
+    960003L -> "库",
+    960004L -> "カタカナ test")
+
+  /** The same docs' token streams, hand-derived from the PUBLISHED law
+    * (`analysis/cjk/CJKBigramFilter.java:40-230`, outputUnigrams=false:
+    * a 3-codepoint run ABC → AB, BC; a lone codepoint → its unigram;
+    * non-CJK words pass through) — not by running the engine.
+    */
+  private val cjkPlantedTokens: Seq[(Long, String)] = Seq(
+    960001L -> "spark", 960001L -> "数据", 960001L -> "据库",
+    960002L -> "数据", 960002L -> "analysis",
+    960003L -> "库",
+    960004L -> "カタ", 960004L -> "タカ", 960004L -> "カナ",
+    960004L -> "test")
+
+  /** BM25 term over the cjkbigram field: ASCII corpus docs tokenize
+    * plainly (bigramming touches only CJK runs); planted docs use the
+    * embedded hand-derived streams.
+    */
+  def cjkTerm(term: String, k: Int): String = {
+    val plantedRows = cjkPlanted
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    val tokRows = cjkPlantedTokens
+      .map { case (id, t) => s"($id, ${lit(t)})" }.mkString(", ")
+    s"""WITH d2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT * FROM (VALUES $plantedRows) pl(doc_id, text)
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM toks WHERE term <> '' AND length(term) <= 255
+  UNION ALL SELECT * FROM (VALUES $tokRows) pt(doc_id, term)
+), dlen AS (
+  SELECT d.doc_id, count(t.term) AS len
+  FROM d2 d LEFT JOIN tok t ON d.doc_id = t.doc_id GROUP BY d.doc_id
+), normq(lo, hi, qlen) AS (
+  SELECT * FROM (VALUES $normValuesRows)
+), dn AS (
+  SELECT dlen.doc_id, ${R("normq.qlen")} AS qlen
+  FROM dlen JOIN normq ON dlen.len BETWEEN normq.lo AND normq.hi
+), av AS (
+  SELECT (SELECT count(*) FROM d2) AS n,
+         ${R(s"(SELECT count(*) FROM tok) / CAST((SELECT count(*) FROM d2) AS DOUBLE)")} AS avgdl
+)""" + termCtes("a", term) + finish("sc_a", k)
+  }
+
   /** Planted docs for the PatternCaptureGroup gate. */
   val capturePlanted: Seq[(Long, String)] = Seq(
     940001L -> "v2engine spark file123 alpha",

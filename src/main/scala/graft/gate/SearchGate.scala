@@ -1222,6 +1222,16 @@ object SearchGate {
     "q_pathhier_leaf" -> ((spark, sfDir) => hitsDf(spark,
       specSearcher(spark, sfDir, "pathhier", Oracles.pathPlanted)
         .search(TermQ("src/main/scala/App.scala"), K))),
+    // CJKBigramFilter: adjacent-CJK codepoint bigrams — 数据 matches the
+    // run inside 数据库 AND the standalone pair…
+    "q_cjk_bigram" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "cjkbigram", Oracles.cjkPlanted)
+        .search(TermQ("数据"), K))),
+    // …while a lone codepoint emits its unigram ONLY when it has no
+    // neighbor (库 does not match inside 数据库)
+    "q_cjk_single" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, "cjkbigram", Oracles.cjkPlanted)
+        .search(TermQ("库"), K))),
     // Core tokenizers: KeywordTokenizer (whole value = ONE verbatim
     // term — case and punctuation significant)…
     "q_keyword_term" -> ((spark, sfDir) => hitsDf(spark,
@@ -1693,6 +1703,8 @@ object SearchGate {
     "q_porterexcept_stem" -> Oracles.porterExceptTerm("merg", "quer.*", K),
     "q_pathhier_prefix" -> Oracles.pathHierTerm("src/main", K),
     "q_pathhier_leaf" -> Oracles.pathHierTerm("src/main/scala/App.scala", K),
+    "q_cjk_bigram" -> Oracles.cjkTerm("数据", K),
+    "q_cjk_single" -> Oracles.cjkTerm("库", K),
     "q_keyword_term" -> Oracles.customTokTerm("status-ok",
       Oracles.keywordPlanted,
       "CASE WHEN length(text) > 0 THEN [text] ELSE [] END", K),

@@ -154,7 +154,7 @@ object Deletes {
       .parquet(s"$outDir/termstats")
     spark.read.parquet(s"$outDir/termstats")
       .select("term", "df", "ttf")
-      .withColumn("pfx", substring(col("term"), 1, 1))
+      .withColumn("pfx", graft.index.IndexBuilder.termPfxUdf(col("term")))
       .repartitionByRange(math.max(m.numBuckets, 1), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$outDir/termdict")

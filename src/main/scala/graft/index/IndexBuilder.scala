@@ -124,6 +124,18 @@ object IndexBuilder {
   def bucketOf(term: String, numBuckets: Int): Int =
     (scala.util.hashing.MurmurHash3.stringHash(term, 0x12af3de) & Int.MaxValue) % numBuckets
 
+  /** Filesystem-safe, ORDER-PRESERVING termdict partition key: the
+    * term's first UTF-16 code unit as 4-digit lowercase hex ("a" →
+    * "0061", 世 → "4e16"). Hex order equals code-unit order, so
+    * prefix/range partition hints still prune correctly — and the
+    * `pfx=` directory name never leaves ASCII (a raw CJK character
+    * there is unmappable on non-UTF-8 default filesystems, which is
+    * exactly how the q_cjk_* gates first failed).
+    */
+  def termPfx(term: String): String = f"${term.charAt(0).toInt}%04x"
+  private[graft] val termPfxUdf =
+    udf((t: String) => termPfx(t))
+
   /** CharFilter stage selector for '!'-composed tokenizer specs
     * ("htmlstrip!simple", "mapping=ph=>f!simple",
     * "replace=[0-9]+=> !simple"): stages left of the final tokenizer are
@@ -212,6 +224,11 @@ object IndexBuilder {
       graft.core.Phonetic.encoderFor(spec) // validate eagerly on the driver
       (s: String) =>
         Analysis.simpleTokens(s).map(graft.core.Phonetic.replaced(spec, _))
+    // CJKBigramFilter over the standard chain (`analysis/cjk/
+    // CJKBigramFilter.java:40-230`, CJKAnalyzer defaults): adjacent-CJK
+    // codepoint bigrams, lone CJK unigrams, lowercase-alnum words —
+    // see Analysis.cjkBigramTokens for the transcribed law
+    case "cjkbigram" => Analysis.cjkBigramTokens
     // KeywordTokenizer (`analysis/core/KeywordTokenizer.java:28`): the
     // whole field value is ONE token, verbatim — string/id fields
     case "keyword" =>
@@ -1100,7 +1117,7 @@ object IndexBuilder {
       // instead of scanning the hash-bucketed stats table
       timed("termdict.write")(ix.termStats
         .select("term", "df", "ttf")
-        .withColumn("pfx", substring(col("term"), 1, 1))
+        .withColumn("pfx", termPfxUdf(col("term")))
         .repartitionByRange(math.max(cfg.numBuckets, 1), col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").partitionBy("pfx").parquet(s"$dir/termdict"))

@@ -75,7 +75,7 @@ object Merge {
     // the stats-table scan fallback (same layout as writeIndex)
     spark.read.parquet(s"$outDir/termstats")
       .select("term", "df", "ttf")
-      .withColumn("pfx", substring(col("term"), 1, 1))
+      .withColumn("pfx", graft.index.IndexBuilder.termPfxUdf(col("term")))
       .repartitionByRange(math.max(nb, 1), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").partitionBy("pfx").parquet(s"$outDir/termdict")

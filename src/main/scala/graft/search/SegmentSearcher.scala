@@ -1611,9 +1611,10 @@ final class Searcher(private[search] val spark: SparkSession,
         out.result()
       case None => viaDf(col("term").startsWith(p), pfxEq(p))
     }
-    // partition hint against the dict's pfx directory column (first char)
+    // partition hint against the dict's pfx directory column (the
+    // order-preserving hex of the first code unit — IndexBuilder.termPfx)
     def pfxEq(s: String): Option[org.apache.spark.sql.Column] =
-      if (s.nonEmpty) Some(col("pfx") === s.take(1)) else None
+      if (s.nonEmpty) Some(col("pfx") === IndexBuilder.termPfx(s)) else None
     def range(lo: String, hi: String, il: Boolean, iu: Boolean): Seq[String] =
       termDict match {
         case Some(d) =>
@@ -1631,7 +1632,8 @@ final class Searcher(private[search] val spark: SparkSession,
           val upper = if (iu) col("term") <= hi else col("term") < hi
           val pfxHint =
             if (lo != null && hi != null && lo.nonEmpty && hi.nonEmpty)
-              Some(col("pfx").between(lo.take(1), hi.take(1)))
+              Some(col("pfx").between(IndexBuilder.termPfx(lo),
+                IndexBuilder.termPfx(hi)))
             else None
           viaDf(lower && upper, pfxHint)
       }
@@ -2913,7 +2915,7 @@ final class Searcher(private[search] val spark: SparkSession,
         val base = termDictDf.getOrElse(termStatsDf)
         val pruned =
           if (termDictDf.isDefined)
-            base.filter(col("pfx") === prefix.take(1))
+            base.filter(col("pfx") === IndexBuilder.termPfx(prefix))
           else base
         pruned.filter(col("term").startsWith(prefix))
           .select("term", "df")
@@ -2957,7 +2959,7 @@ final class Searcher(private[search] val spark: SparkSession,
         val base = termDictDf.getOrElse(termStatsDf)
         val pruned =
           if (termDictDf.isDefined)
-            base.filter(col("pfx") === key.take(1))
+            base.filter(col("pfx") === IndexBuilder.termPfx(key))
           else base
         val acceptUdf = udf((t: String) =>
           SegmentSearcher.fuzzyPrefixAccept(key, t, maxEdits))

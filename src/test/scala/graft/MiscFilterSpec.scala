@@ -124,6 +124,26 @@ class MiscFilterSpec extends AnyFunSuite {
       Seq("file", "x", "data", "base"))
   }
 
+  test("cjkbigram: run bigrams, lone unigram, mixed-script boundaries") {
+    import graft.core.Analysis.cjkBigramTokens
+    assert(cjkBigramTokens("spark 数据库").toSeq ==
+      Seq("spark", "数据", "据库"))
+    assert(cjkBigramTokens("库").toSeq == Seq("库"))
+    assert(cjkBigramTokens("数据 analysis").toSeq ==
+      Seq("数据", "analysis"))
+    // katakana runs bigram per codepoint too (the filter buffers the
+    // codepoints of run tokens)
+    assert(cjkBigramTokens("カタカナ test").toSeq ==
+      Seq("カタ", "タカ", "カナ", "test"))
+    // an ASCII word ADJACENT to a CJK run still breaks it
+    assert(cjkBigramTokens("ab数据cd").toSeq == Seq("ab", "数据", "cd"))
+    // four-char run: three bigrams, no unigrams
+    assert(cjkBigramTokens("数据库系").toSeq == Seq("数据", "据库", "库系"))
+    // pure ASCII equals the simple law
+    assert(cjkBigramTokens("The Spark2 row").toSeq ==
+      Seq("the", "spark2", "row"))
+  }
+
   test("end-to-end: exact phrase does not match across a keepword hole") {
     import spark.implicits._
     val docs = Seq(

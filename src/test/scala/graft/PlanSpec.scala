@@ -190,9 +190,13 @@ class PlanSpec extends AnyFunSuite {
         "scored rewrite should produce real (non-constant) scores")
     }
 
-    // the distributed dict scan must be partition-pruned by first char
+    // the distributed dict scan must be partition-pruned by the
+    // (hex-encoded, order-preserving) first-code-unit key
     val dict = spark.read.parquet(s"$indexDir/termdict")
-    val pruned = dict.filter(col("pfx") === "p" && col("term").startsWith("par"))
+    val pruned = dict.filter(
+      col("pfx") === graft.index.IndexBuilder.termPfx("p") &&
+        col("term").startsWith("par"))
+    assert(pruned.count() > 0, "pfx key must address the live partition")
     assert(filesRead(pruned) < filesRead(dict),
       s"termdict scan not pruned: ${filesRead(pruned)} vs ${filesRead(dict)}")
     // and the term predicate still reaches the parquet scan
