@@ -969,6 +969,9 @@ res AS (
     951003L -> "SPARK! yes")
   val letterPlanted: Seq[(Long, String)] = Seq(
     952001L -> "file123x data9base", 952002L -> "base camp")
+  val hyphenPlanted: Seq[(Long, String)] = Seq(
+    970001L -> "data-\nbase systems", 970002L -> "database first",
+    970003L -> "data base")
 
   /** Planted docs for the CJKBigram gate (engine side — raw mixed
     * text).

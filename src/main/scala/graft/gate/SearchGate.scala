@@ -1222,6 +1222,17 @@ object SearchGate {
     "q_pathhier_leaf" -> ((spark, sfDir) => hitsDf(spark,
       specSearcher(spark, sfDir, "pathhier", Oracles.pathPlanted)
         .search(TermQ("src/main/scala/App.scala"), K))),
+    // HyphenatedWordsFilter semantics (`analysis/common/.../
+    // miscellaneous/HyphenatedWordsFilter.java:25-60` — OCR'd
+    // linebreak-hyphenated words rejoined) via the existing CharFilter
+    // chain: a hyphen followed by whitespace deletes BEFORE
+    // tokenization, so "data-\nbase" indexes as database — the
+    // token-stream filter and this text-level form accept the same
+    // language under the engine's alnum tokenizer (a hyphen never
+    // survives tokenization anyway)
+    "q_hyphen_join" -> ((spark, sfDir) => hitsDf(spark,
+      specSearcher(spark, sfDir, raw"replace=-\s+=>!simple",
+        Oracles.hyphenPlanted).search(TermQ("database"), K))),
     // CJKBigramFilter: adjacent-CJK codepoint bigrams — 数据 matches the
     // run inside 数据库 AND the standalone pair…
     "q_cjk_bigram" -> ((spark, sfDir) => hitsDf(spark,
@@ -1703,6 +1714,10 @@ object SearchGate {
     "q_porterexcept_stem" -> Oracles.porterExceptTerm("merg", "quer.*", K),
     "q_pathhier_prefix" -> Oracles.pathHierTerm("src/main", K),
     "q_pathhier_leaf" -> Oracles.pathHierTerm("src/main/scala/App.scala", K),
+    "q_hyphen_join" -> Oracles.customTokTerm("database",
+      Oracles.hyphenPlanted,
+      raw"list_filter(regexp_split_to_array(lower(regexp_replace(text, '-\s+', '', 'g')), '[^a-z0-9]+'), x -> x <> '')",
+      K),
     "q_cjk_bigram" -> Oracles.cjkTerm("数据", K),
     "q_cjk_single" -> Oracles.cjkTerm("库", K),
     "q_keyword_term" -> Oracles.customTokTerm("status-ok",
