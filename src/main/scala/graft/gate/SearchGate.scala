@@ -73,6 +73,7 @@ object SearchGate {
       ix.unpersistCached(); ix.postings.unpersist()
     })
     logicalCache.clear(); segmentCache.clear(); searcherCache.clear()
+    docsDfCache.clear()
     fieldSearcherCache.clear(); sweetSearcherCache.clear()
     shingleSearcherCache.clear(); cgSearcherCache.clear()
     reshardSearcherCache.clear(); cfSearcherCache.clear()
@@ -89,6 +90,17 @@ object SearchGate {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     createdDirs.clear()
   }
+
+  /** Per-sfDir documents DataFrame HANDLE (plan, not data): re-running
+    * spark.read.parquet per query repeats file listing + footer schema
+    * inference as a driver-side job every time (guide §6 file-listing
+    * cost). The rows are still read from parquet on every action.
+    */
+  private val docsDfCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[gate] def docsDf(spark: SparkSession, sfDir: String): DataFrame =
+    docsDfCache.getOrElseUpdate(sfDir,
+      spark.read.parquet(s"$sfDir/documents.parquet"))
 
   def searcher(spark: SparkSession, sfDir: String): Searcher =
     searcherCache.getOrElseUpdate(sfDir,
@@ -113,7 +125,7 @@ object SearchGate {
 
   def logical(spark: SparkSession, sfDir: String): LogicalIndex =
     logicalCache.getOrElseUpdate(sfDir, {
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       // buildLogical caches the per-doc intermediate AND termStats; docs
       // and postings are narrow reads of the former
       IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil, gateConfig)
@@ -130,7 +142,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#$fieldCol".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-field-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val ix = IndexBuilder.buildLogical(docs, fieldCol, Some("doc_id"), Nil,
         gateConfig)
       IndexBuilder.writeIndex(ix, dir, snapshotId = s"gate-field-$dirHash",
@@ -152,7 +164,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#sweet".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-sweet-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(offsets = false, payloads = None,
           normSim = SweetSpotNormSim))
@@ -174,7 +186,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#shingle".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-shingle-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = "shingle:2", offsets = false,
           payloads = None))
@@ -196,7 +208,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#commongrams".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-cg-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = "commongrams", offsets = false,
           payloads = None))
@@ -221,7 +233,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#porter".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-porter-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val docs = base.unionByName(
         Oracles.porterPlanted.toDF("doc_id", "text"))
@@ -255,7 +267,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#$spec".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-spec-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      val base = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val docs = if (planted.isEmpty) base
         else base.unionByName(planted.toDF("doc_id", "text"))
@@ -297,7 +309,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#charfilter".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-cf-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = CharFilterChain, offsets = false,
@@ -325,7 +337,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#$mode".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-ph-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .unionByName(Oracles.phoneticPlanted.toDF("doc_id", "text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
@@ -349,7 +361,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#porterinj".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-pinj-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .unionByName(Oracles.porterPlanted.toDF("doc_id", "text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
@@ -370,7 +382,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#ngram23".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-ng-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = "ngram:2:3", offsets = false,
@@ -395,7 +407,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#revwild".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-rw-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
         .unionByName(Oracles.revwildPlanted.toDF("doc_id", "text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
@@ -421,7 +433,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#syngraph#$rules".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-sg-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .select(col("doc_id"), col("text"))
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = s"syngraph:$rules", offsets = false,
@@ -489,7 +501,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#synonym".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-syn-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val ix = IndexBuilder.buildLogical(docs, "text", Some("doc_id"), Nil,
         gateConfig.copy(tokenizer = s"synonym:$SynonymSpec", offsets = false,
           payloads = None))
@@ -512,7 +524,7 @@ object SearchGate {
       val dirHash = Integer.toHexString(s"$sfDir#rtg".hashCode)
       val dir = trackDir(s"${sys.props("java.io.tmpdir")}/graft-gate-rtg-$dirHash")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val cfgRtg = gateConfig.copy(offsets = false, payloads = None)
       def writeSnap(batch: org.apache.spark.sql.DataFrame, id: Int): Unit = {
         val ix = IndexBuilder.buildLogical(batch, "text", Some("doc_id"),
@@ -548,9 +560,13 @@ object SearchGate {
 
   private def hitsDf(spark: SparkSession, hits: Array[Hit]): DataFrame = {
     import spark.implicits._
+    // k-sized driver-local rows → single-partition plan (guide §2.4):
+    // without coalesce(1) the LocalRelation parallelizes to
+    // defaultParallelism tasks and count() pays a partial-agg exchange +
+    // an extra AQE stage-job — pure fixed overhead on a ≤k-row result.
     hits.zipWithIndex.toSeq
       .map { case (h, i) => (h.docId, h.score, i + 1) }
-      .toDF("doc_id", "score", "rnk")
+      .toDF("doc_id", "score", "rnk").coalesce(1)
   }
 
   /** suggestDistance runner → (suggestion, score, df) rows. */
@@ -560,7 +576,7 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir).suggestDistance(term, 5, distance).toSeq
         .map { case (t, s, df) => (t, s.toDouble, df) }
-        .toDF("suggestion", "score", "df")
+        .toDF("suggestion", "score", "df").coalesce(1)
     }
 
   /** Word-break suggestions → (joined words, word count, max df) rows. */
@@ -569,7 +585,7 @@ object SearchGate {
     import spark.implicits._
     breaks.toSeq
       .map(arr => (arr.map(_._1).mkString(" "), arr.length, arr.map(_._2).max))
-      .toDF("suggestion", "n_words", "freq")
+      .toDF("suggestion", "n_words", "freq").coalesce(1)
   }
 
   /** Run a query through the segment engine → gate-shaped DataFrame. */
@@ -610,7 +626,7 @@ object SearchGate {
       import spark.implicits._
       hits.zipWithIndex.toSeq
         .map { case (h, i) => (h.docId, h.score, start + i + 1) }
-        .toDF("doc_id", "score", "rnk")
+        .toDF("doc_id", "score", "rnk").coalesce(1)
     }
 
   /** DataFrame-path runner (for operators the blob format lacks, e.g.
@@ -631,7 +647,7 @@ object SearchGate {
   private def joinGate(q: Query, mode: String): (SparkSession, String) => DataFrame =
     (spark, sfDir) => {
       val ix = logical(spark, sfDir)
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val sc = DataFrameSearcher.scores(ix, q)
       graft.ops.Join.joinScored(docs, sc, "source", "source", mode, K)
     }
@@ -656,7 +672,7 @@ object SearchGate {
         .searchWithCount(Query.or(TermQ("dup"), TermQ("vector")), K)
       hits.zipWithIndex.toSeq
         .map { case (h, i) => (h.docId, h.score, i + 1, total) }
-        .toDF("doc_id", "score", "rnk", "total_hits")
+        .toDF("doc_id", "score", "rnk", "total_hits").coalesce(1)
     }),
     "q_bm25_or3_msm2" -> seg(Query.orMin(2, TermQ("dup"), TermQ("spark"), TermQ("key"))),
     "q_bm25_not" -> seg(Query.not(TermQ("batch"), TermQ("spark"))),
@@ -683,7 +699,7 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir)
         .termsEnum(limit = 15, prefix = Some("s"), minCount = 5)
-        .toSeq.toDF("term", "df")
+        .toSeq.toDF("term", "df").coalesce(1)
     }),
     // TermsComponent: index-order walk of a term range + whole-term regexp
     "q_terms_enum_index" -> ((spark, sfDir) => {
@@ -691,7 +707,7 @@ object SearchGate {
       searcher(spark, sfDir)
         .termsEnum(limit = 20, lower = Some("d"), upper = Some("p"),
           regexp = Some("[a-z]+[0-9]*"), sortByCount = false)
-        .toSeq.toDF("term", "df")
+        .toSeq.toDF("term", "df").coalesce(1)
     }),
     // QueryElevationComponent: pinned ids first (one matching, one not),
     // one excluded, organic tail intact
@@ -858,13 +874,13 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir).suggest("sprk", 5).toSeq
         .map { case (t, s, df) => (t, s.toDouble, df) }
-        .toDF("suggestion", "score", "df")
+        .toDF("suggestion", "score", "df").coalesce(1)
     }),
     // prefix-completion suggest (AnalyzingSuggester surface, weight = df)
     "q_suggest_prefix" -> ((spark, sfDir) => {
       import spark.implicits._
       searcher(spark, sfDir).suggestPrefix("s", 4).toSeq
-        .toDF("suggestion", "df")
+        .toDF("suggestion", "df").coalesce(1)
     }),
     // DirectSpellChecker.setDistance surface: the same candidate set
     // ("smal" → {small, scan}) re-scored under each pluggable distance —
@@ -895,7 +911,7 @@ object SearchGate {
       searcher(spark, sfDir)
         .suggestWordCombinations(Seq("val", "ue", "str", "ea", "m"), 5,
           maxChanges = 2).toSeq
-        .toDF("suggestion", "df", "first_idx", "last_idx")
+        .toDF("suggestion", "df", "first_idx", "last_idx").coalesce(1)
     }),
     // scored prefix rewrites (TopTermsRewrite.java:40): cap 4 < the 6
     // matching terms, so the PQ's keep-smallest selection is exercised
@@ -923,7 +939,7 @@ object SearchGate {
           asc = true)
       hits.zipWithIndex.toSeq
         .map { case ((d, v), i) => (d, v, i + 1) }
-        .toDF("doc_id", "sort_val", "rnk")
+        .toDF("doc_id", "sort_val", "rnk").coalesce(1)
     }),
     // tombstoned deletes (liveDocs law): docs containing 'dup' deleted —
     // masked from output, still counted in every stat until expunge
@@ -932,7 +948,7 @@ object SearchGate {
     "q_deleted_count" -> ((spark, sfDir) => {
       import spark.implicits._
       val n = delSearcher(spark, sfDir).count(TermQ("batch"))
-      Seq(n).toDF("cnt")
+      Seq(n).toDF("cnt").coalesce(1)
     }),
     // CharFilter chain (PatternReplace digits→space, Mapping a→4, simple):
     // "b4tch"/"sp4rk" exist ONLY post-chain — zero rows if a stage breaks
@@ -1345,13 +1361,13 @@ object SearchGate {
       import spark.implicits._
       shingleSearcher(spark, sfDir)
         .termsEnum(limit = 10, prefix = Some("order "), minCount = 1)
-        .toSeq.toDF("term", "df")
+        .toSeq.toDF("term", "df").coalesce(1)
     }),
     // Luke / CheckIndex statistics surface (LukeRequestHandler analog)
     "q_index_stats" -> ((spark, sfDir) => {
       import spark.implicits._
       Seq(searcher(spark, sfDir).indexStats()).toDF(
-        "doc_count", "num_terms", "sum_ttf")
+        "doc_count", "num_terms", "sum_ttf").coalesce(1)
     }),
     // Solr function-query STRING syntax (ValueSourceParser surface):
     // the parsed tree must score identically to the programmatic one —
@@ -1389,7 +1405,7 @@ object SearchGate {
       val (df, tf, idf, qlen, w, score) = s.explain("spark", top.docId).get
       Seq((top.docId, "spark", df, tf, idf.toDouble, qlen.toDouble,
         w.toDouble, score.toDouble))
-        .toDF("doc_id", "term", "df", "tf", "idf", "qlen", "weight", "score")
+        .toDF("doc_id", "term", "df", "tf", "idf", "qlen", "weight", "score").coalesce(1)
     }),
     // FuzzyLikeThisQuery (sandbox): fuzzy variants of each input word,
     // sim^2*idf selection, artificial df=1 scoring context
@@ -1405,7 +1421,7 @@ object SearchGate {
           maxCollations = 3)
         .zipWithIndex
         .map { case ((c, h), i) => (c, h, i + 1) }
-        .toDF("collation", "hits", "rnk")
+        .toDF("collation", "hits", "rnk").coalesce(1)
     }),
     // FuzzySuggester (suggest/analyzing/FuzzySuggester.java): fuzzy
     // prefix completion — first char exact, <=1 Damerau edit on the
@@ -1413,20 +1429,20 @@ object SearchGate {
     "q_suggest_fuzzy" -> ((spark, sfDir) => {
       import spark.implicits._
       searcher(spark, sfDir).suggestFuzzy("sprk", 5).toSeq
-        .toDF("suggestion", "df")
+        .toDF("suggestion", "df").coalesce(1)
     }),
     // AnalyzingInfixSuggester: completions matching anywhere in the term
     "q_suggest_infix" -> ((spark, sfDir) => {
       import spark.implicits._
       searcher(spark, sfDir).suggestInfix("ort", 5).toSeq
-        .toDF("suggestion", "df")
+        .toDF("suggestion", "df").coalesce(1)
     }),
     // BlendedInfixSuggester: whole-text suggestions weighted by length,
     // position-LINEAR blend; "sor" is a lone mid-token key → pure prefix
     "q_suggest_blended" -> ((spark, sfDir) => {
       import spark.implicits._
       searcher(spark, sfDir).suggestBlendedInfix("sor", 10).toSeq
-        .toDF("suggestion", "score")
+        .toDF("suggestion", "score").coalesce(1)
     }),
     // reciprocal blend, two-token key: "key" is a MUST term, "val" an
     // unfinished prefix (the end-offset law)
@@ -1434,7 +1450,7 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir)
         .suggestBlendedInfix("key val", 10, blender = "reciprocal").toSeq
-        .toDF("suggestion", "score")
+        .toDF("suggestion", "score").coalesce(1)
     }),
     // SuggestStopFilter on the blended suggester's query analyzer
     // (`suggest/analyzing/SuggestStopFilter.java:28-120`): a TRAILING
@@ -1444,14 +1460,14 @@ object SearchGate {
       import spark.implicits._
       searcher(spark, sfDir).suggestBlendedInfix("data the", 10,
         stopWords = graft.core.Analysis.EnglishStopWords).toSeq
-        .toDF("suggestion", "score")
+        .toDF("suggestion", "score").coalesce(1)
     }),
     // …while the same stopword FOLLOWED by a separator drops entirely
     "q_suggest_blended_stop_sep" -> ((spark, sfDir) => {
       import spark.implicits._
       searcher(spark, sfDir).suggestBlendedInfix("data the ", 10,
         stopWords = graft.core.Analysis.EnglishStopWords).toSeq
-        .toDF("suggestion", "score")
+        .toDF("suggestion", "score").coalesce(1)
     }),
     // FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
     // 2-gram stupid-backoff LM — "order s" completes via the bigram
@@ -1461,14 +1477,14 @@ object SearchGate {
       graft.ops.FreeText.lookup(freeTextModel(spark, sfDir), "order s", 6)
         .zipWithIndex
         .map { case ((sug, v), i) => (sug, v, i + 1) }
-        .toDF("suggestion", "value", "rnk")
+        .toDF("suggestion", "value", "rnk").coalesce(1)
     }),
     // Percolation (lucene/memory MemoryIndex.java:76-101 prospective
     // search): 7 registered queries stream over the documents table,
     // each doc builds its per-doc term→positions map once
     "q_percolate" -> ((spark, sfDir) => {
       import graft.ops.Percolator.PQuery
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       val qs = Seq(
         PQuery(1, TermQ("spark")),
         PQuery(2, Query.and(TermQ("order"), TermQ("sort"))),
@@ -1522,12 +1538,12 @@ object SearchGate {
     // training stats are corpus aggregations, scoring folds driver-side
     "q_classify_nb" -> ((spark, sfDir) => {
       import spark.implicits._
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
       graft.ops.Classify.naiveBayes(docs, "text", "lang",
           graft.core.Analysis.simpleTokens, "order sort merge fast key")
         .zipWithIndex
         .map { case (c, i) => (c.cls, c.raw, i + 1) }
-        .toDF("cls", "score", "rnk")
+        .toDF("cls", "score", "rnk").coalesce(1)
     }),
     // KNearestNeighborClassifier: MLT-from-text (boosted, classic-idf
     // selection), BM25 top-k, rank-ordered class vote
@@ -1538,7 +1554,7 @@ object SearchGate {
           maxQueryTerms = 6, minTermFreq = 1, minDocFreq = 5)
         .zipWithIndex
         .map { case (c, i) => (c.cls, c.raw, i + 1) }
-        .toDF("cls", "score", "rnk")
+        .toDF("cls", "score", "rnk").coalesce(1)
     }),
     // BooleanPerceptronClassifier: corpus-stat seeding + the sequential
     // miss-driven weight fold (batch-snapshot semantics), trained on a
@@ -1547,7 +1563,7 @@ object SearchGate {
     "q_classify_perceptron" -> ((spark, sfDir) => {
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, lit, when}
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs = docsDf(spark, sfDir)
         .withColumn("boolcls",
           when(col("lang") === "en", lit("true")).otherwise(lit("false")))
       val r = graft.ops.Classify.booleanPerceptron(docs, "text", "boolcls",
@@ -1555,7 +1571,7 @@ object SearchGate {
         "order sort merge fast key", batchSize = 3,
         trainFilter = col("doc_id") % 16 === 3)
       Seq((r.cls.toString, r.output, r.threshold, r.score))
-        .toDF("cls", "output", "threshold", "score")
+        .toDF("cls", "output", "threshold", "score").coalesce(1)
     }),
     // sort-by-field through the Searcher (TopFieldCollector analog)
     "q_bm25_sort_field" -> ((spark, sfDir) => {
@@ -1564,7 +1580,7 @@ object SearchGate {
         .searchByField(TermQ("spark"), K, "n_chars", asc = false)
         .zipWithIndex.toSeq
         .map { case ((d, v), i) => (d, v, i + 1) }
-        .toDF("doc_id", "sort_val", "rnk")
+        .toDF("doc_id", "sort_val", "rnk").coalesce(1)
     }),
     // SimpleQueryParser (queryparser/simple): '+' AND over an OR group,
     // and '-' negation — the fault-tolerant end-user syntax
@@ -1578,7 +1594,7 @@ object SearchGate {
           Seq(("length", true), ("n_chars", false)))
         .zipWithIndex.toSeq
         .map { case ((d, vs), i) => (d, vs(0), vs(1), i + 1) }
-        .toDF("doc_id", "len", "n_chars", "rnk")
+        .toDF("doc_id", "len", "n_chars", "rnk").coalesce(1)
     }),
     // expression sort (lucene/expressions ExpressionSortField): matches
     // ranked by a compiled Javascript-dialect expression over docvalues
@@ -1589,7 +1605,7 @@ object SearchGate {
           "sqrt(n_chars) + 2*ln(1.0+length) - (n_chars > 400 ? 50 : 0)")
         .zipWithIndex.toSeq
         .map { case ((d, v), i) => (d, v, i + 1) }
-        .toDF("doc_id", "expr_val", "rnk")
+        .toDF("doc_id", "expr_val", "rnk").coalesce(1)
     }),
     // ExpressionRescorer: re-order first-pass hits by an expression with
     // _score bound; sort value = expression, hit score stays first-pass
@@ -1600,14 +1616,14 @@ object SearchGate {
       s.rescoreExpr(first, "_score + ln(1.0 + n_chars) / 10", K)
         .zipWithIndex.toSeq
         .map { case ((d, v, fs), i) => (d, v, fs.toFloat, i + 1) }
-        .toDF("doc_id", "expr_val", "first_s", "rnk")
+        .toDF("doc_id", "expr_val", "first_s", "rnk").coalesce(1)
     }),
     // total hit count without collection (TotalHitCountCollector analog)
     "q_bm25_count" -> ((spark, sfDir) => {
       import spark.implicits._
       val n = searcher(spark, sfDir)
         .count(Query.not(TermQ("batch"), TermQ("spark")))
-      Seq(n).toDF("cnt")
+      Seq(n).toDF("cnt").coalesce(1)
     }),
     // docvalues-style field filter (FieldValueQuery analog): matches by a
     // stored-field predicate, ranked by the docId tie-break
@@ -1618,7 +1634,7 @@ object SearchGate {
           asc = true)
       hits.zipWithIndex.toSeq
         .map { case ((d, v), i) => (d, v, i + 1) }
-        .toDF("doc_id", "sort_val", "rnk")
+        .toDF("doc_id", "sort_val", "rnk").coalesce(1)
     }),
     // more-like-this: top tf×idf terms of doc 42 → BM25 disjunction
     "q_bm25_mlt" -> ((spark, sfDir) => {
@@ -1641,7 +1657,7 @@ object SearchGate {
       val snips = s.highlightAll(hits, Set("spark"), contentCol = "text")
       hits.zipWithIndex.toSeq
         .map { case (h, i) => (h.docId, snips.getOrElse(h.docId, ""), i + 1) }
-        .toDF("doc_id", "snippet", "rnk")
+        .toDF("doc_id", "snippet", "rnk").coalesce(1)
     }),
     // FastVectorHighlighter multi-fragment passages (vectorhighlight/
     // BaseFragListBuilder + WeightedFieldFragList + ScoreOrder): top-3
@@ -1654,7 +1670,7 @@ object SearchGate {
         fragCharSize = 60, maxNumFragments = 3)
       hits.toSeq.flatMap(h => fr.getOrElse(h.docId, Nil).zipWithIndex
         .map { case ((f, sc), i) => (h.docId, f, sc.toDouble, i + 1) })
-        .toDF("doc_id", "fragment", "fscore", "frank")
+        .toDF("doc_id", "fragment", "fscore", "frank").coalesce(1)
     }),
     // same fragments through the batch DataFrame path (fragments as
     // rows, executor-side — the 10^7-hit shape); same oracle
