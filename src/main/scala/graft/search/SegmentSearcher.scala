@@ -3925,7 +3925,11 @@ final class Searcher(private[search] val spark: SparkSession,
     val pinned = elevate.distinct.filterNot(exclude)
     val elevScores: Map[Long, Float] =
       if (pinned.isEmpty) Map.empty
-      else matchScoresDf(q0).filter(col("docId").isin(pinned: _*))
+      else if (queryFitsLocal(q0)) {
+        // local tier: same scorer trees as the shard tasks, zero jobs
+        val msc = localMatchScores(q0)
+        pinned.flatMap(d => msc.get(d).map(d -> _)).toMap
+      } else matchScoresDf(q0).filter(col("docId").isin(pinned: _*))
         .collect().map(r => r.getLong(0) -> r.getFloat(1)).toMap
     val head = pinned.map(d => Hit(d, elevScores.getOrElse(d, 0f).toDouble))
     val organic = search(q0, k + elevate.size + exclude.size)
@@ -4051,13 +4055,58 @@ final class Searcher(private[search] val spark: SparkSession,
     base.select(col("docId"), ValueSources.toColumn(vs, ctx).as("v"))
   }
 
+  /** Sorted docIds of the index for the driver-local function tier —
+    * docCount-sized, so every use sits behind the same
+    * `dvBytes <= maxLocalBytes` gate as the docvalues accessors.
+    */
+  private lazy val localDocIds: Array[Long] = {
+    val ids = dvDocsDf.select(col("docId")).collect().map(_.getLong(0))
+    java.util.Arrays.sort(ids)
+    ids
+  }
+
+  /** Do a query's postings fit the driver-local regime? (The inner-query
+    * gate shared by the function-query local tiers.)
+    */
+  private def queryFitsLocal(iq: Query): Boolean = {
+    val its = Query.literalTerms(iq)
+    val ist = stats(its)
+    val pr = its.filter(ist.contains)
+    pr.isEmpty || estPostingBytes(ist, pr) <= maxLocalBytes
+  }
+
   /** FunctionQuery search (`FunctionQuery.java:46-120`): every doc
     * matches, score = float value, NaN/-Inf → -Float.MAX_VALUE
-    * (:113-117). Top-k = TakeOrderedAndProject over the function scan —
-    * nothing doc-count-sized reaches the driver.
+    * (:113-117).
+    *
+    * Driver-local tier (same `maxLocalBytes` gate family as
+    * [[searchBoosted]]): dense docvalue arrays + local scorer walks for
+    * QueryV nodes — zero Spark jobs once the per-field accessors are
+    * warm. Beyond the gate: top-k = TakeOrderedAndProject over the
+    * codegen'd function scan — nothing doc-count-sized reaches the
+    * driver. Both tiers share evalLocal/toColumn float laws (spec-pinned
+    * equal via the searchBoosted dual-path specs).
     */
   def searchFunction(vs: ValueSrc, k: Int): Array[Hit] = {
     import org.apache.spark.sql.functions.{col, lit, when, isnan}
+    val innerQs = ValueSources.queriesOf(vs).map(_.q)
+    if (dvBytes <= maxLocalBytes && innerQs.forall(queryFitsLocal)) {
+      val fval = ValueSources.evalLocal(resolveStatVs(vs), localVsCtx())
+      val queue = new BoundedHitQueue(k)
+      val ids = localDocIds
+      var i = 0
+      while (i < ids.length) {
+        val d = ids(i)
+        if (!graft.index.Deletes.contains(deletesArr, d)) {
+          val v = fval(d)
+          val s = if (v.isNaN || v == Float.NegativeInfinity) -Float.MaxValue
+            else v
+          queue.insert(d, s.toDouble)
+        }
+        i += 1
+      }
+      return queue.sortedHits
+    }
     functionDf(vs)
       .select(col("docId"),
         // Spark comparisons rank NaN ABOVE +Inf (unlike Java, where any
@@ -4079,6 +4128,30 @@ final class Searcher(private[search] val spark: SparkSession,
       inclLower: Boolean = true, inclUpper: Boolean = true,
       k: Int = 10): Array[Hit] = {
     import org.apache.spark.sql.functions.{col, lit, when, isnan}
+    val innerQs = ValueSources.queriesOf(vs).map(_.q)
+    if (dvBytes <= maxLocalBytes && innerQs.forall(queryFitsLocal)) {
+      // local tier: same match predicate as the Column filter (a NaN
+      // value fails every comparison, in Scala as in SQL)
+      val fval = ValueSources.evalLocal(resolveStatVs(vs), localVsCtx())
+      val queue = new BoundedHitQueue(k)
+      val ids = localDocIds
+      var i = 0
+      while (i < ids.length) {
+        val d = ids(i)
+        if (!graft.index.Deletes.contains(deletesArr, d)) {
+          val v = fval(d)
+          val okLo = if (inclLower) v >= lower else v > lower
+          val okHi = if (inclUpper) v <= upper else v < upper
+          if (okLo && okHi) {
+            val s = if (v.isNaN || v == Float.NegativeInfinity)
+              -Float.MaxValue else v
+            queue.insert(d, s.toDouble)
+          }
+        }
+        i += 1
+      }
+      return queue.sortedHits
+    }
     val lo = if (inclLower) col("v") >= lit(lower) else col("v") > lit(lower)
     val hi = if (inclUpper) col("v") <= lit(upper) else col("v") < lit(upper)
     functionDf(vs)
@@ -4263,19 +4336,78 @@ final class Searcher(private[search] val spark: SparkSession,
     }
   }
 
+  /** All matches of `q` with scores via the DRIVER-LOCAL scorer walk —
+    * the zero-job twin of [[matchScoresDf]] (same rewrite, same Plan,
+    * same buildScorer per shard, same blob pruning), for callers already
+    * inside the `maxLocalBytes` regime. Memoized per rewritten query:
+    * one function tree re-resolves the same QueryV several times
+    * (exists + value), and re-walking postings for each is pure waste.
+    */
+  private val localScoresCache = scala.collection.concurrent.TrieMap
+    .empty[Query, scala.collection.mutable.LongMap[Float]]
+  private[search] def localMatchScores(
+      q0: Query): scala.collection.mutable.LongMap[Float] =
+    localScoresCache.getOrElseUpdate(q0, {
+      val out = new scala.collection.mutable.LongMap[Float]()
+      var q = Query.rewrite(q0)
+      q = Query.rewrite(expandMultiTerm(q))
+      val terms = Query.literalTerms(q)
+      val hasAll = Query.containsMatchAll(q)
+      if (q != MatchNoneQ && (terms.nonEmpty || hasAll)) {
+        val st = stats(terms)
+        val weights = mkWeights(st)
+        val sharded = weights.values.exists(_.salted)
+        val plan = withDeletes(Plan(q, 1, None, weights, cache,
+          m.numDocShards, sharded, m.docCount, params, useWand = false))
+        val present = terms.filter(st.contains)
+        if (present.nonEmpty || hasAll) {
+          def walk(shard: Int, blobs: Map[String, SegRow]): Unit = {
+            val scorer = SegmentSearcher.buildScorer(plan.query, shard,
+              blobs, plan, 1f)
+            var d = scorer.nextDoc()
+            while (d != DocScorer.NO_MORE) {
+              out(d) = scorer.score; d = scorer.nextDoc()
+            }
+          }
+          val rows =
+            if (present.isEmpty) Array.empty[SegRow] else fetchRows(present)
+          if (!plan.sharded) {
+            if (rows.nonEmpty || hasAll)
+              walk(-1, rows.map(r => r.term -> r).toMap)
+          } else (0 until plan.numShards).foreach { s =>
+            val blobs = rows.filter(r => r.salt == s || r.salt < 0)
+              .map(r => r.term -> r).toMap
+            // hasAll mirrors matchScoresDf's marker rows on every shard
+            if (blobs.nonEmpty || hasAll) walk(s, blobs)
+          }
+        }
+      }
+      out
+    })
+
+  /** Decoded classic norm per doc, loaded once per Searcher (docCount-
+    * sized — callers sit behind the dvBytes gate).
+    */
+  private lazy val localNormMap: scala.collection.mutable.LongMap[Float] = {
+    val tbl = SegmentSearcher.classicNormTable
+    val rows = docsDf.select(col("docId"), col("normByte")).collect()
+    val nm = new scala.collection.mutable.LongMap[Float](rows.length)
+    rows.foreach(r => nm(r.getLong(0)) = tbl(r.getByte(1) & 0xff))
+    nm
+  }
+
   /** Driver-local evaluation context: dense docvalue arrays, QueryV
-    * scores materialized by a local exhaustive walk, and the SAME
-    * eagerly-computed scale stats as the Column path (one cached
-    * aggregate per ScaleV — min/max is order-insensitive, so sharing the
-    * distributed numbers keeps the two paths bit-identical by
-    * construction).
+    * scores materialized by a local exhaustive scorer walk
+    * ([[localMatchScores]] — zero Spark jobs, same buildScorer trees as
+    * the shard tasks), and the SAME eagerly-computed scale stats as the
+    * Column path (one cached aggregate per ScaleV — min/max is
+    * order-insensitive, so sharing the distributed numbers keeps the two
+    * paths bit-identical by construction).
     */
   private def localVsCtx(): ValueSources.LocalCtx = ValueSources.LocalCtx(
     field = f => { val g = docValues(f); d => g(d).toFloat },
     queryScore = qv => {
-      val scores = new scala.collection.mutable.LongMap[Float]()
-      matchScoresDf(qv.q).collect()
-        .foreach(r => scores(r.getLong(0)) = r.getFloat(1))
+      val scores = localMatchScores(qv.q)
       d => scores.getOrElse(d, qv.defVal)
     },
     scaleStats = sc => scaleStatsCache.getOrElseUpdate(sc, {
@@ -4294,17 +4426,12 @@ final class Searcher(private[search] val spark: SparkSession,
       d => tfs.getOrElse(d, 0f)
     },
     norm = () => {
-      val tbl = SegmentSearcher.classicNormTable
-      val rows = docsDf.select(col("docId"), col("normByte")).collect()
-      val nm = new scala.collection.mutable.LongMap[Float](rows.length)
-      rows.foreach(r => nm(r.getLong(0)) = tbl(r.getByte(1) & 0xff))
+      val nm = localNormMap
       d => nm.getOrElse(d, 0f)
     },
     queryMatched = qv => {
-      val ids = new java.util.HashSet[Long]()
-      matchScoresDf(qv.q).select(col("docId")).collect()
-        .foreach(r => ids.add(r.getLong(0)))
-      d => ids.contains(d)
+      val scores = localMatchScores(qv.q)
+      d => scores.contains(d)
     })
 
   /** Bind the per-searcher-constant stat sources to ConstV — the
