@@ -524,6 +524,26 @@ object IndexBuilder {
       /** DataFrames persisted by buildLogical (for caller cleanup). */
       cached: Seq[DataFrame] = Nil) {
     def unpersistCached(): Unit = cached.foreach(_.unpersist())
+
+    /** Memoized term → (df, ttf) lookups against `termStats` — the
+      * ExactStatsCache analog for the DataFrame path (stats of an
+      * immutable index never change; re-collecting the same pruned scan
+      * per query is pure driver overhead). None memoizes absent terms.
+      */
+    private val statsMemo =
+      scala.collection.concurrent.TrieMap.empty[String, Option[(Long, Long)]]
+    def statsFor(terms: Set[String]): Map[String, (Long, Long)] = {
+      import org.apache.spark.sql.functions.col
+      val missing = terms.filterNot(statsMemo.contains)
+      if (missing.nonEmpty) {
+        val got = termStats
+          .filter(col("term").isin(missing.toSeq: _*))
+          .select("term", "df", "ttf").collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        missing.foreach(t => statsMemo.put(t, got.get(t)))
+      }
+      terms.flatMap(t => statsMemo(t).map(t -> _)).toMap
+    }
   }
 
   /** Build the logical index from a corpus.

@@ -51,19 +51,23 @@ object Classify {
         distinctTermsUdf(col(textCol)).as("terms"))
       .persist()
     try {
-      // text-field collection stats: sumDocFreq = Σ per-doc distinct
-      // terms (number of (term, doc) pairs), docCount = docs with ≥1
-      // token (`Terms.getSumDocFreq` / `getDocCount`)
-      val fieldStats = base.agg(
-        sum(size(col("terms"))).as("sumDocFreq"),
-        count(when(size(col("terms")) > 0, 1)).as("docCount")).collect()(0)
-      val sumDocFreq = fieldStats.getLong(0)
-      val fieldDocCount = fieldStats.getLong(1)
+      // ONE grouped aggregation serves both the text-field collection
+      // stats (sumDocFreq = Σ per-doc distinct terms, docCount = docs
+      // with ≥1 token — summed over every class group incl. unclassed)
+      // and the per-class priors (guide §2.4: two aggregations keyed the
+      // same way share one pass)
+      val perClass = base.groupBy("cls").agg(
+        count(lit(1)).as("n"),
+        sum(size(col("terms"))).as("sdf"),
+        count(when(size(col("terms")) > 0, 1)).as("dc")).collect()
+      val sumDocFreq = perClass.map(_.getLong(2)).sum
+      val fieldDocCount = perClass.map(_.getLong(3)).sum
       val avgUniqueTerms = sumDocFreq / fieldDocCount.toDouble
 
       val classed = base.filter(col("cls").isNotNull && col("cls") =!= "")
       // per-class priors (df of each class term) — |classes| rows
-      val dfByClass = classed.groupBy("cls").count().collect()
+      val dfByClass = perClass
+        .filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val docsWithClass = dfByClass.valuesIterator.sum
 
@@ -324,26 +328,31 @@ object Classify {
         toksUdf(col(textCol)).as("terms"), trainFilter.as("keep"))
       .persist()
     try {
+      // one pass computes the threshold numerator AND the training-set
+      // size (the safety count must precede the collect — guide §2.4,
+      // shared aggregation)
+      val keepCond = col("cls").isNotNull && col("cls") =!= "" && col("keep")
+      val agg0 = base.agg(
+        sum(size(array_distinct(col("terms")))).as("sdf"),
+        count(when(keepCond, 1)).as("ntrain")).collect()(0)
       val thr =
         if (threshold != 0d) threshold
-        else {
-          // sumDocFreq of the text field over the WHOLE corpus (:96)
-          val s = base.agg(sum(size(array_distinct(col("terms")))))
-            .collect()(0).getLong(0)
-          s / 2d
-        }
+        else agg0.getLong(0) / 2d
 
       // training docs, doc order, driver-side tf vectors (capped loudly)
-      val classed = base.filter(col("cls").isNotNull && col("cls") =!= ""
-        && col("keep"))
-      val nTrain = classed.count()
+      val classed = base.filter(keepCond)
+      val nTrain = agg0.getLong(1)
       require(nTrain <= maxTrainDocs,
         s"booleanPerceptron: $nTrain training docs exceeds maxTrainDocs=" +
           s"$maxTrainDocs — the perceptron fold is sequential by " +
           "definition; pass a trainFilter to sample the training set")
+      // collect unordered, sort driver-side: the set is maxTrainDocs-
+      // bounded anyway, and a distributed orderBy of it costs a range-
+      // partitioning sample pass plus a sort shuffle (guide §2.4 — an
+      // orderBy used only to make a driver-side fold deterministic)
       val train: Array[(Map[String, Long], Boolean)] = classed
-        .orderBy(col("ord"))
-        .select(col("terms"), col("cls")).collect()
+        .select(col("terms"), col("cls"), col("ord")).collect()
+        .sortBy(_.getLong(2))
         .map { r =>
           val tf = r.getSeq[String](0).groupBy(identity)
             .map { case (t, xs) => t -> xs.length.toLong }

@@ -28,7 +28,41 @@ object FreeText {
   /** uni(term, c), bi(t1, t2, c), totTokens = Σ unigram counts. */
   final case class Model(uni: DataFrame, bi: DataFrame, totTokens: Long) {
     def unpersist(): Unit = { uni.unpersist(); bi.unpersist() }
+
+    /** Driver-local snapshot of the model when it fits (same 2M-row
+      * regime as the searcher's term dictionary): unigrams pre-sorted
+      * (count desc, term asc), bigrams grouped by context in the same
+      * order — lookups then run zero Spark jobs. An FST-sized n-gram LM
+      * on the driver is exactly the reference's own memory shape.
+      */
+    lazy val local: Option[LocalModel] =
+      if (uni.count() > 2000000L || bi.count() > 2000000L) None
+      else {
+        def byCountThenToken(a: (String, Long), b: (String, Long)) =
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+        val u = uni.select("term", "c").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val uSorted = u.clone()
+        scala.util.Sorting.stableSort(uSorted, byCountThenToken _)
+        val b = bi.select("t1", "t2", "c").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .groupBy(_._1)
+          .map { case (t1, xs) =>
+            val arr = xs.map(x => (x._2, x._3))
+            scala.util.Sorting.stableSort(arr, byCountThenToken _)
+            t1 -> arr
+          }
+        Some(LocalModel(u.toMap, uSorted, b))
+      }
   }
+
+  /** Driver-local model: exact unigram counts, (count desc, token asc)
+    * pre-sorted unigrams, bigram successors per context in the same
+    * order.
+    */
+  final case class LocalModel(uniMap: Map[String, Long],
+      uniSorted: Array[(String, Long)],
+      biByCtx: Map[String, Array[(String, Long)]])
 
   /** Build the 2-gram model from logical-index postings
     * (term, docId, tf, pos[]).
@@ -67,33 +101,52 @@ object FreeText {
     // bigram model (skipped entirely — backoff untouched — when the input
     // has no context token, :568-572)
     ctxOpt.foreach { ctx =>
-      val ctxCount = m.uni.filter(col("term") === ctx)
-        .select("c").collect().headOption.map(_.getLong(0))
+      val ctxCount = m.local match {
+        case Some(lm) => lm.uniMap.get(ctx)
+        case None => m.uni.filter(col("term") === ctx)
+          .select("c").collect().headOption.map(_.getLong(0))
+      }
       ctxCount match {
         case None => backoff *= Alpha // model never saw this context (:597)
         case Some(cc) =>
-          var q = m.bi.filter(col("t1") === ctx)
-          partial.foreach(p => q = q.filter(col("t2").startsWith(p)))
-          q.select("t2", "c").orderBy(desc("c"), asc("t2")).limit(num)
-            .collect().foreach { r =>
-              val t2 = r.getString(0)
-              seen += t2
-              results += ((s"$ctx $t2",
-                (((MaxD * backoff) * r.getLong(1)) / cc).toLong))
-            }
+          val top: Seq[(String, Long)] = m.local match {
+            case Some(lm) =>
+              // pre-sorted (count desc, token asc) successor walk
+              lm.biByCtx.getOrElse(ctx, Array.empty[(String, Long)])
+                .iterator
+                .filter { case (t2, _) => partial.forall(t2.startsWith) }
+                .take(num).toSeq
+            case None =>
+              var q = m.bi.filter(col("t1") === ctx)
+              partial.foreach(p => q = q.filter(col("t2").startsWith(p)))
+              q.select("t2", "c").orderBy(desc("c"), asc("t2")).limit(num)
+                .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          }
+          top.foreach { case (t2, c) =>
+            seen += t2
+            results += ((s"$ctx $t2", (((MaxD * backoff) * c) / cc).toLong))
+          }
           backoff *= Alpha
       }
     }
 
     // unigram model — never predicts from an empty last token (:558-560)
     if (!lastEnded) partial.foreach { p =>
-      var q = m.uni.filter(col("term").startsWith(p))
-      if (seen.nonEmpty) q = q.filter(!col("term").isInCollection(seen.toSeq))
-      q.select("term", "c").orderBy(desc("c"), asc("term")).limit(num)
-        .collect().foreach { r =>
-          results += ((r.getString(0),
-            (((MaxD * backoff) * r.getLong(1)) / m.totTokens).toLong))
-        }
+      val top: Seq[(String, Long)] = m.local match {
+        case Some(lm) =>
+          lm.uniSorted.iterator
+            .filter { case (t, _) => t.startsWith(p) && !seen(t) }
+            .take(num).toSeq
+        case None =>
+          var q = m.uni.filter(col("term").startsWith(p))
+          if (seen.nonEmpty)
+            q = q.filter(!col("term").isInCollection(seen.toSeq))
+          q.select("term", "c").orderBy(desc("c"), asc("term")).limit(num)
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+      top.foreach { case (t, c) =>
+        results += ((t, (((MaxD * backoff) * c) / m.totTokens).toLong))
+      }
     }
 
     results.sortBy { case (k, v) => (-v, k) }.toSeq

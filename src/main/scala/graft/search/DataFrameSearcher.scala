@@ -29,10 +29,7 @@ object DataFrameSearcher {
   def gatherStats(ix: LogicalIndex, terms: Set[String]): QueryStats = {
     val dfMap =
       if (terms.isEmpty) Map.empty[String, Long]
-      else ix.termStats
-        .filter(col("term").isin(terms.toSeq: _*))
-        .select("term", "df").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      else ix.statsFor(terms).map { case (t, (df, _)) => t -> df }
     QueryStats(dfMap, ix.collStats.docCount, ix.collStats.sumTotalTermFreq)
   }
 

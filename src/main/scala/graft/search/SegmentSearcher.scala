@@ -1494,14 +1494,21 @@ final class Searcher(private[search] val spark: SparkSession,
     sys.props.get("graft.search.maxDictTerms").orElse(
       sys.env.get("SPARK_GRAFT_MAX_DICT_TERMS")).map(_.toInt)
       .getOrElse(2000000)
-  private lazy val termDict: Option[Array[String]] = {
+  /** Term-sorted (terms, dfs) pair — dfs ride along so enumeration
+    * surfaces (termsEnum) can rank by count without a per-query stats
+    * scan; same vocab-size gate as before (+8 bytes/term).
+    */
+  private lazy val termDictWithDf: Option[(Array[String], Array[Long])] = {
     val n = termStatsDf.count()
     if (n <= maxDictTerms) {
-      val d = termStatsDf.select("term").collect().map(_.getString(0))
-      java.util.Arrays.sort(d.asInstanceOf[Array[AnyRef]])
-      Some(d)
+      val rows = termStatsDf.select("term", "df").collect()
+      val idx = rows.indices.toArray
+      scala.util.Sorting.stableSort(idx,
+        (a: Int, b: Int) => rows(a).getString(0) < rows(b).getString(0))
+      Some((idx.map(rows(_).getString(0)), idx.map(rows(_).getLong(1))))
     } else None
   }
+  private lazy val termDict: Option[Array[String]] = termDictWithDf.map(_._1)
 
   /** Sorted range-partitioned on-disk dictionary (written by round-4
     * builds; absent on older indexes → stats-table fallback). Because the
@@ -2476,6 +2483,54 @@ final class Searcher(private[search] val spark: SparkSession,
     val tok = IndexBuilder.tokenizerFn(m.tokenizer)
     val tokU = udf((content: String) => tok(content))
     val n = hits.count()
+    // Driver-local tier: result-set clustering is k-bounded by contract
+    // (ClusteringComponent labels the RESULT PAGE); for small hit sets
+    // the label math runs on the driver from one pruned content fetch —
+    // identical double arithmetic, same (lscore desc, term asc) argmax.
+    if (n <= 4096) {
+      import org.apache.spark.sql.functions.col
+      val ids = hits.select("docId").collect().map(_.getLong(0))
+      val contents = docsDf
+        .filter(col("docId").isin(ids.toSeq: _*))
+        .select(col("docId"), col(contentCol).cast("string"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      val tf = new java.util.HashMap[Long, Map[String, Long]]()
+      ids.foreach { d =>
+        val c = contents.getOrElse(d, null)
+        val terms =
+          if (c == null) Array.empty[String]
+          else tok(c).filterNot(queryTerms)
+        tf.put(d, terms.groupBy(identity)
+          .map { case (t, xs) => t -> xs.length.toLong })
+      }
+      val dfr = scala.collection.mutable.HashMap.empty[String, Long]
+      ids.foreach(d => tf.get(d).keysIterator
+        .foreach(t => dfr(t) = dfr.getOrElse(t, 0L) + 1L))
+      val kept = dfr.filter { case (_, c) => c >= 2 && c < n }
+      val labels = ids.map { d =>
+        var best: String = null
+        var bestScore = 0d
+        tf.get(d).foreach { case (t, f) =>
+          kept.get(t).foreach { c =>
+            // same Column tree: tf·((n − dfr) + 0.5) / (dfr + 0.5)
+            val ls = f.toDouble *
+              ((n.toDouble - c.toDouble) + 0.5d) / (c.toDouble + 0.5d)
+            if (best == null || ls > bestScore ||
+                (ls == bestScore && t < best)) {
+              best = t; bestScore = ls
+            }
+          }
+        }
+        d -> (if (best == null) "other" else best)
+      }
+      val csize = labels.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+      val rows = labels.map { case (d, l) => (d, l, csize(l)) }.toSeq
+      val sp = spark
+      import sp.implicits._
+      return rows.toDF("docId", "label", "csize").coalesce(1)
+    }
     val rt = hits.select("docId")
       .join(docsDf.select(col("docId"), col(contentCol)), "docId")
       .select(col("docId"), explode(tokU(col(contentCol))).as("term"))
@@ -3049,18 +3104,40 @@ final class Searcher(private[search] val spark: SparkSession,
       else (keyToks.toSet, None)
     val w = weightExpr.getOrElse(length(col(contentCol)).cast("long"))
     val toksU = udf((s: String) => tok(s))
-    val base = docsDf
-      .select(col("docId"), col(contentCol).as("_text"), w.cast("long").as("_w"))
-      .withColumn("_toks", toksU(col("_text")))
-    val mustAll = matched.toSeq.sorted
-      .map(t => array_contains(col("_toks"), t))
-      .foldLeft(lit(true))(_ && _)
-    val hasPfx = prefixTok
-      .map(p => exists(col("_toks"), t => t.startsWith(p)))
-      .getOrElse(lit(true))
-    val cands = base.filter(mustAll && hasPfx)
+    // Candidate selection (guide §1.2 per-task work, §4 keep the
+    // expensive UDF off the full scan). Under the simple tokenizer a
+    // token is exactly a maximal alphanumeric run of lower(text), so
+    // token membership and token prefix are codegen'd regex tests over
+    // the raw text — the tokenizer UDF then runs only on the
+    // num×numFactor KEPT candidates. Other tokenizers keep the original
+    // tokenize-then-filter shape.
+    val raw = docsDf.select(col("docId"), col(contentCol).as("_text"),
+      w.cast("long").as("_w"))
+    val filtered =
+      if (m.tokenizer == "simple") {
+        def q(t: String) = java.util.regex.Pattern.quote(t)
+        val mustRe = matched.toSeq.sorted
+          .map(t => col("_text")
+            .rlike("(?i)(^|[^a-zA-Z0-9])" + q(t) + "([^a-zA-Z0-9]|$)"))
+          .foldLeft(lit(true))(_ && _)
+        val pfxRe = prefixTok
+          .map(p => col("_text").rlike("(?i)(^|[^a-zA-Z0-9])" + q(p)))
+          .getOrElse(lit(true))
+        raw.filter(mustRe && pfxRe)
+      } else {
+        val toked = raw.withColumn("_toks", toksU(col("_text")))
+        val mustAll = matched.toSeq.sorted
+          .map(t => array_contains(col("_toks"), t))
+          .foldLeft(lit(true))(_ && _)
+        val hasPfx = prefixTok
+          .map(p => exists(col("_toks"), t => t.startsWith(p)))
+          .getOrElse(lit(true))
+        toked.filter(mustAll && hasPfx).drop("_toks")
+      }
+    val cands = filtered
       .orderBy(col("_w").desc, col("docId"))
       .limit(num * numFactor)
+      .withColumn("_toks", toksU(col("_text")))
     // first matching analyzed position (MUST semantics ⇒ one exists)
     val isMatch = (t: org.apache.spark.sql.Column) => {
       val inMatched =
@@ -3873,12 +3950,18 @@ final class Searcher(private[search] val spark: SparkSession,
     * and last from the committed manifest, the term count a distinct
     * aggregate over the (narrow) term-stats store.
     */
-  def indexStats(): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.countDistinct
-    val numTerms = termStatsDf.agg(countDistinct("term"))
-      .collect()(0).getLong(0)
-    (m.docCount, numTerms, m.sumTotalTermFreq)
+  /** Distinct-term count is an immutable index stat — computed once per
+    * handle (driver-side when the dict is cached, one aggregate else).
+    */
+  private lazy val numTermsStat: Long = termDictWithDf match {
+    case Some((terms, _)) => terms.length.toLong
+    case None =>
+      import org.apache.spark.sql.functions.countDistinct
+      termStatsDf.agg(countDistinct("term")).collect()(0).getLong(0)
   }
+
+  def indexStats(): (Long, Long, Long) =
+    (m.docCount, numTermsStat, m.sumTotalTermFreq)
 
   def termsEnum(limit: Int = 10,
       lower: Option[String] = None, upper: Option[String] = None,
@@ -3887,6 +3970,29 @@ final class Searcher(private[search] val spark: SparkSession,
       minCount: Long = 1L, maxCount: Long = Long.MaxValue,
       sortByCount: Boolean = true): Array[(String, Long)] = {
     import org.apache.spark.sql.functions.col
+    termDictWithDf match {
+      case Some((terms, dfs)) =>
+        // in-memory dictionary walk — zero jobs, same predicates and
+        // ordering as the DataFrame path below
+        val rx = regexp.map(r => java.util.regex.Pattern.compile(s"^(?:$r)$$"))
+        val cand = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var i = 0
+        while (i < terms.length) {
+          val t = terms(i); val d = dfs(i)
+          val ok = prefix.forall(t.startsWith) &&
+            lower.forall(l => if (lowerIncl) t >= l else t > l) &&
+            upper.forall(u => if (upperIncl) t <= u else t < u) &&
+            rx.forall(_.matcher(t).matches()) &&
+            d >= minCount && d <= maxCount
+          if (ok) cand += ((t, d))
+          i += 1
+        }
+        val sorted =
+          if (sortByCount) cand.sortBy { case (t, d) => (-d, t) }
+          else cand // already term-ascending
+        return sorted.take(limit).toArray
+      case None =>
+    }
     var df = termStatsDf.select(col("term"), col("df"))
     prefix.foreach(p => df = df.filter(col("term").startsWith(p)))
     lower.foreach(l =>
