@@ -42,8 +42,17 @@ object DocIds {
       .repartitionByRange(parts, cols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist()
-    val counts = ranged.groupBy("_pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // per-partition row counts straight off the cached partitions: ONE
+    // narrow job (mapPartitionsWithIndex), versus the groupBy form's
+    // hash exchange + two AQE stage-jobs — pure fixed cost on the
+    // build's critical path (guide §2.4)
+    val counts = ranged.queryExecution.toRdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator((i, n))
+      }
+      .collect().filter(_._2 > 0).sortBy(_._1)
     val bases = counts.map(_._2).scanLeft(0L)(_ + _)
     import spark.implicits._
     val baseDf = counts.map(_._1).zip(bases).toSeq.toDF("_pid", "_base")

@@ -94,9 +94,78 @@ object BenchExtra {
     spark.conf.set("spark.sql.shuffle.partitions", "32")
   }
 
+  /** Build-phase timeline: run the bench build once at `cpus` cores and
+    * print every job's (start, dur, desc) plus the total driver "gap"
+    * time not covered by any running job — the serial component that
+    * divides straight into the scaling-efficiency headline.
+    */
+  private def buildProfile(cpus: Int): Unit = {
+    import graft.index.IndexBuilder
+    import graft.index.IndexBuilder.BuildConfig
+    val docs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "150000").toLong
+    val spark = session(cpus)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val spans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description"))
+            .getOrElse(js.stageInfos.headOption.map(_.name).getOrElse("?")
+              .take(60))))
+        ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val v = jobs.remove(je.jobId)
+        if (v != null) { spans.add((v._1, System.nanoTime(), v._2)); () }
+      }
+    })
+    val dir = s"${graft.Bench.benchTmp}/graft-profile-build"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val corpus = graft.core.Corpus.distributed(spark, docs, seed = 42L,
+      partitions = cpus * 4)
+    val cfg = BuildConfig(numBuckets = 32, numDocShards = 8,
+      saltThreshold = docs / 4, tokenizer = "simple")
+    val t0 = System.nanoTime()
+    val ix = IndexBuilder.buildLogical(corpus.toDF(), "content", None,
+      Seq("repo", "path", "commit"), cfg)
+    val t1 = System.nanoTime()
+    IndexBuilder.writeIndex(ix, dir, "profile", numGroups = 1)
+    val t2 = System.nanoTime()
+    Thread.sleep(500)
+    val all = scala.jdk.CollectionConverters.ListHasAsScala(spans).asScala
+      .sortBy(_._1).toSeq
+    def ms(n: Long) = (n - t0) / 1e6
+    all.foreach { case (s, e, d) =>
+      System.err.println(f"[job] ${ms(s)}%8.0f..${ms(e)}%8.0f (${(e - s) / 1e6}%6.0f ms) $d")
+    }
+    // merge spans, compute uncovered time in [t0, t2]
+    var cover = 0L
+    var cur = t0
+    all.foreach { case (s, e, _) =>
+      val s2 = math.max(s, cur)
+      if (e > s2) { cover += e - s2; cur = e } else ()
+      if (s > cur) () // gap counted implicitly
+    }
+    // recompute properly: gaps
+    var gaps = 0L
+    cur = t0
+    all.foreach { case (s, e, _) =>
+      if (s > cur) gaps += s - cur
+      cur = math.max(cur, e)
+    }
+    if (t2 > cur) gaps += t2 - cur
+    System.err.println(f"[buildprofile] cpus=$cpus docs=$docs logical=${(t1 - t0) / 1e9}%.2fs write=${(t2 - t1) / 1e9}%.2fs total=${(t2 - t0) / 1e9}%.2fs jobs=${all.size} gapNoJob=${gaps / 1e9}%.2fs")
+    ix.unpersistCached(); ix.postings.unpersist()
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
+    if (args.length >= 1 && args(0) == "build") {
+      buildProfile(if (args.length >= 2) args(1).toInt else cpus); return
+    }
     if (args.length >= 1 && args(0) == "floor") {
       val sp = session(cpus); floor(sp); sp.stop(); return
     }
@@ -120,7 +189,11 @@ object BenchExtra {
     })
 
     graft.gate.SearchGate.clearCaches()
-    val all = graft.gate.SearchGate.queries.toSeq.sortBy(_._1)
+    val registry =
+      if (sys.env.get("GRAFT_EXTRA_REGISTRY").contains("entry"))
+        graft.SparkEntry.queries
+      else graft.gate.SearchGate.queries
+    val all = registry.toSeq.sortBy(_._1)
     val gateQs =
       if (prefixes.isEmpty) all
       else all.filter { case (n, _) => prefixes.exists(n.startsWith) }
