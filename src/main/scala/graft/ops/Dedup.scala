@@ -175,13 +175,25 @@ object Dedup {
       val a = filtered.select(col("id").as("ia"), col("sh"))
       val b = filtered.select(col("id").as("ib"), col("sh"))
       val cand = a.join(b, Seq("sh")).filter(col("ia") < col("ib"))
-        .select("ia", "ib").distinct()
-      // exact verify over the FULL shingle sets (cand is small post-block)
+      val inter =
+        if (nHot == 0)
+          // uncapped: the blocking join runs over the FULL shingle sets
+          // (distinct per doc), so the per-pair match count IS the
+          // intersection size — the former distinct + two re-joins of
+          // the shingle sets re-derived a number the join already had
+          // (guide §2.4: remove shuffles outright)
+          cand.groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+        else {
+          // capped blocking: hot shingles were dropped from `filtered`,
+          // so the intersection must be re-counted over the full sets
+          val candD = cand.select("ia", "ib").distinct()
+          val aSh = sh.select(col("id").as("ia"), col("sh"))
+          val bSh = sh.select(col("id").as("ib"), col("sh"))
+          candD.join(aSh, Seq("ia")).join(bSh, Seq("ib", "sh"))
+            .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+        }
       val sizes = sh.groupBy("id").agg(count(lit(1)).as("n"))
-      val aSh = sh.select(col("id").as("ia"), col("sh"))
-      val bSh = sh.select(col("id").as("ib"), col("sh"))
-      cand.join(aSh, Seq("ia")).join(bSh, Seq("ib", "sh"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("inter"))
+      inter
         .join(sizes.select(col("id").as("ia"), col("n").as("na")), Seq("ia"))
         .join(sizes.select(col("id").as("ib"), col("n").as("nb")), Seq("ib"))
         .withColumn("jaccard",

@@ -316,6 +316,13 @@ object Similarity {
         (b.toLong << 32) | key
       }
     }
+    // (Optimization attempted and rejected this round: carrying the full
+    // band-key array through the join to dedupe with a first-matching-
+    // band filter instead of distinct() — the wider join side broke the
+    // auto-broadcast and the per-joined-row array compare cost far more
+    // than the distinct's shuffle. The (id, bk)-only join stays
+    // broadcast-sized at any corpus, and distinct() is the one
+    // pair-volume shuffle. Measured: 9.8s → 65s at sf0.1; reverted.)
     val keyed = df.select(col(idCol).as("id"),
       explode(keysUdf(col(vecCol))).as("bk"))
     val cand = keyed.as("x").join(keyed.as("y"),
