@@ -30,13 +30,20 @@ object ExplainDump {
     spark.sparkContext.setLogLevel("WARN")
     graft.gate.SearchGate.clearCaches()
     names.foreach { n =>
-      val fn = graft.gate.SearchGate.queries(n)
+      val fn = graft.SparkEntry.queries(n)
       fn(spark, sfDir).count() // warm: caches fill, engine work runs
       val df = fn(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
+      // the frozen bench times fn(...).count() — show the plan that
+      // count() actually executes too
+      val countPlan = df.groupBy().count().queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
       val w = new java.io.PrintWriter(new java.io.File(outDir, s"$n.txt"))
+      w.println("==== returned DataFrame ====")
       w.println(plan)
+      w.println("==== count() plan (what the bench times) ====")
+      w.println(countPlan)
       w.close()
       System.err.println(s"[explain] wrote $n")
     }
