@@ -14,6 +14,12 @@ import graft.search.{BM25, BoolQ, BoostQ, Query, Searcher, SegmentSearcher, Term
   */
 object Classify {
 
+  // (A round-robin "parallelism floor" before the tokenize UDF was
+  // tried and reverted: on the sub-split-sized bench corpus the keyless
+  // repartition's local sort + shuffle cost more than the parallel
+  // tokenize saved — measured q_classify_nb 236 → 318 ms; at real scale
+  // file splits provide the parallelism anyway.)
+
   /** One class assignment: raw log score (NB) / vote score (KNN) plus
     * the softmax-normalized score where the reference normalizes.
     */
@@ -49,49 +55,50 @@ object Classify {
     val base = docs
       .select(col(classCol).as("cls"),
         distinctTermsUdf(col(textCol)).as("terms"))
-      .persist()
-    try {
-      // ONE grouped aggregation serves both the text-field collection
-      // stats (sumDocFreq = Σ per-doc distinct terms, docCount = docs
-      // with ≥1 token — summed over every class group incl. unclassed)
-      // and the per-class priors (guide §2.4: two aggregations keyed the
-      // same way share one pass)
-      val perClass = base.groupBy("cls").agg(
-        count(lit(1)).as("n"),
-        sum(size(col("terms"))).as("sdf"),
-        count(when(size(col("terms")) > 0, 1)).as("dc")).collect()
-      val sumDocFreq = perClass.map(_.getLong(2)).sum
-      val fieldDocCount = perClass.map(_.getLong(3)).sum
-      val avgUniqueTerms = sumDocFreq / fieldDocCount.toDouble
+    // ONE grouped aggregation (guide §2.4) computes everything the
+    // scorer needs: the text-field collection stats (sumDocFreq = Σ
+    // per-doc distinct terms, docCount = docs with ≥1 token — summed
+    // over every class group incl. unclassed), the per-class priors,
+    // AND the |words|×|classes| hit matrix — hits(w, c) counts class-c
+    // docs whose DISTINCT term set contains w, so `array_contains` per
+    // query word replaces the former explode + second aggregation (and
+    // with a single pass the tokenized frame needs no persist at all).
+    val hitCols = words.zipWithIndex.map { case (w, i) =>
+      count(when(array_contains(col("terms"), w), 1)).as(s"_h$i")
+    }
+    val aggTail = Seq(
+      sum(size(col("terms"))).as("sdf"),
+      count(when(size(col("terms")) > 0, 1)).as("dc")) ++ hitCols
+    val perClass = base.groupBy("cls")
+      .agg(count(lit(1)).as("n"), aggTail: _*).collect()
+    val sumDocFreq = perClass.map(_.getLong(2)).sum
+    val fieldDocCount = perClass.map(_.getLong(3)).sum
+    val avgUniqueTerms = sumDocFreq / fieldDocCount.toDouble
 
-      val classed = base.filter(col("cls").isNotNull && col("cls") =!= "")
-      // per-class priors (df of each class term) — |classes| rows
-      val dfByClass = perClass
-        .filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val docsWithClass = dfByClass.valuesIterator.sum
+    // per-class priors (df of each class term) — |classes| rows
+    val classedRows = perClass
+      .filter(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
+    val dfByClass =
+      classedRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docsWithClass = dfByClass.valuesIterator.sum
 
-      // hits(w, c): |words| × |classes| count matrix, one aggregation
-      val hits: Map[(String, String), Long] =
-        if (words.isEmpty) Map.empty
-        else classed
-          .select(col("cls"), explode(col("terms")).as("term"))
-          .filter(col("term").isin(words: _*))
-          .groupBy("cls", "term").count().collect()
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-
-      val raw = dfByClass.keys.toSeq.sorted.map { c =>
-        val dfC = dfByClass(c)
-        var s = math.log(dfC.toDouble) - math.log(docsWithClass.toDouble)
-        val den = avgUniqueTerms * dfC + docsWithClass
-        toks.foreach { w =>
-          val num = hits.getOrElse((c, w), 0L) + 1d
-          s += math.log(num / den)
-        }
-        (c, s)
+    val hits: Map[(String, String), Long] = classedRows.flatMap { r =>
+      words.zipWithIndex.map { case (w, i) =>
+        (r.getString(0), w) -> r.getLong(4 + i)
       }
-      normalize(raw)
-    } finally base.unpersist()
+    }.toMap
+
+    val raw = dfByClass.keys.toSeq.sorted.map { c =>
+      val dfC = dfByClass(c)
+      var s = math.log(dfC.toDouble) - math.log(docsWithClass.toDouble)
+      val den = avgUniqueTerms * dfC + docsWithClass
+      toks.foreach { w =>
+        val num = hits.getOrElse((c, w), 0L) + 1d
+        s += math.log(num / den)
+      }
+      (c, s)
+    }
+    normalize(raw)
   }
 
   /** Batch SimpleNaiveBayes: classify EVERY doc of a corpus in one
