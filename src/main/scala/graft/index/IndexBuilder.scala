@@ -754,7 +754,7 @@ object IndexBuilder {
     * data-sized shuffle; at 100 TB that shuffle IS the build, so every
     * byte per posting row is ~2% of cluster traffic.
     */
-  final case class PRow(bucket: Int, term: String, salt: Int,
+  final case class PRow(term: String, salt: Int,
       docId: Long, normByte: Byte, posB: Array[Byte])
 
   /** Payload-build shuffle row: `payB` = the doc's pre-encoded payload
@@ -762,7 +762,7 @@ object IndexBuilder {
     * A SEPARATE row type so the payload-free hot path's shuffle rows
     * carry no extra 8-byte UnsafeRow field.
     */
-  final case class PRowP(bucket: Int, term: String, salt: Int,
+  final case class PRowP(term: String, salt: Int,
       docId: Long, normByte: Byte, posB: Array[Byte], payB: Array[Byte])
 
   /** Per-bucket lineage aggregate, folded INTO the encode pass via an
@@ -874,18 +874,23 @@ object IndexBuilder {
         }).apply(col("tf"))
     // shuffle key (bucket, salt): a task owns whole buckets (one output
     // file per bucket instead of buckets×tasks small files) while hot
-    // terms still spread across numDocShards reducers via their salt
+    // terms still spread across numDocShards reducers via their salt.
+    // `bucket` rides as a PARTITIONING EXPRESSION only (bucketOf(term)
+    // evaluated at shuffle write) — not a row field: at 100 TB the
+    // encode shuffle IS the build, and the derivable int + its 8-byte
+    // UnsafeRow slot was ~11% of every row (guide §2.3, shuffle fewer
+    // bytes). The reduce side recomputes it per (term, salt) group.
     val withPos = cfg.positions
     if (cfg.payloads.isEmpty) {
       val salted = salted1
         .withColumn("salt", saltUdf(col("term"), col("docId")))
-        .select(col("bucket"), col("term"), col("salt"), col("docId"),
+        .select(col("term"), col("salt"), col("docId"),
           col("normByte"), posBCol.as("posB"))
         .as[PRow]
       salted
-        .repartition(parts, col("bucket"), col("salt"))
+        .repartition(parts, bucketUdf(col("term")), col("salt"))
         .sortWithinPartitions(col("term"), col("salt"), col("docId"))
-        .mapPartitions { it => encodePartition(it, withPos, lineage) }
+        .mapPartitions { it => encodePartition(it, withPos, nb, lineage) }
     } else {
       // payload build: the shuffle additionally carries the doc's
       // pre-encoded payload chunk, and the reduce side assembles the
@@ -894,19 +899,19 @@ object IndexBuilder {
         PostingsCodec.encodeDocPayloads(ps)).apply(col("pay"))
       val salted = salted1
         .withColumn("salt", saltUdf(col("term"), col("docId")))
-        .select(col("bucket"), col("term"), col("salt"), col("docId"),
+        .select(col("term"), col("salt"), col("docId"),
           col("normByte"), posBCol.as("posB"), payBCol.as("payB"))
         .as[PRowP]
       salted
-        .repartition(parts, col("bucket"), col("salt"))
+        .repartition(parts, bucketUdf(col("term")), col("salt"))
         .sortWithinPartitions(col("term"), col("salt"), col("docId"))
-        .mapPartitions { it => encodePartitionP(it, lineage) }
+        .mapPartitions { it => encodePartitionP(it, nb, lineage) }
     }
   }
 
   /** Stream consecutive (term, salt) groups into encoded blobs. */
   private def encodePartition(it: Iterator[PRow],
-      withPositions: Boolean,
+      withPositions: Boolean, numBuckets: Int,
       lineage: Option[LineageAcc] = None): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
@@ -938,10 +943,11 @@ object IndexBuilder {
         val posBlob =
           if (poss == null) noPos
           else PostingsCodec.concatPositionBlocks(poss.result())
-        lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
+        val bucket = bucketOf(head.term, numBuckets)
+        lineage.foreach(_.add((bucket, BucketLineage(1L, n.toLong,
           body.length.toLong + skip.length + posBlob.length,
           rowDigest(head.term, head.salt, body)))))
-        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body,
+        SegmentPosting(bucket, head.term, head.salt, n, maxTf, body,
           skip, posBlob, noPos)
       }
     }
@@ -950,7 +956,7 @@ object IndexBuilder {
     * assembles the payloads sidecar alongside the positions sidecar from
     * the per-doc pre-encoded chunks.
     */
-  private def encodePartitionP(it: Iterator[PRowP],
+  private def encodePartitionP(it: Iterator[PRowP], numBuckets: Int,
       lineage: Option[LineageAcc]): Iterator[SegmentPosting] =
     new Iterator[SegmentPosting] {
       private val buf = it.buffered
@@ -975,10 +981,11 @@ object IndexBuilder {
         val (body, skip) = PostingsCodec.encode(docs.result(), tfs.result(), norms.result())
         val posBlob = PostingsCodec.concatPositionBlocks(poss.result())
         val payBlob = PostingsCodec.concatPositionBlocks(pays.result())
-        lineage.foreach(_.add((head.bucket, BucketLineage(1L, n.toLong,
+        val bucket = bucketOf(head.term, numBuckets)
+        lineage.foreach(_.add((bucket, BucketLineage(1L, n.toLong,
           body.length.toLong + skip.length + posBlob.length + payBlob.length,
           rowDigest(head.term, head.salt, body)))))
-        SegmentPosting(head.bucket, head.term, head.salt, n, maxTf, body,
+        SegmentPosting(bucket, head.term, head.salt, n, maxTf, body,
           skip, posBlob, payBlob)
       }
     }
