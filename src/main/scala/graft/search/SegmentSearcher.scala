@@ -2434,6 +2434,46 @@ final class Searcher(private[search] val spark: SparkSession,
       minDocFreq: Int = 5): DataFrame = {
     val tok = IndexBuilder.tokenizerFn(m.tokenizer)
     val docCount = m.docCount
+    // Driver-local tier for page-sized id sets (MLT term selection is a
+    // per-result-page operation; same ≤4096 gate as clusterFrame): one
+    // pruned content fetch + the memoized stats lookup replace two
+    // joins + a window — identical float law and (mscore desc, term
+    // asc) ranking; the distributed batch frame below is unchanged for
+    // larger id sets.
+    locally {
+      val probe = docIds.select("docId").limit(4097).collect()
+      if (probe.length <= 4096) {
+        import org.apache.spark.sql.functions.col
+        val ids = probe.map(_.getLong(0))
+        val contents = docsDf
+          .filter(col("docId").isin(ids.toSeq: _*))
+          .select(col("docId"), col(contentCol).cast("string"))
+          .collect()
+          .flatMap(r => if (r.isNullAt(1)) None
+            else Some(r.getLong(0) -> r.getString(1))).toMap
+        val perDoc = ids.flatMap { d =>
+          contents.get(d).map { c =>
+            d -> tok(c).groupBy(identity)
+              .map { case (t, xs) => t -> xs.length }
+              .filter { case (_, tf) => tf >= minTf }
+          }
+        }
+        val st = stats(perDoc.iterator.flatMap(_._2.keysIterator).toSet)
+        val rows = perDoc.flatMap { case (d, tfm) =>
+          val scored = tfm.toSeq.flatMap { case (t, tf) =>
+            st.get(t).map(_._1).filter(df => df >= minDocFreq)
+              .map(df => (t, tf.toFloat * BM25.idf(df, docCount)))
+          }
+          scored.sortWith { case ((ta, sa), (tb, sb)) =>
+            sa > sb || (sa == sb && ta < tb)
+          }.take(maxQueryTerms).zipWithIndex
+            .map { case ((t, s), i) => (d, t, s, i + 1) }
+        }.toSeq
+        val sp = spark
+        import sp.implicits._
+        return rows.toDF("docId", "term", "mscore", "rank").coalesce(1)
+      }
+    }
     val tfU = udf((content: String) =>
       tok(content).groupBy(identity).map { case (t, xs) => (t, xs.length) }.toSeq)
     val idfU = udf((df: Long) => BM25.idf(df, docCount))
