@@ -653,17 +653,23 @@ object SearchGate {
       hitsDf(spark, hits)
     }
 
-  /** JoinUtil gate runner: full scored match set via the DataFrame path
-    * (a join needs EVERY match, not top-k — driver-collecting it would
-    * not survive scale), folded + broadcast by ops.Join.
+  /** JoinUtil gate runner: a join needs EVERY match, not top-k. Under
+    * the searcher's `maxLocalBytes` gate the full match set and both
+    * join-key columns are driver-resident (joinScoredLocal — the same
+    * fold laws, zero jobs warm); beyond it the full scored match set
+    * comes from the DataFrame path, folded + broadcast by ops.Join.
     */
   private def joinGate(q: Query, mode: String): (SparkSession, String) => DataFrame =
-    (spark, sfDir) => {
-      val ix = logical(spark, sfDir)
-      val docs = docsDf(spark, sfDir)
-      val sc = DataFrameSearcher.scores(ix, q)
-      graft.ops.Join.joinScored(docs, sc, "source", "source", mode, K)
-    }
+    (spark, sfDir) =>
+      searcher(spark, sfDir).joinScoredLocal(q, "source", "source", mode, K)
+        match {
+          case Some(hits) => hitsDf(spark, hits)
+          case None =>
+            val ix = logical(spark, sfDir)
+            val docs = docsDf(spark, sfDir)
+            val sc = DataFrameSearcher.scores(ix, q)
+            graft.ops.Join.joinScored(docs, sc, "source", "source", mode, K)
+        }
 
   // ---- the reference query set ----
 

@@ -3943,6 +3943,92 @@ final class Searcher(private[search] val spark: SparkSession,
       .map(r => Hit(r.getLong(0), r.getDouble(1)))
   }
 
+  // ---------- query-time join (JoinUtil), driver-local tier ----------
+
+  /** (docId asc)-sorted join-key column of the docs table with SQL NULL
+    * keys DROPPED (inner-join semantics: a NULL never joins) — loaded
+    * once per field for the driver-local join tier, exactly the
+    * [[docValues]]/[[docKeys]] regime. Key identity is the value's
+    * string form (the gate joins string fields; long↔string is
+    * injective for numerics).
+    */
+  private val joinKeyCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[String])]
+  private def joinKeys(field: String): (Array[Long], Array[String]) =
+    joinKeyCache.getOrElseUpdate(field, {
+      val rows = docsDf.filter(col(field).isNotNull)
+        .select(col("docId"), col(field).cast("string")).collect()
+        .sortBy(_.getLong(0))
+      (rows.map(_.getLong(0)), rows.map(_.getString(1)))
+    })
+
+  /** JoinUtil scored join (`JoinUtil.java:92`, fold laws of
+    * `TermsWithScoreCollector.java:114-178` — the SAME laws
+    * [[graft.ops.Join.joinScored]] encodes as Columns) on the
+    * DRIVER-LOCAL tier: from-query matches via [[localMatchScores]]
+    * (zero jobs warm), the per-join-value fold in docId-ASCENDING visit
+    * order with FLOAT arithmetic (Total/Avg are the ordered float `+=`;
+    * starting the fold at the first score equals Spark's `0f + s1` —
+    * IEEE +0 is the additive identity and BM25 scores are finite
+    * positives), then to-side membership + top-k (score desc, docId
+    * asc) through a [[BoundedHitQueue]].
+    *
+    * Returns None — callers run the distributed fold+broadcast shape
+    * ([[graft.ops.Join.joinScored]]) instead — when the two docvalues
+    * columns or the from-query postings exceed `maxLocalBytes`, or for
+    * mode "none" (the TermsQuery rewrite folds nothing).
+    */
+  def joinScoredLocal(q0: Query, fromField: String, toField: String,
+      mode: String, k: Int): Option[Array[Hit]] = {
+    if (!Set("avg", "max", "min", "total").contains(mode)) return None
+    if (2L * dvBytes > maxLocalBytes) return None
+    var q = Query.rewrite(q0)
+    q = Query.rewrite(expandMultiTerm(q))
+    val terms = Query.literalTerms(q)
+    val st = stats(terms)
+    val present = terms.filter(st.contains)
+    if (present.nonEmpty && estPostingBytes(st, present) > maxLocalBytes)
+      return None
+    val scores = localMatchScores(q0)
+    // per-value fold state; visit order = docId asc (joinKeys is sorted)
+    class FoldAcc(var sum: Float, var mn: Float, var mx: Float, var n: Int)
+    val folds = new java.util.HashMap[String, FoldAcc]()
+    val (fIds, fVals) = joinKeys(fromField)
+    var i = 0
+    while (i < fIds.length) {
+      val d = fIds(i)
+      if (scores.contains(d)) {
+        val s = scores(d)
+        val f = folds.get(fVals(i))
+        if (f == null) folds.put(fVals(i), new FoldAcc(s, s, s, 1))
+        else {
+          f.sum = f.sum + s // single-precision += in docId order
+          if (s < f.mn) f.mn = s
+          if (s > f.mx) f.mx = s
+          f.n += 1
+        }
+      }
+      i += 1
+    }
+    val queue = new BoundedHitQueue(k)
+    val (tIds, tVals) = joinKeys(toField)
+    var j = 0
+    while (j < tIds.length) {
+      val f = folds.get(tVals(j))
+      if (f != null) {
+        val js: Float = mode match {
+          case "total" => f.sum
+          case "max"   => f.mx
+          case "min"   => f.mn
+          case _       => (f.sum / f.n.toFloat: Float) // avg: applied once
+        }
+        queue.insert(tIds(j), js.toDouble)
+      }
+      j += 1
+    }
+    Some(queue.sortedHits)
+  }
+
   // ---------- terms enumeration (Solr TermsComponent) ----------
 
   /** Terms enumeration with bounds/prefix/regexp/df-range filters — the

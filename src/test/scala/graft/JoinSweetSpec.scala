@@ -56,6 +56,43 @@ class JoinSweetSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { joinOn(scores, jv, "bogus") }
   }
 
+  test("joinScoredLocal ≡ the distributed fold+broadcast path (all modes)") {
+    import spark.implicits._
+    val ix = IndexBuilder.buildLogical(
+      Corpus.dataset(spark, 300, seed = 77L).repartition(4).toDF(),
+      "content", None, Seq("repo", "path", "commit", "lang"),
+      BuildConfig(numBuckets = 4, numDocShards = 2,
+        saltThreshold = 1000000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-joinloc").toString
+    IndexBuilder.writeIndex(ix, dir, "snap", 1)
+    val docs = ix.docs.select(col("docId").as("doc_id"), col("repo"))
+    val local = new Searcher(spark, SegmentSearcher.load(dir))
+    val gated = new Searcher(spark, SegmentSearcher.load(dir),
+      cacheSegments = false, maxLocalBytes = 0L)
+    for (q <- Seq(TermQ("merge"), TermQ("def"),
+           Query.or(TermQ("spark"), TermQ("codec")));
+         mode <- Seq("avg", "max", "min", "total")) {
+      val dist = graft.ops.Join
+        .joinScored(docs, DataFrameSearcher.scores(ix, q),
+          "repo", "repo", mode, 50)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toSeq
+      val loc = local.joinScoredLocal(q, "repo", "repo", mode, 50)
+      assert(loc.isDefined, s"$q/$mode should take the local tier")
+      val locRows = loc.get.zipWithIndex
+        .map { case (h, i) => (h.docId, h.score, i + 1) }.toSeq
+      // exact doubles: the fold laws must be bit-identical, not close
+      assert(locRows == dist, s"$q mode=$mode")
+      // beyond the gate the tier declines and callers fall back
+      assert(gated.joinScoredLocal(q, "repo", "repo", mode, 50).isEmpty)
+    }
+    // mode none has no local fold (TermsQuery rewrite)
+    assert(local.joinScoredLocal(TermQ("merge"), "repo", "repo",
+      "none", 50).isEmpty)
+    ix.unpersistCached(); ix.postings.unpersist()
+    local.close(); gated.close()
+  }
+
   // ---------- SweetSpotSimilarity ----------
 
   private lazy val (sweetSearcher, docsToks) = {
