@@ -1050,6 +1050,24 @@ object SegmentSearcher {
     def cost: Long = conj.cost
     def maxScore: Float = (req.maxScore.toDouble + opt.maxScore).toFloat
   }
+  /** Spark's binary string order (UTF8String.compareTo = unsigned
+    * UTF-8 byte comparison). String.compareTo (UTF-16 units) agrees
+    * only below the supplementary planes — driver tiers replaying a
+    * Catalyst string sort must use THIS.
+    */
+  private[search] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** First index with dict(i) >= key. */
   private[graft] def lowerBound(dict: Array[String], key: String): Int = {
     var lo = 0
@@ -3114,6 +3132,40 @@ final class Searcher(private[search] val spark: SparkSession,
     * only num×numFactor candidate rows reach the blend, which is itself
     * a DataFrame projection — the driver sees `num` rows.
     */
+  /** Driver-resident suggester build — the AnalyzingInfixSuggester
+    * keeps its OWN auxiliary index of the stored texts
+    * (`AnalyzingInfixSuggester.java:77-95`); this snapshot is that
+    * build, sized by the `maxLocalBytes` gate like every other local
+    * tier: (docId asc)-ordered (docId, raw text, analyzed tokens,
+    * default length weight) rows, NULL texts dropped (they can never
+    * match — SQL three-valued logic drops them distributed too).
+    * None beyond the gate — callers run the distributed scan. Weight is
+    * the codepoint count (Spark `length` ≡ `codePointCount`, NOT
+    * String.length's UTF-16 units).
+    */
+  private val suggestSnapCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[Array[(Long, String, Array[String], Long)]]]
+  private def suggestSnapshot(
+      contentCol: String): Option[Array[(Long, String, Array[String], Long)]] =
+    suggestSnapCache.getOrElseUpdate(contentCol, {
+      val sz = docsDf
+        .agg(sum(length(col(contentCol)).cast("long"))).collect()(0)
+      val chars = if (sz.isNullAt(0)) 0L else sz.getLong(0)
+      // text + token copies + array/object headers ≈ 4× the chars
+      if (4L * chars > maxLocalBytes) None
+      else {
+        val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+        val rows = docsDf.select(col("docId"), col(contentCol))
+          .filter(col(contentCol).isNotNull).collect()
+          .sortBy(_.getLong(0))
+        Some(rows.map { r =>
+          val t = r.getString(1)
+          (r.getLong(0), t, tok(t),
+            t.codePointCount(0, t.length).toLong)
+        })
+      }
+    })
+
   def suggestBlendedInfix(key: String, num: Int,
       blender: String = "linear", numFactor: Int = 10,
       exponent: Double = 2.0, contentCol: String = "text",
@@ -3142,6 +3194,14 @@ final class Searcher(private[search] val spark: SparkSession,
     val (matched, prefixTok) =
       if (endsMidToken) (keyToks.dropRight(1).toSet, Some(keyToks.last))
       else (keyToks.toSet, None)
+    // the local tier can only replay the DEFAULT length weight — an
+    // arbitrary weight Column must evaluate distributed
+    if (weightExpr.isEmpty) suggestSnapshot(contentCol) match {
+      case Some(snap) =>
+        return blendedInfixLocal(snap, key, matched, prefixTok, num,
+          numFactor, blender, exponent)
+      case None =>
+    }
     val w = weightExpr.getOrElse(length(col(contentCol)).cast("long"))
     val toksU = udf((s: String) => tok(s))
     // Candidate selection (guide §1.2 per-task work, §4 keep the
@@ -3201,6 +3261,49 @@ final class Searcher(private[search] val spark: SparkSession,
       .limit(num)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  /** The Column tree of [[suggestBlendedInfix]] replayed over the
+    * driver snapshot, law for law: MUST membership + prefix existence
+    * on the SAME tokenizer's output; candidates = top num×numFactor by
+    * (weight desc, docId asc); coefficient double arithmetic identical
+    * (`1−0.10·p`, `1/(p+1)`, `1/(p+1)^e`, startsWith short-circuit);
+    * score = (long)(w × coef) truncation; final (score desc, text DESC
+    * in UTF-8 BYTE order — Spark's binary string order, which
+    * String.compareTo only matches below the supplementary planes).
+    * `indexWhere`'s no-match −1 even mirrors `array_position`'s 0 − 1.
+    */
+  private def blendedInfixLocal(
+      snap: Array[(Long, String, Array[String], Long)], key: String,
+      matched: Set[String], prefixTok: Option[String], num: Int,
+      numFactor: Int, blender: String,
+      exponent: Double): Array[(String, Long)] = {
+    val cands = snap.iterator.filter { case (_, _, toks, _) =>
+      matched.forall(mt => toks.contains(mt)) &&
+        prefixTok.forall(p => toks.exists(_.startsWith(p)))
+    }.toArray
+      .sortWith { case ((ida, _, _, wa), (idb, _, _, wb)) =>
+        if (wa != wb) wa > wb else ida < idb
+      }.take(num * numFactor)
+    val isM = (t: String) =>
+      matched.contains(t) || prefixTok.exists(t.startsWith(_))
+    cands.map { case (_, text, toks, w) =>
+      val coef =
+        if (text.startsWith(key)) 1.0d
+        else {
+          val p = toks.indexWhere(isM)
+          blender match {
+            case "linear" => 1.0d - 0.10d * p.toDouble
+            case "reciprocal" => 1.0d / (p.toDouble + 1.0d)
+            case "exp_reciprocal" =>
+              1.0d / math.pow(p.toDouble + 1.0d, exponent)
+            case other => sys.error(s"unknown blender: $other")
+          }
+        }
+      (text, (w.toDouble * coef).toLong)
+    }.sortWith { case ((ta, sa), (tb, sb)) =>
+        if (sa != sb) sa > sb else SegmentSearcher.utf8Compare(ta, tb) > 0
+      }.take(num)
   }
 
   /** FuzzyLikeThisQuery (`lucene/sandbox/.../queries/FuzzyLikeThisQuery

@@ -58,6 +58,30 @@ class BlendedSuggestSpec extends AnyFunSuite {
       Set("sort merge join", "fast sort"))
   }
 
+  test("local snapshot tier ≡ forced-distributed scan (keys × blenders)") {
+    // a fresh handle over the same index, gated OUT of every local tier
+    val dist = new Searcher(TestSpark.spark,
+      SegmentSearcher.load(searcher.index.dir),
+      cacheSegments = false, maxLocalBytes = 0L)
+    val stops = graft.core.Analysis.EnglishStopWords
+    val cases = Seq(
+      ("sor", "linear", Set.empty[String]),
+      ("sor", "reciprocal", Set.empty[String]),
+      ("sor", "exp_reciprocal", Set.empty[String]),
+      ("sort ", "linear", Set.empty[String]),
+      ("fast sor", "linear", Set.empty[String]),
+      ("quick the", "linear", stops),   // trailing stopword kept as prefix
+      ("quick the ", "linear", stops))  // trailing stopword + separator drops
+    for ((key, blender, sw) <- cases) {
+      val a = searcher.suggestBlendedInfix(key, 10, blender = blender,
+        stopWords = sw).toSeq
+      val b = dist.suggestBlendedInfix(key, 10, blender = blender,
+        stopWords = sw).toSeq
+      assert(a == b, s"key='$key' blender=$blender")
+    }
+    dist.close()
+  }
+
   test("two-token key: MUST term + prefix, candidate cap respected") {
     // "fast sor": doc 2 only (must contain "fast" AND a "sor" prefix)
     val got = searcher.suggestBlendedInfix("fast sor", 10).toSeq
