@@ -3924,17 +3924,79 @@ final class Searcher(private[search] val spark: SparkSession,
     * its own javadoc warns these are linear scans; the columnar scan is
     * the same complexity with pruning the reference can't do.)
     */
+  /** (docId asc)-sorted docvalues pairs of the UPDATE-AWARE view with
+    * SQL NULL values DROPPED — the standalone docvalues queries' local
+    * twin: `dvPredCol`'s three-valued logic never matches a NULL, so
+    * the pair list excludes them outright (unlike the dense
+    * [[docValues]] array, whose missing slots read 0 — fine for its
+    * gated scorer callers, wrong under a standalone predicate). Loaded
+    * once per field under the `dvBytes` gate, long and string keyed.
+    */
+  private val dvLongPairCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[Long])]
+  private def dvLongPairs(field: String): (Array[Long], Array[Long]) =
+    dvLongPairCache.getOrElseUpdate(field, {
+      val c = col(field).cast("long")
+      val rows = dvDocsDf.filter(c.isNotNull)
+        .select(col("docId"), c).collect().sortBy(_.getLong(0))
+      (rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+    })
+  private val dvStrPairCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Long], Array[String])]
+  private def dvStrPairs(field: String): (Array[Long], Array[String]) =
+    dvStrPairCache.getOrElseUpdate(field, {
+      val c = col(field).cast("string")
+      val rows = dvDocsDf.filter(c.isNotNull)
+        .select(col("docId"), c).collect().sortBy(_.getLong(0))
+      (rows.map(_.getLong(0)), rows.map(_.getString(1)))
+    })
+
+  /** Constant score, ties docId asc: walk the (docId asc)-sorted pairs,
+    * keep the first k live matches — ≡ liveDf(filter).orderBy(docId)
+    * .limit(k) on the distributed path.
+    */
+  private def dvLocalWalk(pred: DvPred, field: String, k: Int,
+      constScore: Float): Array[Hit] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    def walk[T](ids: Array[Long], vals: Array[T], accept: T => Boolean)
+        : Unit = {
+      var i = 0
+      while (i < ids.length && out.length < k) {
+        if (accept(vals(i)) &&
+            !graft.index.Deletes.contains(deletesArr, ids(i)))
+          out += Hit(ids(i), constScore.toDouble)
+        i += 1
+      }
+    }
+    pred match {
+      case DvPred.Terms(vs) =>
+        val (ids, vals) = dvStrPairs(field); walk(ids, vals, vs.contains)
+      case DvPred.Numbers(vs) =>
+        val (ids, vals) = dvLongPairs(field); walk(ids, vals, vs.contains)
+      case DvPred.Range(lo, up, il, iu) =>
+        val (ids, vals) = dvLongPairs(field)
+        walk(ids, vals, (v: Long) =>
+          lo.forall(l => if (il) v >= l else v > l) &&
+            up.forall(u => if (iu) v <= u else v < u))
+    }
+    out.toArray
+  }
+
   def searchDocValues(field: String, pred: DvPred, k: Int,
       constScore: Float = 1f): Array[Hit] =
-    liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
+    if (dvBytes <= maxLocalBytes) dvLocalWalk(pred, field, k, constScore)
+    else liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
       .orderBy(col("docId").asc).limit(k)
       .collect().map(r => Hit(r.getLong(0), constScore.toDouble))
 
   /** Exact match count of a standalone docvalues predicate (the
-    * TotalHitCount form): one pushed-filter count, nothing collected.
+    * TotalHitCount form): one pushed-filter count, nothing collected —
+    * or the same gated local walk, uncapped.
     */
   def countDocValues(field: String, pred: DvPred): Long =
-    liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
+    if (dvBytes <= maxLocalBytes)
+      dvLocalWalk(pred, field, Int.MaxValue, 1f).length.toLong
+    else liveDf(dvDocsDf.filter(dvPredCol(field, pred)).select(col("docId")))
       .count()
 
   /** Scored query with a docvalues FILTER clause — the reference's

@@ -26,6 +26,9 @@ class DvQuerySpec extends AnyFunSuite {
       .withColumn("num", pmod(xxhash64(col("path")), lit(50L)))
       .withColumn("cat", concat(lit("c"),
         pmod(xxhash64(col("path"), lit(1)), lit(5L)).cast("string")))
+      // nullable docvalues column: NULL never matches any predicate
+      .withColumn("numn", when(pmod(xxhash64(col("path")), lit(50L)) < 10,
+        lit(null)).otherwise(pmod(xxhash64(col("path")), lit(50L))))
     val ix = IndexBuilder.buildLogical(corpus.repartition(4), "content",
       None, Seq("path"),
       BuildConfig(numBuckets = 4, numDocShards = 2,
@@ -115,5 +118,20 @@ class DvQuerySpec extends AnyFunSuite {
     val p = DvPred.Numbers(Set(1L, 2L, 3L, 4L, 5L))
     assert(s.searchDocValues("num", p, 25).toSeq ==
       sDist.searchDocValues("num", p, 25).toSeq)
+    val preds: Seq[DvPred] = Seq(
+      DvPred.Terms(Set("c0", "c3")),
+      DvPred.Range(Some(10L), Some(40L), inclLower = true,
+        inclUpper = false),
+      DvPred.Range(None, Some(25L)),
+      DvPred.Range(None, None))
+    for (pr <- preds; f <- Seq("num", "numn")) {
+      assert(s.searchDocValues(f, pr, 30).toSeq ==
+        sDist.searchDocValues(f, pr, 30).toSeq, s"$f $pr")
+      assert(s.countDocValues(f, pr) == sDist.countDocValues(f, pr),
+        s"count $f $pr")
+    }
+    // NULLs really are excluded: the both-None rewrite (field exists)
+    // counts strictly fewer docs on the nullable column
+    assert(s.countDocValues("numn", DvPred.Range(None, None)) < total)
   }
 }
