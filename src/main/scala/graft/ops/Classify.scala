@@ -467,10 +467,16 @@ object Classify {
     val q = mltTextQuery(s, text, maxQueryTerms, minTermFreq, minDocFreq)
     val hits = s.search(q, k, None, true, sim)
     if (hits.isEmpty) return Nil
-    val classOf = s.docsDf
-      .filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
-      .select(col("docId"), col(classCol)).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // k-sized class lookup: the gated string docvalues accessor when the
+    // column is driver-resident (NULL reads "" there — dropped below
+    // exactly like a NULL), else one pruned collect
+    val classOf = s.docKeysLocal(classCol) match {
+      case Some(get) => hits.iterator.map(h => h.docId -> get(h.docId)).toMap
+      case None => s.docsDf
+        .filter(col("docId").isin(hits.map(_.docId).toSeq: _*))
+        .select(col("docId"), col(classCol)).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
     val maxScore = hits.head.score // rank 1 (score desc, docId asc)
     val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val boosts = scala.collection.mutable.LinkedHashMap.empty[String, Double]

@@ -2255,10 +2255,18 @@ final class Searcher(private[search] val spark: SparkSession,
     */
   def moreLikeThis(docId: Long, contentCol: String = "content",
       maxQueryTerms: Int = 25, minTf: Int = 2, minDocFreq: Int = 5): Query = {
-    val rows = docsDf
-      .filter(col("docId") === docId).select(contentCol).collect()
-    require(rows.nonEmpty, s"no doc $docId")
-    val toks = IndexBuilder.tokenizerFn(m.tokenizer)(rows(0).getString(0))
+    val content = localRowStore(contentCol) match {
+      case Some(rs) =>
+        val v = rs.getOrNull(docId)
+        require(v != null, s"no doc $docId")
+        v._1
+      case None =>
+        val rows = docsDf
+          .filter(col("docId") === docId).select(contentCol).collect()
+        require(rows.nonEmpty, s"no doc $docId")
+        rows(0).getString(0)
+    }
+    val toks = IndexBuilder.tokenizerFn(m.tokenizer)(content)
     val tf = toks.groupBy(identity).map { case (t, xs) => t -> xs.length }
     val df = stats(tf.keySet)
     val selected = tf.toSeq
@@ -2274,6 +2282,50 @@ final class Searcher(private[search] val spark: SparkSession,
 
   // ---------- highlighting (positions + row store) ----------
 
+  /** Driver-resident stored-fields tier — the row store a lookup node
+    * serves page-sized fetches from RAM/page cache: docId → (content,
+    * tokenBounds|null), loaded once per content column when ~3× the
+    * stored chars fit `maxLocalBytes` (same regime as every other local
+    * tier). Raw column values (nulls preserved) so callers replay their
+    * pruned-collect semantics row for row; None beyond the gate keeps
+    * the pushed-filter scans.
+    */
+  private val rowStoreCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[scala.collection.mutable.LongMap[(String, Array[Byte])]]]
+  private[search] def localRowStore(contentCol: String)
+      : Option[scala.collection.mutable.LongMap[(String, Array[Byte])]] =
+    rowStoreCache.getOrElseUpdate(contentCol, {
+      val hasBounds = docsDf.columns.contains("tokenBounds")
+      val sz = docsDf.agg(
+        sum(length(col(contentCol)).cast("long")),
+        (if (hasBounds) sum(length(col("tokenBounds")).cast("long"))
+         else sum(lit(0L)))).collect()(0)
+      val bytes = (if (sz.isNullAt(0)) 0L else sz.getLong(0)) +
+        (if (sz.isNullAt(1)) 0L else sz.getLong(1))
+      if (3L * bytes > maxLocalBytes) None
+      else {
+        val cols = Seq(col("docId"), col(contentCol).cast("string")) ++
+          (if (hasBounds) Seq(col("tokenBounds")) else Nil)
+        val rows = docsDf.select(cols: _*).collect()
+        val store = new scala.collection.mutable
+          .LongMap[(String, Array[Byte])](rows.length)
+        rows.foreach { r =>
+          store(r.getLong(0)) = (
+            if (r.isNullAt(1)) null else r.getString(1),
+            if (hasBounds && !r.isNullAt(2)) r.getAs[Array[Byte]](2)
+            else null)
+        }
+        Some(store)
+      }
+    })
+
+  /** Gated driver lookup of a docvalues column in string form (the
+    * [[docKeys]] accessor: NULL reads as "") — None beyond
+    * `maxLocalBytes`, callers run their pruned distributed read.
+    */
+  def docKeysLocal(field: String): Option[Long => String] =
+    if (dvBytes <= maxLocalBytes) Some(docKeys(field)) else None
+
   /** Deterministic snippet for each hit — the highlighter surface
     * (`lucene/highlighter/src/java/org/apache/lucene/search/uhighlight/
     * UnifiedHighlighter.java:71` in miniature): re-analyze the stored
@@ -2288,30 +2340,44 @@ final class Searcher(private[search] val spark: SparkSession,
       window: Int = 8): Map[Long, String] = {
     if (hits.isEmpty) return Map.empty
     val ids = hits.map(_.docId).toSeq
-    if (useOffsets) {
-      // exact-offset path: decode the stored token bounds, no re-tokenize
-      docsDf.filter(col("docId").isin(ids: _*))
-        .select(col("docId"), col(contentCol), col("tokenBounds")).collect()
-        .map(r => r.getLong(0) -> SegmentSearcher.snippetFromBounds(
-          r.getString(1), r.getAs[Array[Byte]](2), terms, before, window))
-        .toMap
-    } else {
-      val tok = IndexBuilder.tokenizerFn(m.tokenizer)
-      docsDf.filter(col("docId").isin(ids: _*))
-        .select(col("docId"), col(contentCol)).collect()
-        .map { r =>
-          val toks = tok(r.getString(1))
-          val p = toks.indexWhere(terms.contains)
-          val snippet =
-            if (p < 0) ""
-            else {
-              val start = math.max(0, p - before)
-              toks.slice(start, start + window)
-                .map(t => if (terms.contains(t)) s"<em>$t</em>" else t)
-                .mkString(" ")
-            }
-          r.getLong(0) -> snippet
+    def snippetOf(toks: Array[String]): String = {
+      val p = toks.indexWhere(terms.contains)
+      if (p < 0) ""
+      else {
+        val start = math.max(0, p - before)
+        toks.slice(start, start + window)
+          .map(t => if (terms.contains(t)) s"<em>$t</em>" else t)
+          .mkString(" ")
+      }
+    }
+    localRowStore(contentCol) match {
+      case Some(rs) if useOffsets =>
+        ids.iterator.flatMap { id =>
+          Option(rs.getOrNull(id)).map { case (c, b) =>
+            id -> SegmentSearcher.snippetFromBounds(c, b, terms, before,
+              window)
+          }
         }.toMap
+      case Some(rs) =>
+        val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+        ids.iterator.flatMap { id =>
+          Option(rs.getOrNull(id)).map { case (c, _) =>
+            id -> snippetOf(tok(c))
+          }
+        }.toMap
+      case None if useOffsets =>
+        // exact-offset path: decode the stored token bounds, no re-tokenize
+        docsDf.filter(col("docId").isin(ids: _*))
+          .select(col("docId"), col(contentCol), col("tokenBounds")).collect()
+          .map(r => r.getLong(0) -> SegmentSearcher.snippetFromBounds(
+            r.getString(1), r.getAs[Array[Byte]](2), terms, before, window))
+          .toMap
+      case None =>
+        val tok = IndexBuilder.tokenizerFn(m.tokenizer)
+        docsDf.filter(col("docId").isin(ids: _*))
+          .select(col("docId"), col(contentCol)).collect()
+          .map(r => r.getLong(0) -> snippetOf(tok(r.getString(1))))
+          .toMap
     }
   }
 
@@ -2391,16 +2457,28 @@ final class Searcher(private[search] val spark: SparkSession,
     if (hits.isEmpty) return Map.empty
     val w = fvhWeights(terms)
     val ids = hits.map(_.docId).toSeq
-    val cols =
-      if (useOffsets) Seq(col("docId"), col(contentCol), col("tokenBounds"))
-      else Seq(col("docId"), col(contentCol))
-    docsDf.filter(col("docId").isin(ids: _*)).select(cols: _*).collect()
-      .map { r =>
-        val text = r.getString(1)
-        val blob = if (useOffsets) r.getAs[Array[Byte]](2) else null
-        r.getLong(0) -> Fvh.highlightDoc(text, fvhBounds(text, blob), w,
-          fragCharSize, maxNumFragments)
-      }.toMap
+    localRowStore(contentCol) match {
+      case Some(rs) =>
+        ids.iterator.flatMap { id =>
+          Option(rs.getOrNull(id)).map { case (text, blob0) =>
+            val blob = if (useOffsets) blob0 else null
+            id -> Fvh.highlightDoc(text, fvhBounds(text, blob), w,
+              fragCharSize, maxNumFragments)
+          }
+        }.toMap
+      case None =>
+        val cols =
+          if (useOffsets)
+            Seq(col("docId"), col(contentCol), col("tokenBounds"))
+          else Seq(col("docId"), col(contentCol))
+        docsDf.filter(col("docId").isin(ids: _*)).select(cols: _*).collect()
+          .map { r =>
+            val text = r.getString(1)
+            val blob = if (useOffsets) r.getAs[Array[Byte]](2) else null
+            r.getLong(0) -> Fvh.highlightDoc(text, fvhBounds(text, blob), w,
+              fragCharSize, maxNumFragments)
+          }.toMap
+    }
   }
 
   /** Batch FVH (fragments-as-rows): join the hit frame against the row
@@ -2463,12 +2541,17 @@ final class Searcher(private[search] val spark: SparkSession,
       if (probe.length <= 4096) {
         import org.apache.spark.sql.functions.col
         val ids = probe.map(_.getLong(0))
-        val contents = docsDf
-          .filter(col("docId").isin(ids.toSeq: _*))
-          .select(col("docId"), col(contentCol).cast("string"))
-          .collect()
-          .flatMap(r => if (r.isNullAt(1)) None
-            else Some(r.getLong(0) -> r.getString(1))).toMap
+        val contents = localRowStore(contentCol) match {
+          case Some(rs) => ids.iterator.flatMap { d =>
+            Option(rs.getOrNull(d)).flatMap(v => Option(v._1).map(d -> _))
+          }.toMap
+          case None => docsDf
+            .filter(col("docId").isin(ids.toSeq: _*))
+            .select(col("docId"), col(contentCol).cast("string"))
+            .collect()
+            .flatMap(r => if (r.isNullAt(1)) None
+              else Some(r.getLong(0) -> r.getString(1))).toMap
+        }
         val perDoc = ids.flatMap { d =>
           contents.get(d).map { c =>
             d -> tok(c).groupBy(identity)
@@ -2548,12 +2631,17 @@ final class Searcher(private[search] val spark: SparkSession,
     if (n <= 4096) {
       import org.apache.spark.sql.functions.col
       val ids = hits.select("docId").collect().map(_.getLong(0))
-      val contents = docsDf
-        .filter(col("docId").isin(ids.toSeq: _*))
-        .select(col("docId"), col(contentCol).cast("string"))
-        .collect()
-        .map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      val contents: Map[Long, String] = localRowStore(contentCol) match {
+        case Some(rs) => ids.iterator.flatMap { d =>
+          Option(rs.getOrNull(d)).map(v => d -> v._1)
+        }.toMap
+        case None => docsDf
+          .filter(col("docId").isin(ids.toSeq: _*))
+          .select(col("docId"), col(contentCol).cast("string"))
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      }
       val tf = new java.util.HashMap[Long, Map[String, Long]]()
       ids.foreach { d =>
         val c = contents.getOrElse(d, null)
