@@ -3814,14 +3814,23 @@ final class Searcher(private[search] val spark: SparkSession,
     val fields = (JsExpr.variables(node) - "_score").toSeq.sorted
     val missing = fields.filterNot(docsDf.columns.contains)
     require(missing.isEmpty, s"unbound expression variables: $missing")
-    val fv: Map[Long, Array[Double]] =
-      if (fields.isEmpty) Map.empty
-      else dvDocsDf.filter(col("docId").isin(first.map(_.docId): _*))
-        .select(col("docId") +: fields.map(f => col(f).cast("double")): _*)
-        .collect()
-        .map(r => r.getLong(0) ->
-          Array.tabulate(fields.length)(i => r.getDouble(i + 1)))
-        .toMap
+    // k-sized field fetch: the gated dense accessors when the columns
+    // are driver-resident (same [[docValuesD]] regime as the expression
+    // boost tiers), else one docId-pushdown read of exactly those docs
+    val fv: Long => Array[Double] =
+      if (fields.isEmpty) (_: Long) => Array.empty[Double]
+      else if (fields.length.toLong * dvBytes <= maxLocalBytes) {
+        val gets = fields.map(docValuesD).toArray
+        (d: Long) => Array.tabulate(fields.length)(i => gets(i)(d))
+      } else {
+        val mp = dvDocsDf.filter(col("docId").isin(first.map(_.docId): _*))
+          .select(col("docId") +: fields.map(f => col(f).cast("double")): _*)
+          .collect()
+          .map(r => r.getLong(0) ->
+            Array.tabulate(fields.length)(i => r.getDouble(i + 1)))
+          .toMap
+        mp.apply
+      }
     val idx = fields.zipWithIndex.toMap
     val scored = first.map { h =>
       val bindFn = (v: String) =>

@@ -217,6 +217,9 @@ class JsExprSpec extends AnyFunSuite {
     }.sortBy { case (d, v, _) => (-v, d) }.take(10)
     val got = searcher.rescoreExpr(first, exprWithScore, 10)
     assert(got.toSeq == exp)
+    // gated local accessors ≡ the docId-pushdown distributed fetch
+    assert(distSearcher.rescoreExpr(first, exprWithScore, 10).toSeq ==
+      got.toSeq)
     // first-pass scores survive untouched on every returned row
     val firstScore = first.map(h => h.docId -> h.score.toDouble).toMap
     got.foreach { case (d, _, fs) => assert(fs == firstScore(d)) }
