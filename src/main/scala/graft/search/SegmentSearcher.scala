@@ -2623,14 +2623,17 @@ final class Searcher(private[search] val spark: SparkSession,
       queryTerms: Set[String] = Set.empty): DataFrame = {
     val tok = IndexBuilder.tokenizerFn(m.tokenizer)
     val tokU = udf((content: String) => tok(content))
-    val n = hits.count()
     // Driver-local tier: result-set clustering is k-bounded by contract
     // (ClusteringComponent labels the RESULT PAGE); for small hit sets
     // the label math runs on the driver from one pruned content fetch —
     // identical double arithmetic, same (lscore desc, term asc) argmax.
-    if (n <= 4096) {
+    // The ≤4096 gate rides the id collect itself (one limit-guarded
+    // probe, the mltTermsFrame pattern) instead of a separate count().
+    val probe = hits.select("docId").limit(4097).collect()
+    if (probe.length <= 4096) {
       import org.apache.spark.sql.functions.col
-      val ids = hits.select("docId").collect().map(_.getLong(0))
+      val n = probe.length.toLong
+      val ids = probe.map(_.getLong(0))
       val contents: Map[Long, String] = localRowStore(contentCol) match {
         case Some(rs) => ids.iterator.flatMap { d =>
           Option(rs.getOrNull(d)).map(v => d -> v._1)
@@ -2677,6 +2680,7 @@ final class Searcher(private[search] val spark: SparkSession,
       import sp.implicits._
       return rows.toDF("docId", "label", "csize").coalesce(1)
     }
+    val n = hits.count()
     val rt = hits.select("docId")
       .join(docsDf.select(col("docId"), col(contentCol)), "docId")
       .select(col("docId"), explode(tokU(col(contentCol))).as("term"))
