@@ -68,6 +68,20 @@ object StreamingIndex {
     * the later batches supersede. One pruned read of the (narrow) docs
     * stores + a per-id window, nothing corpus-sized on the driver.
     */
+  /** COMMITTED snapshots are immutable, so their (narrow) docs rows may
+    * cache per PATH for a driver-local /get replay — Solr's
+    * RealTimeGetComponent serves from the in-memory update log the same
+    * way. The snapshot LIST is re-read on every call (new batches must
+    * stay visible); a snapshot whose docs store exceeds the byte gate —
+    * or whose schema drifts from the first snapshot's — marks itself
+    * None and the call runs the distributed window plan instead.
+    */
+  private val snapDocsCache = scala.collection.concurrent.TrieMap.empty[
+    String,
+    Option[(org.apache.spark.sql.types.StructType,
+      Array[org.apache.spark.sql.Row])]]
+  private val rtgMaxLocalBytes: Long = 64L << 20 // compressed file bytes
+
   def realTimeGet(spark: SparkSession, indexDir: String,
       ids: Seq[Long]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
@@ -75,19 +89,57 @@ object StreamingIndex {
     val snaps = snapshots(indexDir)
     require(snaps.nonEmpty, s"no committed snapshots under $indexDir")
     val SnapN = """snap=(\d+)""".r
-    val dfs = snaps.map { p =>
-      val seq = new java.io.File(p).getName match {
-        case SnapN(n) => n.toLong
-        case _ => -1L // tiered merge of older batches
-      }
-      spark.read.parquet(s"$p/docs").withColumn("snapSeq", lit(seq))
+    def seqOf(p: String): Long = new java.io.File(p).getName match {
+      case SnapN(n) => n.toLong
+      case _ => -1L // tiered merge of older batches
     }
-    val w = Window.partitionBy("docId").orderBy(desc("snapSeq"))
-    dfs.reduce(_.unionByName(_))
-      .filter(col("docId").isin(ids: _*))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val cached = snaps.map { p =>
+      snapDocsCache.getOrElseUpdate(p, {
+        val files = Option(new java.io.File(s"$p/docs").listFiles())
+          .map(_.filter(_.isFile).toSeq).getOrElse(Nil)
+        val bytes =
+          if (files.isEmpty) Long.MaxValue else files.map(_.length).sum
+        if (bytes > rtgMaxLocalBytes) None
+        else {
+          val df = spark.read.parquet(s"$p/docs")
+          Some((df.schema, df.collect()))
+        }
+      }).map(v => (seqOf(p), v._1, v._2))
+    }
+    if (cached.forall(_.isDefined) &&
+        cached.flatten.map(_._2).distinct.size == 1) {
+      // driver replay of the window law: newest snapSeq wins per id;
+      // within a snapshot a docId is unique (committed segments)
+      val rows = cached.flatten
+      val schema = rows.head._2
+        .add("snapSeq", org.apache.spark.sql.types.LongType)
+      val idIdx = rows.head._2.fieldIndex("docId")
+      val idSet = ids.toSet
+      val best = scala.collection.mutable.LongMap
+        .empty[(Long, org.apache.spark.sql.Row)]
+      rows.foreach { case (seq, _, rs) =>
+        rs.foreach { r =>
+          val d = r.getLong(idIdx)
+          if (idSet(d) &&
+              (!best.contains(d) || best(d)._1 < seq))
+            best(d) = (seq, r)
+        }
+      }
+      val out = best.values.map { case (seq, r) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ seq)
+      }.toSeq
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(out.asJava, schema).coalesce(1)
+    } else {
+      val dfs = snaps.map(p =>
+        spark.read.parquet(s"$p/docs").withColumn("snapSeq", lit(seqOf(p))))
+      val w = Window.partitionBy("docId").orderBy(desc("snapSeq"))
+      dfs.reduce(_.unionByName(_))
+        .filter(col("docId").isin(ids: _*))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+    }
   }
 
   /** Merge all committed snapshots into one queryable index. */
