@@ -27,11 +27,14 @@ object Percolator {
       queries: Seq[PQuery], tokenizer: String = "simple"): DataFrame = {
     queries.foreach(pq => validate(pq.q))
     val tok = graft.index.IndexBuilder.tokenizerFn(tokenizer)
-    val qs = queries // broadcast via closure
+    // compile each registered query ONCE (wildcards build their regex
+    // here, not once per document inside the match loop); the compiled
+    // closures ride the UDF closure to every task
+    val compiled = queries.map(pq => pq.id -> compileQ(pq.q))
     val matchUdf = udf { (content: String) =>
       val toks = tok(if (content == null) "" else content)
       val mem = buildMem(toks)
-      qs.collect { case PQuery(id, q) if matches(mem, q) => id }
+      compiled.collect { case (id, m) if m(mem) => id }
     }
     docs.select(col(idCol).as("doc_id"),
         explode(matchUdf(col(contentCol))).as("query_id"))
@@ -60,10 +63,14 @@ object Percolator {
       s"percolator supports term/prefix/wildcard/phrase/bool queries: $other")
   }
 
-  private[graft] def matches(mem: Map[String, Array[Int]], q: Query): Boolean =
+  /** One-time query compilation: per-query constants (wildcard regexes,
+    * bool sub-matchers, the msm threshold) are built here, and the
+    * returned closure evaluates one doc's MemoryIndex.
+    */
+  private[graft] def compileQ(q: Query): Map[String, Array[Int]] => Boolean =
     q match {
-      case TermQ(t) => mem.contains(t)
-      case PrefixQ(p) => mem.keysIterator.exists(_.startsWith(p))
+      case TermQ(t) => mem => mem.contains(t)
+      case PrefixQ(p) => mem => mem.keysIterator.exists(_.startsWith(p))
       case WildcardQ(w) =>
         val re = ("^(?:" + w.flatMap {
           case '*' => "[a-z0-9]*"
@@ -71,24 +78,29 @@ object Percolator {
           case c if "\\.[]{}()<>+-=!$^|".indexOf(c) >= 0 => "\\" + c
           case c => c.toString
         } + ")$").r
-        mem.keysIterator.exists(t => re.findFirstIn(t).isDefined)
-      case PhraseQ(terms, slop) =>
+        mem => mem.keysIterator.exists(t => re.findFirstIn(t).isDefined)
+      case PhraseQ(terms, slop) => mem => {
         val lists = terms.map(mem.getOrElse(_, null))
         if (lists.exists(_ eq null)) false
         else if (slop == 0) exactPhrase(lists)
         else sloppyOrdered(lists, slop)
+      }
       case BoolQ(must, should, mustNot, filter, msm) =>
-        val req = (must ++ filter).forall(matches(mem, _))
-        val notOk = !mustNot.exists(matches(mem, _))
-        val matched = should.count(matches(mem, _))
+        val cReq = (must ++ filter).map(compileQ)
+        val cNot = mustNot.map(compileQ)
+        val cShould = should.map(compileQ)
         val needed =
           if (should.isEmpty) 0
           else if (msm > 0) msm
           else if (must.isEmpty && filter.isEmpty) 1
           else 0
-        req && notOk && matched >= needed
+        mem => cReq.forall(_(mem)) && !cNot.exists(_(mem)) &&
+          cShould.count(_(mem)) >= needed
       case other => throw new IllegalArgumentException(other.toString)
     }
+
+  private[graft] def matches(mem: Map[String, Array[Int]], q: Query): Boolean =
+    compileQ(q)(mem)
 
   /** Adjacent run: position p in list0 with p+i in each list i. */
   private def exactPhrase(lists: Seq[Array[Int]]): Boolean =
